@@ -1,13 +1,199 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.model.Snapshot
+import graft.operators._
+import graft.sources.Gen
+import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Two query families:
+  *   q* / t* / emb* — generic relational + training-data ops over the
+  *     driver testdata, each paired with DuckDB SQL in `oracleSql`;
+  *   c* — crawl-domain ops (canonicalize / dedupe / politeness / bloom /
+  *     phash / revisions) over deterministic synthetic inputs (the sandbox
+  *     has no network and DuckDB can't express them) — gated by the
+  *     scalatest golden suites against CrawlOracle instead.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship: one full crawl-epoch schedule (E1) on synthetic seeds. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    crawlSchedule(spark, 2000)
+
+  private def crawlCfg(budget: Int): FrontierJob.Config =
+    FrontierJob.Config(epoch = 0, globalBudget = budget)
+
+  private def crawlSchedule(spark: SparkSession, n: Int): DataFrame = {
+    import spark.implicits._
+    FrontierJob.runEpoch(
+      Gen.seeds(spark, n), Gen.robots(spark),
+      graft.sources.SeenStore.emptySeen(spark), Map.empty, 16,
+      crawlCfg(budget = math.max(200, n / 3)))
+      .toDF()
+      .orderBy(col("scheduled_at_ms").asc, col("priority").desc, col("url_hash").asc)
+  }
+
+  /** 3-epoch scripted snapshot history for the revision-diff query. */
+  private def diffHistory(spark: SparkSession, nImages: Int): DataFrame = {
+    import spark.implicits._
+    val rows = for {
+      epoch <- 0 to 2
+      i <- 0 until nImages
+    } yield {
+      val urlHash = graft.functions.ImageKit.mix64(i.toLong * 7919L + 17L)
+      val fmt = if ((urlHash & 1L) == 0L) "png" else "jpeg"
+      Gen.snapshotRow(
+        imageId = s"http://${Gen.hostName(i % 10)}/news/art-$i",
+        variant = CrawlPipeline.contentVariant(urlHash, epoch),
+        captionVer = CrawlPipeline.captionVariant(urlHash, epoch),
+        fmt = fmt, epoch = epoch, w = 40, h = 28)
+    }
+    spark.createDataset(rows).toDF()
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- relational breadth (DuckDB-oracled) --------------------------
+    "q01_agg_pricing" -> ((s, d) => Relational.aggPricing(s, d)),
+    "q02_join_broadcast" -> ((s, d) => Relational.joinBroadcastRevenue(s, d)),
+    "q03_anti_join" -> ((s, d) => Relational.antiJoinCustomers(s, d)),
+    "q04_semi_join" -> ((s, d) => Relational.semiJoinParts(s, d)),
+    "q05_window_topk" -> ((s, d) => Relational.windowTopOrders(s, d)),
+    "q06_window_lag" -> ((s, d) => Relational.windowEventGaps(s, d)),
+    "q07_topk_global" -> ((s, d) => Relational.topOrders(s, d)),
+    "q08_rollup" -> ((s, d) => Relational.rollupOrders(s, d)),
+    "q09_setops" -> ((s, d) => Relational.setOpsNations(s, d)),
+    "q10_json" -> ((s, d) => Relational.jsonProps(s, d)),
+    "q11_array" -> ((s, d) => Relational.arrayStats(s, d)),
+    "q12_dedup_exact" -> ((s, d) => Relational.dedupExactDocs(s, d)),
+    "q13_range_join" -> ((s, d) => Relational.rangeShipLag(s, d)),
+    "q14_star_join" -> ((s, d) => Relational.starRevenue(s, d)),
+    "q15_distinct" -> ((s, d) => Relational.distinctCounts(s, d)),
+    "q16_time_window" -> ((s, d) => Relational.timeWindowEvents(s, d)),
+    "q17_politeness_analog" -> ((s, d) => Relational.politenessAnalog(s, d)),
+    "t01_text_quality" -> ((s, d) => TextOps.qualityStats(s, d)),
+    // ---- training-data ops, non-SQL parts (rows-only + scalatest) -----
+    "t02_text_profile" -> ((s, d) => TextOps.textProfile(s, d)),
+    "t03_neardup_minhash" -> ((s, d) => TextOps.nearDupMinhash(s, d)),
+    "t04_neardup_simhash" -> ((s, d) => TextOps.nearDupSimhash(s, d)),
+    "emb01_cosine_topk" -> ((s, d) => SimilarityOps.bruteCosineTopK(s, d)),
+    "emb02_ann_lsh" -> ((s, d) => SimilarityOps.annLshTopK(s, d)),
+    // ---- crawl domain (synthetic inputs; scalatest-golden) ------------
+    "c01_canonicalize" -> ((s, _) => {
+      graft.functions.GraftFunctions.ensureRegistered(s)
+      import s.implicits._
+      Gen.seeds(s, 4000)
+        .select(col("url"),
+          graft.functions.GraftFunctions.canonUrl(col("url")).as("url_canon"))
+        .withColumn("url_hash", org.apache.spark.sql.functions.xxhash64(col("url_canon")))
+        .orderBy("url_hash", "url")
+    }),
+    "c02_frontier_dedupe" -> ((s, _) =>
+      FrontierJob.canonicalizeFrontier(Gen.seeds(s, 4000))
+        .groupBy("host")
+        .agg(org.apache.spark.sql.functions.count(lit(1)).as("n_unique"))
+        .orderBy("host")),
+    "c03_schedule" -> ((s, _) => crawlSchedule(s, 4000)),
+    "c04_revisions" -> ((s, _) =>
+      DiffJob.revisions(diffHistory(s, 60), epoch = 2, tau = 10).toDF()
+        .orderBy("image_id")),
+    "c05_bloom" -> ((s, _) => {
+      import s.implicits._
+      val seen = FrontierJob.canonicalizeFrontier(Gen.seeds(s, 4000))
+        .select(col("url_hash"), col("host"), lit(0).as("first_epoch"))
+        .as[graft.model.SeenEntry]
+      graft.sources.SeenStore.buildBlooms(seen, numBuckets = 16, expectedPerBucket = 2048)
+        .select(col("host_bucket"),
+          org.apache.spark.sql.functions.length(col("bloom")).as("bloom_bytes"))
+        .orderBy("host_bucket")
+    }),
+    "c06_phash" -> ((s, _) => {
+      graft.functions.GraftFunctions.ensureRegistered(s)
+      diffHistory(s, 40).where(col("epoch") === 0)
+        .select(col("image_id"), col("w"), col("h"), col("fmt"), col("phash"),
+          graft.functions.GraftFunctions.phash64(col("bytes")).as("phash_recomputed"))
+        .orderBy("image_id")
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_agg_pricing" ->
+      """SELECT l_returnflag, l_linestatus, round(sum(l_quantity),2) AS sum_qty,
+        |round(sum(l_extendedprice),2) AS sum_price, round(sum(l_discount),2) AS sum_disc,
+        |count(*) AS n FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "q02_join_broadcast" ->
+      """SELECT n_name, round(sum(o_totalprice),2) AS revenue, count(*) AS n_orders
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name""".stripMargin,
+    "q03_anti_join" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+    "q04_semi_join" ->
+      """SELECT p_brand, count(*) AS n_parts, round(sum(p_retailprice),2) AS sum_price
+        |FROM part WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
+        |GROUP BY p_brand""".stripMargin,
+    "q05_window_topk" ->
+      """SELECT o_custkey, o_orderkey, round(o_totalprice,2) AS price, rn FROM (
+        |SELECT o_custkey, o_orderkey, o_totalprice,
+        |row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+        |FROM orders) WHERE rn <= 3""".stripMargin,
+    "q06_window_lag" ->
+      """SELECT event_id, user_id, coalesce(epoch_ms(ts) - epoch_ms(
+        |lag(ts) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)), -1) AS gap_ms
+        |FROM events""".stripMargin,
+    "q07_topk_global" ->
+      """SELECT o_orderkey, round(o_totalprice,2) AS price FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin,
+    "q08_rollup" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        |round(sum(o_totalprice),2) AS total FROM orders
+        |GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""".stripMargin,
+    "q09_setops" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+        |EXCEPT SELECT s_nationkey AS nationkey FROM supplier""".stripMargin,
+    "q10_json" ->
+      """SELECT event_type, count(*) AS n,
+        |CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
+        |round(avg(value),4) AS avg_value FROM events GROUP BY event_type""".stripMargin,
+    "q11_array" ->
+      """SELECT label, count(*) AS n, max(dims) AS dims, round(avg(norm2),4) AS avg_norm2
+        |FROM (SELECT label, len(embedding) AS dims,
+        |round(list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'),4) AS norm2
+        |FROM embeddings) GROUP BY label""".stripMargin,
+    "q12_dedup_exact" ->
+      """SELECT md5(text) AS text_md5, min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM documents GROUP BY md5(text)""".stripMargin,
+    "q13_range_join" ->
+      """SELECT o_orderpriority, count(*) AS n, round(sum(l_quantity),2) AS qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= o_orderdate AND l_shipdate <= o_orderdate + INTERVAL 30 DAY
+        |GROUP BY o_orderpriority""".stripMargin,
+    "q14_star_join" ->
+      """SELECT r_name, round(sum(l_extendedprice * (1 - l_discount)),2) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey GROUP BY r_name""".stripMargin,
+    "q15_distinct" ->
+      """SELECT count(DISTINCT l_partkey) AS n_parts, count(DISTINCT l_suppkey) AS n_supps,
+        |count(*) AS n_rows FROM lineitem""".stripMargin,
+    "q16_time_window" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_ts,
+        |event_type, count(*) AS n, round(sum(value),2) AS total
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "q17_politeness_analog" ->
+      """SELECT user_id, event_id, CAST(rn - 1 AS BIGINT) AS slot,
+        |1704067200000 + (rn - 1) * 200 AS scheduled_at_ms FROM (
+        |SELECT user_id, event_id,
+        |row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id ASC) AS rn
+        |FROM events) WHERE rn <= 5""".stripMargin,
+    "t01_text_quality" ->
+      """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_act,
+        |CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+        |round(CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS DOUBLE)
+        |  / greatest(length(text), 1), 4) AS punct_ratio
+        |FROM documents""".stripMargin
+  )
 }

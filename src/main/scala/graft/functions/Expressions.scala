@@ -1,0 +1,146 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.types.{DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions for the two hot-path custom scalars
+  * (SURVEY.md §2.9, §4.3.2): URL canonicalization and perceptual hash.
+  *
+  * Why Expression instead of `udf(...)`: a Scala UDF sits outside
+  * whole-stage codegen and pays encoder ser/de per row; these generate a
+  * direct static call on the codegen'd pipeline's UTF8String/byte[] values,
+  * so the canonicalize -> xxhash64 -> filter chain in the frontier job stays
+  * one codegen stage (SURVEY.md §3 E1).
+  */
+case class CanonicalizeUrl(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "canon_url"
+
+  override def nullSafeEval(input: Any): Any =
+    UTF8String.fromString(UrlKit.canonicalize(input.asInstanceOf[UTF8String].toString))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.unsafe.types.UTF8String.fromString(" +
+        s"graft.functions.UrlKit.canonicalize($c.toString()))")
+
+  override protected def withNewChildInternal(newChild: Expression): CanonicalizeUrl =
+    copy(child = newChild)
+}
+
+/** 64-bit DCT perceptual hash over encoded image bytes (BinaryType -> Long). */
+case class PHash64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "phash64"
+
+  override def nullSafeEval(input: Any): Any =
+    ImageKit.phash64(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ImageKit.phash64($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): PHash64 =
+    copy(child = newChild)
+}
+
+/** 64-bit SimHash of a text column (near-dup fingerprint). */
+case class SimHash64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+  override def nullSafeEval(input: Any): Any =
+    TextKit.simhash64(input.asInstanceOf[UTF8String].toString)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextKit.simhash64($c.toString())")
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}
+
+/** MinHash-LSH band keys of a text column: array<long> of
+  * Defaults.MinHashBands bucket keys (signature k = Defaults.MinHashK).
+  */
+case class MinHashBandKeys(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_bands"
+  override def nullSafeEval(input: Any): Any = {
+    val sig = TextKit.minhashSig(input.asInstanceOf[UTF8String].toString, GraftFunctions.MinHashK)
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      TextKit.bandKeys(sig, GraftFunctions.MinHashBands))
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"graft.functions.TextKit.bandKeys(graft.functions.TextKit.minhashSig(" +
+        s"$c.toString(), ${GraftFunctions.MinHashK}, 3), ${GraftFunctions.MinHashBands}))")
+  override protected def withNewChildInternal(newChild: Expression): MinHashBandKeys =
+    copy(child = newChild)
+}
+
+/** Heuristic document quality score in [0,1]. */
+case class QualityScore(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+  override def prettyName: String = "quality_score"
+  override def nullSafeEval(input: Any): Any =
+    TextKit.qualityScore(input.asInstanceOf[UTF8String].toString)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextKit.qualityScore($c.toString())")
+  override protected def withNewChildInternal(newChild: Expression): QualityScore =
+    copy(child = newChild)
+}
+
+/** n-gram-marker language-ID heuristic. */
+case class LangId(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "lang_id"
+  override def nullSafeEval(input: Any): Any =
+    UTF8String.fromString(TextKit.langId(input.asInstanceOf[UTF8String].toString))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.unsafe.types.UTF8String.fromString(" +
+        s"graft.functions.TextKit.langId($c.toString()))")
+  override protected def withNewChildInternal(newChild: Expression): LangId =
+    copy(child = newChild)
+}
+
+/** Registration + Column-facing API. Uses the public FunctionRegistry +
+  * `call_function` so no private Column<->Expression bridge is needed.
+  */
+object GraftFunctions {
+  /** MinHash signature length / LSH band count (16 bands x 4 rows). */
+  val MinHashK = 64
+  val MinHashBands = 16
+
+  @volatile private var registered: Set[String] = Set.empty
+
+  /** Idempotent per-session registration of all graft temp functions. */
+  def ensureRegistered(spark: SparkSession): Unit = {
+    val key = spark.sessionState.toString
+    if (registered.contains(key)) return
+    synchronized {
+      val reg = spark.sessionState.functionRegistry
+      reg.createOrReplaceTempFunction(
+        "canon_url", (exprs: Seq[Expression]) => CanonicalizeUrl(exprs.head), "scala_udf")
+      reg.createOrReplaceTempFunction(
+        "phash64", (exprs: Seq[Expression]) => PHash64(exprs.head), "scala_udf")
+      reg.createOrReplaceTempFunction(
+        "simhash64", (exprs: Seq[Expression]) => SimHash64(exprs.head), "scala_udf")
+      reg.createOrReplaceTempFunction(
+        "minhash_bands", (exprs: Seq[Expression]) => MinHashBandKeys(exprs.head), "scala_udf")
+      reg.createOrReplaceTempFunction(
+        "quality_score", (exprs: Seq[Expression]) => QualityScore(exprs.head), "scala_udf")
+      reg.createOrReplaceTempFunction(
+        "lang_id", (exprs: Seq[Expression]) => LangId(exprs.head), "scala_udf")
+      registered += key
+    }
+  }
+
+  def canonUrl(c: Column): Column = call_function("canon_url", c)
+  def phash64(c: Column): Column = call_function("phash64", c)
+  def simhash64(c: Column): Column = call_function("simhash64", c)
+  def minhashBands(c: Column): Column = call_function("minhash_bands", c)
+  def qualityScore(c: Column): Column = call_function("quality_score", c)
+  def langId(c: Column): Column = call_function("lang_id", c)
+}

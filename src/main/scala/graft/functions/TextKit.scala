@@ -1,0 +1,140 @@
+package graft.functions
+
+/** Pure text kernels for the training-data-pipeline operators (builder
+  * brief: dedup / fingerprinting / quality): tokenization, shingling,
+  * SimHash, MinHash. All hashing derives from splitmix64 + Spark-compatible
+  * xxhash64 — deterministic, JVM-stable, no locale.
+  */
+object TextKit {
+
+  def tokenize(text: String): Array[String] = {
+    if (text == null) return Array.empty
+    val t = text.trim.toLowerCase
+    if (t.isEmpty) Array.empty else t.split("\\W+").filter(_.nonEmpty)
+  }
+
+  /** Hashes of word k-shingles (k consecutive tokens joined by ''). */
+  def shingleHashes(text: String, k: Int): Array[Long] = {
+    val toks = tokenize(text)
+    if (toks.length < k) {
+      if (toks.isEmpty) Array.empty
+      else Array(hashString(toks.mkString("")))
+    } else {
+      val out = new Array[Long](toks.length - k + 1)
+      var i = 0
+      while (i + k <= toks.length) {
+        out(i) = hashString(toks.slice(i, i + k).mkString(""))
+        i += 1
+      }
+      out
+    }
+  }
+
+  def hashString(s: String): Long = {
+    // FNV-1a 64 over UTF-8 then splitmix finish — cheap, stable.
+    var h = 0xcbf29ce484222325L
+    val bytes = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    while (i < bytes.length) { h ^= bytes(i) & 0xffL; h *= 0x100000001b3L; i += 1 }
+    ImageKit.mix64(h)
+  }
+
+  /** 64-bit SimHash over word 3-shingles: bitwise majority vote. */
+  def simhash64(text: String): Long = {
+    val hs = shingleHashes(text, 3)
+    if (hs.isEmpty) return 0L
+    val counts = new Array[Int](64)
+    var i = 0
+    while (i < hs.length) {
+      val h = hs(i)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (counts(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+
+  /** k-permutation MinHash signature via per-slot xor-mix (one pass). */
+  def minhashSig(text: String, k: Int, shingleK: Int = 3): Array[Long] = {
+    val hs = shingleHashes(text, shingleK)
+    val sig = Array.fill(k)(Long.MaxValue)
+    var i = 0
+    while (i < hs.length) {
+      var j = 0
+      while (j < k) {
+        val h = ImageKit.mix64(hs(i) ^ (0x9e3779b97f4a7c15L * (j + 1)))
+        if (h < sig(j)) sig(j) = h
+        j += 1
+      }
+      i += 1
+    }
+    sig
+  }
+
+  /** LSH band keys: signature split into `bands` groups of rows, each
+    * hashed to one bucket key. Near-dup pairs share >=1 band key w.h.p.
+    */
+  def bandKeys(sig: Array[Long], bands: Int): Array[Long] = {
+    val rows = sig.length / bands
+    val out = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var h = 0x2545f4914f6cdd1dL ^ b
+      var r = 0
+      while (r < rows) { h = ImageKit.mix64(h ^ sig(b * rows + r)); r += 1 }
+      out(b) = h
+      b += 1
+    }
+    out
+  }
+
+  def jaccardShingles(a: String, b: String, shingleK: Int = 3): Double = {
+    val sa = shingleHashes(a, shingleK).toSet
+    val sb = shingleHashes(b, shingleK).toSet
+    if (sa.isEmpty && sb.isEmpty) return 1.0
+    val inter = sa.intersect(sb).size.toDouble
+    inter / (sa.size + sb.size - inter)
+  }
+
+  private val EnStop = Set("the", "a", "an", "of", "to", "and", "in", "is",
+    "it", "that", "was", "for", "on", "with", "as", "at", "by", "be")
+
+  /** Heuristic quality score in [0,1]: length band + alpha ratio +
+    * stopword presence (English-ish prose scores high; junk scores low).
+    */
+  def qualityScore(text: String): Double = {
+    if (text == null || text.isEmpty) return 0.0
+    val toks = tokenize(text)
+    if (toks.isEmpty) return 0.0
+    val nChars = text.length
+    val lenScore = math.min(1.0, nChars / 200.0) * (if (nChars > 20000) 0.5 else 1.0)
+    var alpha = 0
+    var i = 0
+    while (i < text.length) { if (text(i).isLetter || text(i).isWhitespace) alpha += 1; i += 1 }
+    val alphaRatio = alpha.toDouble / nChars
+    val stopRatio = toks.count(EnStop.contains).toDouble / toks.length
+    val stopScore = math.min(1.0, stopRatio / 0.3)
+    0.4 * lenScore + 0.4 * alphaRatio + 0.2 * stopScore
+  }
+
+  /** Tiny n-gram language-ID heuristic over a fixed marker table. */
+  def langId(text: String): String = {
+    val toks = tokenize(text).take(400)
+    if (toks.isEmpty) return "und"
+    val markers: Map[String, Set[String]] = Map(
+      "en" -> Set("the", "and", "of", "to", "is", "in", "that", "it", "was", "for"),
+      "de" -> Set("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "auf", "zu"),
+      "fr" -> Set("le", "la", "les", "et", "est", "une", "des", "que", "pour", "dans"),
+      "es" -> Set("el", "la", "los", "y", "es", "una", "que", "por", "para", "con"),
+      "it" -> Set("il", "la", "di", "che", "e", "un", "per", "con", "del", "sono"))
+    val scores = markers.map { case (lang, set) => lang -> toks.count(set.contains) }
+    val (best, score) = scores.maxBy { case (l, s) => (s, l) }
+    if (score == 0) "und" else best
+  }
+}

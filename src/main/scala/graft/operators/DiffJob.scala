@@ -1,0 +1,87 @@
+package graft.operators
+
+import graft.model.{Revision, Snapshot}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, Dataset}
+
+/** E2 — revision detection (SURVEY.md §3 E2; north_rule: "detects revised
+  * pages via phash/caption comparison against prior snapshots, preserving
+  * news-diff's dedupe-and-revision-tracking behavior").
+  *
+  * One window (lag over image_id ordered by epoch) + one comparison stage.
+  * The scan NEVER touches `bytes` — Catalyst ColumnPruning pushes the
+  * 4-column projection into the parquet reader, so the dominant (binary)
+  * column stays on disk; at 100 TB this is the difference between a
+  * metadata-sized shuffle and an impossible one (SURVEY.md §7.3.2).
+  */
+object DiffJob {
+
+  /** Classify every row of epoch `epoch` against its immediately preceding
+    * version. `history` must contain all snapshots with snap_epoch <= epoch.
+    *   new              — no prior version of image_id
+    *   revised_pixels   — hamming64(phash, prev) > tau, caption equal
+    *   revised_caption  — caption differs, phash within tau
+    *   revised_both     — both
+    *   unchanged        — neither
+    */
+  def revisions(history: DataFrame, epoch: Int, tau: Int): Dataset[Revision] = {
+    import history.sparkSession.implicits._
+    val w = Window.partitionBy("image_id").orderBy("epoch")
+    val pruned = history.select("image_id", "epoch", "phash", "caption")
+    val withPrev = pruned
+      .withColumn("prev_phash", lag("phash", 1).over(w))
+      .withColumn("prev_caption", lag("caption", 1).over(w))
+      .withColumn("prev_epoch", lag("epoch", 1).over(w))
+      .where(col("epoch") === epoch)
+    withPrev
+      .withColumn("phash_dist",
+        when(col("prev_phash").isNull, 0)
+          .otherwise(bit_count(col("phash").bitwiseXOR(col("prev_phash")))))
+      .withColumn("caption_dist",
+        when(col("prev_caption").isNull, 0)
+          .otherwise(levenshtein(col("caption"), col("prev_caption"))))
+      .withColumn("change",
+        when(col("prev_epoch").isNull, "new")
+          .when(col("phash_dist") > tau && col("caption_dist") > 0, "revised_both")
+          .when(col("phash_dist") > tau, "revised_pixels")
+          .when(col("caption_dist") > 0, "revised_caption")
+          .otherwise("unchanged"))
+      .select(col("image_id"), col("epoch").cast("int"),
+        coalesce(col("prev_epoch"), lit(-1)).cast("int").as("prev_epoch"),
+        col("change"), col("phash_dist").cast("int"),
+        col("caption_dist").cast("int"))
+      .as[Revision]
+  }
+
+  /** Local mirror for golden tests: classify one (current, prev) pair. */
+  def classifyLocal(cur: Snapshot, prev: Option[Snapshot], tau: Int): Revision = {
+    prev match {
+      case None => Revision(cur.image_id, cur.epoch, -1, "new", 0, 0)
+      case Some(p) =>
+        val pd = java.lang.Long.bitCount(cur.phash ^ p.phash)
+        val cd = levenshteinLocal(cur.caption, p.caption)
+        val change =
+          if (pd > tau && cd > 0) "revised_both"
+          else if (pd > tau) "revised_pixels"
+          else if (cd > 0) "revised_caption"
+          else "unchanged"
+        Revision(cur.image_id, cur.epoch, p.epoch, change, pd, cd)
+    }
+  }
+
+  def levenshteinLocal(a: String, b: String): Int = {
+    val prev = new Array[Int](b.length + 1)
+    val cur = new Array[Int](b.length + 1)
+    for (j <- 0 to b.length) prev(j) = j
+    for (i <- 1 to a.length) {
+      cur(0) = i
+      for (j <- 1 to b.length) {
+        val cost = if (a(i - 1) == b(j - 1)) 0 else 1
+        cur(j) = math.min(math.min(cur(j - 1) + 1, prev(j) + 1), prev(j - 1) + cost)
+      }
+      Array.copy(cur, 0, prev, 0, cur.length)
+    }
+    prev(b.length)
+  }
+}

@@ -1,0 +1,189 @@
+package graft.operators
+
+import graft.functions.{Bloom64, GraftFunctions}
+import graft.model._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
+
+/** E1 — the crawl-epoch frontier job (SURVEY.md §3 E1; north_rule: "URL
+  * canonicalization + 64-bit hashing feeding a partitioned bloom/cuckoo
+  * URL-seen filter, a per-host politeness scheduler with robots.txt caching
+  * and a priority queue (host-hashed salted partitioning to break skew on
+  * hot news domains)").
+  *
+  * Shuffle inventory (kept explicit on purpose — SURVEY.md §4):
+  *   1. batch-dedupe groupBy(url_canon)            — hash agg, partial+final
+  *   2. anti-join vs url_seen on url_hash          — only bloom-"maybe" rows
+  *   3. politeness window partitionBy(host, salt)  — phase-1 (skew-broken)
+  *   4. politeness window partitionBy(host)        — phase-2 exact, input
+  *                                                   already <= salt*budget/host
+  * robots join is broadcast (no shuffle); global budget is
+  * TakeOrderedAndProject (per-partition heap, no full sort).
+  */
+object FrontierJob {
+
+  /** Epoch scheduling parameters. Shared verbatim with CrawlOracle so
+    * "identical seed lists and politeness budgets" is true by construction.
+    */
+  final case class Config(
+      epoch: Int = 0,
+      epochT0Ms: Long = 1704067200000L, // 2024-01-01T00:00:00Z — fixed, no wall clock
+      globalBudget: Int = Int.MaxValue,
+      defaultDelayMs: Long = 200L,
+      defaultHostBudget: Int = 50,
+      hotHostThreshold: Long = 10000L,
+      saltBuckets: Int = 16,
+      phashTau: Int = 10)
+
+  /** Canonicalize + hash + batch-dedupe a seed/outlink batch.
+    * Dedupe keeps max(priority) per canonical URL (deterministic — no
+    * first()/arbitrary pick). Runs as one codegen stage into a hash agg.
+    */
+  def canonicalizeFrontier(seeds: Dataset[Seed]): DataFrame = {
+    val spark = seeds.sparkSession
+    GraftFunctions.ensureRegistered(spark)
+    seeds
+      .select(GraftFunctions.canonUrl(col("url")).as("url_canon"), col("priority"))
+      .where(col("url_canon").isNotNull && length(col("url_canon")) > 0)
+      .groupBy("url_canon")
+      .agg(max("priority").as("priority"))
+      .select(
+        col("url_canon"),
+        xxhash64(col("url_canon")).as("url_hash"),
+        parse_url(col("url_canon"), lit("HOST")).as("host"),
+        coalesce(parse_url(col("url_canon"), lit("PATH")), lit("/")).as("path"),
+        col("priority"))
+  }
+
+  /** Bloom-assisted exact dedupe against the persistent URL-seen set.
+    *
+    * Split-union plan: rows whose host-bucket bloom says "definitely new"
+    * bypass the shuffle entirely; only bloom-"maybe" rows (true seen + FPP
+    * share of new) pay the anti-join. At 10^10-URL scale with mostly-new
+    * discoveries this removes the dominant shuffle; correctness never
+    * depends on the bloom (FPs resolved by the exact anti-join).
+    */
+  def dedupeAgainstSeen(
+      frontier: DataFrame,
+      seen: Dataset[SeenEntry],
+      blooms: Map[Int, Array[Byte]],
+      numBuckets: Int): DataFrame = {
+    if (blooms.isEmpty) // no sidecar yet (epoch 0 / cold resume): exact path
+      return frontier.join(seen.select("url_hash"), Seq("url_hash"), "left_anti")
+    val spark = frontier.sparkSession
+    val parsed = blooms.map { case (b, bytes) => b -> Bloom64.deserialize(bytes) }
+    val bc = spark.sparkContext.broadcast(parsed)
+    val maybeSeen = udf { (bucket: Int, hash: Long) =>
+      bc.value.get(bucket) match {
+        case Some((k, words)) => Bloom64.mightContain(words, k, hash)
+        case None             => false
+      }
+    }
+    val withBucket = frontier.withColumn(
+      "host_bucket", pmod(xxhash64(col("host")), lit(numBuckets)).cast("int"))
+    val flagged = withBucket.withColumn(
+      "maybe_seen", maybeSeen(col("host_bucket"), col("url_hash")))
+    val fresh = flagged.where(!col("maybe_seen"))
+    val maybe = flagged.where(col("maybe_seen"))
+      .join(seen.select("url_hash"), Seq("url_hash"), "left_anti")
+    fresh.unionByName(maybe).drop("maybe_seen", "host_bucket")
+  }
+
+  /** robots.txt gate: broadcast join of the (small) per-host rules cache,
+    * longest-prefix allow/deny evaluated with higher-order array functions
+    * (no UDF). Hosts absent from the cache are allowed with defaults.
+    */
+  def applyRobots(frontier: DataFrame, robots: Dataset[RobotsEntry], cfg: Config): DataFrame = {
+    val r = robots.select("host", "rules", "crawl_delay_ms", "host_budget")
+    frontier
+      .join(broadcast(r), Seq("host"), "left")
+      .where(col("rules").isNull || robotsAllowedCol(col("rules"), col("path")))
+      .withColumn("crawl_delay_ms", coalesce(col("crawl_delay_ms"), lit(cfg.defaultDelayMs)))
+      .withColumn("host_budget", coalesce(col("host_budget"), lit(cfg.defaultHostBudget)))
+      .drop("rules")
+  }
+
+  /** Longest-prefix robots match as a pure Catalyst column (SURVEY.md §2.2
+    * P4): filter rules to prefixes of `path`, fold keeping the longest
+    * (strictly longer wins; array order breaks ties), default allow.
+    */
+  def robotsAllowedCol(rules: Column, path: Column): Column = {
+    val matched = filter(rules, r => startswith(path, r.getField("prefix")))
+    val best = aggregate(
+      matched,
+      struct(lit(-1).as("len"), lit(true).as("allow")),
+      (acc, r) =>
+        when(length(r.getField("prefix")) > acc.getField("len"),
+          struct(length(r.getField("prefix")).as("len"), r.getField("allow").as("allow")))
+          .otherwise(acc))
+    best.getField("allow")
+  }
+
+  /** Per-host politeness scheduling with explicit skew handling.
+    *
+    * Hot hosts (row count > cfg.hotHostThreshold, measured by a cheap
+    * pre-agg) get a salted phase-1 top-K: window over (host, salt) keeps at
+    * most host_budget rows per salt shard, cutting a hot host from millions
+    * of rows to saltBuckets*budget BEFORE the exact per-host phase-2 window.
+    * Cold hosts take salt=0 (single shard, phase-1 == phase-2 input).
+    * Priority-queue order: (priority desc, url_hash asc) — url_hash is the
+    * pure tiebreak, so the schedule is identical at any parallelism
+    * (SURVEY.md §7.3.1).
+    */
+  def schedule(allowed: DataFrame, cfg: Config): DataFrame = {
+    val hot = allowed.groupBy("host").agg(count(lit(1)).as("host_n"))
+      .where(col("host_n") > cfg.hotHostThreshold)
+      .select(col("host"), lit(1).as("is_hot"))
+    val salted = allowed
+      .join(broadcast(hot), Seq("host"), "left")
+      .withColumn("salt",
+        when(col("is_hot").isNotNull, pmod(col("url_hash"), lit(cfg.saltBuckets)).cast("int"))
+          .otherwise(lit(0)))
+      .drop("is_hot")
+    val w1 = Window.partitionBy("host", "salt")
+      .orderBy(col("priority").desc, col("url_hash").asc)
+    val phase1 = salted
+      .withColumn("rn1", row_number().over(w1))
+      .where(col("rn1") <= col("host_budget"))
+      .drop("rn1", "salt")
+    val w2 = Window.partitionBy("host")
+      .orderBy(col("priority").desc, col("url_hash").asc)
+    phase1
+      .withColumn("rn", row_number().over(w2))
+      .where(col("rn") <= col("host_budget"))
+      .withColumn("slot", (col("rn") - 1).cast("int"))
+      .withColumn("scheduled_at_ms", lit(cfg.epochT0Ms) + (col("rn") - 1) * col("crawl_delay_ms"))
+      .drop("rn", "host_budget", "crawl_delay_ms")
+      .withColumn("epoch", lit(cfg.epoch))
+  }
+
+  /** Deterministic global epoch budget + total output order
+    * (scheduled_at asc, priority desc, url_hash asc) — matches the oracle's
+    * sequence; TakeOrderedAndProject when budget < Int.MaxValue.
+    */
+  def applyGlobalBudget(scheduled: DataFrame, cfg: Config): Dataset[Scheduled] = {
+    import scheduled.sparkSession.implicits._
+    val ordered = scheduled.orderBy(
+      col("scheduled_at_ms").asc, col("priority").desc, col("url_hash").asc)
+    val limited = if (cfg.globalBudget == Int.MaxValue) ordered else ordered.limit(cfg.globalBudget)
+    limited
+      .select("url_canon", "url_hash", "host", "path", "priority",
+        "slot", "scheduled_at_ms", "epoch")
+      .as[Scheduled]
+  }
+
+  /** Full E1 chain for one epoch (sans fetch/commit — see CrawlPipeline). */
+  def runEpoch(
+      seeds: Dataset[Seed],
+      robots: Dataset[RobotsEntry],
+      seen: Dataset[SeenEntry],
+      blooms: Map[Int, Array[Byte]],
+      numBuckets: Int,
+      cfg: Config): Dataset[Scheduled] = {
+    val frontier = canonicalizeFrontier(seeds)
+    val deduped = dedupeAgainstSeen(frontier, seen, blooms, numBuckets)
+    val allowed = applyRobots(deduped, robots, cfg)
+    applyGlobalBudget(schedule(allowed, cfg), cfg)
+  }
+}

@@ -1,0 +1,168 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Generic relational operator breadth over the driver testdata (SURVEY.md
+  * §2.3-2.8, §5.1/§5.5): each method here is paired with ANSI SQL in
+  * `SparkEntry.oracleSql` and gated by the driver's DuckDB compare.
+  *
+  * Conventions for oracle parity (the compare hashes values under sorted
+  * column names): every computed column is aliased identically on both
+  * sides; doubles are round()ed; timestamps leave the result only as
+  * formatted strings; ties in every window/top-k are broken by a unique key
+  * column so ordering is deterministic at any parallelism.
+  */
+object Relational {
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Q1-style pricing summary: scan -> filter -> hash agg (partial+final). */
+  def aggPricing(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .where(col("l_shipdate") <= lit("1998-09-01").cast("timestamp"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        round(sum("l_quantity"), 2).as("sum_qty"),
+        round(sum("l_extendedprice"), 2).as("sum_price"),
+        round(sum("l_discount"), 2).as("sum_disc"),
+        count(lit(1)).as("n"))
+
+  /** Broadcast-join star arm: orders x customer x nation (dims broadcast). */
+  def joinBroadcastRevenue(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .join(broadcast(t(spark, dir, "customer")), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(spark, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(round(sum("o_totalprice"), 2).as("revenue"), count(lit(1)).as("n_orders"))
+
+  /** Left-anti join (NOT EXISTS): customers without orders. */
+  def antiJoinCustomers(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "customer")
+      .join(t(spark, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name", "c_mktsegment")
+
+  /** Left-semi join (EXISTS): brands having shipped lineitems. */
+  def semiJoinParts(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "part")
+      .join(t(spark, dir, "lineitem"), col("p_partkey") === col("l_partkey"), "left_semi")
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("n_parts"), round(sum("p_retailprice"), 2).as("sum_price"))
+
+  /** Ranking window: top-3 orders per customer (tie-broken by orderkey). */
+  def windowTopOrders(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    t(spark, dir, "orders")
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= 3)
+      .select(col("o_custkey"), col("o_orderkey"),
+        round(col("o_totalprice"), 2).as("price"), col("rn").cast("long").as("rn"))
+  }
+
+  /** Analytic lag window: inter-event gap per user in milliseconds. */
+  def windowEventGaps(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+    t(spark, dir, "events")
+      .withColumn("prev_ts", lag("ts", 1).over(w))
+      .select(col("event_id"), col("user_id"),
+        coalesce(unix_millis(col("ts").cast("timestamp")) - unix_millis(col("prev_ts").cast("timestamp")), lit(-1L))
+          .as("gap_ms"))
+  }
+
+  /** Global top-K: TakeOrderedAndProject, no full sort. */
+  def topOrders(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(10)
+      .select(col("o_orderkey"), round(col("o_totalprice"), 2).as("price"))
+
+  /** Rollup cube over order status x priority. */
+  def rollupOrders(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .rollup("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+
+  /** Set operation: nations with customers but no suppliers. */
+  def setOpsNations(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "customer").select(col("c_nationkey").as("nationkey"))
+      .except(t(spark, dir, "supplier").select(col("s_nationkey").as("nationkey")))
+
+  /** JSON extraction over events.props. */
+  def jsonProps(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("k").as("sum_k"),
+        round(avg("value"), 4).as("avg_value"))
+
+  /** Array (higher-order) functions over embeddings. */
+  def arrayStats(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "embeddings")
+      .withColumn("dims", size(col("embedding")).cast("long"))
+      .withColumn("norm2",
+        round(
+          aggregate(col("embedding"), lit(0.0),
+            (acc, x) => acc + x.cast("double") * x.cast("double")),
+          4))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n"), max("dims").as("dims"),
+        round(avg("norm2"), 4).as("avg_norm2"))
+
+  /** Exact dedup by content hash (training-data pipeline op #1). */
+  def dedupExactDocs(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .groupBy(md5(col("text").cast("binary")).as("text_md5"))
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** Equi-join + range predicate: items shipped within 30 days of order. */
+  def rangeShipLag(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .join(t(spark, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .where(col("l_shipdate") >= col("o_orderdate") &&
+        col("l_shipdate") <= col("o_orderdate") + expr("INTERVAL 30 DAYS"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 2).as("qty"))
+
+  /** Multi-way star join: region-level revenue. */
+  def starRevenue(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .join(t(spark, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(t(spark, dir, "customer")), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(spark, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(spark, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name")
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        .as("revenue"))
+
+  /** Exact + approximate distinct counts. */
+  def distinctCounts(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .agg(countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        count(lit(1)).as("n_rows"))
+
+  /** Tumbling time window (1 h) over the events stream table. */
+  def timeWindowEvents(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss")
+        .as("hour_ts"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total"))
+
+  /** Politeness-scheduler operator shape under the SQL oracle: per-key
+    * ranked slots with budget cap + slot arithmetic (mirrors FrontierJob
+    * W1/W2 on a relational input so DuckDB can check it).
+    */
+  def politenessAnalog(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("value").desc, col("event_id").asc)
+    t(spark, dir, "events")
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= 5)
+      .select(col("user_id"), col("event_id"),
+        (col("rn") - 1).cast("long").as("slot"),
+        (lit(1704067200000L) + (col("rn") - 1) * lit(200L)).as("scheduled_at_ms"))
+  }
+}

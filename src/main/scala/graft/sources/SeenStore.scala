@@ -1,0 +1,86 @@
+package graft.sources
+
+import graft.functions.{BloomAgg, Bloom64}
+import graft.model.SeenEntry
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+
+/** Persistent URL-seen set + partitioned bloom sidecars (SURVEY.md §2.1 S4,
+  * §7.3.5; north_rule "partitioned bloom/cuckoo URL-seen filter").
+  *
+  * At-rest layout under `root/`:
+  *   url_seen/epoch=N/   — parquet of SeenEntry, appended per epoch
+  *   bloom/epoch=N/      — parquet (host_bucket:int, bloom:binary), the
+  *                         CUMULATIVE sidecar as of epoch N
+  *
+  * Buckets are host-keyed (pmod(xxhash64(host), numBuckets)) so one bucket's
+  * bloom covers a stable slice of hosts; at 10^10 URLs each of 256 buckets
+  * holds ~4e7 keys => ~48 MB at 1% FPP — individually broadcastable, and a
+  * batch only deserializes buckets its hosts touch. In-sandbox tests use
+  * small numBuckets/expectedItems; the math is identical.
+  */
+object SeenStore {
+  val DefaultBuckets = 64
+
+  def bucketOf(hostCol: org.apache.spark.sql.Column, numBuckets: Int): org.apache.spark.sql.Column =
+    pmod(xxhash64(hostCol), lit(numBuckets)).cast("int")
+
+  def emptySeen(spark: SparkSession): Dataset[SeenEntry] = {
+    import spark.implicits._
+    spark.emptyDataset[SeenEntry]
+  }
+
+  def load(spark: SparkSession, root: String): Dataset[SeenEntry] = {
+    import spark.implicits._
+    val path = s"$root/url_seen"
+    if (!new java.io.File(path).exists()) emptySeen(spark)
+    else spark.read.parquet(path).select("url_hash", "host", "first_epoch").as[SeenEntry]
+  }
+
+  def append(newSeen: Dataset[SeenEntry], root: String, epoch: Int): Unit =
+    newSeen.write.mode("append").parquet(s"$root/url_seen/epoch=$epoch")
+
+  /** Build per-bucket blooms over a SeenEntry set — one fixed-size buffer
+    * per (map partition, bucket) crosses the shuffle (map-side combine).
+    */
+  def buildBlooms(
+      seen: Dataset[SeenEntry],
+      numBuckets: Int,
+      expectedPerBucket: Long,
+      fpp: Double = 0.01): DataFrame = {
+    val bloomUdaf = udaf(new BloomAgg(expectedPerBucket, fpp))
+    seen
+      .withColumn("host_bucket", bucketOf(col("host"), numBuckets))
+      .groupBy("host_bucket")
+      .agg(bloomUdaf(col("url_hash")).as("bloom"))
+  }
+
+  def writeBlooms(blooms: DataFrame, root: String, epoch: Int): Unit =
+    blooms.write.mode("overwrite").parquet(s"$root/bloom/epoch=$epoch")
+
+  /** Load the bucket->serialized-bloom map for broadcast. The sidecar is
+    * tiny relative to the frontier (numBuckets rows) — collect is the
+    * intended pattern here, not a driver-side loop over data.
+    */
+  def loadBlooms(spark: SparkSession, root: String, epoch: Int): Map[Int, Array[Byte]] = {
+    val path = s"$root/bloom/epoch=$epoch"
+    if (!new java.io.File(path).exists()) Map.empty
+    else spark.read.parquet(path)
+      .collect()
+      .map(r => r.getInt(0) -> r.getAs[Array[Byte]](1))
+      .toMap
+  }
+
+  /** Merge an epoch's blooms into the prior cumulative sidecar (word-wise
+    * OR, driver-side over numBuckets small byte arrays).
+    */
+  def mergeBloomMaps(a: Map[Int, Array[Byte]], b: Map[Int, Array[Byte]]): Map[Int, Array[Byte]] =
+    (a.keySet ++ b.keySet).iterator.map { k =>
+      (a.get(k), b.get(k)) match {
+        case (Some(x), Some(y)) => k -> Bloom64.mergeSerialized(x, y)
+        case (Some(x), None)    => k -> x
+        case (None, Some(y))    => k -> y
+        case _                  => throw new IllegalStateException("unreachable")
+      }
+    }.toMap
+}
