@@ -38,14 +38,21 @@ object ImageKit {
     val px = ((m >>> 6) & 0xff) / 40.0
     val py = ((m >>> 14) & 0xff) / 40.0
     val amp = 90.0 + ((m >>> 22) & 0x1f)
+    // Broadband content matters: a pure low-freq sinusoid leaves most DCT
+    // coefficients ~0, so their signs (the phash bits) flip under jpeg
+    // noise. The diagonal + product octaves below give every 8x8 low-freq
+    // coefficient a decisive magnitude -> phash is stable across png/jpeg.
+    val fd = 2.0 + ((m >>> 27) & 0x7) * 0.7
     val out = new Array[Int](w * h)
     var y = 0
     while (y < h) {
       var x = 0
       while (x < w) {
         val v = 128.0 +
-          amp * 0.6 * math.sin(fx * x * math.Pi / w + px) +
-          amp * 0.4 * math.cos(fy * y * math.Pi / h + py)
+          amp * 0.40 * math.sin(fx * x * math.Pi / w + px) +
+          amp * 0.28 * math.cos(fy * y * math.Pi / h + py) +
+          amp * 0.20 * math.sin(fd * (x + y) * math.Pi / (w + h) + px * 0.5) +
+          amp * 0.12 * math.sin((x * math.Pi / w + 0.6) * (y * math.Pi / h + 0.6) * 3.1 + py)
         out(y * w + x) = math.max(0, math.min(255, math.round(v).toInt))
         x += 1
       }

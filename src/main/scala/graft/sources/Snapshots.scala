@@ -30,7 +30,9 @@ object Snapshots {
   /** Write one epoch partition + lineage, then atomically commit. */
   def commit(snaps: Dataset[Snapshot], root: String, epoch: Int): PartitionLineageSummary = {
     import snaps.sparkSession.implicits._
-    snaps.write.mode("overwrite")
+    // the epoch=N directory IS the partition value — keeping the data
+    // column too would collide with partition inference on root scans
+    snaps.drop("epoch").write.mode("overwrite")
       .parquet(s"$root/snapshots/epoch=$epoch")
     // per-partition lineage: counts + url-hash range per task partition
     // (north_rule metrics clause) — computed on the written data so the

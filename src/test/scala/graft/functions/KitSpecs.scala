@@ -1,0 +1,146 @@
+package graft.functions
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class UrlKitSpec extends AnyFunSuite {
+
+  test("canonicalize: table of dirty -> clean") {
+    val cases = Seq(
+      "HTTP://News1.Example.COM:80/news/tech/art-5#frag" ->
+        "http://news1.example.com/news/tech/art-5",
+      "https://host.com:443/a/b/../c/./d" -> "https://host.com/a/c/d",
+      "http://host.com" -> "http://host.com/",
+      "http://host.com/p?b=2&a=1" -> "http://host.com/p?a=1&b=2",
+      "http://host.com/p?utm_source=x&a=1&fbclid=z" -> "http://host.com/p?a=1",
+      "http://user:pw@host.com/x" -> "http://host.com/x",
+      "http://host.com//a///b" -> "http://host.com/a/b",
+      "http://host.com/%2fa%2F" -> "http://host.com/%2Fa%2F",
+      "host.com/implicit" -> "http://host.com/implicit",
+      "http://host.com/a/" -> "http://host.com/a/")
+    cases.foreach { case (in, want) =>
+      assert(UrlKit.canonicalize(in) == want, s"input: $in")
+    }
+  }
+
+  // exhaustive dirty-URL cross-product (1120 combos, deterministic)
+  private val dirtyUrls: Seq[String] = for {
+    scheme <- Seq("http", "HTTP", "https", "")
+    host <- Seq("News1.Example.com", "a.b.c", "HOST.COM:80", "h.io:8080")
+    path <- Seq("", "/", "/a/b", "/a/../b", "/a/./b/", "//x//y", "/p%2fq")
+    query <- Seq("", "?b=2&a=1", "?utm_source=x", "?a=1&a=0", "?k")
+    frag <- Seq("", "#z")
+  } yield (if (scheme.isEmpty) "" else scheme + "://") + host + path + query + frag
+
+  test("canonicalize is idempotent and total (exhaustive product)") {
+    dirtyUrls.foreach { u =>
+      val c1 = UrlKit.canonicalize(u)
+      assert(UrlKit.canonicalize(c1) == c1, s"not idempotent for $u -> $c1")
+    }
+    // garbage never throws
+    Seq("", "   ", "::::", "%", "?#", "http://", "a b c").foreach(UrlKit.canonicalize)
+  }
+
+  test("hostOf/pathOf on canonical forms") {
+    val c = UrlKit.canonicalize("HTTP://H.com:80/x/y?b=1&a=2#f")
+    assert(UrlKit.hostOf(c) == "h.com")
+    assert(UrlKit.pathOf(c) == "/x/y")
+    assert(UrlKit.pathOf("http://h.com") == "/")
+  }
+}
+
+class ImageKitSpec extends AnyFunSuite {
+
+  test("png roundtrip is lossless; jpeg meets PSNR>=40dB (input_hint invariant)") {
+    for (seed <- Seq(1L, 42L, 987654321L); variant <- 0 to 2) {
+      val (w, h) = (48, 32)
+      val px = ImageKit.genPixels(seed, variant, w, h)
+      val png = ImageKit.encode(px, w, h, "png")
+      val (dp, dw, dh) = ImageKit.decodeGray(png)
+      assert((dw, dh) == (w, h))
+      assert(ImageKit.psnr(px, dp).isPosInfinity, "png must be exact")
+      val jpg = ImageKit.encode(px, w, h, "jpeg")
+      val (dj, _, _) = ImageKit.decodeGray(jpg)
+      val p = ImageKit.psnr(px, dj)
+      assert(p >= 40.0, s"jpeg PSNR $p < 40 (seed=$seed v=$variant)")
+    }
+  }
+
+  test("phash: stable, format-robust, variant-sensitive") {
+    val (w, h) = (48, 32)
+    val px = ImageKit.genPixels(7L, 0, w, h)
+    val png = ImageKit.encode(px, w, h, "png")
+    assert(ImageKit.phash64(png) == ImageKit.phash64(png))
+    // same pixels via lossy jpeg: perceptually identical
+    val jpg = ImageKit.encode(px, w, h, "jpeg")
+    assert(ImageKit.hamming64(ImageKit.phash64(png), ImageKit.phash64(jpg)) <= 4)
+    // a revision (different variant) must exceed the tau=10 threshold mostly
+    val exceed = (0 until 20).count { i =>
+      val a = ImageKit.phash64(ImageKit.encode(ImageKit.genPixels(i, 0, w, h), w, h, "png"))
+      val b = ImageKit.phash64(ImageKit.encode(ImageKit.genPixels(i, 1, w, h), w, h, "png"))
+      ImageKit.hamming64(a, b) > 10
+    }
+    assert(exceed >= 16, s"only $exceed/20 revisions exceeded tau")
+    // totality
+    assert(ImageKit.phash64(Array.emptyByteArray) == 0L)
+    assert(ImageKit.phash64(Array[Byte](1, 2, 3)) == 0L)
+  }
+}
+
+class Bloom64Spec extends AnyFunSuite {
+
+  test("no false negatives; measured FPR <= 2x configured") {
+    val n = 20000
+    val fpp = 0.01
+    val m = Bloom64.optimalNumBits(n, fpp)
+    val words = new Array[Long]((m + 63) / 64)
+    val k = Bloom64.optimalNumHash(n, words.length.toLong * 64)
+    val items = (0 until n).map(i => ImageKit.mix64(i.toLong))
+    items.foreach(Bloom64.put(words, k, _))
+    assert(items.forall(Bloom64.mightContain(words, k, _)), "false negative!")
+    val probes = (n until n + 50000).map(i => ImageKit.mix64(i.toLong))
+    val fp = probes.count(Bloom64.mightContain(words, k, _))
+    val rate = fp.toDouble / probes.size
+    assert(rate <= 2 * fpp, s"FPR $rate > ${2 * fpp}")
+  }
+
+  test("serialize/deserialize/merge roundtrip") {
+    val a = new BloomAgg(1000, 0.01)
+    val bufA = a.reduce(a.zero, 1L)
+    val bufB = a.reduce(a.zero, 2L)
+    val merged = a.finish(a.merge(bufA, bufB))
+    val (k, words) = Bloom64.deserialize(merged)
+    assert(Bloom64.mightContain(words, k, 1L) && Bloom64.mightContain(words, k, 2L))
+    val again = Bloom64.mergeSerialized(merged, merged)
+    assert(again.toSeq == merged.toSeq)
+  }
+}
+
+class TextKitSpec extends AnyFunSuite {
+  private val base = "the quick brown fox jumps over the lazy dog and runs far away into the woods tonight"
+
+  test("simhash: near for small edits, sensitive to different text") {
+    val a = TextKit.simhash64(base)
+    val b = TextKit.simhash64(base + " extra tail")
+    assert(java.lang.Long.bitCount(a ^ b) <= 16)
+    val c = TextKit.simhash64("completely unrelated words about spark catalyst optimizers and shuffles everywhere")
+    assert(java.lang.Long.bitCount(a ^ c) > 16)
+  }
+
+  test("minhash bands collide for near-dups") {
+    val sigA = TextKit.minhashSig(base, 64)
+    val sigB = TextKit.minhashSig(base + " appended revision marker tokens", 64)
+    val shared = TextKit.bandKeys(sigA, 16).toSet
+      .intersect(TextKit.bandKeys(sigB, 16).toSet)
+    assert(shared.nonEmpty, "near-dup pair shares no LSH band")
+    assert(TextKit.jaccardShingles(base, base) == 1.0)
+    assert(TextKit.jaccardShingles(base, base + " x y z") > 0.7)
+  }
+
+  test("langId + quality heuristics behave") {
+    assert(TextKit.langId("the cat and the dog is in the house that was for it") == "en")
+    assert(TextKit.langId("der hund und die katze ist nicht auf der couch zu") == "de")
+    assert(TextKit.langId("") == "und")
+    assert(TextKit.qualityScore(base) > TextKit.qualityScore("@@@@ #### $$$$"))
+    assert(TextKit.qualityScore("") == 0.0)
+  }
+}

@@ -1,0 +1,104 @@
+package graft.operators
+
+import graft.SparkTestBase.{spark, tempDir}
+import graft.functions.ImageKit
+import graft.model._
+import graft.sources.{Gen, Snapshots}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** E2 revision classification vs the local mirror, per-row image
+  * invariants, and E3 checkpoint/resume equivalence (SURVEY.md §5.3/5.4).
+  */
+class DiffGoldenSpec extends AnyFunSuite {
+  import spark.implicits._
+
+  private val nImages = 50
+
+  private def snap(i: Int, epoch: Int): Snapshot = {
+    val urlHash = ImageKit.mix64(i.toLong * 7919L + 17L)
+    val fmt = if ((urlHash & 1L) == 0L) "png" else "jpeg"
+    Gen.snapshotRow(s"http://${Gen.hostName(i % 10)}/news/art-$i",
+      CrawlPipeline.contentVariant(urlHash, epoch),
+      CrawlPipeline.captionVariant(urlHash, epoch), fmt, epoch, w = 40, h = 28)
+  }
+
+  private lazy val history: Seq[Snapshot] =
+    for (e <- 0 to 2; i <- 0 until nImages) yield snap(i, e)
+
+  test("revisions at each epoch match the local classifier exactly") {
+    val df = spark.createDataset(history).toDF()
+    for (epoch <- 0 to 2) {
+      val got = DiffJob.revisions(df.where(col("epoch") <= epoch), epoch, tau = 10)
+        .collect().map(r => r.image_id -> r).toMap
+      val byId = history.filter(_.epoch <= epoch).groupBy(_.image_id)
+      byId.foreach { case (id, snaps) =>
+        val sorted = snaps.sortBy(_.epoch)
+        val cur = sorted.last
+        val prev = if (sorted.size > 1) Some(sorted(sorted.size - 2)) else None
+        val want = DiffJob.classifyLocal(cur, prev, tau = 10)
+        assert(got(id) == want, s"epoch=$epoch id=$id")
+      }
+      if (epoch == 0) assert(got.values.forall(_.change == "new"))
+    }
+  }
+
+  test("per-row input_hint invariants: dims, phash, PSNR, caption") {
+    history.take(60).foreach { s =>
+      val (px, w, h) = ImageKit.decodeGray(s.bytes)
+      assert((w, h) == (s.w, s.h))
+      assert(ImageKit.phash64(s.bytes) == s.phash)
+      // re-derive the source pixels and check the lossy invariant
+      val seed = ImageKit.mix64(s.image_id.hashCode.toLong ^ Gen.GenSeed)
+      val variant = {
+        // recover variant by matching epochs 0..2 script
+        val urlHash = ImageKit.mix64(s.image_id.split("art-")(1).toLong * 7919L + 17L)
+        CrawlPipeline.contentVariant(urlHash, s.epoch)
+      }
+      val src = ImageKit.genPixels(seed, variant, s.w, s.h)
+      val p = ImageKit.psnr(src, px)
+      if (s.fmt == "png") assert(p.isPosInfinity, s"png not exact: ${s.image_id}")
+      else assert(p >= 40.0, s"jpeg PSNR $p < 40: ${s.image_id}")
+      assert(s.caption.startsWith(s"caption of ${s.image_id}"))
+    }
+  }
+}
+
+class PipelineResumeSpec extends AnyFunSuite {
+  import spark.implicits._
+
+  private val cfg = FrontierJob.Config(globalBudget = 400)
+
+  test("3 epochs straight == 2 epochs + resume (checkpoint determinism)") {
+    val rootA = tempDir("graft-straight")
+    val rootB = tempDir("graft-resume")
+    CrawlPipeline.run(spark, rootA, untilEpoch = 2, seedsPerEpoch = 800, cfg)
+    CrawlPipeline.run(spark, rootB, untilEpoch = 1, seedsPerEpoch = 800, cfg)
+    assert(Snapshots.latestCommittedEpoch(rootB) == 1)
+    CrawlPipeline.run(spark, rootB, untilEpoch = 2, seedsPerEpoch = 800, cfg)
+
+    def seenSet(root: String): Set[(Long, Int)] =
+      spark.read.parquet(s"$root/url_seen").select("url_hash", "first_epoch")
+        .as[(Long, Int)].collect().toSet
+    def schedule(root: String, e: Int): Vector[(Long, Int, Long)] =
+      spark.read.parquet(s"$root/scheduled/epoch=$e")
+        .select("url_hash", "slot", "scheduled_at_ms")
+        .as[(Long, Int, Long)].collect().sortBy(x => (x._3, x._1)).toVector
+
+    assert(seenSet(rootA) == seenSet(rootB), "URL-seen sets diverge after resume")
+    (0 to 2).foreach(e => assert(schedule(rootA, e) == schedule(rootB, e), s"epoch $e"))
+    // revisions equal too
+    def revs(root: String) =
+      spark.read.parquet(s"$root/revisions/epoch=2")
+        .orderBy("image_id").collect().toVector
+    assert(revs(rootA) == revs(rootB))
+    // lineage manifest exists and row counts match the snapshots
+    val lin = spark.read.parquet(s"$rootA/lineage")
+      .groupBy("epoch").agg(sum("n_rows").as("n")).orderBy("epoch")
+      .as[(Int, Long)].collect().toMap
+    (0 to 2).foreach { e =>
+      val n = Snapshots.read(spark, rootA, e).count()
+      assert(lin(e) == n, s"lineage count mismatch epoch $e")
+    }
+  }
+}
