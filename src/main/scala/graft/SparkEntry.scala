@@ -72,6 +72,9 @@ object SparkEntry {
     "q15_distinct" -> ((s, d) => Relational.distinctCounts(s, d)),
     "q16_time_window" -> ((s, d) => Relational.timeWindowEvents(s, d)),
     "q17_politeness_analog" -> ((s, d) => Relational.politenessAnalog(s, d)),
+    "q18_stream_window" -> ((s, d) => graft.streaming.StreamingJobs.windowedEventCounts(s, d)),
+    "q19_setops2" -> ((s, d) => Relational.setOpsUnionIntersect(s, d)),
+    "q20_theta_join" -> ((s, d) => Relational.thetaJoin(s, d)),
     "t01_text_quality" -> ((s, d) => TextOps.qualityStats(s, d)),
     // ---- training-data ops, non-SQL parts (rows-only + scalatest) -----
     "t02_text_profile" -> ((s, d) => TextOps.textProfile(s, d)),
@@ -114,7 +117,13 @@ object SparkEntry {
         .select(col("image_id"), col("w"), col("h"), col("fmt"), col("phash"),
           graft.functions.GraftFunctions.phash64(col("bytes")).as("phash_recomputed"))
         .orderBy("image_id")
-    })
+    }),
+    "c07_stream_politeness" -> ((s, _) =>
+      graft.streaming.StreamingJobs.politenessDemo(s)),
+    "c08_img_features" -> ((s, _) =>
+      ImageOps.features(diffHistory(s, 40)).toDF().orderBy("image_id", "epoch")),
+    "c09_img_psnr" -> ((s, _) =>
+      ImageOps.consecutivePsnr(diffHistory(s, 40)).orderBy("image_id", "epoch"))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -189,6 +198,21 @@ object SparkEntry {
         |SELECT user_id, event_id,
         |row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id ASC) AS rn
         |FROM events) WHERE rn <= 5""".stripMargin,
+    "q18_stream_window" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_ts,
+        |event_type, count(*) AS n, round(sum(value),2) AS total
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "q19_setops2" ->
+      """SELECT 'any' AS tag, nationkey FROM
+        |(SELECT c_nationkey AS nationkey FROM customer
+        | UNION SELECT s_nationkey AS nationkey FROM supplier)
+        |UNION ALL
+        |SELECT 'both' AS tag, nationkey FROM
+        |(SELECT c_nationkey AS nationkey FROM customer
+        | INTERSECT SELECT s_nationkey AS nationkey FROM supplier)""".stripMargin,
+    "q20_theta_join" ->
+      """SELECT r_name, count(*) AS n_pairs FROM nation
+        |JOIN region ON n_regionkey <> r_regionkey GROUP BY r_name""".stripMargin,
     "t01_text_quality" ->
       """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_act,
         |CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,

@@ -32,13 +32,20 @@ object FrontierJob {
       globalBudget: Int = Int.MaxValue,
       defaultDelayMs: Long = 200L,
       defaultHostBudget: Int = 50,
-      hotHostThreshold: Long = 10000L,
       saltBuckets: Int = 16,
       phashTau: Int = 10)
 
   /** Canonicalize + hash + batch-dedupe a seed/outlink batch.
     * Dedupe keeps max(priority) per canonical URL (deterministic — no
     * first()/arbitrary pick). Runs as one codegen stage into a hash agg.
+    *
+    * The dedupe groups on the 8-byte url_hash, not the canonical string:
+    * the engine's identity for a URL IS its xxhash64 everywhere downstream
+    * (seen set, anti-join, blooms — matching the reference's hash-keyed
+    * versions table), and an 8-byte grouping key keeps the agg hash table
+    * and shuffle compare cost flat no matter how long URLs get.
+    * min(url_canon) is a deterministic representative (equal for all rows
+    * of a group absent a 64-bit collision).
     */
   def canonicalizeFrontier(seeds: Dataset[Seed]): DataFrame = {
     val spark = seeds.sparkSession
@@ -46,11 +53,12 @@ object FrontierJob {
     seeds
       .select(GraftFunctions.canonUrl(col("url")).as("url_canon"), col("priority"))
       .where(col("url_canon").isNotNull && length(col("url_canon")) > 0)
-      .groupBy("url_canon")
-      .agg(max("priority").as("priority"))
+      .select(xxhash64(col("url_canon")).as("url_hash"), col("url_canon"), col("priority"))
+      .groupBy("url_hash")
+      .agg(max("priority").as("priority"), min("url_canon").as("url_canon"))
       .select(
         col("url_canon"),
-        xxhash64(col("url_canon")).as("url_hash"),
+        col("url_hash"),
         parse_url(col("url_canon"), lit("HOST")).as("host"),
         coalesce(parse_url(col("url_canon"), lit("PATH")), lit("/")).as("path"),
         col("priority"))
@@ -120,27 +128,29 @@ object FrontierJob {
     best.getField("allow")
   }
 
-  /** Per-host politeness scheduling with explicit skew handling.
+  /** Per-host politeness scheduling with explicit skew handling
+    * (north_rule "host-hashed salted partitioning to break skew on hot
+    * news domains").
     *
-    * Hot hosts (row count > cfg.hotHostThreshold, measured by a cheap
-    * pre-agg) get a salted phase-1 top-K: window over (host, salt) keeps at
-    * most host_budget rows per salt shard, cutting a hot host from millions
-    * of rows to saltBuckets*budget BEFORE the exact per-host phase-2 window.
-    * Cold hosts take salt=0 (single shard, phase-1 == phase-2 input).
-    * Priority-queue order: (priority desc, url_hash asc) — url_hash is the
-    * pure tiebreak, so the schedule is identical at any parallelism
+    * Two-phase exact top-K per host: phase-1 windows over (host, salt =
+    * pmod(url_hash, saltBuckets)) and keeps at most host_budget rows per
+    * salt shard — a hot host of millions of rows shrinks to saltBuckets *
+    * budget before phase-2 computes the exact per-host priority order.
+    * Keeping a full budget per shard is required for exactness (the global
+    * top-budget could all hash into one shard). Phase-2's input is bounded
+    * by hosts * saltBuckets * budget — independent of frontier size, so the
+    * per-host ordering never bottlenecks at 10^10 URLs. Salting is uniform
+    * (a hot-host-only variant was measured first: it costs an extra
+    * counting pass and leaves ~#hosts coarse window keys that balance
+    * poorly across cores — uniform salting beat it on both counts).
+    *
+    * Priority-queue order: (priority desc, url_hash asc) — url_hash is a
+    * pure-column tiebreak, so the schedule is identical at any parallelism
     * (SURVEY.md §7.3.1).
     */
   def schedule(allowed: DataFrame, cfg: Config): DataFrame = {
-    val hot = allowed.groupBy("host").agg(count(lit(1)).as("host_n"))
-      .where(col("host_n") > cfg.hotHostThreshold)
-      .select(col("host"), lit(1).as("is_hot"))
     val salted = allowed
-      .join(broadcast(hot), Seq("host"), "left")
-      .withColumn("salt",
-        when(col("is_hot").isNotNull, pmod(col("url_hash"), lit(cfg.saltBuckets)).cast("int"))
-          .otherwise(lit(0)))
-      .drop("is_hot")
+      .withColumn("salt", pmod(col("url_hash"), lit(cfg.saltBuckets)).cast("int"))
     val w1 = Window.partitionBy("host", "salt")
       .orderBy(col("priority").desc, col("url_hash").asc)
     val phase1 = salted

@@ -1,0 +1,76 @@
+package graft.operators
+
+import graft.functions.ImageKit
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, Dataset}
+
+/** Multimodal (image) column operators over the primary snapshot table
+  * (builder brief: decode / feature-extract / resize as first-class ops).
+  * Unlike the brief's suggested stub, decode here is REAL (javax.imageio is
+  * in the JVM stdlib): bytes -> gray pixels -> pooled feature vector, all
+  * executor-side, binary column never collected.
+  */
+object ImageOps {
+
+  final case class ImageFeatures(
+      image_id: String,
+      epoch: Int,
+      w: Int,
+      h: Int,
+      fmt: String,
+      features: Array[Double], // GridSize x GridSize mean-pooled gray
+      mean_lum: Double,
+      contrast: Double)
+
+  val GridSize = 8
+
+  /** Decode + resize (area resample) + feature-extract in one executor
+    * pass (mapPartitions: one decode context per partition, the pattern a
+    * Pandas-UDF batch would use).
+    */
+  def features(snapshots: DataFrame): Dataset[ImageFeatures] = {
+    import snapshots.sparkSession.implicits._
+    snapshots
+      .select("image_id", "epoch", "bytes", "fmt")
+      .as[(String, Int, Array[Byte], String)]
+      .mapPartitions(_.map { case (id, epoch, bytes, fmt) =>
+        val (px, w, h) = ImageKit.decodeGray(bytes)
+        if (w == 0 || h == 0)
+          ImageFeatures(id, epoch, 0, 0, fmt, Array.fill(GridSize * GridSize)(0.0), 0.0, 0.0)
+        else {
+          val pooled = ImageKit.resampleArea(px, w, h, GridSize, GridSize)
+          val mean = pooled.sum / pooled.length
+          val contrast = math.sqrt(pooled.map(v => (v - mean) * (v - mean)).sum / pooled.length)
+          ImageFeatures(id, epoch, w, h, fmt, pooled, mean, contrast)
+        }
+      })
+  }
+
+  /** Pairwise PSNR between consecutive epoch versions of each image — the
+    * distributed form of the input_hint's decoded-pixel invariant check.
+    * NOTE: pixel-exact comparison inherently co-locates both versions'
+    * bytes, so this window DOES shuffle the binary column — that cost is
+    * the reason the production revision path compares phash/caption
+    * (DiffJob) and reserves this operator for audits of flagged pairs.
+    */
+  def consecutivePsnr(history: DataFrame): DataFrame = {
+    import history.sparkSession.implicits._
+    val psnrUdf = udf { (a: Array[Byte], b: Array[Byte]) =>
+      val (pa, wa, ha) = ImageKit.decodeGray(a)
+      val (pb, wb, hb) = ImageKit.decodeGray(b)
+      if (wa != wb || ha != hb || wa == 0) -1.0
+      else {
+        val p = ImageKit.psnr(pa, pb)
+        if (p.isPosInfinity) 999.0 else math.rint(p * 100) / 100
+      }
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("image_id").orderBy("epoch")
+    history.select("image_id", "epoch", "bytes")
+      .withColumn("prev_bytes", lag("bytes", 1).over(w))
+      .withColumn("prev_epoch", lag("epoch", 1).over(w))
+      .where(col("prev_bytes").isNotNull)
+      .select(col("image_id"), col("epoch"), col("prev_epoch"),
+        psnrUdf(col("bytes"), col("prev_bytes")).as("psnr_db"))
+  }
+}

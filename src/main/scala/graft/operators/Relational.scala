@@ -151,6 +151,23 @@ object Relational {
         .as("hour_ts"), col("event_type"))
       .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total"))
 
+  /** UNION (distinct) + INTERSECT in one tagged result. */
+  def setOpsUnionIntersect(spark: SparkSession, dir: String): DataFrame = {
+    val c = t(spark, dir, "customer").select(col("c_nationkey").as("nationkey"))
+    val s = t(spark, dir, "supplier").select(col("s_nationkey").as("nationkey"))
+    c.union(s).distinct().select(lit("any").as("tag"), col("nationkey"))
+      .unionByName(c.intersect(s).select(lit("both").as("tag"), col("nationkey")))
+  }
+
+  /** Non-equi theta join (BroadcastNestedLoopJoin): nation x region pairs
+    * with differing regionkey.
+    */
+  def thetaJoin(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "nation")
+      .join(broadcast(t(spark, dir, "region")), col("n_regionkey") =!= col("r_regionkey"))
+      .groupBy("r_name")
+      .agg(count(lit(1)).as("n_pairs"))
+
   /** Politeness-scheduler operator shape under the SQL oracle: per-key
     * ranked slots with budget cap + slot arithmetic (mirrors FrontierJob
     * W1/W2 on a relational input so DuckDB can check it).
