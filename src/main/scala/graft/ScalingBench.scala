@@ -29,9 +29,25 @@ object ScalingBench {
       .config("spark.sql.shuffle.partitions", cores.toString))
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // optional task-metrics telemetry (SPARK_GRAFT_METRICS=1)
+    val metrics = new java.util.concurrent.atomic.AtomicLongArray(5)
+    if (sys.env.contains("SPARK_GRAFT_METRICS"))
+      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = t.taskMetrics
+          if (m != null) {
+            metrics.addAndGet(0, m.executorRunTime)
+            metrics.addAndGet(1, m.jvmGCTime)
+            metrics.addAndGet(2, m.executorDeserializeTime)
+            metrics.addAndGet(3, m.shuffleWriteMetrics.writeTime / 1000000)
+            metrics.addAndGet(4, m.shuffleReadMetrics.fetchWaitTime)
+          }
+        }
+      })
+    val inputParts = sys.env.getOrElse("SPARK_GRAFT_PARTS", "64").toInt
     val cfg = FrontierJob.Config(epoch = 0, saltBuckets = 64)
     def job() = FrontierJob.runEpoch(
-      Gen.seeds(spark, n, 64), Gen.robots(spark),
+      Gen.seeds(spark, n, inputParts), Gen.robots(spark),
       SeenStore.emptySeen(spark), Map.empty, 64, cfg)
     job().write.format("noop").mode("overwrite").save() // warm JIT + codegen
     val deduped = FrontierJob.canonicalizeFrontier(Gen.seeds(spark, n, 64)).count()
@@ -43,12 +59,15 @@ object ScalingBench {
     }
     val wall = walls.min
     val thr = (deduped + scheduled) / wall
+    if (sys.env.contains("SPARK_GRAFT_METRICS"))
+      System.err.println(s"[metrics] runTimeMs=${metrics.get(0)} gcMs=${metrics.get(1)} " +
+        s"deserMs=${metrics.get(2)} shufWriteMs=${metrics.get(3)} shufFetchWaitMs=${metrics.get(4)}")
     spark.stop()
     f"""{"cores":$cores,"deduped":$deduped,"scheduled":$scheduled,"wall":$wall%.2f,"walls":[${walls.map(w => f"$w%.2f").mkString(",")}],"thr":$thr%.1f}"""
   }
 
   private def spawnLevel(cores: Int, n: Long): Map[String, Double] = {
-    val java = s"${System.getProperty("java.home")}/bin/java"
+    val javaBin = s"${System.getProperty("java.home")}/bin/java"
     val addOpens = Seq(
       "java.base/java.lang", "java.base/java.lang.invoke",
       "java.base/java.lang.reflect", "java.base/java.io",
@@ -63,7 +82,7 @@ object ScalingBench {
     val selfJar = getClass.getProtectionDomain.getCodeSource.getLocation.getPath
     val cp = System.getProperty("java.class.path") +
       java.io.File.pathSeparator + selfJar
-    val cmd = (Seq(java) ++ addOpens ++ Seq(
+    val cmd = (Seq(javaBin) ++ addOpens ++ Seq(
       "-Xmx24g", "-Dspark.ui.enabled=false",
       "-cp", cp,
       "graft.ScalingBench", "level", cores.toString, n.toString)).asJava
@@ -83,18 +102,20 @@ object ScalingBench {
       return
     }
     val n = sys.env.getOrElse("SPARK_GRAFT_SCALE_N", "4000000").toLong
+    val levels = sys.env.getOrElse("SPARK_GRAFT_LEVELS", "8,32").split(",").map(_.trim.toInt)
+    val (loCores, hiCores) = (levels(0), levels(1))
     // interleaved A/B/A/B child JVMs; min per level — the sandbox host has
     // multi-second noise bursts, so single-shot comparisons mislead
-    val lo1 = spawnLevel(8, n); val hi1 = spawnLevel(32, n)
-    val lo2 = spawnLevel(8, n); val hi2 = spawnLevel(32, n)
+    val lo1 = spawnLevel(loCores, n); val hi1 = spawnLevel(hiCores, n)
+    val lo2 = spawnLevel(loCores, n); val hi2 = spawnLevel(hiCores, n)
     def best(a: Map[String, Double], b: Map[String, Double]) =
       if (a("wall") <= b("wall")) a else b
     val lo = best(lo1, lo2); val hi = best(hi1, hi2)
-    val eff = (hi("thr") / lo("thr")) / (32.0 / 8.0)
+    val eff = (hi("thr") / lo("thr")) / (hiCores.toDouble / loCores)
     val json =
-      s"""{"metric":"frontier_scaling","n_urls":$n,"deduped":${lo("deduped").toLong},""" +
-        s""""scheduled":${lo("scheduled").toLong},"thr_8":${lo("thr")},"thr_32":${hi("thr")},""" +
-        s""""wall_8":${lo("wall")},"wall_32":${hi("wall")},"scaling_efficiency":${f"$eff%.3f"}}"""
+      s"""{"metric":"frontier_scaling","n_urls":$n,"cores_lo":$loCores,"cores_hi":$hiCores,"deduped":${lo("deduped").toLong},""" +
+        s""""scheduled":${lo("scheduled").toLong},"thr_lo":${lo("thr")},"thr_hi":${hi("thr")},""" +
+        s""""wall_lo":${lo("wall")},"wall_hi":${hi("wall")},"scaling_efficiency":${f"$eff%.3f"}}"""
     println(json)
     val md =
       s"""# BENCH/BASELINE — measured frontier scaling
@@ -112,14 +133,15 @@ object ScalingBench {
          |
          || level | cores | shuffle partitions | wall min (s) | URLs/sec |
          ||---|---|---|---|---|
-         || N | 8 | 8 | ${lo("wall")} | ${lo("thr")} |
-         || 4N | 32 | 32 | ${hi("wall")} | ${hi("thr")} |
+         || N | $loCores | $loCores | ${lo("wall")} | ${lo("thr")} |
+         || 4N | $hiCores | $hiCores | ${hi("wall")} | ${hi("thr")} |
          |
-         |**Scaling efficiency (thr_32 / thr_8) / 4 = ${f"$eff%.3f"}** (target >= 0.8).
+         |**Scaling efficiency (thr_hi / thr_lo) / (${hiCores}/${loCores}) = ${f"$eff%.3f"}** (target >= 0.8).
          |
          |Raw JSON: `$json`
          |""".stripMargin
     Files.createDirectories(Paths.get("BENCH"))
-    Files.writeString(Paths.get("BENCH/BASELINE.md"), md)
+    val out = Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH/BASELINE.md"))
+    Files.writeString(out, md)
   }
 }

@@ -75,6 +75,12 @@ object SparkEntry {
     "q18_stream_window" -> ((s, d) => graft.streaming.StreamingJobs.windowedEventCounts(s, d)),
     "q19_setops2" -> ((s, d) => Relational.setOpsUnionIntersect(s, d)),
     "q20_theta_join" -> ((s, d) => Relational.thetaJoin(s, d)),
+    "q21_cube" -> ((s, d) => Relational.cubeOrders(s, d)),
+    "q22_levenshtein" -> ((s, d) => Relational.levenshteinDocs(s, d)),
+    "q23_percentile" -> ((s, d) => Relational.percentiles(s, d)),
+    "q24_window_misc" -> ((s, d) => Relational.windowMisc(s, d)),
+    "q25_dates" -> ((s, d) => Relational.dateFunctions(s, d)),
+    "q26_strings" -> ((s, d) => Relational.stringFunctions(s, d)),
     "t01_text_quality" -> ((s, d) => TextOps.qualityStats(s, d)),
     // ---- training-data ops, non-SQL parts (rows-only + scalatest) -----
     "t02_text_profile" -> ((s, d) => TextOps.textProfile(s, d)),
@@ -213,6 +219,41 @@ object SparkEntry {
     "q20_theta_join" ->
       """SELECT r_name, count(*) AS n_pairs FROM nation
         |JOIN region ON n_regionkey <> r_regionkey GROUP BY r_name""".stripMargin,
+    "q21_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n FROM orders
+        |GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin,
+    "q22_levenshtein" ->
+      """SELECT doc_id,
+        |CAST(levenshtein(substring(text,1,30), substring(text,11,30)) AS BIGINT) AS lev_shift,
+        |CAST(levenshtein(lang, source) AS BIGINT) AS lev_meta
+        |FROM documents""".stripMargin,
+    "q23_percentile" ->
+      """SELECT l_returnflag,
+        |round(quantile_disc(l_extendedprice, 0.5),2) AS p50,
+        |round(quantile_disc(l_extendedprice, 0.9),2) AS p90,
+        |count(*) AS n FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "q24_window_misc" ->
+      """SELECT event_id, user_id,
+        |coalesce(lead(event_id) OVER w, -1) AS next_event,
+        |first_value(event_id) OVER w AS first_event,
+        |CAST(ntile(4) OVER w AS BIGINT) AS quartile
+        |FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)""".stripMargin,
+    "q25_dates" ->
+      """SELECT o_orderkey,
+        |CAST(year(o_orderdate) AS BIGINT) AS yr,
+        |CAST(month(o_orderdate) AS BIGINT) AS mo,
+        |CAST(datediff('day', CAST(o_orderdate AS DATE), DATE '1998-12-31') AS BIGINT) AS days_to_eoy,
+        |strftime(o_orderdate + INTERVAL 90 DAY, '%Y-%m-%d') AS plus90
+        |FROM orders""".stripMargin,
+    "q26_strings" ->
+      """SELECT c_custkey,
+        |upper(c_mktsegment) AS seg_up,
+        |substring(c_name, 1, 8) AS name8,
+        |concat_ws('|', c_mktsegment, c_name) AS joined,
+        |lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS padded,
+        |coalesce(regexp_extract(c_name, '([0-9]+)', 1), '') AS digits,
+        |CAST(length(c_name) AS BIGINT) AS name_len
+        |FROM customer""".stripMargin,
     "t01_text_quality" ->
       """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_act,
         |CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,

@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.functions.{Bloom64, GraftFunctions}
+import graft.functions.{Bloom64, GraftFunctions, TopKAgg}
 import graft.model._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -13,11 +13,10 @@ import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
   * hot news domains)").
   *
   * Shuffle inventory (kept explicit on purpose — SURVEY.md §4):
-  *   1. batch-dedupe groupBy(url_canon)            — hash agg, partial+final
-  *   2. anti-join vs url_seen on url_hash          — only bloom-"maybe" rows
-  *   3. politeness window partitionBy(host, salt)  — phase-1 (skew-broken)
-  *   4. politeness window partitionBy(host)        — phase-2 exact, input
-  *                                                   already <= salt*budget/host
+  *   1. batch-dedupe groupBy(url_hash)        — hash agg, partial+final
+  *   2. anti-join vs url_seen on url_hash     — only bloom-"maybe" rows
+  *   3. politeness top-K agg groupBy(host)    — bounded-heap partials:
+  *                                              <= mapParts*hosts*k rows
   * robots join is broadcast (no shuffle); global budget is
   * TakeOrderedAndProject (per-partition heap, no full sort).
   */
@@ -32,6 +31,7 @@ object FrontierJob {
       globalBudget: Int = Int.MaxValue,
       defaultDelayMs: Long = 200L,
       defaultHostBudget: Int = 50,
+      maxHostBudget: Int = 128, // upper bound across all hosts (top-K agg size)
       saltBuckets: Int = 16,
       phashTau: Int = 10)
 
@@ -128,27 +128,63 @@ object FrontierJob {
     best.getField("allow")
   }
 
-  /** Per-host politeness scheduling with explicit skew handling
-    * (north_rule "host-hashed salted partitioning to break skew on hot
-    * news domains").
+  /** Per-host politeness scheduling: the priority queue of the north_rule
+    * as a bounded-heap top-K Aggregator (TopKAgg) with map-side combine.
     *
-    * Two-phase exact top-K per host: phase-1 windows over (host, salt =
-    * pmod(url_hash, saltBuckets)) and keeps at most host_budget rows per
-    * salt shard — a hot host of millions of rows shrinks to saltBuckets *
-    * budget before phase-2 computes the exact per-host priority order.
-    * Keeping a full budget per shard is required for exactness (the global
-    * top-budget could all hash into one shard). Phase-2's input is bounded
-    * by hosts * saltBuckets * budget — independent of frontier size, so the
-    * per-host ordering never bottlenecks at 10^10 URLs. Salting is uniform
-    * (a hot-host-only variant was measured first: it costs an extra
-    * counting pass and leaves ~#hosts coarse window keys that balance
-    * poorly across cores — uniform salting beat it on both counts).
+    * Each map partition keeps at most maxHostBudget candidates per host
+    * before anything shuffles, so the exchange carries
+    * min(rows, mapPartitions * hosts * k) rows — at 10^10-URL scale with
+    * ~100-per-epoch budgets, orders of magnitude below the frontier size —
+    * and a hot host's reduce-side merge cost is bounded by mapPartitions*k,
+    * NOT by how many frontier rows hit that host: skew-immune by
+    * construction (this subsumes explicit hot-host salting; the salted
+    * two-phase window formulation is kept as scheduleWindowed and
+    * golden-tested equal).
     *
     * Priority-queue order: (priority desc, url_hash asc) — url_hash is a
-    * pure-column tiebreak, so the schedule is identical at any parallelism
-    * (SURVEY.md §7.3.1).
+    * pure-column tiebreak and top-K selection is arrival-order-insensitive,
+    * so the schedule is identical at any parallelism (SURVEY.md §7.3.1).
+    * Slots and scheduled_at derive from the exploded rank; the exact
+    * per-host budget (from robots) is enforced on the exploded slots.
     */
   def schedule(allowed: DataFrame, cfg: Config): DataFrame = {
+    import allowed.sparkSession.implicits._
+    // k must cover the largest per-host budget; budgets ride the robots
+    // join, so cap at the config default vs the joined column max. The agg
+    // keeps AT MOST maxK per host; the exact per-host budget is enforced
+    // on the exploded slots below.
+    val maxK = cfg.maxHostBudget
+    val topk = udaf(new TopKAgg(maxK))
+    val picked = allowed
+      .groupBy("host")
+      .agg(
+        topk(col("priority"), col("url_hash"), col("url_canon"), col("path"))
+          .as("top"),
+        max("crawl_delay_ms").as("crawl_delay_ms"), // per-host constants
+        max("host_budget").as("host_budget"))
+    picked
+      .select(col("host"), col("crawl_delay_ms"), col("host_budget"),
+        posexplode(col("top")).as(Seq("slot", "cand")))
+      .where(col("slot") < col("host_budget"))
+      .select(
+        col("cand.url_canon").as("url_canon"),
+        col("cand.url_hash").as("url_hash"),
+        col("host"),
+        col("cand.path").as("path"),
+        col("cand.priority").as("priority"),
+        col("slot").cast("int").as("slot"),
+        (lit(cfg.epochT0Ms) + col("slot") * col("crawl_delay_ms")).as("scheduled_at_ms"))
+      .withColumn("epoch", lit(cfg.epoch))
+  }
+
+  /** The two-phase WINDOW formulation of the same schedule (kept as the
+    * documented alternative; golden-tested equal to `schedule`). Prefer
+    * `schedule` — the bounded-heap aggregator moves orders of magnitude
+    * less shuffle data; this version ranks in place after a full shuffle,
+    * which some pipelines may still want when they need every rank, not
+    * just the budget cut.
+    */
+  def scheduleWindowed(allowed: DataFrame, cfg: Config): DataFrame = {
     val salted = allowed
       .withColumn("salt", pmod(col("url_hash"), lit(cfg.saltBuckets)).cast("int"))
     val w1 = Window.partitionBy("host", "salt")

@@ -168,6 +168,63 @@ object Relational {
       .groupBy("r_name")
       .agg(count(lit(1)).as("n_pairs"))
 
+  /** Full CUBE over two dims (grouping-sets breadth beyond q08's rollup). */
+  def cubeOrders(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .cube("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("n"))
+
+  /** Edit-distance scalar (the caption-diff magnitude function of the
+    * revision engine) under the SQL oracle via documents text slices.
+    */
+  def levenshteinDocs(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(col("doc_id"),
+        levenshtein(substring(col("text"), 1, 30), substring(col("text"), 11, 30))
+          .cast("long").as("lev_shift"),
+        levenshtein(col("lang"), col("source")).cast("long").as("lev_meta"))
+
+  /** Exact discrete percentiles per group (median etc.). */
+  def percentiles(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        round(expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY l_extendedprice)"), 2).as("p50"),
+        round(expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY l_extendedprice)"), 2).as("p90"),
+        count(lit(1)).as("n"))
+
+  /** Window-function breadth: lead, first_value, ntile over a frame. */
+  def windowMisc(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+    t(spark, dir, "events")
+      .select(col("event_id"), col("user_id"),
+        coalesce(lead("event_id", 1).over(w), lit(-1L)).as("next_event"),
+        first("event_id").over(w).as("first_event"),
+        ntile(4).over(w).cast("long").as("quartile"))
+  }
+
+  /** Date/time scalar breadth: year, month, dayofweek-ish, datediff. */
+  def dateFunctions(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .select(col("o_orderkey"),
+        year(col("o_orderdate")).cast("long").as("yr"),
+        month(col("o_orderdate")).cast("long").as("mo"),
+        datediff(lit("1998-12-31").cast("date"), col("o_orderdate").cast("date"))
+          .cast("long").as("days_to_eoy"),
+        date_format(col("o_orderdate") + expr("INTERVAL 90 DAYS"), "yyyy-MM-dd")
+          .as("plus90"))
+
+  /** String scalar breadth: case, substring, concat, pad, regexp_extract. */
+  def stringFunctions(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "customer")
+      .select(col("c_custkey"),
+        upper(col("c_mktsegment")).as("seg_up"),
+        substring(col("c_name"), 1, 8).as("name8"),
+        concat_ws("|", col("c_mktsegment"), col("c_name")).as("joined"),
+        lpad(col("c_custkey").cast("string"), 8, "0").as("padded"),
+        regexp_extract(col("c_name"), "([0-9]+)", 1).as("digits"),
+        length(col("c_name")).cast("long").as("name_len"))
+
   /** Politeness-scheduler operator shape under the SQL oracle: per-key
     * ranked slots with budget cap + slot arithmetic (mirrors FrontierJob
     * W1/W2 on a relational input so DuckDB can check it).

@@ -43,6 +43,15 @@ class CrawlGoldenSpec extends AnyFunSuite {
     assert(runSpark(1, 1) == runSpark(32, 16))
   }
 
+  test("top-K-agg scheduler == two-phase-window scheduler") {
+    val allowed = FrontierJob.applyRobots(
+      FrontierJob.canonicalizeFrontier(Gen.seeds(spark, N, 8)), Gen.robots(spark), cfg)
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      FrontierJob.applyGlobalBudget(df, cfg).collect().toVector
+    assert(norm(FrontierJob.schedule(allowed, cfg)) ==
+      norm(FrontierJob.scheduleWindowed(allowed, cfg)))
+  }
+
   test("politeness invariants: per-host budget + delay gaps") {
     val byHost = oracle.scheduled.groupBy(_.host)
     byHost.foreach { case (host, xs) =>
