@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import java.nio.file.{Files, Paths}
 
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -13,15 +14,24 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // deterministic order + a tiny first action to absorb session spin-up
     spark.range(1000).count()
+    val failures = scala.collection.mutable.ArrayBuffer.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      // a crashed query must surface, not masquerade as a timing
+      try fn(spark, sfDir).count()
+      catch {
+        case e: Throwable =>
+          failures += name
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+      }
       name -> (System.nanoTime() - t0) / 1e9
     }
     // headline metric companion: E1 frontier throughput (URLs deduped +
     // scheduled per second, BASELINE.md numerator) at this session's
     // parallelism on a 1M synthetic frontier — the cross-level scaling
-    // evidence lives in BENCH/BASELINE.md (graft.ScalingBench).
+    // evidence lives in BENCH/BASELINE.md (graft.ScalingBench, fresh JVM
+    // per level; this in-session figure runs after 40+ queries in a hot
+    // GC-pressured session and reads systematically lower).
     val frontier = {
       import graft.operators.FrontierJob
       import graft.sources.{Gen, SeenStore}
@@ -41,9 +51,15 @@ object Bench {
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val fails = failures.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""frontier_urls_per_sec":${f"$frontier%.1f"},"frontier_cores":$cpus,"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""failures":$fails,"n_failures":${failures.length},""" +
+      s""""frontier_urls_per_sec":${f"$frontier%.1f"},"frontier_cores":$cpus,"sf":"$sfDir"}"""
+    println(json)
+    // sbt wraps stdout in [info] prefixes the driver's parser chokes on —
+    // always leave the raw JSON line on disk too
+    Files.writeString(Paths.get("BENCH_LOCAL.json"), json + "\n")
     spark.stop()
   }
 }

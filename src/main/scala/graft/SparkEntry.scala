@@ -81,6 +81,8 @@ object SparkEntry {
     "q24_window_misc" -> ((s, d) => Relational.windowMisc(s, d)),
     "q25_dates" -> ((s, d) => Relational.dateFunctions(s, d)),
     "q26_strings" -> ((s, d) => Relational.stringFunctions(s, d)),
+    "q27_approx_distinct" -> ((s, d) => Relational.approxDistinct(s, d)),
+    "q28_from_json" -> ((s, d) => Relational.jsonStruct(s, d)),
     "t01_text_quality" -> ((s, d) => TextOps.qualityStats(s, d)),
     // ---- training-data ops, non-SQL parts (rows-only + scalatest) -----
     "t02_text_profile" -> ((s, d) => TextOps.textProfile(s, d)),
@@ -126,8 +128,19 @@ object SparkEntry {
     }),
     "c07_stream_politeness" -> ((s, _) =>
       graft.streaming.StreamingJobs.politenessDemo(s)),
-    "c08_img_features" -> ((s, _) =>
-      ImageOps.features(diffHistory(s, 40)).toDF().orderBy("image_id", "epoch")),
+    "c08_img_features" -> ((s, _) => {
+      // comparator-safe projection: the driver's pandas sort/hash crashes
+      // on array<double> columns, so explode the feature vector to
+      // (image_id, epoch, feat_idx, feat_value) scalar rows
+      import org.apache.spark.sql.functions.{posexplode, round => rnd}
+      ImageOps.features(diffHistory(s, 40)).toDF()
+        .select(col("image_id"), col("epoch"), col("w"), col("h"), col("fmt"),
+          rnd(col("mean_lum"), 4).as("mean_lum"),
+          rnd(col("contrast"), 4).as("contrast"),
+          posexplode(col("features")).as(Seq("feat_idx", "feat_value")))
+        .withColumn("feat_value", rnd(col("feat_value"), 4))
+        .orderBy("image_id", "epoch", "feat_idx")
+    }),
     "c09_img_psnr" -> ((s, _) =>
       ImageOps.consecutivePsnr(diffHistory(s, 40)).orderBy("image_id", "epoch"))
   )
@@ -254,6 +267,17 @@ object SparkEntry {
         |coalesce(regexp_extract(c_name, '([0-9]+)', 1), '') AS digits,
         |CAST(length(c_name) AS BIGINT) AS name_len
         |FROM customer""".stripMargin,
+    "q27_approx_distinct" ->
+      """SELECT count(DISTINCT l_partkey) AS n_exact,
+        |(abs(approx_count_distinct(l_partkey) - count(DISTINCT l_partkey))
+        |  <= count(DISTINCT l_partkey) * 0.1) AS approx_ok
+        |FROM lineitem""".stripMargin,
+    "q28_from_json" ->
+      """SELECT event_type,
+        |CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 AS k_mod,
+        |count(*) AS n,
+        |CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k
+        |FROM events GROUP BY 1, 2""".stripMargin,
     "t01_text_quality" ->
       """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_act,
         |CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,

@@ -54,6 +54,21 @@ object Bloom64 {
     true
   }
 
+  /** Probe entry point for the codegen'd BloomMightContain expression: the
+    * broadcast holds the bucket -> (numHash, words) sidecar map; a bucket
+    * with no bloom (no seen URLs hash there yet) is "definitely new".
+    */
+  def mightContainRef(
+      bc: org.apache.spark.broadcast.Broadcast[_],
+      bucket: Int,
+      hash: Long): Boolean = {
+    val m = bc.value.asInstanceOf[Map[Int, (Int, Array[Long])]]
+    m.get(bucket) match {
+      case Some((k, words)) => mightContain(words, k, hash)
+      case None             => false
+    }
+  }
+
   def serialize(words: Array[Long], numHash: Int): Array[Byte] = {
     val bb = java.nio.ByteBuffer.allocate(8 + words.length * 8)
     bb.putInt(numHash); bb.putInt(words.length)

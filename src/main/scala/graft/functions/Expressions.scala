@@ -79,6 +79,64 @@ case class MinHashBandKeys(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Host of an ALREADY-canonical URL — same kernel (UrlKit.hostOf) as the
+  * single-threaded CrawlOracle, so politeness grouping / robots join /
+  * bloom bucketing can never diverge from the oracle on inputs parse_url
+  * handles differently (explicit non-default ports, odd authorities).
+  */
+case class HostOf(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "host_of"
+  override def nullSafeEval(input: Any): Any =
+    UTF8String.fromString(UrlKit.hostOf(input.asInstanceOf[UTF8String].toString))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.unsafe.types.UTF8String.fromString(" +
+        s"graft.functions.UrlKit.hostOf($c.toString()))")
+  override protected def withNewChildInternal(newChild: Expression): HostOf =
+    copy(child = newChild)
+}
+
+/** Path (sans query) of an ALREADY-canonical URL — oracle-parity kernel. */
+case class PathOf(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "path_of"
+  override def nullSafeEval(input: Any): Any =
+    UTF8String.fromString(UrlKit.pathOf(input.asInstanceOf[UTF8String].toString))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.unsafe.types.UTF8String.fromString(" +
+        s"graft.functions.UrlKit.pathOf($c.toString()))")
+  override protected def withNewChildInternal(newChild: Expression): PathOf =
+    copy(child = newChild)
+}
+
+/** Probe of the broadcast per-host-bucket bloom sidecar:
+  * (host_bucket:int, url_hash:long) -> "maybe seen". Native codegen keeps
+  * the frontier's hottest filter inside the whole-stage-codegen'd chain —
+  * the UDF form paid encoder ser/de per frontier row exactly where the
+  * engine is supposed to be one codegen stage. The broadcast handle rides
+  * the plan as a codegen reference object; executors read .value() locally.
+  */
+case class BloomMightContain(
+    left: Expression,
+    right: Expression,
+    blooms: org.apache.spark.broadcast.Broadcast[Map[Int, (Int, Array[Long])]])
+  extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.BooleanType
+  override def prettyName: String = "bloom_maybe_seen"
+  override def nullSafeEval(bucket: Any, hash: Any): Any =
+    Bloom64.mightContainRef(blooms, bucket.asInstanceOf[Int], hash.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bloomBc", blooms,
+      classOf[org.apache.spark.broadcast.Broadcast[_]].getName)
+    nullSafeCodeGen(ctx, ev, (b, h) =>
+      s"${ev.value} = graft.functions.Bloom64.mightContainRef($ref, $b, $h);")
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): BloomMightContain =
+    copy(left = l, right = r)
+}
+
 /** Heuristic document quality score in [0,1]. */
 case class QualityScore(child: Expression) extends UnaryExpression {
   override def dataType: DataType = org.apache.spark.sql.types.DoubleType
@@ -133,11 +191,33 @@ object GraftFunctions {
         "quality_score", (exprs: Seq[Expression]) => QualityScore(exprs.head), "scala_udf")
       reg.createOrReplaceTempFunction(
         "lang_id", (exprs: Seq[Expression]) => LangId(exprs.head), "scala_udf")
+      reg.createOrReplaceTempFunction(
+        "host_of", (exprs: Seq[Expression]) => HostOf(exprs.head), "scala_udf")
+      reg.createOrReplaceTempFunction(
+        "path_of", (exprs: Seq[Expression]) => PathOf(exprs.head), "scala_udf")
       registered += key
     }
   }
 
+  /** Column probe over a concrete broadcast sidecar: registered per call
+    * (the builder closure captures the broadcast), resolved at analysis of
+    * the calling DataFrame.
+    */
+  def bloomMaybeSeen(
+      spark: SparkSession,
+      blooms: org.apache.spark.broadcast.Broadcast[Map[Int, (Int, Array[Long])]],
+      bucket: Column,
+      hash: Column): Column = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "bloom_maybe_seen",
+      (exprs: Seq[Expression]) => BloomMightContain(exprs(0), exprs(1), blooms),
+      "scala_udf")
+    call_function("bloom_maybe_seen", bucket, hash)
+  }
+
   def canonUrl(c: Column): Column = call_function("canon_url", c)
+  def hostOf(c: Column): Column = call_function("host_of", c)
+  def pathOf(c: Column): Column = call_function("path_of", c)
   def phash64(c: Column): Column = call_function("phash64", c)
   def simhash64(c: Column): Column = call_function("simhash64", c)
   def minhashBands(c: Column): Column = call_function("minhash_bands", c)

@@ -57,10 +57,15 @@ final case class Revision(
     phash_dist: Int,
     caption_dist: Int)
 
-/** Per-partition lineage + metrics manifest row (north_rule clause). */
+/** Per-partition lineage + metrics manifest row (north_rule clause).
+  * Ranges are over the at-rest columns they actually describe: the
+  * perceptual hash and the url_hash of the snapshot's image_id.
+  */
 final case class PartitionLineage(
     epoch: Int,
     partition_id: Int,
     n_rows: Long,
+    min_phash: Long,
+    max_phash: Long,
     min_url_hash: Long,
     max_url_hash: Long)

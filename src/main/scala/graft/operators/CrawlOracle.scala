@@ -70,7 +70,8 @@ object CrawlOracle {
     // 4. per-host priority queue: (priority desc, url_hash asc), cap budget
     val perHost = entries.groupBy(_.host).toSeq.flatMap { case (host, es) =>
       val r = robots.get(host)
-      val budget = r.map(_.host_budget).getOrElse(cfg.defaultHostBudget)
+      // clamped identically to FrontierJob.applyRobots (top-K agg sizing)
+      val budget = math.min(r.map(_.host_budget).getOrElse(cfg.defaultHostBudget), cfg.maxHostBudget)
       val delay = r.map(_.crawl_delay_ms).getOrElse(cfg.defaultDelayMs)
       es.sortBy(e => (-e.priority, e.url_hash))
         .take(budget)

@@ -102,9 +102,13 @@ object CrawlPipeline {
       val scheduled = FrontierJob.runEpoch(seeds, robots, seen, blooms, numBuckets, cfg)
         .persist()
       scheduled.write.mode("overwrite").parquet(s"$root/scheduled/epoch=$epoch")
-      // fetch + snapshot commit (manifest = the atomic checkpoint)
+      // fetch + snapshot data write (NOT yet committed — the manifest goes
+      // last, after every piece of this epoch's state is at rest, so a
+      // crash at ANY point here leaves an uncommitted epoch that resume
+      // re-runs idempotently; committing before seen/blooms would instead
+      // let a crash produce a committed epoch whose URLs re-schedule)
       val snaps = fetch(scheduled, epoch)
-      val summary = Snapshots.commit(snaps, root, epoch)
+      val summary = Snapshots.writeEpoch(snaps, root, epoch)
       // seen merge + cumulative bloom sidecar for the NEXT epoch
       val newSeen = scheduled
         .select(col("url_hash"), col("host"), lit(epoch).as("first_epoch"))
@@ -116,12 +120,22 @@ object CrawlPipeline {
       val merged = SeenStore.mergeBloomMaps(blooms, epochBlooms)
       merged.toSeq.toDF("host_bucket", "bloom")
         .coalesce(1).write.mode("overwrite").parquet(s"$root/bloom/epoch=$epoch")
-      // E2 diff for this epoch
-      val revs = DiffJob.revisions(Snapshots.readUpTo(spark, root, epoch), epoch, cfg.phashTau)
+      // E2 diff for this epoch against the maintained latest-version table
+      // (flat per-epoch cost — the full-history window form would grow
+      // O(total snapshots) per epoch; equality golden-tested in
+      // DiffAndPipelineSpec)
+      val revs = DiffJob.revisionsFromLatest(
+        Snapshots.read(spark, root, epoch),
+        Snapshots.readLatest(spark, root, epoch - 1),
+        epoch, cfg.phashTau)
       revs.write.mode("overwrite").parquet(s"$root/revisions/epoch=$epoch")
-      val nRevised = revs.where(col("change").startsWith("revised")).count()
+      Snapshots.writeLatest(spark, root, epoch)
+      val nRevised = spark.read.parquet(s"$root/revisions/epoch=$epoch")
+        .where(col("change").startsWith("revised")).count()
       val nScheduled = scheduled.count()
       scheduled.unpersist()
+      // the atomic commit point: everything above is now at rest
+      Snapshots.commitManifest(root, epoch, summary.n_rows, summary.n_partitions)
       EpochSummary(epoch, nScheduled, nScheduled, nRevised)
     }
   }

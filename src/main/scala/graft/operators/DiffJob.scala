@@ -26,7 +26,6 @@ object DiffJob {
     *   unchanged        — neither
     */
   def revisions(history: DataFrame, epoch: Int, tau: Int): Dataset[Revision] = {
-    import history.sparkSession.implicits._
     val w = Window.partitionBy("image_id").orderBy("epoch")
     val pruned = history.select("image_id", "epoch", "phash", "caption")
     val withPrev = pruned
@@ -34,6 +33,36 @@ object DiffJob {
       .withColumn("prev_caption", lag("caption", 1).over(w))
       .withColumn("prev_epoch", lag("epoch", 1).over(w))
       .where(col("epoch") === epoch)
+    classifyWithPrev(withPrev, tau)
+  }
+
+  /** Scale-safe per-epoch form: classify `current` (epoch e rows) against
+    * the maintained latest-version table as of e-1 (Snapshots.readLatest).
+    * The latest prior version IS lag(1) over history, so this equals
+    * `revisions` row-for-row (golden-tested), but per-epoch cost is a single
+    * equi-join — O(|current| + |latest|), FLAT in epoch count — where the
+    * window form rescans and re-sorts the whole history every epoch.
+    */
+  def revisionsFromLatest(
+      current: DataFrame,
+      latestPrev: DataFrame,
+      epoch: Int,
+      tau: Int): Dataset[Revision] = {
+    val cur = current.select("image_id", "epoch", "phash", "caption")
+      .where(col("epoch") === epoch)
+    val prev = latestPrev.select(
+      col("image_id"),
+      col("epoch").as("prev_epoch"),
+      col("phash").as("prev_phash"),
+      col("caption").as("prev_caption"))
+    classifyWithPrev(cur.join(prev, Seq("image_id"), "left"), tau)
+  }
+
+  /** Shared classification tail over (image_id, epoch, phash, caption,
+    * prev_phash, prev_caption, prev_epoch).
+    */
+  private def classifyWithPrev(withPrev: DataFrame, tau: Int): Dataset[Revision] = {
+    import withPrev.sparkSession.implicits._
     withPrev
       .withColumn("phash_dist",
         when(col("prev_phash").isNull, 0)

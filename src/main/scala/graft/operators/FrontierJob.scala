@@ -59,8 +59,13 @@ object FrontierJob {
       .select(
         col("url_canon"),
         col("url_hash"),
-        parse_url(col("url_canon"), lit("HOST")).as("host"),
-        coalesce(parse_url(col("url_canon"), lit("PATH")), lit("/")).as("path"),
+        // host_of/path_of are the SAME kernel (UrlKit) the single-threaded
+        // CrawlOracle uses — parse_url diverges on explicit non-default
+        // ports (keeps host sans port) and returns NULL on authorities the
+        // total canonicalizer happily emits, which would silently shift
+        // politeness grouping / robots / bloom bucketing off-oracle.
+        GraftFunctions.hostOf(col("url_canon")).as("host"),
+        GraftFunctions.pathOf(col("url_canon")).as("path"),
         col("priority"))
   }
 
@@ -80,18 +85,21 @@ object FrontierJob {
     if (blooms.isEmpty) // no sidecar yet (epoch 0 / cold resume): exact path
       return frontier.join(seen.select("url_hash"), Seq("url_hash"), "left_anti")
     val spark = frontier.sparkSession
+    GraftFunctions.ensureRegistered(spark)
     val parsed = blooms.map { case (b, bytes) => b -> Bloom64.deserialize(bytes) }
     val bc = spark.sparkContext.broadcast(parsed)
-    val maybeSeen = udf { (bucket: Int, hash: Long) =>
-      bc.value.get(bucket) match {
-        case Some((k, words)) => Bloom64.mightContain(words, k, hash)
-        case None             => false
-      }
-    }
     val withBucket = frontier.withColumn(
       "host_bucket", pmod(xxhash64(col("host")), lit(numBuckets)).cast("int"))
+    // Native codegen probe (BloomMightContain) — stays inside the frontier's
+    // whole-stage-codegen chain; the old UDF form paid encoder ser/de per
+    // row. NULL-safety: a null bucket/hash makes the flag null, which must
+    // route the row through the EXACT anti-join (coalesce -> true), never
+    // silently drop it — the oracle always keeps such rows.
     val flagged = withBucket.withColumn(
-      "maybe_seen", maybeSeen(col("host_bucket"), col("url_hash")))
+      "maybe_seen",
+      coalesce(
+        GraftFunctions.bloomMaybeSeen(spark, bc, col("host_bucket"), col("url_hash")),
+        lit(true)))
     val fresh = flagged.where(!col("maybe_seen"))
     val maybe = flagged.where(col("maybe_seen"))
       .join(seen.select("url_hash"), Seq("url_hash"), "left_anti")
@@ -108,7 +116,12 @@ object FrontierJob {
       .join(broadcast(r), Seq("host"), "left")
       .where(col("rules").isNull || robotsAllowedCol(col("rules"), col("path")))
       .withColumn("crawl_delay_ms", coalesce(col("crawl_delay_ms"), lit(cfg.defaultDelayMs)))
-      .withColumn("host_budget", coalesce(col("host_budget"), lit(cfg.defaultHostBudget)))
+      // clamp to maxHostBudget: the top-K aggregator is sized at maxK =
+      // cfg.maxHostBudget, so a larger robots budget would be silently
+      // truncated there — clamp HERE (and identically in CrawlOracle) so
+      // both sides honor the same effective budget by construction.
+      .withColumn("host_budget",
+        least(coalesce(col("host_budget"), lit(cfg.defaultHostBudget)), lit(cfg.maxHostBudget)))
       .drop("rules")
   }
 

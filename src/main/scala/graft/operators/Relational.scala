@@ -225,6 +225,31 @@ object Relational {
         regexp_extract(col("c_name"), "([0-9]+)", 1).as("digits"),
         length(col("c_name")).cast("long").as("name_len"))
 
+  /** HLL approximate distinct (A2's second half — the monitoring-path
+    * counter). Spark's HLL++ and DuckDB's HLL give different point
+    * estimates, so the ORACLE-STABLE output is the exact count plus the
+    * engine-independent assertion that the approximation lands within the
+    * configured error envelope (10% >> default rsd 5%) — both engines emit
+    * (n_exact, true) iff their own sketch behaves.
+    */
+  def approxDistinct(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .agg(
+        countDistinct(col("l_partkey")).as("n_exact"),
+        (abs(approx_count_distinct(col("l_partkey")) - countDistinct(col("l_partkey")))
+          <= countDistinct(col("l_partkey")) * lit(0.1)).as("approx_ok"))
+
+  /** from_json with a DECLARED schema (§2.8 map/json second half): parse
+    * events.props into a typed struct, then aggregate on the parsed field.
+    */
+  def jsonStruct(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .withColumn("k",
+        from_json(col("props"), org.apache.spark.sql.types.StructType.fromDDL("k INT"))
+          .getField("k"))
+      .groupBy(col("event_type"), pmod(col("k"), lit(10)).as("k_mod"))
+      .agg(count(lit(1)).as("n"), sum(col("k").cast("long")).as("sum_k"))
+
   /** Politeness-scheduler operator shape under the SQL oracle: per-key
     * ranked slots with budget cap + slot arithmetic (mirrors FrontierJob
     * W1/W2 on a relational input so DuckDB can check it).

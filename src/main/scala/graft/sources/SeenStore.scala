@@ -37,8 +37,12 @@ object SeenStore {
     else spark.read.parquet(path).select("url_hash", "host", "first_epoch").as[SeenEntry]
   }
 
+  /** Per-epoch overwrite (each epoch's entries land in their own epoch=N
+    * dir exactly once) — idempotent when a crashed, uncommitted epoch is
+    * re-run; append mode would duplicate its rows.
+    */
   def append(newSeen: Dataset[SeenEntry], root: String, epoch: Int): Unit =
-    newSeen.write.mode("append").parquet(s"$root/url_seen/epoch=$epoch")
+    newSeen.write.mode("overwrite").parquet(s"$root/url_seen/epoch=$epoch")
 
   /** Build per-bucket blooms over a SeenEntry set — one fixed-size buffer
     * per (map partition, bucket) crosses the shuffle (map-side combine).

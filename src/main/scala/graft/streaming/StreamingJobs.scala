@@ -6,7 +6,6 @@ import graft.model.{Scheduled, Seed}
   * constructor for codegen).
   */
 final case class HostState(nextSlot: Int)
-import graft.operators.FrontierJob
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
@@ -21,9 +20,12 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 object StreamingJobs {
 
   /** Tumbling 1h windowed counts over the events table consumed AS A
-    * STREAM (one file per trigger), complete-mode memory sink. The final
-    * table equals the batch groupBy — which is exactly what the DuckDB
-    * oracle checks (q18).
+    * STREAM, complete-mode memory sink. The final table equals the batch
+    * groupBy — which is exactly what the DuckDB oracle checks (q18).
+    * One trigger processes all available files: splitting into
+    * one-file-per-trigger added nothing to parity but re-aggregated and
+    * re-collected the full result to the driver EVERY trigger (complete-
+    * mode memory sink is O(result) per trigger — 22% of the round-1 bench).
     */
   def windowedEventCounts(spark: SparkSession, dir: String): DataFrame = {
     val batchSchema = spark.read.parquet(s"$dir/events.parquet").schema
@@ -32,7 +34,6 @@ object StreamingJobs {
     // table, so stream the dir with a glob pinned to the events table.
     val stream = spark.readStream
       .schema(batchSchema)
-      .option("maxFilesPerTrigger", "1")
       .option("pathGlobFilter", "events*.parquet")
       .parquet(dir)
     val agg = stream
@@ -70,9 +71,37 @@ object StreamingJobs {
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         case (host, rows, state: GroupState[HostState]) =>
           var next = state.getOption.map(_.nextSlot).getOrElse(0)
-          // deterministic in-batch order: (priority desc, url_hash asc)
-          val sorted = rows.toSeq.sortBy(r => (-r._3, r._2))
-          val out = sorted.iterator.takeWhile(_ => next < budget).map { r =>
+          // Bounded selection: the host can take at most (budget - next)
+          // more slots, so keep ONLY that many rows in memory — a sorted
+          // bounded buffer with binary-search insert, same order as the
+          // batch scheduler: (priority desc, url_hash asc). A full
+          // toSeq.sortBy here would materialize a hot host's entire
+          // micro-batch and OOM at scale; this is O(rem) memory however
+          // many rows the batch throws at one host.
+          val rem = math.max(0, budget - next)
+          var buf = new Array[(String, Long, Double)](0)
+          if (rem > 0) rows.foreach { r =>
+            val n = buf.length
+            val worse = n == rem &&
+              !(r._3 > buf(n - 1)._3 || (r._3 == buf(n - 1)._3 && r._2 < buf(n - 1)._2))
+            if (!worse) {
+              var lo = 0; var hi = n
+              while (lo < hi) {
+                val mid = (lo + hi) >>> 1
+                val m = buf(mid)
+                if (m._3 > r._3 || (m._3 == r._3 && m._2 < r._2)) lo = mid + 1 else hi = mid
+              }
+              val outLen = math.min(n + 1, rem)
+              val nb = new Array[(String, Long, Double)](outLen)
+              System.arraycopy(buf, 0, nb, 0, lo)
+              if (lo < outLen) {
+                nb(lo) = r
+                System.arraycopy(buf, lo, nb, lo + 1, outLen - lo - 1)
+              }
+              buf = nb
+            }
+          } else rows.foreach(_ => ()) // drain: budget exhausted
+          val out = buf.iterator.map { r =>
             val s = Scheduled(s"http://$host/", r._2, host, "/", r._3,
               next, t0Ms + next.toLong * delayMs, 0)
             next += 1
@@ -91,10 +120,24 @@ object StreamingJobs {
   def politenessDemo(spark: SparkSession, n: Int = 3000, budget: Int = 40): DataFrame = {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
-    val frontier = FrontierJob.canonicalizeFrontier(graft.sources.Gen.seeds(spark, n))
-      .select(col("host"), col("url_hash"), col("priority"))
-      .as[(String, Long, Double)]
-      .collect()
+    // MemoryStream input is built with the LOCAL generator + kernels (the
+    // same pure functions the distributed plan codegens), not by collecting
+    // a Spark job to the driver — the stream harness feeds test data, it
+    // must not pull a distributed frontier through the driver.
+    val frontier: Array[(String, Long, Double)] = {
+      val canon = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+      graft.sources.Gen.seedsLocal(n).foreach { s =>
+        val uc = graft.functions.UrlKit.canonicalize(s.url)
+        if (uc != null && uc.nonEmpty)
+          canon.updateWith(uc) {
+            case Some(p) => Some(math.max(p, s.priority))
+            case None    => Some(s.priority)
+          }
+      }
+      canon.iterator.map { case (uc, p) =>
+        (graft.functions.UrlKit.hostOf(uc), graft.operators.CrawlOracle.xxhash64(uc), p)
+      }.toArray.sortBy(e => (e._1, e._2))
+    }
     val stream = MemoryStream[(String, Long, Double)]
     val out = statefulPoliteness(stream.toDS(), budget, delayMs = 200L, t0Ms = 1704067200000L)
     val name = s"stream_polite_$n"

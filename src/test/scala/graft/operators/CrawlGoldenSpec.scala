@@ -92,6 +92,47 @@ class CrawlGoldenSpec extends AnyFunSuite {
     got.foreach(r => assert(r.getBoolean(0) == r.getBoolean(1)))
   }
 
+  test("oracle parity on hostile URLs: non-default port, spaces, garbage (bloom path active)") {
+    // parse_url would NULL or strip ports on several of these; the shared
+    // UrlKit kernel must keep Spark and oracle host/path/bucketing identical,
+    // and a null-ish row must never be silently dropped by the bloom flag.
+    val hostile = Seq(
+      Seed("http://news1.example.com:8080/x", 0.9), // explicit non-default port
+      Seed("HTTP://News1.Example.com:80/a/../b#frag", 0.8),
+      Seed("http://ex ample.com/a b?b=2&a=1", 0.7), // spaces in authority+path
+      Seed("not a url at all", 0.6),
+      Seed("http:///rooted/path", 0.5),
+      Seed("://weird", 0.45),
+      Seed("https://news2.example.com:443/ok?utm_source=x", 0.4),
+      Seed("http://news1.example.com:8080/x?a=1", 0.3))
+    val cfgH = cfg.copy(epoch = 1)
+    val seenHash = CrawlOracle.xxhash64("http://seenhost.example.com/seen")
+    val seen = Seq(SeenEntry(seenHash, "seenhost.example.com", 0)).toDS()
+    // non-empty sidecar => the bloom-probe path (not the exact-only branch) runs
+    val blooms = SeenStore.buildBlooms(seen, numBuckets = 16, expectedPerBucket = 128)
+      .collect().map(r => r.getInt(0) -> r.getAs[Array[Byte]](1)).toMap
+    assert(blooms.nonEmpty)
+    val got = FrontierJob.runEpoch(
+      spark.createDataset(hostile), Gen.robots(spark), seen, blooms, 16, cfgH)
+      .collect().toVector
+    val want = CrawlOracle.runEpoch(hostile, robotsMap, Set(seenHash), cfgH)
+    assert(got == want.scheduled)
+    assert(got.size == hostile.size, "a hostile URL was silently dropped")
+  }
+
+  test("host budget above maxHostBudget is clamped identically on both sides") {
+    val many = (0 until 300).map(i => Seed(s"http://hot.example.com/a$i", i / 300.0))
+    val bigBudget = RobotsEntry("hot.example.com", Seq(RobotsRule(allow = true, prefix = "/")),
+      0, 100L, host_budget = 9999) // > cfg.maxHostBudget (128)
+    val cfgB = FrontierJob.Config(epoch = 0)
+    val got = FrontierJob.runEpoch(
+      spark.createDataset(many), spark.createDataset(Seq(bigBudget)),
+      SeenStore.emptySeen(spark), Map.empty, 16, cfgB).collect().toVector
+    val want = CrawlOracle.runEpoch(many, Map("hot.example.com" -> bigBudget), Set.empty, cfgB)
+    assert(got == want.scheduled)
+    assert(got.size == cfgB.maxHostBudget, "clamp not applied")
+  }
+
   test("URL-seen dedupe: bloom-assisted path == exact path; final seen set == oracle") {
     // epoch 0 scheduled becomes the seen set; re-run the same seeds at epoch 1
     val seen = oracle.scheduled

@@ -43,6 +43,25 @@ class DiffGoldenSpec extends AnyFunSuite {
     }
   }
 
+  test("latest-table diff == full-history window diff (every epoch)") {
+    val df = spark.createDataset(history).toDF()
+    for (epoch <- 0 to 2) {
+      // latest(e-1): max-epoch row per image_id among epochs < e
+      val latestPrev = {
+        val hist = history.filter(_.epoch < epoch)
+        spark.createDataset(
+          hist.groupBy(_.image_id).values.map(_.maxBy(_.epoch)).toSeq).toDF()
+          .select("image_id", "epoch", "phash", "caption")
+      }
+      val viaLatest = DiffJob.revisionsFromLatest(
+        df.where(col("epoch") === epoch), latestPrev, epoch, tau = 10)
+        .collect().sortBy(_.image_id).toVector
+      val viaWindow = DiffJob.revisions(df.where(col("epoch") <= epoch), epoch, tau = 10)
+        .collect().sortBy(_.image_id).toVector
+      assert(viaLatest == viaWindow, s"epoch=$epoch latest-path diverged")
+    }
+  }
+
   test("per-row input_hint invariants: dims, phash, PSNR, caption") {
     history.take(60).foreach { s =>
       val (px, w, h) = ImageKit.decodeGray(s.bytes)
@@ -100,5 +119,27 @@ class PipelineResumeSpec extends AnyFunSuite {
       val n = Snapshots.read(spark, rootA, e).count()
       assert(lin(e) == n, s"lineage count mismatch epoch $e")
     }
+    // lineage ranges describe what they claim: phash + url_hash(image_id)
+    val snap0 = Snapshots.read(spark, rootA, 0)
+      .select(min("phash"), max("phash"),
+        min(xxhash64(col("image_id"))), max(xxhash64(col("image_id"))))
+      .as[(Long, Long, Long, Long)].head()
+    val linRange = spark.read.parquet(s"$rootA/lineage").where(col("epoch") === 0)
+      .select(min("min_phash"), max("max_phash"),
+        min("min_url_hash"), max("max_url_hash"))
+      .as[(Long, Long, Long, Long)].head()
+    assert(snap0 == linRange, "lineage min/max ranges don't match the at-rest data")
+    // the latest-version sidecar as of epoch 2 == max-epoch row per image_id
+    val wantLatest = Snapshots.readUpTo(spark, rootA, 2)
+      .withColumn("rn", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("image_id")
+          .orderBy(col("epoch").desc)))
+      .where(col("rn") === 1)
+      .select("image_id", "epoch", "phash", "caption")
+      .orderBy("image_id").collect().toVector
+    val gotLatest = Snapshots.readLatest(spark, rootA, 2)
+      .select("image_id", "epoch", "phash", "caption")
+      .orderBy("image_id").collect().toVector
+    assert(gotLatest == wantLatest, "latest table != max-epoch-per-id over history")
   }
 }

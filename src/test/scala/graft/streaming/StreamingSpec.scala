@@ -30,4 +30,35 @@ class StreamingSpec extends AnyFunSuite {
     // at least one host must have hit the budget cap across 3 micro-batches
     assert(byHost.values.exists(_.length == 30), "no host reached budget — test too weak")
   }
+
+  test("stateful politeness: hot host >> budget picks exact top-K, then drains") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val budget = 25
+    // one host floods 10k rows into a single micro-batch — the state fn
+    // must keep only a budget-bounded buffer AND still select the exact
+    // top-K by (priority desc, url_hash asc)
+    val rows = (0 until 10000).map { i =>
+      ("hot.example.com", graft.functions.ImageKit.mix64(i.toLong), (i % 97) / 97.0)
+    }
+    val stream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(String, Long, Double)]
+    val out = StreamingJobs.statefulPoliteness(
+      stream.toDS(), budget, delayMs = 100L, t0Ms = 0L)
+    val q = out.writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+      .format("memory").queryName("hot_host").start()
+    try {
+      stream.addData(rows)
+      q.processAllAvailable()
+      stream.addData(rows.take(500)) // budget exhausted: must emit nothing
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("hot_host")
+      .select("url_hash", "slot").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).sortBy(_._2)
+    val want = rows.sortBy(r => (-r._3, r._2)).take(budget).map(_._2)
+    assert(got.length == budget, s"expected $budget rows, got ${got.length}")
+    assert(got.map(_._1).toSeq == want, "hot-host top-K != exact selection")
+    assert(got.map(_._2).toSeq == (0 until budget), "slots not dense")
+  }
 }
