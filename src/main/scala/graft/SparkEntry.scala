@@ -90,6 +90,8 @@ object SparkEntry {
     "t04_neardup_simhash" -> ((s, d) => TextOps.nearDupSimhash(s, d)),
     "emb01_cosine_topk" -> ((s, d) => SimilarityOps.bruteCosineTopK(s, d)),
     "emb02_ann_lsh" -> ((s, d) => SimilarityOps.annLshTopK(s, d)),
+    "emb03_neardup_cosine" -> ((s, d) =>
+      SimilarityOps.nearDupCosine(s, d).orderBy("vec_a", "vec_b")),
     // ---- crawl domain (synthetic inputs; scalatest-golden) ------------
     "c01_canonicalize" -> ((s, _) => {
       graft.functions.GraftFunctions.ensureRegistered(s)

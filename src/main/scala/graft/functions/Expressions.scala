@@ -20,13 +20,15 @@ case class CanonicalizeUrl(child: Expression) extends UnaryExpression {
   override def dataType: DataType = StringType
   override def prettyName: String = "canon_url"
 
+  // canonicalizeU8 = zero-alloc byte-wise fast path for already-canonical
+  // URLs (returns the input UTF8String reference), reference-impl fallback
+  // otherwise — allocation is the measured scaling bottleneck (BENCH/
+  // BASELINE.md), and re-crawled frontiers are mostly already canonical.
   override def nullSafeEval(input: Any): Any =
-    UTF8String.fromString(UrlKit.canonicalize(input.asInstanceOf[UTF8String].toString))
+    UrlKit.canonicalizeU8(input.asInstanceOf[UTF8String])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c =>
-      s"org.apache.spark.unsafe.types.UTF8String.fromString(" +
-        s"graft.functions.UrlKit.canonicalize($c.toString()))")
+    defineCodeGen(ctx, ev, c => s"graft.functions.UrlKit.canonicalizeU8($c)")
 
   override protected def withNewChildInternal(newChild: Expression): CanonicalizeUrl =
     copy(child = newChild)
@@ -137,6 +139,24 @@ case class BloomMightContain(
     copy(left = l, right = r)
 }
 
+/** Sign-of-random-hyperplane LSH bucket of an embedding (array<float> ->
+  * int). Codegen'd: the ANN path's bucket assignment was the one remaining
+  * per-row Scala UDF paying encoder ser/de in a hot scan.
+  */
+case class LshBucket(child: Expression, nBits: Int) extends UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def prettyName: String = "lsh_bucket"
+  override def nullSafeEval(input: Any): Any =
+    VecKit.lshBucket(
+      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toFloatArray(),
+      nBits)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.VecKit.lshBucket($c.toFloatArray(), $nBits)")
+  override protected def withNewChildInternal(newChild: Expression): LshBucket =
+    copy(child = newChild)
+}
+
 /** Heuristic document quality score in [0,1]. */
 case class QualityScore(child: Expression) extends UnaryExpression {
   override def dataType: DataType = org.apache.spark.sql.types.DoubleType
@@ -146,6 +166,31 @@ case class QualityScore(child: Expression) extends UnaryExpression {
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.functions.TextKit.qualityScore($c.toString())")
   override protected def withNewChildInternal(newChild: Expression): QualityScore =
+    copy(child = newChild)
+}
+
+/** Winnowing-style rolling-hash document fingerprint (string -> long). */
+case class RollingFingerprint(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "rolling_fingerprint"
+  override def nullSafeEval(input: Any): Any =
+    TextKit.rollingFingerprint(input.asInstanceOf[UTF8String].toString)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.TextKit.rollingFingerprint($c.toString(), 16)")
+  override protected def withNewChildInternal(newChild: Expression): RollingFingerprint =
+    copy(child = newChild)
+}
+
+/** BPE-ish subword-token count (string -> int). */
+case class BpeTokenCount(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def prettyName: String = "bpe_token_count"
+  override def nullSafeEval(input: Any): Any =
+    TextKit.bpeTokenCount(input.asInstanceOf[UTF8String].toString)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextKit.bpeTokenCount($c.toString())")
+  override protected def withNewChildInternal(newChild: Expression): BpeTokenCount =
     copy(child = newChild)
 }
 
@@ -192,11 +237,24 @@ object GraftFunctions {
       reg.createOrReplaceTempFunction(
         "lang_id", (exprs: Seq[Expression]) => LangId(exprs.head), "scala_udf")
       reg.createOrReplaceTempFunction(
+        "rolling_fingerprint", (exprs: Seq[Expression]) => RollingFingerprint(exprs.head), "scala_udf")
+      reg.createOrReplaceTempFunction(
+        "bpe_token_count", (exprs: Seq[Expression]) => BpeTokenCount(exprs.head), "scala_udf")
+      reg.createOrReplaceTempFunction(
         "host_of", (exprs: Seq[Expression]) => HostOf(exprs.head), "scala_udf")
       reg.createOrReplaceTempFunction(
         "path_of", (exprs: Seq[Expression]) => PathOf(exprs.head), "scala_udf")
       registered += key
     }
+  }
+
+  /** Codegen'd LSH bucket column (nBits is a plan-time constant, so the
+    * builder closure carries it — registered per call like bloomMaybeSeen).
+    */
+  def lshBucket(spark: SparkSession, nBits: Int, vec: Column): Column = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "lsh_bucket", (exprs: Seq[Expression]) => LshBucket(exprs.head, nBits), "scala_udf")
+    call_function("lsh_bucket", vec)
   }
 
   /** Column probe over a concrete broadcast sidecar: registered per call
@@ -218,6 +276,8 @@ object GraftFunctions {
   def canonUrl(c: Column): Column = call_function("canon_url", c)
   def hostOf(c: Column): Column = call_function("host_of", c)
   def pathOf(c: Column): Column = call_function("path_of", c)
+  def rollingFingerprint(c: Column): Column = call_function("rolling_fingerprint", c)
+  def bpeTokenCount(c: Column): Column = call_function("bpe_token_count", c)
   def phash64(c: Column): Column = call_function("phash64", c)
   def simhash64(c: Column): Column = call_function("simhash64", c)
   def minhashBands(c: Column): Column = call_function("minhash_bands", c)

@@ -102,6 +102,49 @@ object TextKit {
     inter / (sa.size + sb.size - inter)
   }
 
+  /** Winnowing-style document fingerprint (builder brief "rolling hash"):
+    * Rabin-Karp rolling hash over a fixed byte window, fingerprint = the
+    * minimum mixed window hash. Local edits leave the fingerprint unchanged
+    * unless they touch (or create) the minimal window — the classic
+    * near-identity fingerprint, one pass, zero allocation beyond the bytes.
+    */
+  def rollingFingerprint(text: String, window: Int = 16): Long = {
+    if (text == null || text.isEmpty) return 0L
+    val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    if (bytes.length <= window) return hashString(text)
+    val B = 0x100000001b3L
+    var bw = 1L
+    var i = 0
+    while (i < window - 1) { bw *= B; i += 1 }
+    var h = 0L
+    i = 0
+    while (i < window) { h = h * B + (bytes(i) & 0xffL); i += 1 }
+    var minH = ImageKit.mix64(h)
+    while (i < bytes.length) {
+      h = (h - (bytes(i - window) & 0xffL) * bw) * B + (bytes(i) & 0xffL)
+      val m = ImageKit.mix64(h)
+      if (java.lang.Long.compareUnsigned(m, minH) < 0) minH = m
+      i += 1
+    }
+    minH
+  }
+
+  /** BPE-ish subword-token count (builder brief "token counting"): the
+    * public GPT-2-style pre-tokenizer regex — contractions, letter runs,
+    * digit runs, punctuation runs, whitespace — counted without
+    * materializing tokens. Approximates LLM token cost without a merges
+    * table (which would be external data).
+    */
+  private val BpeLike = java.util.regex.Pattern.compile(
+    "'(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+")
+  def bpeTokenCount(text: String): Int = {
+    if (text == null || text.isEmpty) return 0
+    val m = BpeLike.matcher(text)
+    var n = 0
+    while (m.find()) n += 1
+    n
+  }
+
   private val EnStop = Set("the", "a", "an", "of", "to", "and", "in", "is",
     "it", "that", "was", "for", "on", "with", "as", "at", "by", "be")
 

@@ -1,5 +1,7 @@
 package graft.functions
 
+import org.apache.spark.unsafe.types.UTF8String
+
 /** Pure, deterministic URL canonicalization (SURVEY.md §2.2 P1).
   *
   * Re-expresses the reference's per-source URL normalization (g0v/news-diff
@@ -31,6 +33,125 @@ object UrlKit {
   private def isTracking(key: String): Boolean =
     key.startsWith("utm_") || TrackingParams.contains(key)
 
+  /** Zero-allocation hot-path entry for the Catalyst expression: if the URL
+    * is ALREADY canonical (the common case for re-crawled frontiers), return
+    * the input UTF8String reference untouched — no toString, no new String,
+    * no new UTF8String. Otherwise fall back to the reference implementation.
+    *
+    * Allocation is the measured scaling bottleneck in this sandbox (see
+    * BENCH/BASELINE.md): the JVM's anon-page commit path serializes under
+    * concurrency, so rows that allocate nothing scale best.
+    *
+    * Correctness contract (property-tested in UrlKitSpec):
+    *   isCanonical(u)  =>  canonicalize(u.toString) == u.toString
+    * i.e. the fast path accepts ONLY inputs the slow path maps to
+    * themselves; any doubt (non-ASCII authority, percent-escapes, odd
+    * ports...) bails to the slow path.
+    */
+  def canonicalizeU8(u: UTF8String): UTF8String = {
+    if (u == null) return null
+    if (isCanonical(u)) u else UTF8String.fromString(canonicalize(u.toString))
+  }
+
+  /** Single byte-wise pass deciding "slow path would return this unchanged".
+    * Conservative: returns false on anything it is not POSITIVE about.
+    */
+  def isCanonical(u: UTF8String): Boolean = {
+    val n = u.numBytes
+    if (n == 0) return true // canonicalize("") == ""
+    @inline def b(j: Int): Int = u.getByte(j) & 0xff
+    // trim would strip leading/trailing chars <= ' '
+    if (b(0) <= ' ' || b(n - 1) <= ' ') return false
+    // scheme must be exactly http:// or https:// (lowercase)
+    if (n < 8 || b(0) != 'h' || b(1) != 't' || b(2) != 't' || b(3) != 'p') return false
+    var https = false
+    var i =
+      if (b(4) == ':' && b(5) == '/' && b(6) == '/') 7
+      else if (b(4) == 's' && n >= 9 && b(5) == ':' && b(6) == '/' && b(7) == '/') {
+        https = true; 8
+      } else return false
+    // authority: lowercase ascii letters/digits/.-_ plus at most one ':'
+    // with a valid non-default port; anything else (uppercase, '@',
+    // non-ASCII, IPv6 brackets) -> slow path
+    val authStart = i
+    var colonIdx = -1
+    var cont = true
+    while (i < n && cont) {
+      val c = b(i)
+      if (c == '/' || c == '?') cont = false
+      else {
+        if (c == ':') { if (colonIdx >= 0) return false; colonIdx = i }
+        else if (!((c >= 'a' && c <= 'z') || (c >= '0' && c <= '9') ||
+          c == '.' || c == '-' || c == '_')) return false
+        i += 1
+      }
+    }
+    if (i == authStart || b(authStart) == ':') return false
+    if (colonIdx >= 0) {
+      val pStart = colonIdx + 1
+      if (i <= pStart) return false // empty port is stripped by the slow path
+      var j = pStart
+      while (j < i) { val c = b(j); if (c < '0' || c > '9') return false; j += 1 }
+      val plen = i - pStart
+      if (!https && plen == 2 && b(pStart) == '8' && b(pStart + 1) == '0') return false
+      if (https && plen == 3 && b(pStart) == '4' && b(pStart + 1) == '4' && b(pStart + 2) == '3')
+        return false
+    }
+    // path: must exist ("/..."), no '//', no '.'/'..' segments, no '%',
+    // no '#'; bytes >= 0x80 are fine (slow path passes them through)
+    if (i >= n || b(i) != '/') return false // empty path -> slow appends "/"
+    var qStart = -1
+    var prevSlash = true
+    i += 1
+    while (i < n && qStart < 0) {
+      val c = b(i)
+      if (c == '#' || c == '%') return false
+      else if (c == '?') qStart = i
+      else if (c == '/') {
+        if (prevSlash) return false
+        prevSlash = true
+      } else {
+        if (prevSlash && c == '.') {
+          val n1 = if (i + 1 < n) b(i + 1) else -1
+          if (n1 == '/' || n1 == '?' || n1 == -1) return false // "." segment
+          if (n1 == '.') {
+            val n2 = if (i + 2 < n) b(i + 2) else -1
+            if (n2 == '/' || n2 == '?' || n2 == -1) return false // ".." segment
+          }
+        }
+        prevSlash = false
+      }
+      i += 1
+    }
+    if (qStart < 0) return true
+    // query: ASCII only, no '%'/'#', non-empty '&'-separated pairs, no
+    // tracking keys, pairs in natural sorted order (what the slow path emits)
+    if (qStart == n - 1) return false // bare '?' is dropped by the slow path
+    var pairStart = qStart + 1
+    var prevPair: String = null
+    var j = qStart + 1
+    while (j <= n) {
+      if (j == n || b(j) == '&') {
+        if (j == pairStart) return false // empty pair
+        val sb = new java.lang.StringBuilder(j - pairStart)
+        var t = pairStart
+        while (t < j) { sb.append(b(t).toChar); t += 1 }
+        val pair = sb.toString
+        if (prevPair != null && prevPair.compareTo(pair) > 0) return false // unsorted
+        val eq = pair.indexOf('=')
+        val key = if (eq >= 0) pair.substring(0, eq) else pair
+        if (isTracking(key.toLowerCase)) return false
+        prevPair = pair
+        pairStart = j + 1
+      } else {
+        val c = b(j)
+        if (c == '%' || c == '#' || c >= 0x80) return false
+      }
+      j += 1
+    }
+    true
+  }
+
   def canonicalize(raw: String): String = {
     if (raw == null) return null
     var s = raw.trim
@@ -54,14 +175,20 @@ object UrlKit {
     val atIdx = authority.lastIndexOf('@')
     if (atIdx >= 0) authority = authority.substring(atIdx + 1)
     authority = authority.toLowerCase
-    // default port
-    val colonIdx = authority.lastIndexOf(':')
-    if (colonIdx >= 0) {
-      val port = authority.substring(colonIdx + 1)
-      if (port.isEmpty ||
-          (scheme == "http" && port == "80") ||
-          (scheme == "https" && port == "443"))
-        authority = authority.substring(0, colonIdx)
+    // default port — strip to FIXPOINT: a single strip of a trailing
+    // empty/default port can expose another one ("h:80:80", "h:::"), which
+    // would break idempotence (fuzz-caught)
+    var portDone = false
+    while (!portDone) {
+      val colonIdx = authority.lastIndexOf(':')
+      if (colonIdx >= 0) {
+        val port = authority.substring(colonIdx + 1)
+        if (port.isEmpty ||
+            (scheme == "http" && port == "80") ||
+            (scheme == "https" && port == "443"))
+          authority = authority.substring(0, colonIdx)
+        else portDone = true
+      } else portDone = true
     }
     // 4-6. path + query
     val qIdx = pathAndQuery.indexOf('?')
@@ -72,7 +199,11 @@ object UrlKit {
     val sb = new StringBuilder(scheme.length + authority.length + path.length + query.length + 4)
     sb.append(scheme).append("://").append(authority).append(path)
     if (query.nonEmpty) sb.append('?').append(query)
-    sb.toString
+    val out = sb.toString
+    // fragment strip / query reorder can surface trailing whitespace that
+    // the next pass would trim — recurse to the (strictly shrinking)
+    // fixpoint so canonicalize is idempotent on garbage too (fuzz-caught)
+    if (out != out.trim) canonicalize(out.trim) else out
   }
 
   /** RFC 3986 §5.2.4 remove_dot_segments + duplicate-slash collapse. */

@@ -1,6 +1,5 @@
 package graft.operators
 
-import graft.functions.ImageKit
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
@@ -46,21 +45,37 @@ object SimilarityOps {
       .select(col("query_id"), col("vec_id"), round(col("cos"), 4).as("cos"), col("rank"))
   }
 
-  /** Deterministic Rademacher hyperplane component for (plane, dim). */
-  def hyperplaneSign(plane: Int, d: Int): Double =
-    if ((ImageKit.mix64(plane.toLong << 32 | (d.toLong & 0xffffffffL)) & 1L) == 0L) 1.0 else -1.0
+  /** Local mirror for tests — same kernel (VecKit) as the codegen'd
+    * LshBucket expression, the UrlKit/CrawlOracle parity pattern.
+    */
+  def lshBucketLocal(vec: Seq[Float], nBits: Int): Int =
+    graft.functions.VecKit.lshBucket(vec.toArray, nBits)
 
-  def lshBucketLocal(vec: Seq[Float], nBits: Int): Int = {
-    var bucket = 0
-    var p = 0
-    while (p < nBits) {
-      var dot = 0.0
-      var d = 0
-      while (d < vec.length) { dot += vec(d) * hyperplaneSign(p, d); d += 1 }
-      if (dot >= 0) bucket |= (1 << p)
-      p += 1
-    }
-    bucket
+  /** Embedding-cosine NEAR-DUP detection (the embedding-space flavor of
+    * the dedup family): LSH bucket is the blocking key — the self-join
+    * carries (bucket, id, vector) and only compares within a bucket, i.e.
+    * 1/2^nBits of all pairs — then exact cosine verifies candidates. A
+    * deterministic 5% of vectors is planted as slightly-perturbed copies
+    * so the operator provably fires on the test corpus (same pattern as
+    * the text near-dup plants).
+    */
+  def nearDupCosine(spark: SparkSession, dir: String,
+                    threshold: Double = 0.99, nBits: Int = 6): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val base = emb(spark, dir).select("vec_id", "embedding")
+    val planted = base.where(pmod(col("vec_id"), lit(20)) === 0)
+      .select((col("vec_id") + 1000000L).as("vec_id"),
+        transform(col("embedding"), (x, i) =>
+          when(i === 0, (x.cast("double") + lit(0.05)).cast("float")).otherwise(x))
+          .as("embedding"))
+    val corpus = base.unionByName(planted)
+    val bucketed = corpus.withColumn("bucket",
+      graft.functions.GraftFunctions.lshBucket(spark, nBits, col("embedding")))
+    bucketed.as("a").join(bucketed.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        round(cosineCol(col("a.embedding"), col("b.embedding")), 4).as("cos"))
+      .where(col("cos") >= threshold)
   }
 
   /** LSH-bucketed ANN: sign-of-random-hyperplane bucket per vector, then
@@ -71,8 +86,9 @@ object SimilarityOps {
     */
   def annLshTopK(spark: SparkSession, dir: String,
                  nQueries: Int = 3, k: Int = 5, nBits: Int = 6): DataFrame = {
-    val bucketUdf = udf((v: Seq[Float]) => lshBucketLocal(v, nBits))
-    val e = emb(spark, dir).withColumn("bucket", bucketUdf(col("embedding")))
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val e = emb(spark, dir).withColumn("bucket",
+      graft.functions.GraftFunctions.lshBucket(spark, nBits, col("embedding")))
     val queries = e.where(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("qvec"),
         col("bucket").as("qbucket"))

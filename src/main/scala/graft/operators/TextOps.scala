@@ -23,8 +23,9 @@ object TextOps {
         length(regexp_replace(col("text"), "[^.!?,;:]", "")).cast("double") /
           greatest(length(col("text")), lit(1)), 4).as("punct_ratio"))
 
-  /** Full text profile: heuristic language-ID, quality score, simhash
-    * fingerprint (custom codegen'd expressions — rows-only gate + scalatest).
+  /** Full text profile: heuristic language-ID, quality score, simhash +
+    * rolling-hash fingerprints, BPE-ish token count (custom codegen'd
+    * expressions — rows-only gate + scalatest).
     */
   def textProfile(spark: SparkSession, dir: String): DataFrame = {
     GraftFunctions.ensureRegistered(spark)
@@ -33,7 +34,9 @@ object TextOps {
       col("lang"),
       GraftFunctions.langId(col("text")).as("lang_pred"),
       round(GraftFunctions.qualityScore(col("text")), 4).as("quality"),
-      GraftFunctions.simhash64(col("text")).as("simhash"))
+      GraftFunctions.simhash64(col("text")).as("simhash"),
+      GraftFunctions.rollingFingerprint(col("text")).as("fingerprint"),
+      GraftFunctions.bpeTokenCount(col("text")).as("n_bpe_tokens"))
   }
 
   /** MinHash+LSH near-duplicate detection (shingle -> minhash -> band ->

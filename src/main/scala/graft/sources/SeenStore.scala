@@ -30,11 +30,23 @@ object SeenStore {
     spark.emptyDataset[SeenEntry]
   }
 
+  /** Loads ONLY entries of committed epochs: a crash after the epoch-N
+    * url_seen write but before the manifest leaves an uncommitted epoch=N
+    * dir on disk; re-running that epoch must NOT dedupe against its own
+    * half-written seen entries (it would schedule nothing and silently
+    * diverge from a straight run). The manifest is the single source of
+    * truth for what exists.
+    */
   def load(spark: SparkSession, root: String): Dataset[SeenEntry] = {
     import spark.implicits._
     val path = s"$root/url_seen"
     if (!new java.io.File(path).exists()) emptySeen(spark)
-    else spark.read.parquet(path).select("url_hash", "host", "first_epoch").as[SeenEntry]
+    else {
+      val committed = Snapshots.latestCommittedEpoch(root)
+      spark.read.parquet(path)
+        .where(col("epoch") <= committed) // partition-pruned directory scan
+        .select("url_hash", "host", "first_epoch").as[SeenEntry]
+    }
   }
 
   /** Per-epoch overwrite (each epoch's entries land in their own epoch=N

@@ -27,7 +27,10 @@ object StreamingJobs {
     * re-collected the full result to the driver EVERY trigger (complete-
     * mode memory sink is O(result) per trigger — 22% of the round-1 bench).
     */
-  def windowedEventCounts(spark: SparkSession, dir: String): DataFrame = {
+  def windowedEventCounts(spark: SparkSession, dir: String): DataFrame =
+    withFewStatePartitions(spark) { windowedEventCountsImpl(spark, dir) }
+
+  private def windowedEventCountsImpl(spark: SparkSession, dir: String): DataFrame = {
     val batchSchema = spark.read.parquet(s"$dir/events.parquet").schema
     val name = s"stream_win_${math.abs(dir.hashCode)}"
     // FileStreamSource needs a directory; the sf dirs hold one file per
@@ -46,11 +49,38 @@ object StreamingJobs {
         col("event_type"), col("n"), col("total"))
     val q = agg.writeStream
       .outputMode(OutputMode.Complete())
+      .option("checkpointLocation", ckptDir(name))
       .format("memory")
       .queryName(name)
       .start()
     try q.processAllAvailable() finally q.stop()
     spark.table(name)
+  }
+
+  /** Stateful streams pin their state-partition count from
+    * spark.sql.shuffle.partitions at FIRST batch and pay per-partition
+    * state-store files + maintenance EVERY trigger — 32 partitions for a
+    * few thousand demo rows is pure fixed cost. Scope the demos to 8; a
+    * production stream sizes this to its key cardinality instead.
+    */
+  private def withFewStatePartitions[T](spark: SparkSession)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "8")
+    try body finally spark.conf.set(key, prev)
+  }
+
+  /** Streaming state/offset checkpoints on the fast local dir (tmpfs when
+    * available): the default java.io.tmpdir sits on the slow root disk and
+    * its per-batch state-store + offset-log fsyncs dominated these demos'
+    * wall time. A real cluster would point this at fast local storage or a
+    * DFS; the choice of directory is deployment config, not semantics.
+    */
+  private def ckptDir(name: String): String = {
+    val base = graft.SparkEnv.localDir.getOrElse(System.getProperty("java.io.tmpdir"))
+    val dir = new java.io.File(base, s"ckpt-$name-${System.nanoTime()}")
+    dir.mkdirs()
+    dir.getAbsolutePath
   }
 
   /** Per-host politeness as EXPLICIT streaming state: each incoming
@@ -117,7 +147,10 @@ object StreamingJobs {
     * full scheduled output (rows-only gate; scalatest asserts budget/slot
     * invariants and cross-batch state carry-over).
     */
-  def politenessDemo(spark: SparkSession, n: Int = 3000, budget: Int = 40): DataFrame = {
+  def politenessDemo(spark: SparkSession, n: Int = 3000, budget: Int = 40): DataFrame =
+    withFewStatePartitions(spark) { politenessDemoImpl(spark, n, budget) }
+
+  private def politenessDemoImpl(spark: SparkSession, n: Int, budget: Int): DataFrame = {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     // MemoryStream input is built with the LOCAL generator + kernels (the
@@ -142,6 +175,7 @@ object StreamingJobs {
     val out = statefulPoliteness(stream.toDS(), budget, delayMs = 200L, t0Ms = 1704067200000L)
     val name = s"stream_polite_$n"
     val q = out.writeStream.outputMode(OutputMode.Append())
+      .option("checkpointLocation", ckptDir(name))
       .format("memory").queryName(name).start()
     try {
       val third = frontier.length / 3

@@ -40,6 +40,39 @@ class UrlKitSpec extends AnyFunSuite {
     Seq("", "   ", "::::", "%", "?#", "http://", "a b c").foreach(UrlKit.canonicalize)
   }
 
+  test("fast path accepts ONLY fixed points of the slow path (exhaustive + garbage + fuzz)") {
+    import org.apache.spark.unsafe.types.UTF8String
+    def check(u: String): Unit = {
+      val slow = UrlKit.canonicalize(u)
+      val fast = UrlKit.canonicalizeU8(UTF8String.fromString(u)).toString
+      assert(fast == slow, s"fast != slow for <$u>: <$fast> vs <$slow>")
+      if (UrlKit.isCanonical(UTF8String.fromString(u)))
+        assert(slow == u, s"fast path accepted non-fixed-point <$u> -> <$slow>")
+      // and every slow output must itself be accepted or at least map to itself
+      val again = UrlKit.canonicalizeU8(UTF8String.fromString(slow)).toString
+      assert(again == slow, s"not idempotent via fast path: <$slow> -> <$again>")
+    }
+    dirtyUrls.foreach(check)
+    dirtyUrls.map(UrlKit.canonicalize).foreach(check)
+    Seq("", "   ", "::::", "%", "?#", "http://", "a b c",
+      "http://h/p?", "http://h/p?&", "http://h/p?a=1&", "http://h/p?b=1&a=2",
+      "http://h/p?a=1&a=0", "http://h/p?a=1&b=2", "http://h/p?A=1&a=2",
+      "http://h:08/p", "http://h:80/p", "http://h:8080/p", "https://h:443/p",
+      "https://h:4431/p", "http://h:/p", "http://h.com/a%2fb", "http://h.com/a%2Fb",
+      "http://h/.", "http://h/..", "http://h/a/.", "http://h/a/..", "http://h/a/...",
+      "http://h/.well-known/x", "http://h/a//b", "http://h/a/ ", "http://h/ü/x",
+      "http://hÜst/x", "http://h/p?k=ü", "http://h/p#", "http://h/p?utm_x=1",
+      "http://h/p?UTM_X=1", "http://h/p?ref=1", "http://h/p?refx=1")
+      .foreach(check)
+    // deterministic fuzz: random ascii-ish strings through the same contract
+    val rnd = new scala.util.Random(42)
+    val alphabet = "htps:/?#&=.%ab YZ08_-ü"
+    (0 until 5000).foreach { _ =>
+      val len = rnd.nextInt(40)
+      check((0 until len).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString)
+    }
+  }
+
   test("hostOf/pathOf on canonical forms") {
     val c = UrlKit.canonicalize("HTTP://H.com:80/x/y?b=1&a=2#f")
     assert(UrlKit.hostOf(c) == "h.com")
@@ -134,6 +167,32 @@ class TextKitSpec extends AnyFunSuite {
     assert(shared.nonEmpty, "near-dup pair shares no LSH band")
     assert(TextKit.jaccardShingles(base, base) == 1.0)
     assert(TextKit.jaccardShingles(base, base + " x y z") > 0.7)
+  }
+
+  test("rolling fingerprint: deterministic, edit-robust away from the minimum") {
+    val fp = TextKit.rollingFingerprint(base)
+    assert(fp == TextKit.rollingFingerprint(base))
+    assert(fp != 0L)
+    // a local edit usually leaves the minimal window untouched — require it
+    // for at least one of a few suffix edits (probabilistic robustness)
+    val robust = Seq(" x", " yz", "!").count(sfx =>
+      TextKit.rollingFingerprint(base + sfx) == fp)
+    assert(robust >= 1, "no suffix edit preserved the fingerprint")
+    // different text -> different fingerprint
+    assert(TextKit.rollingFingerprint("completely different content here ok") != fp)
+    assert(TextKit.rollingFingerprint("") == 0L)
+    assert(TextKit.rollingFingerprint("tiny") == TextKit.hashString("tiny"))
+  }
+
+  test("BPE-ish token count: plausible subword granularity") {
+    assert(TextKit.bpeTokenCount("") == 0)
+    assert(TextKit.bpeTokenCount("hello") == 1)
+    assert(TextKit.bpeTokenCount("hello world") == 2) // " world" glues its space
+    assert(TextKit.bpeTokenCount("it's") == 2)        // "it" + "'s"
+    assert(TextKit.bpeTokenCount("a1b2") == 4)        // letter/digit runs split
+    val n = TextKit.bpeTokenCount(base)
+    val words = base.split(" ").length
+    assert(n >= words, "BPE-ish count must be >= word count")
   }
 
   test("langId + quality heuristics behave") {

@@ -142,4 +142,26 @@ class PipelineResumeSpec extends AnyFunSuite {
       .orderBy("image_id").collect().toVector
     assert(gotLatest == wantLatest, "latest table != max-epoch-per-id over history")
   }
+
+  test("crash mid-epoch (all state written, manifest missing) resumes to identical state") {
+    val rootA = tempDir("graft-crash-straight")
+    val rootB = tempDir("graft-crash-resume")
+    CrawlPipeline.run(spark, rootA, untilEpoch = 2, seedsPerEpoch = 600, cfg)
+    CrawlPipeline.run(spark, rootB, untilEpoch = 2, seedsPerEpoch = 600, cfg)
+    // simulate the worst crash point: epoch 2 fully written (snapshots,
+    // url_seen, blooms, latest, revisions) but the manifest rename never
+    // happened — resume MUST re-run epoch 2 and converge, in particular it
+    // must not dedupe against the crashed epoch's own url_seen entries
+    java.nio.file.Files.delete(java.nio.file.Paths.get(s"$rootB/_manifests/epoch-2.json"))
+    assert(graft.sources.Snapshots.latestCommittedEpoch(rootB) == 1)
+    CrawlPipeline.run(spark, rootB, untilEpoch = 2, seedsPerEpoch = 600, cfg)
+    def state(root: String) = (
+      spark.read.parquet(s"$root/url_seen").select("url_hash", "first_epoch")
+        .as[(Long, Int)].collect().toSet,
+      spark.read.parquet(s"$root/scheduled/epoch=2").select("url_hash", "slot")
+        .as[(Long, Int)].collect().sortBy(x => (x._2, x._1)).toVector,
+      spark.read.parquet(s"$root/revisions/epoch=2")
+        .orderBy("image_id").collect().toVector)
+    assert(state(rootA) == state(rootB), "crash-resume diverged from straight run")
+  }
 }
