@@ -144,7 +144,25 @@ object SparkEntry {
         .orderBy("image_id", "epoch", "feat_idx")
     }),
     "c09_img_psnr" -> ((s, _) =>
-      ImageOps.consecutivePsnr(diffHistory(s, 40)).orderBy("image_id", "epoch"))
+      ImageOps.consecutivePsnr(diffHistory(s, 40)).orderBy("image_id", "epoch")),
+    "c10_robots_parse" -> ((s, _) => {
+      // raw robots.txt TEXT -> structured robots_cache rows: render each
+      // host's rules to text (round-trip property-tested in RobotsKitSpec),
+      // parse distributed, explode the rule list
+      import s.implicits._
+      val texts = Gen.robotsLocal().map(r =>
+        (r.host, graft.functions.RobotsKit.render(r.rules, Some(r.crawl_delay_ms))))
+      s.createDataset(texts).toDF("host", "robots_txt")
+        .as[(String, String)]
+        .flatMap { case (host, txt) =>
+          val p = graft.functions.RobotsKit.parse(txt)
+          p.rules.zipWithIndex.map { case (r, i) =>
+            (host, i, r.allow, r.prefix, p.crawlDelayMs.getOrElse(-1L))
+          }
+        }
+        .toDF("host", "rule_idx", "allow", "prefix", "crawl_delay_ms")
+        .orderBy("host", "rule_idx")
+    })
   )
 
   def oracleSql: Map[String, String] = Map(

@@ -1,0 +1,95 @@
+package graft.functions
+
+import graft.model.RobotsRule
+
+/** Minimal robots.txt parsing/rendering (RFC 9309 + de-facto conventions —
+  * public format; reference tree empty, SURVEY.md §0). The crawl pipeline's
+  * robots_cache table rows are (rules, crawl_delay); this kernel turns raw
+  * fetched robots.txt text into those rows, so the cache can be populated
+  * from a real fetch instead of pre-structured fixtures.
+  *
+  * Subset supported (what the politeness gate consumes):
+  *   - groups: consecutive `User-agent:` lines then directives
+  *   - `Allow:` / `Disallow:` path-prefix rules (no * / $ wildcards — a
+  *     prefix engine backs the gate; wildcard lines are dropped)
+  *   - `Crawl-delay:` seconds (de-facto, not in RFC 9309)
+  *   - `#` comments, blank-line group separation, case-insensitive keys
+  *   - group selection: most specific agent token (longest token that is
+  *     "*" or a substring of the caller's agent), per RFC 9309 §2.2.1
+  */
+object RobotsKit {
+
+  final case class Parsed(rules: Seq[RobotsRule], crawlDelayMs: Option[Long])
+
+  def parse(text: String, agent: String = "graftbot"): Parsed = {
+    if (text == null || text.isEmpty) return Parsed(Seq.empty, None)
+    val agentLc = agent.toLowerCase
+    // split into groups: a group = 1+ user-agent lines followed by directives
+    final case class Group(agents: Seq[String], rules: Seq[RobotsRule], delayMs: Option[Long])
+    val groups = scala.collection.mutable.ArrayBuffer.empty[Group]
+    var agents = Vector.empty[String]
+    var rules = Vector.empty[RobotsRule]
+    var delay: Option[Long] = None
+    var inDirectives = false
+    def flush(): Unit = {
+      if (agents.nonEmpty) groups += Group(agents, rules, delay)
+      agents = Vector.empty; rules = Vector.empty; delay = None; inDirectives = false
+    }
+    text.linesIterator.foreach { raw =>
+      val line = {
+        val h = raw.indexOf('#')
+        (if (h >= 0) raw.substring(0, h) else raw).trim
+      }
+      if (line.nonEmpty) {
+        val colon = line.indexOf(':')
+        if (colon > 0) {
+          val key = line.substring(0, colon).trim.toLowerCase
+          val value = line.substring(colon + 1).trim
+          key match {
+            case "user-agent" =>
+              if (inDirectives) flush() // new group starts
+              agents :+= value.toLowerCase
+            case "allow" | "disallow" =>
+              inDirectives = true
+              // empty Disallow = allow everything (no rule); wildcard rules
+              // are outside the prefix engine's language — drop them
+              if (value.nonEmpty && !value.contains("*") && !value.endsWith("$"))
+                rules :+= RobotsRule(allow = key == "allow", prefix = value)
+            case "crawl-delay" =>
+              inDirectives = true
+              delay = scala.util.Try(math.round(value.toDouble * 1000.0)).toOption
+                .filter(_ >= 0)
+            case _ => inDirectives = true // sitemap etc: directive, ignored
+          }
+        }
+      }
+    }
+    flush()
+    // most specific matching group: longest agent token that applies
+    val applicable = groups.flatMap { g =>
+      g.agents.collect {
+        case a if a == "*" => (0, g)
+        case a if agentLc.contains(a) => (a.length, g)
+      }
+    }
+    if (applicable.isEmpty) Parsed(Seq.empty, None)
+    else {
+      val (_, g) = applicable.maxBy(_._1)
+      Parsed(g.rules, g.delayMs)
+    }
+  }
+
+  /** Render a rule set back to robots.txt text (round-trip property-tested:
+    * parse(render(rules)) == rules).
+    */
+  def render(rules: Seq[RobotsRule], crawlDelayMs: Option[Long],
+             agent: String = "*"): String = {
+    val sb = new StringBuilder
+    sb.append("User-agent: ").append(agent).append('\n')
+    rules.foreach { r =>
+      sb.append(if (r.allow) "Allow: " else "Disallow: ").append(r.prefix).append('\n')
+    }
+    crawlDelayMs.foreach(ms => sb.append("Crawl-delay: ").append(ms / 1000.0).append('\n'))
+    sb.toString
+  }
+}

@@ -148,6 +148,72 @@ class Bloom64Spec extends AnyFunSuite {
   }
 }
 
+class RobotsKitSpec extends AnyFunSuite {
+  import graft.model.RobotsRule
+
+  test("render -> parse round-trips every generated host's rules + delay") {
+    graft.sources.Gen.robotsLocal().foreach { r =>
+      val parsed = RobotsKit.parse(
+        RobotsKit.render(r.rules, Some(r.crawl_delay_ms)))
+      assert(parsed.rules == r.rules, s"rules diverged for ${r.host}")
+      assert(parsed.crawlDelayMs.contains(r.crawl_delay_ms), s"delay diverged for ${r.host}")
+    }
+  }
+
+  test("group selection: most specific agent token wins; * is the fallback") {
+    val txt =
+      """# global
+        |User-agent: *
+        |Disallow: /private
+        |Crawl-delay: 2
+        |
+        |User-agent: graftbot
+        |Disallow: /graft-only
+        |Allow: /graft-only/open
+        |Crawl-delay: 0.5
+        |""".stripMargin
+    val specific = RobotsKit.parse(txt, agent = "graftbot/1.0")
+    assert(specific.rules == Seq(
+      RobotsRule(allow = false, "/graft-only"), RobotsRule(allow = true, "/graft-only/open")))
+    assert(specific.crawlDelayMs.contains(500L))
+    val other = RobotsKit.parse(txt, agent = "otherbot")
+    assert(other.rules == Seq(RobotsRule(allow = false, "/private")))
+    assert(other.crawlDelayMs.contains(2000L))
+  }
+
+  test("comments, blank lines, empty Disallow, wildcards, garbage") {
+    val txt =
+      """User-agent: * # everyone
+        |Disallow:          # empty = allow all, no rule
+        |Disallow: /a/*.gif # wildcard -> outside prefix language, dropped
+        |Disallow: /exact$  # anchor -> dropped
+        |Allow: /ok
+        |Not-a-directive
+        |Sitemap: http://x/sitemap.xml
+        |""".stripMargin
+    val p = RobotsKit.parse(txt)
+    assert(p.rules == Seq(RobotsRule(allow = true, "/ok")))
+    assert(p.crawlDelayMs.isEmpty)
+    assert(RobotsKit.parse("").rules.isEmpty)
+    assert(RobotsKit.parse(":::garbage:::").rules.isEmpty)
+  }
+
+  test("multiple user-agent lines share one group; new UA after directives starts a group") {
+    val txt =
+      """User-agent: alpha
+        |User-agent: beta
+        |Disallow: /shared
+        |
+        |User-agent: gamma
+        |Disallow: /other
+        |""".stripMargin
+    assert(RobotsKit.parse(txt, "beta").rules == Seq(RobotsRule(allow = false, "/shared")))
+    assert(RobotsKit.parse(txt, "alpha").rules == Seq(RobotsRule(allow = false, "/shared")))
+    assert(RobotsKit.parse(txt, "gamma").rules == Seq(RobotsRule(allow = false, "/other")))
+    assert(RobotsKit.parse(txt, "delta").rules.isEmpty) // no * group
+  }
+}
+
 class TextKitSpec extends AnyFunSuite {
   private val base = "the quick brown fox jumps over the lazy dog and runs far away into the woods tonight"
 
