@@ -22,12 +22,38 @@ import scala.jdk.CollectionConverters._
   */
 object ScalingBench {
 
-  private def runLevelInProcess(cores: Int, n: Long): String = {
-    val spark = SparkEnv.applyCommon(SparkSession.builder()
-      .master(s"local[$cores]")
-      .appName(s"graft-scaling-$cores")
-      .config("spark.sql.shuffle.partitions", cores.toString))
-      .getOrCreate()
+  /** In-child level runner. mode:
+    *   "local"   — local[cores]: threads share one JVM (cores = `level`)
+    *   "cluster" — local-cluster[level, coresPerExec, memMb]: REAL separate
+    *               executor JVMs (level = executor count) launched by an
+    *               in-process standalone Worker — per-executor heaps/GC and
+    *               cross-JVM netty shuffle, the honest "N executors" shape.
+    */
+  private def runLevelInProcess(level: Int, n: Long, mode: String): String = {
+    val coresPerExec = sys.env.getOrElse("SPARK_GRAFT_EXEC_CORES", "4").toInt
+    val execMemMb = sys.env.getOrElse("SPARK_GRAFT_EXEC_MEM_MB", "2048").toInt
+    val cores = if (mode == "cluster") level * coresPerExec else level
+    val builder = if (mode == "cluster")
+      SparkEnv.applyCommon(SparkSession.builder()
+        .master(s"local-cluster[$level,$coresPerExec,$execMemMb]")
+        .appName(s"graft-scaling-x$level")
+        // one executor per worker, sized exactly to the worker (defaults
+        // would request 1g executors — and then -Xms2g > -Xmx1g makes the
+        // executor JVM die in a relaunch loop)
+        .config("spark.executor.memory", s"${execMemMb}m")
+        .config("spark.executor.cores", coresPerExec.toString)
+        .config("spark.executor.extraClassPath", classesPath)
+        // fixed pre-touched executor heaps (see spawnLevel notes)
+        .config("spark.executor.extraJavaOptions",
+          s"-Xms${execMemMb}m -XX:+AlwaysPreTouch")
+        .config("spark.io.compression.codec", "zstd")
+        .config("spark.sql.shuffle.partitions", cores.toString))
+    else
+      SparkEnv.applyCommon(SparkSession.builder()
+        .master(s"local[$cores]")
+        .appName(s"graft-scaling-$cores")
+        .config("spark.sql.shuffle.partitions", cores.toString))
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     // optional task-metrics telemetry (SPARK_GRAFT_METRICS=1)
     val metrics = new java.util.concurrent.atomic.AtomicLongArray(5)
@@ -83,7 +109,11 @@ object ScalingBench {
     f"""{"cores":$cores,"deduped":$deduped,"scheduled":$scheduled,"wall":$wall%.2f,"walls":[${walls.map(w => f"$w%.2f").mkString(",")}],"thr":$thr%.1f}"""
   }
 
-  private def spawnLevel(cores: Int, n: Long): Map[String, Double] = {
+  /** Directory/jar holding graft classes (for executor classpaths). */
+  private def classesPath: String =
+    getClass.getProtectionDomain.getCodeSource.getLocation.getPath
+
+  private def spawnLevel(level: Int, n: Long, mode: String): Map[String, Double] = {
     val javaBin = s"${System.getProperty("java.home")}/bin/java"
     val addOpens = Seq(
       "java.base/java.lang", "java.base/java.lang.invoke",
@@ -116,7 +146,12 @@ object ScalingBench {
     // Heap ~cores but capped low: the fault-cost curve is superlinear in
     // footprint, so the 4N level gets LESS heap per core than N — a
     // conservative handicap on the numerator side of the efficiency ratio.
-    val heap = sys.env.getOrElse("SPARK_GRAFT_HEAP", s"${math.max(2, cores / 8)}g")
+    val coresPerExec = sys.env.getOrElse("SPARK_GRAFT_EXEC_CORES", "4").toInt
+    val cores = if (mode == "cluster") level * coresPerExec else level
+    // child DRIVER heap: in cluster mode executors carry their own fixed
+    // pre-touched heaps (runLevelInProcess), the driver stays small
+    val heap = sys.env.getOrElse("SPARK_GRAFT_HEAP",
+      if (mode == "cluster") "2g" else s"${math.max(2, cores / 8)}g")
     val pin = Seq("taskset", "-c", s"0-${cores - 1}")
     val cmd = (pin ++ Seq(javaBin) ++ addOpens ++ Seq(
       s"-Xms$heap", s"-Xmx$heap", "-XX:+AlwaysPreTouch",
@@ -125,12 +160,17 @@ object ScalingBench {
       // page faults inside timed runs; identical setting at every level
       "-Dspark.io.compression.codec=zstd",
       "-cp", cp,
-      "graft.ScalingBench", "level", cores.toString, n.toString)).asJava
-    val p = new ProcessBuilder(cmd).redirectErrorStream(true).start()
+      "graft.ScalingBench", "level", level.toString, n.toString, mode)).asJava
+    val pb = new ProcessBuilder(cmd).redirectErrorStream(true)
+    // the standalone Worker's executor launcher needs a binary-dist layout
+    pb.environment().put("SPARK_HOME", "/opt/spark")
+    pb.environment().put("SPARK_SCALA_VERSION", "2.13")
+    SparkEnv.localDir.foreach(d => pb.environment().put("SPARK_LOCAL_DIRS", d))
+    val p = pb.start()
     val out = new String(p.getInputStream.readAllBytes())
     p.waitFor()
     val line = out.linesIterator.find(_.startsWith("""{"cores"""")).getOrElse(
-      throw new IllegalStateException(s"no level JSON from child (cores=$cores):\n$out"))
+      throw new IllegalStateException(s"no level JSON from child (level=$level):\n$out"))
     println(line)
     // tiny flat-JSON parse (no deps)
     """"(\w+)":([0-9.]+)""".r.findAllMatchIn(line).map(m => m.group(1) -> m.group(2).toDouble).toMap
@@ -138,18 +178,24 @@ object ScalingBench {
 
   def main(args: Array[String]): Unit = {
     if (args.length >= 3 && args(0) == "level") {
-      println(runLevelInProcess(args(1).toInt, args(2).toLong))
+      println(runLevelInProcess(args(1).toInt, args(2).toLong,
+        if (args.length >= 4) args(3) else "local"))
       return
     }
     val n = sys.env.getOrElse("SPARK_GRAFT_SCALE_N", "16000000").toLong
-    val levels = sys.env.getOrElse("SPARK_GRAFT_LEVELS", "2,8,32").split(",").map(_.trim.toInt)
+    // mode "local": levels are thread counts in one JVM (local[N]);
+    // mode "cluster": levels are EXECUTOR counts (local-cluster — separate
+    // executor JVMs x SPARK_GRAFT_EXEC_CORES cores each)
+    val mode = sys.env.getOrElse("SPARK_GRAFT_MODE", "local")
+    val levels = sys.env.getOrElse("SPARK_GRAFT_LEVELS",
+      if (mode == "cluster") "2,8" else "2,8,32").split(",").map(_.trim.toInt)
     val rounds = sys.env.getOrElse("SPARK_GRAFT_ROUNDS", "2").toInt
     // interleaved A/B/C/A/B/C child JVMs; best wall per level — the sandbox
     // host has multi-second noise bursts AND degrades monotonically within a
     // session (page-fault cost grows with cumulative memory churn), so only
     // interleaved same-session comparisons are meaningful.
     val runs: Seq[(Int, Map[String, Double])] =
-      (1 to rounds).flatMap(_ => levels.map(c => c -> spawnLevel(c, n)))
+      (1 to rounds).flatMap(_ => levels.map(c => c -> spawnLevel(c, n, mode)))
     val best: Map[Int, Map[String, Double]] =
       runs.groupBy(_._1).view.mapValues(_.map(_._2).minBy(_("wall"))).toMap
     val pairs = levels.sliding(2).filter(_.length == 2).map { case Array(lo, hi) =>
