@@ -57,15 +57,53 @@ final case class Revision(
     phash_dist: Int,
     caption_dist: Int)
 
-/** Per-partition lineage + metrics manifest row (north_rule clause).
-  * Ranges are over the at-rest columns they actually describe: the
-  * perceptual hash and the url_hash of the snapshot's image_id.
+/** One fetch-wave result row: the Snapshot payload plus fetch/parse
+  * accounting (north_rule "per-partition lineage and fetch/parse metrics").
+  * `partition_id` is the PHYSICAL fetch-task partition (the wave is
+  * explicitly hash-partitioned on url_hash, so the same id is computable
+  * for rows that never reached the wave — see Snapshots.fetchPartitionId);
+  * `elapsed_ms` is wall-clock into that task when this row completed
+  * (monotone per task, so max() per partition == task wall time).
+  * Failed rows carry null payload columns and a non-"parsed" status.
+  */
+final case class Fetched(
+    image_id: String,
+    bytes: Array[Byte],
+    w: Int,
+    h: Int,
+    fmt: String,
+    caption: String,
+    phash: Long,
+    epoch: Int,
+    partition_id: Int,
+    status: String, // parsed | fetch_failed | parse_failed
+    elapsed_ms: Long)
+
+/** Per-partition lineage + metrics manifest row (north_rule clause;
+  * SURVEY.md §1.2 schema). Counter semantics, all for ONE fetch partition
+  * (rows route to partitions by hash(url_hash) — dedupe drops are
+  * attributed to the partition they WOULD have fetched in):
+  *   n_scheduled — rows that entered this fetch task
+  *   n_deduped   — frontier candidates dropped before scheduling
+  *                 (in-batch duplicate collapse + URL-seen-set hits)
+  *   n_fetched   — fetch attempts that returned content
+  *   n_parsed    — fetched rows that parsed into a snapshot row
+  *   n_failed    — scheduled rows that produced no snapshot
+  *   wall_ms     — fetch-task wall time (max per-row elapsed)
+  * Ranges are over the PARSED at-rest columns they describe (None when a
+  * partition parsed nothing): the perceptual hash and the url_hash of the
+  * snapshot's image_id.
   */
 final case class PartitionLineage(
     epoch: Int,
     partition_id: Int,
-    n_rows: Long,
-    min_phash: Long,
-    max_phash: Long,
-    min_url_hash: Long,
-    max_url_hash: Long)
+    n_scheduled: Long,
+    n_deduped: Long,
+    n_fetched: Long,
+    n_parsed: Long,
+    n_failed: Long,
+    wall_ms: Long,
+    min_phash: Option[Long],
+    max_phash: Option[Long],
+    min_url_hash: Option[Long],
+    max_url_hash: Option[Long])

@@ -4,7 +4,7 @@ import graft.functions.ImageKit
 import graft.model._
 import graft.sources.{Gen, SeenStore, Snapshots}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.{Column, Dataset, SparkSession}
 
 /** The multi-epoch crawl driver: E1 frontier -> synthetic fetch -> snapshot
   * commit -> seen-store merge -> E2 diff, resumable from the last committed
@@ -57,6 +57,69 @@ object CrawlPipeline {
     })
   }
 
+  /** Deterministic failure classes for the synthetic fetch (the network
+    * would provide these for free; url_hash-seeded so resume re-runs are
+    * bit-identical): ~1/64 of scheduled fetches time out, ~1/128 of fetched
+    * pages fail to parse. Both counters in the lineage manifest are real
+    * because of this — nothing is hardcoded to succeed.
+    */
+  def fetchFails(urlHash: Long, epoch: Int): Boolean =
+    (ImageKit.mix64(urlHash ^ (epoch * 0xa5f1L + 0x5bd1L)) & 63L) == 0L
+
+  def parseFails(urlHash: Long, epoch: Int): Boolean =
+    (ImageKit.mix64(urlHash ^ (epoch * 0xc3b7L + 0x2e63L)) & 127L) == 0L
+
+  /** The fetch-partition routing expression: `repartition(n, col)` routes
+    * rows by murmur3-hash(col) mod n, and this column replicates it exactly
+    * (`hash` IS Murmur3 with HashPartitioning's seed), so dedupe drops —
+    * which never reach the wave — are attributable to the fetch partition
+    * they would have landed in, and the lineage manifest's per-partition
+    * counters all describe the same unit of work.
+    */
+  def fetchPartitionId(urlHash: Column, numPartitions: Int): Column =
+    pmod(hash(urlHash), lit(numPartitions)).cast("int")
+
+  /** The instrumented fetch wave (S5+S6): explicitly hash-partitioned on
+    * url_hash (uniform per-task load even under hot-host skew; per-host
+    * pacing is carried by scheduled_at_ms, not task order), one decode/
+    * encode pass per row, per-row status + monotone per-task elapsed so the
+    * lineage aggregation recovers true task wall times. Failure rows carry
+    * null payloads — they cost bytes only in the fetch log, never in a
+    * shuffle.
+    */
+  def fetchInstrumented(
+      scheduled: Dataset[Scheduled],
+      epoch: Int,
+      numPartitions: Int): Dataset[Fetched] = {
+    import scheduled.sparkSession.implicits._
+    scheduled
+      .repartition(numPartitions, col("url_hash"))
+      .mapPartitions { it =>
+        val t0 = System.nanoTime()
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        it.map { s =>
+          val row =
+            if (fetchFails(s.url_hash, epoch))
+              Fetched(s.url_canon, null, 0, 0, null, null, 0L, epoch,
+                pid, "fetch_failed", 0L)
+            else if (parseFails(s.url_hash, epoch))
+              Fetched(s.url_canon, null, 0, 0, null, null, 0L, epoch,
+                pid, "parse_failed", 0L)
+            else {
+              val fmt = if ((s.url_hash & 1L) == 0L) "png" else "jpeg"
+              val snap = Gen.snapshotRow(
+                imageId = s.url_canon,
+                variant = contentVariant(s.url_hash, epoch),
+                captionVer = captionVariant(s.url_hash, epoch),
+                fmt = fmt, epoch = epoch)
+              Fetched(snap.image_id, snap.bytes, snap.w, snap.h, snap.fmt,
+                snap.caption, snap.phash, epoch, pid, "parsed", 0L)
+            }
+          row.copy(elapsed_ms = (System.nanoTime() - t0) / 1000000L)
+        }
+      }
+  }
+
   /** Synthetic outlink discovery (SURVEY.md §2.7 U1): each fetched page
     * links to a deterministic handful of other article URLs on its host.
     */
@@ -81,7 +144,8 @@ object CrawlPipeline {
       seedsPerEpoch: Int,
       cfg0: FrontierJob.Config,
       numBuckets: Int = 16,
-      outlinkFanout: Int = 2): Seq[EpochSummary] = {
+      outlinkFanout: Int = 2,
+      fetchPartitions: Int = 32): Seq[EpochSummary] = {
     import spark.implicits._
     val start = Snapshots.latestCommittedEpoch(root) + 1
     (start to untilEpoch).map { epoch =>
@@ -99,16 +163,39 @@ object CrawlPipeline {
       val seen = SeenStore.load(spark, root)
       val blooms = SeenStore.loadBlooms(spark, root, epoch - 1)
       val robots = Gen.robots(spark)
-      val scheduled = FrontierJob.runEpoch(seeds, robots, seen, blooms, numBuckets, cfg)
+      // E1 staged explicitly (vs runEpoch) so the dedupe boundary is
+      // observable for the lineage manifest: n_deduped = raw candidates
+      // minus dedupe survivors, per fetch partition. Both sides are
+      // count-only aggregations over short-lived cached url-level rows
+      // (never bytes); the counts themselves are <= fetchPartitions rows.
+      val pidCol = fetchPartitionId(col("url_hash"), fetchPartitions)
+      val frontier = FrontierJob.canonicalizeFrontierCounted(seeds).persist()
+      val deduped = FrontierJob
+        .dedupeAgainstSeen(frontier.drop("n_raw"), seen, blooms, numBuckets)
+        .persist()
+      val rawCounts = frontier
+        .groupBy(pidCol.as("partition_id")).agg(sum("n_raw").as("n_raw"))
+        .as[(Int, Long)].collect().toMap
+      val survCounts = deduped
+        .groupBy(pidCol.as("partition_id")).agg(count(lit(1)).as("n"))
+        .as[(Int, Long)].collect().toMap
+      val dedupeCounts = rawCounts.map { case (pid, raw) =>
+        pid -> (raw - survCounts.getOrElse(pid, 0L))
+      }.filter(_._2 > 0L)
+      val allowed = FrontierJob.applyRobots(deduped, robots, cfg)
+      val scheduled = FrontierJob
+        .applyGlobalBudget(FrontierJob.schedule(allowed, cfg), cfg)
         .persist()
       scheduled.write.mode("overwrite").parquet(s"$root/scheduled/epoch=$epoch")
+      frontier.unpersist()
+      deduped.unpersist()
       // fetch + snapshot data write (NOT yet committed — the manifest goes
       // last, after every piece of this epoch's state is at rest, so a
       // crash at ANY point here leaves an uncommitted epoch that resume
       // re-runs idempotently; committing before seen/blooms would instead
       // let a crash produce a committed epoch whose URLs re-schedule)
-      val snaps = fetch(scheduled, epoch)
-      val summary = Snapshots.writeEpoch(snaps, root, epoch)
+      val fetched = fetchInstrumented(scheduled, epoch, fetchPartitions)
+      val summary = Snapshots.writeEpochFetched(fetched, root, epoch, dedupeCounts)
       // seen merge + cumulative bloom sidecar for the NEXT epoch
       val newSeen = scheduled
         .select(col("url_hash"), col("host"), lit(epoch).as("first_epoch"))

@@ -47,7 +47,14 @@ object FrontierJob {
     * min(url_canon) is a deterministic representative (equal for all rows
     * of a group absent a 64-bit collision).
     */
-  def canonicalizeFrontier(seeds: Dataset[Seed]): DataFrame = {
+  def canonicalizeFrontier(seeds: Dataset[Seed]): DataFrame =
+    canonicalizeFrontierCounted(seeds).drop("n_raw")
+
+  /** Same, plus `n_raw` = raw candidate rows collapsed into each unique
+    * URL — the in-batch half of the lineage manifest's n_deduped counter
+    * rides the aggregation that exists anyway (no extra pass).
+    */
+  def canonicalizeFrontierCounted(seeds: Dataset[Seed]): DataFrame = {
     val spark = seeds.sparkSession
     GraftFunctions.ensureRegistered(spark)
     seeds
@@ -55,7 +62,8 @@ object FrontierJob {
       .where(col("url_canon").isNotNull && length(col("url_canon")) > 0)
       .select(xxhash64(col("url_canon")).as("url_hash"), col("url_canon"), col("priority"))
       .groupBy("url_hash")
-      .agg(max("priority").as("priority"), min("url_canon").as("url_canon"))
+      .agg(max("priority").as("priority"), min("url_canon").as("url_canon"),
+        count(lit(1)).as("n_raw"))
       .select(
         col("url_canon"),
         col("url_hash"),
@@ -66,7 +74,8 @@ object FrontierJob {
         // politeness grouping / robots / bloom bucketing off-oracle.
         GraftFunctions.hostOf(col("url_canon")).as("host"),
         GraftFunctions.pathOf(col("url_canon")).as("path"),
-        col("priority"))
+        col("priority"),
+        col("n_raw"))
   }
 
   /** Bloom-assisted exact dedupe against the persistent URL-seen set.

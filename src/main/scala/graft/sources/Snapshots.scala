@@ -1,6 +1,6 @@
 package graft.sources
 
-import graft.model.{PartitionLineage, Snapshot}
+import graft.model.{Fetched, PartitionLineage, Snapshot}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import java.nio.file.{Files, Paths, StandardCopyOption}
@@ -20,12 +20,33 @@ import java.nio.file.{Files, Paths, StandardCopyOption}
   */
 object Snapshots {
 
+  /** The contract (input_hint) columns of the primary table. */
+  private val SnapshotCols =
+    Seq("image_id", "bytes", "w", "h", "fmt", "caption", "phash", "epoch")
+
+  /** Parsed-rows-only view with exactly the input_hint schema. Epochs
+    * written by the instrumented fetch wave carry fetch-log columns
+    * (status/partition_id/elapsed_ms) and failure rows; both are dropped
+    * here so every downstream consumer sees the contract table.
+    */
   def read(spark: SparkSession, root: String, epoch: Int): DataFrame =
-    spark.read.parquet(s"$root/snapshots")
-      .where(col("epoch") === epoch) // partition-pruned directory scan
+    parsedOnly(spark.read.parquet(s"$root/snapshots")
+      .where(col("epoch") === epoch)) // partition-pruned directory scan
 
   def readUpTo(spark: SparkSession, root: String, maxEpoch: Int): DataFrame =
-    spark.read.parquet(s"$root/snapshots").where(col("epoch") <= maxEpoch)
+    parsedOnly(spark.read.parquet(s"$root/snapshots").where(col("epoch") <= maxEpoch))
+
+  /** One epoch WITH the fetch-log columns (status, partition_id,
+    * elapsed_ms) and failure rows — the fetch_log view of the same files.
+    */
+  def readRaw(spark: SparkSession, root: String, epoch: Int): DataFrame =
+    spark.read.parquet(s"$root/snapshots").where(col("epoch") === epoch)
+
+  private def parsedOnly(df: DataFrame): DataFrame = {
+    val filtered =
+      if (df.columns.contains("status")) df.where(col("status") === "parsed") else df
+    filtered.select(SnapshotCols.map(col): _*)
+  }
 
   /** Write one epoch's snapshot data + per-partition lineage WITHOUT
     * committing. The caller finishes all of the epoch's sibling state
@@ -34,33 +55,74 @@ object Snapshots {
     * a crash anywhere before it leaves an uncommitted epoch that resume
     * re-runs idempotently (every write here is per-epoch overwrite).
     */
+  /** Uninstrumented form (no fetch wave): every row is "parsed", the
+    * partition is the write task, wall/dedupe counters are zero.
+    */
   def writeEpoch(snaps: Dataset[Snapshot], root: String, epoch: Int): PartitionLineageSummary = {
     import snaps.sparkSession.implicits._
+    val fetched = snaps.mapPartitions { it =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      it.map(s => Fetched(s.image_id, s.bytes, s.w, s.h, s.fmt, s.caption,
+        s.phash, s.epoch, pid, "parsed", 0L))
+    }
+    writeEpochFetched(fetched, root, epoch)
+  }
+
+  /** Write one epoch's fetch-wave output + the full per-partition lineage
+    * manifest (north_rule "per-partition lineage and fetch/parse metrics";
+    * schema documented on [[graft.model.PartitionLineage]]) WITHOUT
+    * committing. Failure rows land in the same files (null payload, tiny)
+    * so the fetch log and the snapshot table are one write; [[read]] serves
+    * the parsed-only contract view. Lineage is computed on the WRITTEN data
+    * so the manifest describes what is actually at rest; `dedupeCounts`
+    * (partition_id -> candidates dropped before scheduling, attributed by
+    * the same hash(url_hash) routing as the wave) merges in driver-side —
+    * it is at most one entry per fetch partition, never data-sized.
+    * Per-epoch overwrite => idempotent under epoch re-runs.
+    */
+  def writeEpochFetched(
+      fetched: Dataset[Fetched],
+      root: String,
+      epoch: Int,
+      dedupeCounts: Map[Int, Long] = Map.empty): PartitionLineageSummary = {
+    val spark = fetched.sparkSession
+    import spark.implicits._
     // the epoch=N directory IS the partition value — keeping the data
     // column too would collide with partition inference on root scans
-    snaps.drop("epoch").write.mode("overwrite")
+    fetched.drop("epoch").write.mode("overwrite")
       .parquet(s"$root/snapshots/epoch=$epoch")
-    // per-partition lineage: counts + phash/url_hash ranges per task
-    // partition (north_rule metrics clause) — computed on the written data
-    // so the manifest describes what is actually at rest. Written to an
-    // epoch=N subdir with overwrite => idempotent under epoch re-runs.
-    val written = snaps.sparkSession.read.parquet(s"$root/snapshots/epoch=$epoch")
-    val lineage = written
-      .groupBy(spark_partition_id().as("partition_id"))
-      .agg(count(lit(1)).as("n_rows"),
-        min(col("phash")).as("min_phash"),
-        max(col("phash")).as("max_phash"),
-        min(xxhash64(col("image_id"))).as("min_url_hash"),
-        max(xxhash64(col("image_id"))).as("max_url_hash"))
-      .select(lit(epoch).as("epoch"), col("partition_id").cast("int"),
-        col("n_rows"), col("min_phash"), col("max_phash"),
-        col("min_url_hash"), col("max_url_hash"))
-      .as[PartitionLineage]
+    val written = spark.read.parquet(s"$root/snapshots/epoch=$epoch")
+    val parsed = col("status") === "parsed"
+    val agg = written
+      .groupBy(col("partition_id"))
+      .agg(
+        count(lit(1)).as("n_scheduled"),
+        count(when(col("status") =!= "fetch_failed", 1)).as("n_fetched"),
+        count(when(parsed, 1)).as("n_parsed"),
+        count(when(!parsed, 1)).as("n_failed"),
+        max(col("elapsed_ms")).as("wall_ms"),
+        min(when(parsed, col("phash"))).as("min_phash"),
+        max(when(parsed, col("phash"))).as("max_phash"),
+        min(when(parsed, xxhash64(col("image_id")))).as("min_url_hash"),
+        max(when(parsed, xxhash64(col("image_id")))).as("max_url_hash"))
+      .as[(Int, Long, Long, Long, Long, Long,
+           Option[Long], Option[Long], Option[Long], Option[Long])]
       .collect()
-    lineage.toSeq.toDS().drop("epoch") // epoch=N dir IS the partition value
+    val byPid = agg.map(t => t._1 -> t).toMap
+    val allPids = (byPid.keySet ++ dedupeCounts.keySet).toSeq.sorted
+    val lineage = allPids.map { pid =>
+      byPid.get(pid) match {
+        case Some((_, nSched, nFetch, nParse, nFail, wall, mnP, mxP, mnU, mxU)) =>
+          PartitionLineage(epoch, pid, nSched, dedupeCounts.getOrElse(pid, 0L),
+            nFetch, nParse, nFail, wall, mnP, mxP, mnU, mxU)
+        case None => // every candidate of this partition was deduped away
+          PartitionLineage(epoch, pid, 0L, dedupeCounts(pid),
+            0L, 0L, 0L, 0L, None, None, None, None)
+      }
+    }
+    lineage.toDS().drop("epoch") // epoch=N dir IS the partition value
       .write.mode("overwrite").parquet(s"$root/lineage/epoch=$epoch")
-    val total = lineage.map(_.n_rows).sum
-    PartitionLineageSummary(epoch, total, lineage.length)
+    PartitionLineageSummary(epoch, lineage.map(_.n_parsed).sum, lineage.length)
   }
 
   /** Legacy single-call form: write + immediately commit (no sibling state). */

@@ -111,9 +111,9 @@ class PipelineResumeSpec extends AnyFunSuite {
       spark.read.parquet(s"$root/revisions/epoch=2")
         .orderBy("image_id").collect().toVector
     assert(revs(rootA) == revs(rootB))
-    // lineage manifest exists and row counts match the snapshots
+    // lineage manifest exists and parsed-row counts match the snapshots
     val lin = spark.read.parquet(s"$rootA/lineage")
-      .groupBy("epoch").agg(sum("n_rows").as("n")).orderBy("epoch")
+      .groupBy("epoch").agg(sum("n_parsed").as("n")).orderBy("epoch")
       .as[(Int, Long)].collect().toMap
     (0 to 2).foreach { e =>
       val n = Snapshots.read(spark, rootA, e).count()
@@ -163,5 +163,111 @@ class PipelineResumeSpec extends AnyFunSuite {
       spark.read.parquet(s"$root/revisions/epoch=2")
         .orderBy("image_id").collect().toVector)
     assert(state(rootA) == state(rootB), "crash-resume diverged from straight run")
+  }
+}
+
+/** The north_rule's "per-partition lineage and fetch/parse metrics" clause,
+  * golden-tested against single-threaded mirrors: every counter in the
+  * manifest (n_scheduled / n_deduped / n_fetched / n_parsed / n_failed) is
+  * recomputed locally per fetch partition from the same deterministic
+  * kernels and must match exactly; failure injection must actually fire.
+  */
+class LineageMetricsSpec extends AnyFunSuite {
+  import spark.implicits._
+
+  private val P = 8
+  private val nSeeds = 600
+
+  /** Local mirror of CrawlPipeline.fetchPartitionId == repartition routing:
+    * pmod(murmur3_32(url_hash, seed=42), P).
+    */
+  private def pidOf(urlHash: Long): Int = {
+    val h = org.apache.spark.sql.catalyst.expressions.Murmur3HashFunction
+      .hash(urlHash, org.apache.spark.sql.types.LongType, 42L).toInt
+    ((h % P) + P) % P
+  }
+
+  private lazy val root: String = {
+    val r = tempDir("graft-lineage")
+    CrawlPipeline.run(spark, r, untilEpoch = 1, seedsPerEpoch = nSeeds,
+      FrontierJob.Config(globalBudget = 400), fetchPartitions = P)
+    r
+  }
+
+  private def lineage(epoch: Int) =
+    spark.read.parquet(s"$root/lineage").where(col("epoch") === epoch)
+
+  test("fetch/parse counters match the local failure mirror, per partition") {
+    for (epoch <- 0 to 1) {
+      val sched = spark.read.parquet(s"$root/scheduled/epoch=$epoch")
+        .select("url_hash").as[Long].collect()
+      val expect = sched.groupBy(pidOf).map { case (pid, hs) =>
+        val nFetchFail = hs.count(h => CrawlPipeline.fetchFails(h, epoch))
+        val nParseFail = hs.count(h =>
+          !CrawlPipeline.fetchFails(h, epoch) && CrawlPipeline.parseFails(h, epoch))
+        pid -> ((hs.length.toLong, hs.length.toLong - nFetchFail,
+          hs.length.toLong - nFetchFail - nParseFail, (nFetchFail + nParseFail).toLong))
+      }
+      val got = lineage(epoch)
+        .select("partition_id", "n_scheduled", "n_fetched", "n_parsed", "n_failed")
+        .as[(Int, Long, Long, Long, Long)].collect()
+        .map(t => t._1 -> ((t._2, t._3, t._4, t._5))).toMap
+      expect.foreach { case (pid, want) =>
+        assert(got(pid) == want, s"epoch=$epoch pid=$pid: got ${got(pid)}, want $want")
+      }
+      // the injected failure classes actually fire — counters aren't
+      // vacuously zero — and task wall times are present
+      assert(expect.values.map(_._4).sum > 0, s"epoch $epoch: no failures injected")
+      assert(lineage(epoch).select("wall_ms").as[Long].collect().forall(_ >= 0L))
+    }
+  }
+
+  test("written rows sit in the partition the manifest attributes them to") {
+    for (epoch <- 0 to 1) {
+      val raw = Snapshots.readRaw(spark, root, epoch)
+        .select(col("partition_id"),
+          org.apache.spark.sql.functions.xxhash64(col("image_id")).as("h"))
+        .as[(Int, Long)].collect()
+      raw.foreach { case (pid, h) =>
+        assert(pid == pidOf(h), s"epoch=$epoch: row routed to $pid, manifest key ${pidOf(h)}")
+      }
+    }
+  }
+
+  test("n_deduped matches the single-threaded dedupe mirror, per partition") {
+    import graft.functions.UrlKit
+    def validCanon(urls: Seq[String]): Seq[String] =
+      urls.map(UrlKit.canonicalize).filter(c => c != null && c.nonEmpty)
+    def gotDedup(epoch: Int): Map[Int, Long] =
+      lineage(epoch).select("partition_id", "n_deduped")
+        .as[(Int, Long)].collect().toMap.filter(_._2 > 0L)
+
+    // epoch 0: seen set empty => n_deduped is pure in-batch duplicate collapse
+    val raw0 = validCanon(Gen.seedsLocal(nSeeds).map(_.url))
+    val exp0 = raw0.groupBy(c => pidOf(CrawlOracle.xxhash64(c)))
+      .map { case (pid, cs) => pid -> (cs.size.toLong - cs.distinct.size.toLong) }
+      .filter(_._2 > 0L)
+    assert(gotDedup(0) == exp0, "epoch-0 in-batch dedupe counts diverge from mirror")
+
+    // epoch 1: candidates = fresh seeds + outlinks of the epoch-0 schedule;
+    // n_deduped = raw - survivors, survivors = unique canon not yet seen
+    val seen0 = spark.read.parquet(s"$root/scheduled/epoch=0")
+      .select("url_hash").as[Long].collect().toSet
+    val outlinkUrls = spark.read.parquet(s"$root/scheduled/epoch=0")
+      .select("host", "url_hash").as[(String, Long)].collect()
+      .flatMap { case (host, h) =>
+        (0 until 2).map { k =>
+          val a = java.lang.Long.remainderUnsigned(ImageKit.mix64(h ^ (k + 1L)), 100000L)
+          s"http://$host/news/linked/art-$a"
+        }
+      }
+    val raw1 = validCanon(Gen.seedsLocal(nSeeds).map(_.url) ++ outlinkUrls)
+    val exp1 = raw1.groupBy(c => pidOf(CrawlOracle.xxhash64(c)))
+      .map { case (pid, cs) =>
+        val survivors = cs.distinct.count(c => !seen0.contains(CrawlOracle.xxhash64(c)))
+        pid -> (cs.size.toLong - survivors)
+      }
+      .filter(_._2 > 0L)
+    assert(gotDedup(1) == exp1, "epoch-1 dedupe counts (batch + seen) diverge from mirror")
   }
 }
