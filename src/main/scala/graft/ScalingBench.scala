@@ -113,6 +113,30 @@ object ScalingBench {
   private def classesPath: String =
     getClass.getProtectionDomain.getCodeSource.getLocation.getPath
 
+  /** CPUs this process may actually run on (affinity mask from
+    * /proc/self/status), so pinning works on hosts whose CPU ids are not
+    * contiguous-from-0 (offline CPUs, cgroup cpusets, NUMA holes); falls
+    * back to 0..nproc-1 when /proc is unreadable.
+    */
+  private def allowedCpus: Seq[Int] = {
+    val spec = try {
+      Files.readString(Paths.get("/proc/self/status")).linesIterator
+        .find(_.startsWith("Cpus_allowed_list:")).map(_.split(":")(1).trim)
+    } catch { case _: Exception => None }
+    spec.filter(_.nonEmpty).map { s =>
+      s.split(",").toSeq.flatMap { part =>
+        part.split("-").map(_.trim) match {
+          case Array(a, b) => a.toInt to b.toInt
+          case Array(a)    => Seq(a.toInt)
+        }
+      }
+    }.getOrElse(0 until Runtime.getRuntime.availableProcessors())
+  }
+
+  private def tasksetBin: Option[String] =
+    Seq("/usr/bin/taskset", "/bin/taskset", "/usr/sbin/taskset")
+      .find(p => Files.isExecutable(Paths.get(p)))
+
   private def spawnLevel(level: Int, n: Long, mode: String): Map[String, Double] = {
     val javaBin = s"${System.getProperty("java.home")}/bin/java"
     val addOpens = Seq(
@@ -152,7 +176,15 @@ object ScalingBench {
     // pre-touched heaps (runLevelInProcess), the driver stays small
     val heap = sys.env.getOrElse("SPARK_GRAFT_HEAP",
       if (mode == "cluster") "2g" else s"${math.max(2, cores / 8)}g")
-    val pin = Seq("taskset", "-c", s"0-${cores - 1}")
+    // pin to the first `cores` CPUs of the ACTUAL affinity mask (stable
+    // across interleaved levels by construction); skip pinning gracefully
+    // when taskset is absent or the mask is smaller than the level
+    val cpus = allowedCpus
+    val pin = tasksetBin match {
+      case Some(bin) if cpus.size >= cores =>
+        Seq(bin, "-c", cpus.take(cores).mkString(","))
+      case _ => Seq.empty
+    }
     val cmd = (pin ++ Seq(javaBin) ++ addOpens ++ Seq(
       s"-Xms$heap", s"-Xmx$heap", "-XX:+AlwaysPreTouch",
       "-Dspark.ui.enabled=false",
@@ -162,9 +194,11 @@ object ScalingBench {
       "-cp", cp,
       "graft.ScalingBench", "level", level.toString, n.toString, mode)).asJava
     val pb = new ProcessBuilder(cmd).redirectErrorStream(true)
-    // the standalone Worker's executor launcher needs a binary-dist layout
-    pb.environment().put("SPARK_HOME", "/opt/spark")
-    pb.environment().put("SPARK_SCALA_VERSION", "2.13")
+    // the standalone Worker's executor launcher needs a binary-dist layout;
+    // honor the caller's environment, defaulting to this sandbox's install
+    pb.environment().put("SPARK_HOME", sys.env.getOrElse("SPARK_HOME", "/opt/spark"))
+    pb.environment().put("SPARK_SCALA_VERSION",
+      sys.env.getOrElse("SPARK_SCALA_VERSION", "2.13"))
     SparkEnv.localDir.foreach(d => pb.environment().put("SPARK_LOCAL_DIRS", d))
     val p = pb.start()
     val out = new String(p.getInputStream.readAllBytes())

@@ -148,19 +148,28 @@ object SparkEntry {
     "c10_robots_parse" -> ((s, _) => {
       // raw robots.txt TEXT -> structured robots_cache rows: render each
       // host's rules to text (round-trip property-tested in RobotsKitSpec),
+      // append deterministic wildcard/anchor lines to a third of hosts
+      // (outside the prefix engine's language => dropped AND counted),
       // parse distributed, explode the rule list
       import s.implicits._
-      val texts = Gen.robotsLocal().map(r =>
-        (r.host, graft.functions.RobotsKit.render(r.rules, Some(r.crawl_delay_ms))))
+      val texts = Gen.robotsLocal().zipWithIndex.map { case (r, i) =>
+        val base = graft.functions.RobotsKit.render(r.rules, Some(r.crawl_delay_ms))
+        val extra = (i % 3) match {
+          case 0 => "Disallow: /tmp/*.gif\n"
+          case 1 => "Disallow: /exact$\nDisallow: /cgi/*\n"
+          case _ => ""
+        }
+        (r.host, base + extra)
+      }
       s.createDataset(texts).toDF("host", "robots_txt")
         .as[(String, String)]
         .flatMap { case (host, txt) =>
           val p = graft.functions.RobotsKit.parse(txt)
           p.rules.zipWithIndex.map { case (r, i) =>
-            (host, i, r.allow, r.prefix, p.crawlDelayMs.getOrElse(-1L))
+            (host, i, r.allow, r.prefix, p.crawlDelayMs.getOrElse(-1L), p.nDroppedRules)
           }
         }
-        .toDF("host", "rule_idx", "allow", "prefix", "crawl_delay_ms")
+        .toDF("host", "rule_idx", "allow", "prefix", "crawl_delay_ms", "n_dropped_rules")
         .orderBy("host", "rule_idx")
     })
   )

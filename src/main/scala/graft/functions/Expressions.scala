@@ -216,12 +216,13 @@ object GraftFunctions {
   val MinHashK = 64
   val MinHashBands = 16
 
-  @volatile private var registered: Set[String] = Set.empty
-
-  /** Idempotent per-session registration of all graft temp functions. */
+  /** Idempotent per-session registration of all graft temp functions.
+    * No done-set: createOrReplaceTempFunction is an idempotent map put and
+    * this runs once per plan BUILD, never per row — a cache keyed on
+    * session identity (the old sessionState.toString trick) bought nothing
+    * and could wrongly skip a fresh session reusing a freed address.
+    */
   def ensureRegistered(spark: SparkSession): Unit = {
-    val key = spark.sessionState.toString
-    if (registered.contains(key)) return
     synchronized {
       val reg = spark.sessionState.functionRegistry
       reg.createOrReplaceTempFunction(
@@ -244,33 +245,39 @@ object GraftFunctions {
         "host_of", (exprs: Seq[Expression]) => HostOf(exprs.head), "scala_udf")
       reg.createOrReplaceTempFunction(
         "path_of", (exprs: Seq[Expression]) => PathOf(exprs.head), "scala_udf")
-      registered += key
     }
   }
 
-  /** Codegen'd LSH bucket column (nBits is a plan-time constant, so the
-    * builder closure carries it — registered per call like bloomMaybeSeen).
+  /** Codegen'd LSH bucket column. The registered name is unique per nBits:
+    * two plans built with different widths in one session each resolve
+    * their own builder — a single shared name would be last-writer-wins
+    * and could silently re-bucket a concurrently-built plan.
     */
   def lshBucket(spark: SparkSession, nBits: Int, vec: Column): Column = {
+    val name = s"lsh_bucket_$nBits"
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "lsh_bucket", (exprs: Seq[Expression]) => LshBucket(exprs.head, nBits), "scala_udf")
-    call_function("lsh_bucket", vec)
+      name, (exprs: Seq[Expression]) => LshBucket(exprs.head, nBits), "scala_udf")
+    call_function(name, vec)
   }
 
-  /** Column probe over a concrete broadcast sidecar: registered per call
-    * (the builder closure captures the broadcast), resolved at analysis of
-    * the calling DataFrame.
+  /** Column probe over a concrete broadcast sidecar. The registered name is
+    * unique per broadcast id, so two dedupes against DIFFERENT sidecars
+    * analyzed in one session can never cross-wire (a shared name would bind
+    * whichever broadcast registered last — and a wrong sidecar routes
+    * truly-seen URLs down the bloom-"fresh" branch that skips the exact
+    * anti-join). One registry entry per sidecar broadcast is negligible.
     */
   def bloomMaybeSeen(
       spark: SparkSession,
       blooms: org.apache.spark.broadcast.Broadcast[Map[Int, (Int, Array[Long])]],
       bucket: Column,
       hash: Column): Column = {
+    val name = s"bloom_maybe_seen_${blooms.id}"
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "bloom_maybe_seen",
+      name,
       (exprs: Seq[Expression]) => BloomMightContain(exprs(0), exprs(1), blooms),
       "scala_udf")
-    call_function("bloom_maybe_seen", bucket, hash)
+    call_function(name, bucket, hash)
   }
 
   def canonUrl(c: Column): Column = call_function("canon_url", c)

@@ -14,12 +14,21 @@ import graft.model.RobotsRule
   *     prefix engine backs the gate; wildcard lines are dropped)
   *   - `Crawl-delay:` seconds (de-facto, not in RFC 9309)
   *   - `#` comments, blank-line group separation, case-insensitive keys
-  *   - group selection: most specific agent token (longest token that is
-  *     "*" or a substring of the caller's agent), per RFC 9309 §2.2.1
+  *   - group selection per RFC 9309 §2.2.1: a non-empty agent token matches
+  *     if it is a case-insensitive PREFIX of the caller's product token
+  *     (never substring — a "bot" group must not capture "graftbot");
+  *     the longest matching token wins and ALL groups naming it merge;
+  *     `*` groups apply only when no named token matches
+  *   - dropped wildcard/anchor lines are COUNTED (`nDroppedRules`,
+  *     document-wide) so the prefix-subset narrowing is observable
+  *     downstream instead of silent
   */
 object RobotsKit {
 
-  final case class Parsed(rules: Seq[RobotsRule], crawlDelayMs: Option[Long])
+  final case class Parsed(
+      rules: Seq[RobotsRule],
+      crawlDelayMs: Option[Long],
+      nDroppedRules: Int = 0)
 
   def parse(text: String, agent: String = "graftbot"): Parsed = {
     if (text == null || text.isEmpty) return Parsed(Seq.empty, None)
@@ -31,6 +40,7 @@ object RobotsKit {
     var rules = Vector.empty[RobotsRule]
     var delay: Option[Long] = None
     var inDirectives = false
+    var dropped = 0
     def flush(): Unit = {
       if (agents.nonEmpty) groups += Group(agents, rules, delay)
       agents = Vector.empty; rules = Vector.empty; delay = None; inDirectives = false
@@ -48,13 +58,17 @@ object RobotsKit {
           key match {
             case "user-agent" =>
               if (inDirectives) flush() // new group starts
-              agents :+= value.toLowerCase
+              // an empty product token is invalid per RFC 9309 — never let
+              // it match every agent at '*' specificity
+              if (value.nonEmpty) agents :+= value.toLowerCase
             case "allow" | "disallow" =>
               inDirectives = true
               // empty Disallow = allow everything (no rule); wildcard rules
-              // are outside the prefix engine's language — drop them
-              if (value.nonEmpty && !value.contains("*") && !value.endsWith("$"))
-                rules :+= RobotsRule(allow = key == "allow", prefix = value)
+              // are outside the prefix engine's language — drop AND COUNT
+              if (value.nonEmpty) {
+                if (value.contains("*") || value.endsWith("$")) dropped += 1
+                else rules :+= RobotsRule(allow = key == "allow", prefix = value)
+              }
             case "crawl-delay" =>
               inDirectives = true
               delay = scala.util.Try(math.round(value.toDouble * 1000.0)).toOption
@@ -65,18 +79,19 @@ object RobotsKit {
       }
     }
     flush()
-    // most specific matching group: longest agent token that applies
-    val applicable = groups.flatMap { g =>
-      g.agents.collect {
-        case a if a == "*" => (0, g)
-        case a if agentLc.contains(a) => (a.length, g)
-      }
+    // longest prefix-matching named token; all groups naming it merge
+    val named = groups.flatMap { g =>
+      g.agents.filter(a => a != "*" && agentLc.startsWith(a)).map(a => (a.length, g))
     }
-    if (applicable.isEmpty) Parsed(Seq.empty, None)
-    else {
-      val (_, g) = applicable.maxBy(_._1)
-      Parsed(g.rules, g.delayMs)
-    }
+    val selected =
+      if (named.nonEmpty) {
+        val bestLen = named.map(_._1).max
+        named.filter(_._1 == bestLen).map(_._2).distinct.toSeq
+      } else groups.filter(_.agents.contains("*")).toSeq
+    Parsed(
+      selected.flatMap(_.rules),
+      selected.flatMap(_.delayMs).headOption,
+      dropped)
   }
 
   /** Render a rule set back to robots.txt text (round-trip property-tested:

@@ -33,7 +33,8 @@ object FrontierJob {
       defaultHostBudget: Int = 50,
       maxHostBudget: Int = 128, // upper bound across all hosts (top-K agg size)
       saltBuckets: Int = 16,
-      phashTau: Int = 10)
+      phashTau: Int = 10,
+      robotsBroadcastMaxBytes: Long = 64L << 20)
 
   /** Canonicalize + hash + batch-dedupe a seed/outlink batch.
     * Dedupe keeps max(priority) per canonical URL (deterministic — no
@@ -115,14 +116,22 @@ object FrontierJob {
     fresh.unionByName(maybe).drop("maybe_seen", "host_bucket")
   }
 
-  /** robots.txt gate: broadcast join of the (small) per-host rules cache,
-    * longest-prefix allow/deny evaluated with higher-order array functions
-    * (no UDF). Hosts absent from the cache are allowed with defaults.
+  /** robots.txt gate: join of the per-host rules cache, longest-prefix
+    * allow/deny evaluated with higher-order array functions (no UDF). Hosts
+    * absent from the cache are allowed with defaults.
+    *
+    * Join strategy is SIZE-GATED: a news-domain cache (tens of hosts) always
+    * broadcasts, but at general-web scale a multi-GB robots cache would OOM
+    * the driver — above cfg.robotsBroadcastMaxBytes (by Catalyst plan
+    * stats, no extra action) the hint is dropped and the join shuffles
+    * (sort-merge on host). Both plans are PlanSpec-pinned and golden-equal.
     */
   def applyRobots(frontier: DataFrame, robots: Dataset[RobotsEntry], cfg: Config): DataFrame = {
     val r = robots.select("host", "rules", "crawl_delay_ms", "host_budget")
+    val small = r.queryExecution.optimizedPlan.stats.sizeInBytes <=
+      BigInt(cfg.robotsBroadcastMaxBytes)
     frontier
-      .join(broadcast(r), Seq("host"), "left")
+      .join(if (small) broadcast(r) else r.toDF(), Seq("host"), "left")
       .where(col("rules").isNull || robotsAllowedCol(col("rules"), col("path")))
       .withColumn("crawl_delay_ms", coalesce(col("crawl_delay_ms"), lit(cfg.defaultDelayMs)))
       // clamp to maxHostBudget: the top-K aggregator is sized at maxK =

@@ -151,8 +151,33 @@ object Relational {
         .as("hour_ts"), col("event_type"))
       .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total"))
 
-  /** UNION (distinct) + INTERSECT in one tagged result. */
+  /** UNION (distinct) + INTERSECT in one tagged result — single-pass form:
+    * one side-tagged union, ONE shuffle (groupBy key), membership flags,
+    * and the two result tags exploded from the same aggregated row. The
+    * naive `c.union(s).distinct ∪ c.intersect(s)` costs 4 file scans + 3
+    * exchanges because Catalyst does not CSE the repeated subtrees; this
+    * plan reads each table once (PlanSpec-pinned) and is golden-equal to
+    * the set-operator form below.
+    */
   def setOpsUnionIntersect(spark: SparkSession, dir: String): DataFrame = {
+    val c = t(spark, dir, "customer").select(col("c_nationkey").as("nationkey"))
+    val s = t(spark, dir, "supplier").select(col("s_nationkey").as("nationkey"))
+    c.withColumn("side", lit(0)).unionByName(s.withColumn("side", lit(1)))
+      .groupBy("nationkey")
+      .agg(max(when(col("side") === 0, 1).otherwise(0)).as("in_c"),
+        max(when(col("side") === 1, 1).otherwise(0)).as("in_s"))
+      .select(
+        explode(when(col("in_c") === 1 && col("in_s") === 1,
+            array(lit("any"), lit("both")))
+          .otherwise(array(lit("any")))).as("tag"),
+        col("nationkey"))
+  }
+
+  /** The same query via the union/distinct/intersect OPERATORS (U1/U3
+    * coverage) — kept as the semantics reference; golden-tested equal to
+    * the single-pass plan above.
+    */
+  def setOpsUnionIntersectViaOps(spark: SparkSession, dir: String): DataFrame = {
     val c = t(spark, dir, "customer").select(col("c_nationkey").as("nationkey"))
     val s = t(spark, dir, "supplier").select(col("s_nationkey").as("nationkey"))
     c.union(s).distinct().select(lit("any").as("tag"), col("nationkey"))

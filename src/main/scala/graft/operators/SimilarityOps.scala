@@ -51,16 +51,30 @@ object SimilarityOps {
   def lshBucketLocal(vec: Seq[Float], nBits: Int): Int =
     graft.functions.VecKit.lshBucket(vec.toArray, nBits)
 
+  /** Bucket width scaled to corpus size: target mean bucket ~`perBucket`
+    * vectors so within-bucket candidate pairs stay ~quadratic in a CONSTANT,
+    * not in corpus/2^nBits. Floor of 6 keeps small test corpora on the
+    * documented default.
+    */
+  def nBitsFor(corpusRows: Long, perBucket: Long = 256L): Int =
+    math.max(6, 64 - java.lang.Long.numberOfLeadingZeros(
+      math.max(1L, corpusRows / perBucket - 1)))
+
   /** Embedding-cosine NEAR-DUP detection (the embedding-space flavor of
-    * the dedup family): LSH bucket is the blocking key — the self-join
-    * carries (bucket, id, vector) and only compares within a bucket, i.e.
-    * 1/2^nBits of all pairs — then exact cosine verifies candidates. A
-    * deterministic 5% of vectors is planted as slightly-perturbed copies
-    * so the operator provably fires on the test corpus (same pattern as
-    * the text near-dup plants).
+    * the dedup family): LSH bucket is the blocking key, exact cosine the
+    * verify. Scale discipline (the t03 minhash pattern): the bucket
+    * self-join carries (bucket, vec_id) ONLY — embeddings never ride the
+    * candidate exchange — then candidate ids restrict the corpus via a
+    * broadcast semi-join (ids are pairs of longs; the corpus is never
+    * re-shuffled) and vectors are re-joined for the exact-cosine verify on
+    * the candidate set alone. nBits grows with the corpus (nBitsFor), so a
+    * bucket's expected occupancy — and hence the quadratic term — is
+    * constant. A deterministic 5% of vectors is planted as
+    * slightly-perturbed copies so the operator provably fires on the test
+    * corpus (same pattern as the text near-dup plants).
     */
   def nearDupCosine(spark: SparkSession, dir: String,
-                    threshold: Double = 0.99, nBits: Int = 6): DataFrame = {
+                    threshold: Double = 0.99, nBits: Int = 0): DataFrame = {
     graft.functions.GraftFunctions.ensureRegistered(spark)
     val base = emb(spark, dir).select("vec_id", "embedding")
     val planted = base.where(pmod(col("vec_id"), lit(20)) === 0)
@@ -69,31 +83,55 @@ object SimilarityOps {
           when(i === 0, (x.cast("double") + lit(0.05)).cast("float")).otherwise(x))
           .as("embedding"))
     val corpus = base.unionByName(planted)
+    val bits = if (nBits > 0) nBits else nBitsFor(emb(spark, dir).count() * 21 / 20)
     val bucketed = corpus.withColumn("bucket",
-      graft.functions.GraftFunctions.lshBucket(spark, nBits, col("embedding")))
-    bucketed.as("a").join(bucketed.as("b"),
+      graft.functions.GraftFunctions.lshBucket(spark, bits, col("embedding")))
+    // candidate generation: ids only through the bucket exchange
+    val ids = bucketed.select("bucket", "vec_id")
+    val cand = ids.as("a").join(ids.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-        round(cosineCol(col("a.embedding"), col("b.embedding")), 4).as("cos"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+      .dropDuplicates("vec_a", "vec_b") // multi-probe/banded variants dedupe here
+    // verify: restrict corpus to candidate ids (broadcast semi — the corpus
+    // side never shuffles), then re-join the surviving vectors
+    val candIds = cand.select(col("vec_a").as("vec_id"))
+      .unionByName(cand.select(col("vec_b").as("vec_id")))
+      .dropDuplicates("vec_id")
+    val candVecs = corpus.join(broadcast(candIds), Seq("vec_id"), "left_semi")
+    cand
+      .join(candVecs.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a")), "vec_a")
+      .join(candVecs.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b")), "vec_b")
+      .select(col("vec_a"), col("vec_b"),
+        round(cosineCol(col("emb_a"), col("emb_b")), 4).as("cos"))
       .where(col("cos") >= threshold)
   }
 
-  /** LSH-bucketed ANN: sign-of-random-hyperplane bucket per vector, then
-    * exact cosine only within the query's bucket. At corpus scale the
-    * bucket column is a partition/cluster key and a probe touches
-    * 1/2^nBits of the data; candidates here are verified exactly so
-    * results are true cosine scores (approximation affects recall only).
+  /** MULTI-PROBE LSH ANN (Lv et al., VLDB'07 — public technique):
+    * sign-of-random-hyperplane bucket per corpus vector; each query probes
+    * every bucket within Hamming distance `probeRadius` of its own bucket
+    * (a sign flip on a near-hyperplane is the likeliest LSH miss), then
+    * exact cosine scores the probed slice. Scale shape: the bucket column
+    * is a partition/cluster key; a probe touches C(nBits,<=r)/2^nBits of
+    * the corpus (r=2, nBits=6: 22/64) instead of a full scan, and the
+    * (tiny) query x probe-mask set broadcasts — the corpus never shuffles.
+    * Candidates are verified exactly, so approximation affects recall
+    * only; measured recall vs the brute baseline is asserted as a floor in
+    * EntrySmokeSpec and recorded in SURVEY.md §2.11.
     */
   def annLshTopK(spark: SparkSession, dir: String,
-                 nQueries: Int = 3, k: Int = 5, nBits: Int = 6): DataFrame = {
+                 nQueries: Int = 3, k: Int = 5, nBits: Int = 6,
+                 probeRadius: Int = 2): DataFrame = {
     graft.functions.GraftFunctions.ensureRegistered(spark)
+    // all XOR masks within the probe radius — a plan-time constant list
+    val masks = (0 until (1 << nBits)).filter(m => Integer.bitCount(m) <= probeRadius)
     val e = emb(spark, dir).withColumn("bucket",
       graft.functions.GraftFunctions.lshBucket(spark, nBits, col("embedding")))
     val queries = e.where(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("qvec"),
-        col("bucket").as("qbucket"))
+        explode(transform(typedLit(masks), m => col("bucket").bitwiseXOR(m)))
+          .as("probe_bucket"))
     val scored = e.join(broadcast(queries),
-        col("bucket") === col("qbucket") && col("vec_id") =!= col("query_id"))
+        col("bucket") === col("probe_bucket") && col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
         cosineCol(col("embedding"), col("qvec")).as("cos"))
     val w = org.apache.spark.sql.expressions.Window

@@ -108,6 +108,12 @@ object StreamingJobs {
           // toSeq.sortBy here would materialize a hot host's entire
           // micro-batch and OOM at scale; this is O(rem) memory however
           // many rows the batch throws at one host.
+          // PRECONDITION (matching the batch pipeline, where dedupe precedes
+          // scheduling): rows are unique by url_hash within a micro-batch.
+          // An exact (priority, url_hash) tie is therefore a duplicate of
+          // the same URL; when the buffer is full the first-arrived copy is
+          // kept and the duplicate dropped — the same row survives either
+          // way, so selection is still arrival-order-insensitive.
           val rem = math.max(0, budget - next)
           var buf = new Array[(String, Long, Double)](0)
           if (rem > 0) rows.foreach { r =>

@@ -31,6 +31,39 @@ class EntrySmokeSpec extends AnyFunSuite {
     }
   }
 
+  test("emb02 multi-probe ANN recall vs brute top-k >= 0.6 (measured 0.733 @ nBits=6, r=2)") {
+    val brute = graft.operators.SimilarityOps.bruteCosineTopK(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ann = graft.operators.SimilarityOps.annLshTopK(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = brute.intersect(ann).size.toDouble / brute.size
+    assert(recall >= 0.6, f"ANN recall $recall%.3f fell below the 0.6 floor")
+  }
+
+  test("emb03 id-only candidate plan == direct vector-carrying form (golden)") {
+    import org.apache.spark.sql.functions._
+    val got = graft.operators.SimilarityOps.nearDupCosine(spark, dir, nBits = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // pre-refactor reference formulation: self-join carries the vectors
+    val base = spark.read.parquet(s"$dir/embeddings.parquet").select("vec_id", "embedding")
+    val planted = base.where(pmod(col("vec_id"), lit(20)) === 0)
+      .select((col("vec_id") + 1000000L).as("vec_id"),
+        transform(col("embedding"), (x, i) =>
+          when(i === 0, (x.cast("double") + lit(0.05)).cast("float")).otherwise(x))
+          .as("embedding"))
+    val corpus = base.unionByName(planted)
+    val bucketed = corpus.withColumn("bucket",
+      graft.functions.GraftFunctions.lshBucket(spark, 6, col("embedding")))
+    val want = bucketed.as("a").join(bucketed.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        round(graft.operators.SimilarityOps.cosineCol(
+          col("a.embedding"), col("b.embedding")), 4).as("cos"))
+      .where(col("cos") >= 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == want, "refactored emb03 diverged from the direct formulation")
+  }
+
   test("similarity: ANN cosine values are a subset-of-corpus sanity check") {
     val brute = graft.operators.SimilarityOps.bruteCosineTopK(spark, dir)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))

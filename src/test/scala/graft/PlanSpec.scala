@@ -70,6 +70,97 @@ class PlanSpec extends AnyFunSuite {
     assert(!readLine.contains("l_comment"), s"scan reads unprojected columns: $readLine")
   }
 
+  test("emb03: embeddings never ride a shuffle before candidate restriction") {
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    // static plan + no size-based broadcasts: every join that WOULD shuffle
+    // at scale shows its exchange here (tiny inputs would otherwise hide it)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = graft.operators.SimilarityOps.nearDupCosine(spark, "/root/testdata/sf0.001")
+      val shuffles = df.queryExecution.executedPlan.collect {
+        case s: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => s
+      }
+      assert(shuffles.nonEmpty, "expected visible exchanges with AQE off")
+      // the candidate (bucket) exchanges are id-only
+      val bucketShuffles = shuffles.filter(_.outputPartitioning.toString.contains("bucket"))
+      assert(bucketShuffles.nonEmpty, "bucket-blocking exchange missing")
+      bucketShuffles.foreach { s =>
+        assert(!s.output.exists(_.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType]),
+          s"candidate exchange carries a vector column: ${s.output.map(_.name)}")
+      }
+      // any exchange that does carry vectors sits ABOVE the broadcast
+      // candidate-id semi-join, i.e. moves candidate vectors only — the
+      // full corpus never pays an embedding shuffle
+      shuffles.filter(_.output.exists(_.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType]))
+        .foreach { s =>
+          val restricted = s.child.collect {
+            case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+                if j.joinType == org.apache.spark.sql.catalyst.plans.LeftSemi => j
+          }
+          assert(restricted.nonEmpty,
+            s"embedding-carrying exchange is not candidate-restricted:\n$s")
+        }
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+    }
+  }
+
+  test("two bloom sidecars built in one session resolve independently (no cross-wiring)") {
+    import org.apache.spark.sql.functions.col
+    val frontier = FrontierJob.canonicalizeFrontier(Gen.seeds(spark, 300))
+    val rows = frontier.select("url_hash", "host").as[(Long, String)].collect().sortBy(_._1)
+    val seenA = rows.take(40).map { case (h, host) => graft.model.SeenEntry(h, host, 0) }
+    val seenB = rows.takeRight(40).map { case (h, host) => graft.model.SeenEntry(h, host, 0) }
+    def blooms(s: Seq[graft.model.SeenEntry]) =
+      SeenStore.buildBlooms(s.toDS(), numBuckets = 16, expectedPerBucket = 128)
+        .collect().map(r => r.getInt(0) -> r.getAs[Array[Byte]](1)).toMap
+    // build BOTH plans before evaluating EITHER — a shared registry name
+    // would bind both probes to whichever sidecar registered last
+    val dedupA = FrontierJob.dedupeAgainstSeen(frontier, seenA.toSeq.toDS(), blooms(seenA), 16)
+    val dedupB = FrontierJob.dedupeAgainstSeen(frontier, seenB.toSeq.toDS(), blooms(seenB), 16)
+    val all = rows.map(_._1).toSet
+    val gotA = dedupA.select(col("url_hash")).as[Long].collect().toSet
+    val gotB = dedupB.select(col("url_hash")).as[Long].collect().toSet
+    assert(gotA == all.diff(seenA.map(_.url_hash).toSet), "dedupe A used the wrong sidecar")
+    assert(gotB == all.diff(seenB.map(_.url_hash).toSet), "dedupe B used the wrong sidecar")
+  }
+
+  test("q19 single-pass plan: 2 file scans, 1 aggregate exchange; == set-op form") {
+    val dir = "/root/testdata/sf0.001"
+    val df = Relational.setOpsUnionIntersect(spark, dir)
+    // the adaptive plan prints Final AND Initial sections — count the final only
+    val p = finalPlan(df).split("== Initial Plan ==")(0)
+    val nScans = p.linesIterator.count(_.contains("Scan parquet"))
+    assert(nScans == 2, s"expected 2 file scans, saw $nScans:\n$p")
+    val got = df.collect().map(r => (r.getString(0), r.get(1).toString)).toSet
+    val want = Relational.setOpsUnionIntersectViaOps(spark, dir)
+      .collect().map(r => (r.getString(0), r.get(1).toString)).toSet
+    assert(got == want, "single-pass q19 diverged from union/intersect operator form")
+  }
+
+  test("robots join falls back to shuffle (SMJ) above the broadcast size gate") {
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // tiny test table would auto-broadcast
+    try {
+      val frontier = FrontierJob.canonicalizeFrontier(Gen.seeds(spark, 300))
+      val big = FrontierJob.Config(robotsBroadcastMaxBytes = 0L) // force the large-cache path
+      val forced = FrontierJob.applyRobots(frontier, Gen.robots(spark), big)
+      val p = plan(forced)
+      assert(p.contains("SortMergeJoin"), s"large robots cache still broadcast:\n$p")
+      assert(!p.contains("BroadcastHashJoin"))
+      // both strategies schedule identically
+      val cfgB = FrontierJob.Config(globalBudget = 200)
+      val cfgS = cfgB.copy(robotsBroadcastMaxBytes = 0L)
+      def sched(cfg: FrontierJob.Config) = FrontierJob.runEpoch(
+        Gen.seeds(spark, 300), Gen.robots(spark),
+        SeenStore.emptySeen(spark), Map.empty, 16, cfg).collect().toVector
+      assert(sched(cfgB) == sched(cfgS), "shuffled robots join changed the schedule")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+  }
+
   test("robots join broadcasts; politeness agg is partial+final (map-side combine)") {
     val cfg = FrontierJob.Config()
     val allowed = FrontierJob.applyRobots(

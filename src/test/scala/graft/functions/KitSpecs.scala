@@ -194,8 +194,40 @@ class RobotsKitSpec extends AnyFunSuite {
     val p = RobotsKit.parse(txt)
     assert(p.rules == Seq(RobotsRule(allow = true, "/ok")))
     assert(p.crawlDelayMs.isEmpty)
+    assert(p.nDroppedRules == 2, "wildcard + anchor drops must be counted, not silent")
     assert(RobotsKit.parse("").rules.isEmpty)
     assert(RobotsKit.parse(":::garbage:::").rules.isEmpty)
+  }
+
+  test("agent matching is product-token prefix, not substring; empty UA never matches") {
+    val txt =
+      """User-agent: bot
+        |Disallow: /bot-only
+        |
+        |User-agent:
+        |Disallow: /empty-agent-trap
+        |
+        |User-agent: *
+        |Disallow: /generic
+        |""".stripMargin
+    // 'bot' is a substring but NOT a prefix of 'graftbot' -> * group applies
+    assert(RobotsKit.parse(txt, "graftbot").rules == Seq(RobotsRule(allow = false, "/generic")))
+    // prefix of the product token does match ('bot' prefix of 'bot/2.1')
+    assert(RobotsKit.parse(txt, "bot/2.1").rules == Seq(RobotsRule(allow = false, "/bot-only")))
+  }
+
+  test("all groups naming the selected agent merge (RFC 9309 group combination)") {
+    val txt =
+      """User-agent: graftbot
+        |Disallow: /a
+        |
+        |User-agent: graftbot
+        |Disallow: /b
+        |Crawl-delay: 1
+        |""".stripMargin
+    val p = RobotsKit.parse(txt, "graftbot")
+    assert(p.rules == Seq(RobotsRule(allow = false, "/a"), RobotsRule(allow = false, "/b")))
+    assert(p.crawlDelayMs.contains(1000L))
   }
 
   test("multiple user-agent lines share one group; new UA after directives starts a group") {
