@@ -33,6 +33,14 @@ object ScalingBench {
     val coresPerExec = sys.env.getOrElse("SPARK_GRAFT_EXEC_CORES", "4").toInt
     val execMemMb = sys.env.getOrElse("SPARK_GRAFT_EXEC_MEM_MB", "2048").toInt
     val cores = if (mode == "cluster") level * coresPerExec else level
+    // Fixed shuffle-partition override: by default partitions = cores, which
+    // COUPLES THE PLAN SHAPE TO THE LEVEL — at the small level each reduce
+    // task then processes levels-ratio x more rows in the same per-executor
+    // heap (spill/GC cliff), understating the small level and the measured
+    // efficiency. Setting the same value at both levels compares the
+    // IDENTICAL plan on different resources (how a real cluster sizes
+    // partitions: for the data, not the node count).
+    val shufParts = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTS", cores.toString)
     val builder = if (mode == "cluster")
       SparkEnv.applyCommon(SparkSession.builder()
         .master(s"local-cluster[$level,$coresPerExec,$execMemMb]")
@@ -47,12 +55,12 @@ object ScalingBench {
         .config("spark.executor.extraJavaOptions",
           s"-Xms${execMemMb}m -XX:+AlwaysPreTouch")
         .config("spark.io.compression.codec", "zstd")
-        .config("spark.sql.shuffle.partitions", cores.toString))
+        .config("spark.sql.shuffle.partitions", shufParts))
     else
       SparkEnv.applyCommon(SparkSession.builder()
         .master(s"local[$cores]")
         .appName(s"graft-scaling-$cores")
-        .config("spark.sql.shuffle.partitions", cores.toString))
+        .config("spark.sql.shuffle.partitions", shufParts))
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     // optional task-metrics telemetry (SPARK_GRAFT_METRICS=1)

@@ -87,9 +87,11 @@ object SparkEntry {
     // ---- training-data ops, non-SQL parts (rows-only + scalatest) -----
     "t02_text_profile" -> ((s, d) => TextOps.textProfile(s, d)),
     "t03_neardup_minhash" -> ((s, d) => TextOps.nearDupMinhash(s, d)),
+    "t05_neardup_ngram" -> ((s, d) => TextOps.nearDupNgramJaccard(s, d)),
     "t04_neardup_simhash" -> ((s, d) => TextOps.nearDupSimhash(s, d)),
     "emb01_cosine_topk" -> ((s, d) => SimilarityOps.bruteCosineTopK(s, d)),
     "emb02_ann_lsh" -> ((s, d) => SimilarityOps.annLshTopK(s, d)),
+    "emb04_ann_ivf" -> ((s, d) => SimilarityOps.annIvfTopK(s, d)),
     "emb03_neardup_cosine" -> ((s, d) =>
       SimilarityOps.nearDupCosine(s, d).orderBy("vec_a", "vec_b")),
     // ---- crawl domain (synthetic inputs; scalatest-golden) ------------
@@ -119,6 +121,25 @@ object SparkEntry {
       graft.sources.SeenStore.buildBlooms(seen, numBuckets = 16, expectedPerBucket = 2048)
         .select(col("host_bucket"),
           org.apache.spark.sql.functions.length(col("bloom")).as("bloom_bytes"))
+        .orderBy("host_bucket")
+    }),
+    "c11_cuckoo" -> ((s, _) => {
+      // deletable seen-filter sidecar (north_rule "bloom/cuckoo"): occupancy
+      // is deterministic (capacity margin => every insert succeeds
+      // regardless of partition arrival order); membership/deletion
+      // semantics are gated by CuckooSpec properties
+      import s.implicits._
+      val seen = FrontierJob.canonicalizeFrontier(Gen.seeds(s, 4000))
+        .select(col("url_hash"), col("host"), lit(0).as("first_epoch"))
+        .as[graft.model.SeenEntry]
+      graft.sources.SeenStore.buildCuckoos(seen, numBuckets = 16, expectedPerBucket = 2048)
+        .as[(Int, Array[Byte])]
+        .map { case (bucket, bytes) =>
+          val table = graft.functions.Cuckoo64.deserialize(bytes)
+          (bucket, bytes.length, graft.functions.Cuckoo64.occupied(table),
+            graft.functions.Cuckoo64.isOverflowed(table))
+        }
+        .toDF("host_bucket", "cuckoo_bytes", "n_occupied", "overflowed")
         .orderBy("host_bucket")
     }),
     "c06_phash" -> ((s, _) => {
@@ -307,6 +328,32 @@ object SparkEntry {
         |count(*) AS n,
         |CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k
         |FROM events GROUP BY 1, 2""".stripMargin,
+    "t05_neardup_ngram" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, text || ' appended revision marker tokens' AS text
+        |  FROM documents WHERE doc_id % 20 = 0
+        |), toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM corpus
+        |), shingles AS (
+        |  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
+        |  FROM (SELECT doc_id, t, unnest(generate_series(1, greatest(len(t)-2, 0))) AS i FROM toks)
+        |), sizes AS (
+        |  SELECT doc_id, count(*) AS sz FROM shingles GROUP BY doc_id
+        |), idx AS (
+        |  SELECT doc_id, sh FROM shingles
+        |  WHERE sh NOT IN (SELECT sh FROM shingles GROUP BY sh HAVING count(*) > 64)
+        |), pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+        |  FROM idx a JOIN idx b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |)
+        |SELECT doc_a, doc_b, n_inter, sa.sz + sb.sz - n_inter AS n_union
+        |FROM pairs
+        |JOIN sizes sa ON doc_a = sa.doc_id
+        |JOIN sizes sb ON doc_b = sb.doc_id
+        |WHERE n_inter * 2 >= sa.sz + sb.sz - n_inter""".stripMargin,
     "t01_text_quality" ->
       """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_act,
         |CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,

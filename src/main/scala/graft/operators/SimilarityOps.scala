@@ -106,6 +106,82 @@ object SimilarityOps {
       .where(col("cos") >= threshold)
   }
 
+  /** IVF (inverted-file) ANN — the k-means-partitioned alternative to LSH
+    * bucketing (coarse quantizer of Jégou/Douze/Schmid, TPAMI 2011 — public
+    * technique; this is IVF-flat: no product quantization, exact cosine
+    * within probed lists).
+    *
+    * Build: deterministic stride-sampled seed centroids -> ONE distributed
+    * Lloyd iteration (assign via Catalyst HOFs, per-dimension mean via
+    * posexplode + groupBy — k*d tiny rows collected; means rounded to 1e-4
+    * so float-summation order across partitions cannot flip an assignment)
+    * -> every corpus vector labeled with its nearest-centroid list id.
+    * Query: rank centroids per query (query x k cross join — both tiny),
+    * probe the `nProbe` nearest lists, exact cosine over candidates only.
+    *
+    * Scale shape: the list id is a partition/cluster key exactly like the
+    * LSH bucket — a probe touches ~nProbe/nClusters of the corpus, the
+    * (query x probe) set broadcasts, the corpus never shuffles, and
+    * approximation affects recall only (candidates are scored exactly).
+    */
+  def annIvfTopK(spark: SparkSession, dir: String,
+                 nQueries: Int = 3, k: Int = 5, nClusters: Int = 16,
+                 nProbe: Int = 4): DataFrame = {
+    import spark.implicits._
+    val e = emb(spark, dir).select("vec_id", "embedding")
+    val n = e.count()
+    val stride = math.max(1L, n / nClusters)
+
+    def assignCol(v: Column, cents: Seq[Seq[Float]]): Column = {
+      // argmax_c cos(v, c): ||v|| is constant across c, so rank by
+      // dot(v,c)/||c||; ties resolve to the first (lowest) list id
+      val scores = transform(typedLit(cents), c => dotCol(v, c) / normCol(c))
+      (array_position(scores, array_max(scores)) - 1).cast("int")
+    }
+
+    val seedCents: Seq[Seq[Float]] = e
+      .where(pmod(col("vec_id"), lit(stride)) === 0 &&
+        col("vec_id") < lit(stride * nClusters))
+      .orderBy("vec_id")
+      .select("embedding").as[Seq[Float]].collect().toSeq
+    // one Lloyd step: per-dimension mean of each seed-assigned cluster
+    val meanRows = e
+      .withColumn("list_id", assignCol(col("embedding"), seedCents))
+      .select(col("list_id"), posexplode(col("embedding")).as(Seq("dim", "x")))
+      .groupBy("list_id", "dim")
+      .agg(avg(col("x").cast("double")).as("m"))
+      .collect()
+    val refined: Map[Int, Seq[Float]] = meanRows
+      .groupBy(_.getInt(0))
+      .view.mapValues(_.sortBy(_.getInt(1))
+        .map(r => (math.rint(r.getDouble(2) * 1e4) / 1e4).toFloat).toSeq)
+      .toMap
+    val cents: Seq[Seq[Float]] =
+      seedCents.indices.map(i => refined.getOrElse(i, seedCents(i)))
+
+    val listed = e.withColumn("list_id", assignCol(col("embedding"), cents))
+    val centTable = cents.zipWithIndex
+      .map { case (c, i) => (i, c) }.toDF("list_id", "centroid")
+    val queries = e.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val probeW = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id")
+      .orderBy(cosineCol(col("qvec"), col("centroid")).desc, col("list_id").asc)
+    val probes = queries.crossJoin(centTable)
+      .withColumn("probe_rank", row_number().over(probeW))
+      .where(col("probe_rank") <= nProbe)
+      .select("query_id", "qvec", "list_id")
+    val scored = listed.join(broadcast(probes),
+        listed("list_id") === probes("list_id") && col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        cosineCol(col("embedding"), col("qvec")).as("cos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("cos").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("vec_id"), round(col("cos"), 4).as("cos"), col("rank"))
+  }
+
   /** MULTI-PROBE LSH ANN (Lv et al., VLDB'07 — public technique):
     * sign-of-random-hyperplane bucket per corpus vector; each query probes
     * every bucket within Hamming distance `probeRadius` of its own bucket

@@ -79,6 +79,63 @@ object TextOps {
       .select("doc_a", "doc_b", "jaccard")
   }
 
+  /** Exact word-3-gram Jaccard near-dup via an inverted shingle index —
+    * the exact counterpart of [[nearDupMinhash]] (which estimates the same
+    * measure probabilistically). DuckDB-oracled end to end (t05).
+    *
+    * Plan (the scale-honest shape):
+    *   1. shingle: tokens -> distinct word 3-grams per doc; the shuffle key
+    *      is `xxhash64(shingle)` so exchanges carry (doc_id, long), never
+    *      shingle text (collision probability over the corpus is ~m^2/2^65
+    *      — negligible, and intersection counts are unaffected without
+    *      collisions, so the integer output stays oracle-exact);
+    *   2. df-cap: shingles occurring in more than `maxDf` docs are dropped
+    *      from the index BEFORE the self-join (a hot stop-shingle joins
+    *      df^2 pairs — the quadratic blowup at web scale). The cap makes
+    *      n_inter a conservative estimate; it is applied identically in
+    *      the DuckDB oracle so the gate stays exact.
+    *   3. pair counts: inverted-index self-join on the shingle hash with
+    *      doc_a < doc_b -> count = |A ∩ B| (id-only shuffle);
+    *   4. threshold without floats: Jaccard >= 1/2 iff 2*|A∩B| >= |A∪B|;
+    *      output (n_inter, n_union) as integers — no double division that
+    *      could round differently across engines.
+    */
+  def nearDupNgramJaccard(spark: SparkSession, dir: String, maxDf: Int = 64): DataFrame = {
+    val base = docs(spark, dir).select("doc_id", "text")
+    val planted = base.where(pmod(col("doc_id"), lit(20)) === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(col("text"), lit(" appended revision marker tokens")).as("text"))
+    val corpus = base.unionByName(planted)
+    val toks = corpus.select(col("doc_id"), split(trim(col("text")), "\\s+").as("t"))
+    // word 3-grams; guard short docs (Spark's sequence(0, n) DESCENDS for
+    // n < 0, so an unguarded size-3 would fabricate shingles)
+    val idxs = when(size(col("t")) >= 3, sequence(lit(0), size(col("t")) - 3))
+      .otherwise(array().cast("array<int>"))
+    val shingles = toks
+      .select(col("doc_id"),
+        explode(transform(idxs, i => xxhash64(concat_ws(" ",
+          element_at(col("t"), i + 1),
+          element_at(col("t"), i + 2),
+          element_at(col("t"), i + 3))))).as("sh"))
+      .distinct()
+    val sizes = shingles.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val hot = shingles.groupBy("sh").agg(count(lit(1)).as("df"))
+      .where(col("df") > maxDf).select("sh")
+    val idx = shingles.join(hot, Seq("sh"), "left_anti")
+    val pairs = idx.as("a")
+      .join(idx.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    pairs
+      .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sz_a")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("sz_b")), "doc_b")
+      .withColumn("n_union", col("sz_a") + col("sz_b") - col("n_inter"))
+      .where(col("n_inter") * 2 >= col("n_union"))
+      .select("doc_a", "doc_b", "n_inter", "n_union")
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** SimHash near-dup: fingerprint once, candidate pairs by identical
     * 16-bit prefix block (cheap bucketing), verify by Hamming distance.
     */

@@ -71,6 +71,22 @@ object SeenStore {
       .agg(bloomUdaf(col("url_hash")).as("bloom"))
   }
 
+  /** Build per-bucket cuckoo filters — the deletable sidecar alternative
+    * (north_rule "bloom/cuckoo"): same bucketed shape and shuffle profile as
+    * [[buildBlooms]], plus O(1) deletion (e.g. evicting a host's URLs after
+    * a robots change) which a bloom cannot support.
+    */
+  def buildCuckoos(
+      seen: Dataset[SeenEntry],
+      numBuckets: Int,
+      expectedPerBucket: Long): DataFrame = {
+    val cuckooUdaf = udaf(new graft.functions.CuckooAgg(expectedPerBucket))
+    seen
+      .withColumn("host_bucket", bucketOf(col("host"), numBuckets))
+      .groupBy("host_bucket")
+      .agg(cuckooUdaf(col("url_hash")).as("cuckoo"))
+  }
+
   def writeBlooms(blooms: DataFrame, root: String, epoch: Int): Unit =
     blooms.write.mode("overwrite").parquet(s"$root/bloom/epoch=$epoch")
 

@@ -40,6 +40,15 @@ class EntrySmokeSpec extends AnyFunSuite {
     assert(recall >= 0.6, f"ANN recall $recall%.3f fell below the 0.6 floor")
   }
 
+  test("emb04 IVF ANN recall vs brute top-k >= 0.6") {
+    val brute = graft.operators.SimilarityOps.bruteCosineTopK(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = graft.operators.SimilarityOps.annIvfTopK(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = brute.intersect(ivf).size.toDouble / brute.size
+    assert(recall >= 0.6, f"IVF recall $recall%.3f fell below the 0.6 floor")
+  }
+
   test("emb03 id-only candidate plan == direct vector-carrying form (golden)") {
     import org.apache.spark.sql.functions._
     val got = graft.operators.SimilarityOps.nearDupCosine(spark, dir, nBits = 6)
