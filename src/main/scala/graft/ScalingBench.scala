@@ -214,6 +214,8 @@ object ScalingBench {
     val line = out.linesIterator.find(_.startsWith("""{"cores"""")).getOrElse(
       throw new IllegalStateException(s"no level JSON from child (level=$level):\n$out"))
     println(line)
+    // surface the child's optional task-metrics telemetry (merged stderr)
+    out.linesIterator.filter(_.startsWith("[metrics]")).foreach(println)
     // tiny flat-JSON parse (no deps)
     """"(\w+)":([0-9.]+)""".r.findAllMatchIn(line).map(m => m.group(1) -> m.group(2).toDouble).toMap
   }
