@@ -111,6 +111,12 @@ object TextOps {
     // n < 0, so an unguarded size-3 would fabricate shingles)
     val idxs = when(size(col("t")) >= 3, sequence(lit(0), size(col("t")) - 3))
       .otherwise(array().cast("array<int>"))
+    // NOT persisted: the distinct index feeds five consumers (sizes, the
+    // df-cap, both self-join sides), but they all share one byte-identical
+    // shuffle subtree, so ReuseExchange serves them from the same map
+    // output — measured faster than an explicit persist, which only added
+    // memory-store writes (at production scale this would instead be a
+    // written intermediate table).
     val shingles = toks
       .select(col("doc_id"),
         explode(transform(idxs, i => xxhash64(concat_ws(" ",

@@ -173,4 +173,17 @@ class PlanSpec extends AnyFunSuite {
     val aggIdx = p.linesIterator.zipWithIndex.filter(_._1.contains("ObjectHashAggregate")).map(_._2).toSeq
     assert(aggIdx.size >= 2, s"expected partial+final ObjectHashAggregate pair:\n$p")
   }
+
+  test("t05 shingle index is served once via ReuseExchange (five consumers)") {
+    // the distinct shingle index feeds sizes, the df-cap, and both
+    // self-join sides; an explicit persist measured SLOWER than letting
+    // ReuseExchange serve the byte-identical shuffle subtree — pin that
+    // the reuse actually happens so a refactor that perturbs one consumer
+    // (breaking subtree identity) fails here, not at 100 TB
+    val df = graft.operators.TextOps.nearDupNgramJaccard(
+      spark, "/root/testdata/sf0.001")
+    val p = finalPlan(df)
+    assert(p.contains("ReusedExchange"),
+      s"shingle-index exchange no longer reused:\n$p")
+  }
 }
