@@ -142,6 +142,12 @@ object SparkEntry {
         .toDF("host_bucket", "cuckoo_bytes", "n_occupied", "overflowed")
         .orderBy("host_bucket")
     }),
+    "c12_frame_sample" -> ((s, _) =>
+      MediaOps.frameSample(Gen.media(s, 60)).toDF()
+        .orderBy("media_id", "frame_idx")),
+    "c13_audio_features" -> ((s, _) =>
+      MediaOps.audioWindows(Gen.media(s, 60)).toDF()
+        .orderBy("media_id", "window_idx")),
     "c06_phash" -> ((s, _) => {
       graft.functions.GraftFunctions.ensureRegistered(s)
       diffHistory(s, 40).where(col("epoch") === 0)

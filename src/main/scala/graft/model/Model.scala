@@ -107,3 +107,32 @@ final case class PartitionLineage(
     max_phash: Option[Long],
     min_url_hash: Option[Long],
     max_url_hash: Option[Long])
+
+/** One opaque multimodal asset (builder brief: image/audio/video as opaque
+  * binary columns with typed metadata; the payload is a deterministic
+  * synthetic container — functions/MediaKit.scala — standing in for real
+  * encoded media, with the decode stub clearly isolated there).
+  */
+final case class MediaRow(
+    media_id: String,
+    kind: String, // "video" | "audio"
+    bytes: Array[Byte],
+    duration_ms: Long,
+    fps: Int, // video only (0 for audio)
+    sample_rate: Int, // audio only (0 for video)
+    n_frames: Int) // frames (video) or samples (audio)
+
+/** Per-sampled-frame features (video frame-sample operator). */
+final case class FrameFeature(
+    media_id: String,
+    frame_idx: Int,
+    ts_ms: Long,
+    phash: Long,
+    mean_lum: Double)
+
+/** Per-window audio features (1-second tumbling windows). */
+final case class AudioWindow(
+    media_id: String,
+    window_idx: Int,
+    rms: Double,
+    zcr: Double)

@@ -1,0 +1,71 @@
+package graft.operators
+
+import graft.functions.{ImageKit, MediaKit}
+import graft.model.{AudioWindow, FrameFeature, MediaRow}
+import org.apache.spark.sql.Dataset
+
+/** Multimodal operators over opaque media payloads (builder brief:
+  * image/audio/video as opaque binary columns with typed metadata;
+  * frame-sample / feature-extract as first-class ops). The codec layer is
+  * the deterministic MediaKit stub — see its scaladoc — everything here is
+  * codec-agnostic and is the part that survives swapping in ffmpeg.
+  *
+  * Scale discipline (the ImageOps pattern): payload bytes are decoded in
+  * ONE executor-local mapPartitions pass and reduced to scalar features in
+  * the same pass — `bytes` never crosses a shuffle, is never collected,
+  * and the emitted rows are fixed-width scalars. Sampling (every Nth
+  * frame) happens BEFORE decode via the container's random-access header,
+  * so cost is proportional to frames kept, not frames stored — at 100 TB
+  * the difference between touching 1/8th of the corpus bytes and all of
+  * them.
+  */
+object MediaOps {
+
+  /** Sample every `everyNth` frame of each video; per kept frame emit
+    * (phash, mean luminance) — the join key surface for cross-modal dedupe
+    * (a frame phash is directly comparable to the image table's phash).
+    */
+  def frameSample(media: Dataset[MediaRow], everyNth: Int = 4): Dataset[FrameFeature] = {
+    import media.sparkSession.implicits._
+    media.filter(_.kind == "video").mapPartitions { it =>
+      it.flatMap { m =>
+        val (nFrames, w, h) = MediaKit.videoHeader(m.bytes)
+        (0 until nFrames by everyNth).iterator.map { f =>
+          val px = MediaKit.decodeFrame(m.bytes, f)
+          var sum = 0L
+          var i = 0
+          while (i < px.length) { sum += px(i); i += 1 }
+          FrameFeature(
+            media_id = m.media_id,
+            frame_idx = f,
+            ts_ms = f * 1000L / math.max(1, m.fps),
+            phash = ImageKit.phashOfPixels(px, w, h),
+            mean_lum = math.rint(sum.toDouble / px.length * 1e4) / 1e4)
+        }
+      }
+    }
+  }
+
+  /** 1-second tumbling-window audio features: RMS energy + zero-crossing
+    * rate per window (the cheap silence/voicing screen a training-data
+    * pipeline runs before expensive transcription).
+    */
+  def audioWindows(media: Dataset[MediaRow]): Dataset[AudioWindow] = {
+    import media.sparkSession.implicits._
+    media.filter(_.kind == "audio").mapPartitions { it =>
+      it.flatMap { m =>
+        val (rate, samples) = MediaKit.decodeAudio(m.bytes)
+        val nWindows = (samples.length + rate - 1) / rate
+        (0 until nWindows).iterator.map { wi =>
+          val from = wi * rate
+          val until = math.min(samples.length, from + rate)
+          AudioWindow(
+            media_id = m.media_id,
+            window_idx = wi,
+            rms = math.rint(MediaKit.rms(samples, from, until) * 1e6) / 1e6,
+            zcr = math.rint(MediaKit.zeroCrossingRate(samples, from, until) * 1e6) / 1e6)
+        }
+      }
+    }
+  }
+}

@@ -1,6 +1,6 @@
 package graft.sources
 
-import graft.functions.ImageKit
+import graft.functions.{ImageKit, MediaKit}
 import graft.model._
 import org.apache.spark.sql.{Dataset, SparkSession}
 
@@ -105,5 +105,32 @@ object Gen {
       image_id = imageId, bytes = bytes, w = w, h = h, fmt = fmt,
       caption = s"caption of $imageId v$captionVer",
       phash = ImageKit.phash64(bytes), epoch = epoch)
+  }
+
+  /** Multimodal asset row i: even i — a GFV1 video (16 frames, 32x24,
+    * 8 fps); odd i — a GFA1 audio clip (8 kHz, 2 s). Payload is a pure
+    * function of i (MediaKit containers), so every frame/window feature is
+    * independently recomputable in tests.
+    */
+  def mediaOf(i: Long): MediaRow = {
+    val seed = mix(GenSeed + 41, i)
+    if (i % 2 == 0) {
+      val nFrames = 16
+      MediaRow(s"media-$i", "video", MediaKit.encodeVideo(seed, nFrames, 32, 24),
+        duration_ms = nFrames * 1000L / 8, fps = 8, sample_rate = 0,
+        n_frames = nFrames)
+    } else {
+      val rate = 8000; val nSamples = rate * 2
+      MediaRow(s"media-$i", "audio", MediaKit.encodeAudio(seed, rate, nSamples),
+        duration_ms = 2000L, fps = 0, sample_rate = rate, n_frames = nSamples)
+    }
+  }
+
+  def mediaLocal(n: Int): IndexedSeq[MediaRow] = (0L until n.toLong).map(mediaOf)
+
+  def media(spark: SparkSession, n: Long, partitions: Int = 0): Dataset[MediaRow] = {
+    import spark.implicits._
+    val parts = if (partitions > 0) partitions else spark.sparkContext.defaultParallelism
+    spark.range(0L, n, 1L, parts).mapPartitions(_.map(i => mediaOf(i)))
   }
 }
