@@ -187,6 +187,22 @@ object Cuckoo64 {
     table(table.length - 1) = 1L
   }
 
+  /** Probe entry point for the codegen'd CuckooMightContain expression:
+    * the broadcast holds the host-bucket -> slot-table sidecar map; a
+    * bucket with no filter (no seen URLs hash there yet) is "definitely
+    * new" — identical contract to Bloom64.mightContainRef.
+    */
+  def mightContainRef(
+      bc: org.apache.spark.broadcast.Broadcast[_],
+      bucket: Int,
+      hash: Long): Boolean = {
+    val m = bc.value.asInstanceOf[Map[Int, Array[Long]]]
+    m.get(bucket) match {
+      case Some(table) => contains(table, hash)
+      case None        => false
+    }
+  }
+
   /** Sidecar form: [numBuckets:int][words...] (last word = overflow flag). */
   def serialize(table: Array[Long]): Array[Byte] = {
     val bb = java.nio.ByteBuffer.allocate(4 + table.length * 8)

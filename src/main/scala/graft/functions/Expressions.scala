@@ -139,6 +139,29 @@ case class BloomMightContain(
     copy(left = l, right = r)
 }
 
+/** Cuckoo-sidecar twin of [[BloomMightContain]]: same codegen probe shape
+  * over the deletable filter (north_rule "bloom/cuckoo" — both branches get
+  * the hot-path probe, selected by FrontierJob.Config.seenFilter).
+  */
+case class CuckooMightContain(
+    left: Expression,
+    right: Expression,
+    tables: org.apache.spark.broadcast.Broadcast[Map[Int, Array[Long]]])
+  extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.BooleanType
+  override def prettyName: String = "cuckoo_maybe_seen"
+  override def nullSafeEval(bucket: Any, hash: Any): Any =
+    Cuckoo64.mightContainRef(tables, bucket.asInstanceOf[Int], hash.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("cuckooBc", tables,
+      classOf[org.apache.spark.broadcast.Broadcast[_]].getName)
+    nullSafeCodeGen(ctx, ev, (b, h) =>
+      s"${ev.value} = graft.functions.Cuckoo64.mightContainRef($ref, $b, $h);")
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): CuckooMightContain =
+    copy(left = l, right = r)
+}
+
 /** Sign-of-random-hyperplane LSH bucket of an embedding (array<float> ->
   * int). Codegen'd: the ANN path's bucket assignment was the one remaining
   * per-row Scala UDF paying encoder ser/de in a hot scan.
@@ -276,6 +299,22 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       name,
       (exprs: Seq[Expression]) => BloomMightContain(exprs(0), exprs(1), blooms),
+      "scala_udf")
+    call_function(name, bucket, hash)
+  }
+
+  /** Cuckoo twin of [[bloomMaybeSeen]] — same per-broadcast-id unique name
+    * discipline (no cross-wiring through the shared registry).
+    */
+  def cuckooMaybeSeen(
+      spark: SparkSession,
+      tables: org.apache.spark.broadcast.Broadcast[Map[Int, Array[Long]]],
+      bucket: Column,
+      hash: Column): Column = {
+    val name = s"cuckoo_maybe_seen_${tables.id}"
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      name,
+      (exprs: Seq[Expression]) => CuckooMightContain(exprs(0), exprs(1), tables),
       "scala_udf")
     call_function(name, bucket, hash)
   }

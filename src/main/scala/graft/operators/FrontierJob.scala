@@ -98,18 +98,48 @@ object FrontierJob {
     GraftFunctions.ensureRegistered(spark)
     val parsed = blooms.map { case (b, bytes) => b -> Bloom64.deserialize(bytes) }
     val bc = spark.sparkContext.broadcast(parsed)
-    val withBucket = frontier.withColumn(
-      "host_bucket", pmod(xxhash64(col("host")), lit(numBuckets)).cast("int"))
     // Native codegen probe (BloomMightContain) — stays inside the frontier's
     // whole-stage-codegen chain; the old UDF form paid encoder ser/de per
-    // row. NULL-safety: a null bucket/hash makes the flag null, which must
-    // route the row through the EXACT anti-join (coalesce -> true), never
-    // silently drop it — the oracle always keeps such rows.
+    // row.
+    dedupeWithSidecarProbe(frontier, seen, numBuckets,
+      (b, h) => GraftFunctions.bloomMaybeSeen(spark, bc, b, h))
+  }
+
+  /** Cuckoo-sidecar dedupe — the deletable branch of the north_rule's
+    * "bloom/cuckoo URL-seen filter", sharing the exact split-union plan
+    * and codegen-probe discipline with the bloom path (the filters differ
+    * only in the membership kernel behind the probe expression).
+    */
+  def dedupeAgainstSeenCuckoo(
+      frontier: DataFrame,
+      seen: Dataset[SeenEntry],
+      cuckoos: Map[Int, Array[Byte]],
+      numBuckets: Int): DataFrame = {
+    if (cuckoos.isEmpty)
+      return frontier.join(seen.select("url_hash"), Seq("url_hash"), "left_anti")
+    val spark = frontier.sparkSession
+    GraftFunctions.ensureRegistered(spark)
+    val parsed = cuckoos.map { case (b, bytes) => b -> graft.functions.Cuckoo64.deserialize(bytes) }
+    val bc = spark.sparkContext.broadcast(parsed)
+    dedupeWithSidecarProbe(frontier, seen, numBuckets,
+      (b, h) => GraftFunctions.cuckooMaybeSeen(spark, bc, b, h))
+  }
+
+  /** Shared split-union dedupe plan over any sidecar probe.
+    * NULL-safety: a null bucket/hash makes the flag null, which must route
+    * the row through the EXACT anti-join (coalesce -> true), never
+    * silently drop it — the oracle always keeps such rows.
+    */
+  private def dedupeWithSidecarProbe(
+      frontier: DataFrame,
+      seen: Dataset[SeenEntry],
+      numBuckets: Int,
+      probe: (org.apache.spark.sql.Column, org.apache.spark.sql.Column) => org.apache.spark.sql.Column): DataFrame = {
+    val withBucket = frontier.withColumn(
+      "host_bucket", pmod(xxhash64(col("host")), lit(numBuckets)).cast("int"))
     val flagged = withBucket.withColumn(
       "maybe_seen",
-      coalesce(
-        GraftFunctions.bloomMaybeSeen(spark, bc, col("host_bucket"), col("url_hash")),
-        lit(true)))
+      coalesce(probe(col("host_bucket"), col("url_hash")), lit(true)))
     val fresh = flagged.where(!col("maybe_seen"))
     val maybe = flagged.where(col("maybe_seen"))
       .join(seen.select("url_hash"), Seq("url_hash"), "left_anti")

@@ -69,6 +69,41 @@ class CuckooSpec extends AnyFunSuite {
     assert(back.sameElements(table))
   }
 
+  test("cuckoo-probed dedupe == exact anti-join == bloom-probed (golden); probe codegen'd") {
+    val spark = graft.SparkTestBase.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit, pmod}
+    val frontier = graft.operators.FrontierJob.canonicalizeFrontier(
+      graft.sources.Gen.seeds(spark, 2000))
+    // seen set = every third deduped url_hash (nonempty, deterministic)
+    val seen = frontier.select("url_hash", "host")
+      .where(pmod(col("url_hash"), lit(3)) === 0)
+      .select(col("url_hash"), col("host"), lit(0).as("first_epoch"))
+      .as[graft.model.SeenEntry]
+    val cuckoos = graft.sources.SeenStore
+      .buildCuckoos(seen, numBuckets = 16, expectedPerBucket = 4096)
+      .as[(Int, Array[Byte])].collect().toMap
+    val blooms = graft.sources.SeenStore
+      .buildBlooms(seen, numBuckets = 16, expectedPerBucket = 4096)
+      .as[(Int, Array[Byte])].collect().toMap
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select("url_hash").as[Long].collect().sorted.toVector
+    val exact = key(frontier.join(seen.select("url_hash"), Seq("url_hash"), "left_anti"))
+    val viaCuckoo = graft.operators.FrontierJob
+      .dedupeAgainstSeenCuckoo(frontier, seen, cuckoos, 16)
+    val viaBloom = graft.operators.FrontierJob
+      .dedupeAgainstSeen(frontier, seen, blooms, 16)
+    assert(key(viaCuckoo) == exact, "cuckoo-probed dedupe diverged from exact")
+    assert(key(viaBloom) == exact, "bloom-probed dedupe diverged from exact")
+    // probe is a codegen expression, not a UDF, and sits in a codegen stage
+    viaCuckoo.collect()
+    val p = viaCuckoo.queryExecution.executedPlan.toString()
+    assert(p.contains("cuckoo_maybe_seen"), "cuckoo probe missing from plan")
+    assert(!p.toLowerCase.contains("scalaudf"), "cuckoo probe fell back to a UDF")
+    val probeLine = p.linesIterator.find(_.contains("cuckoo_maybe_seen")).get
+    assert(probeLine.contains("*("), s"cuckoo probe not in codegen stage: $probeLine")
+  }
+
   test("CuckooAgg builds per-bucket filters distributed == local mirror") {
     val spark = graft.SparkTestBase.spark
     import spark.implicits._
