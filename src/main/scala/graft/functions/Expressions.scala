@@ -245,29 +245,29 @@ object GraftFunctions {
     * session identity (the old sessionState.toString trick) bought nothing
     * and could wrongly skip a fresh session reusing a freed address.
     */
+  /** Stable one-arg scalar surface, shared by the runtime registration path
+    * (ensureRegistered) and the SparkSessionExtensions injector
+    * (graft.plans.GraftExtensions) so both routes expose the identical
+    * function set.
+    */
+  val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "canon_url" -> ((exprs: Seq[Expression]) => CanonicalizeUrl(exprs.head)),
+    "phash64" -> ((exprs: Seq[Expression]) => PHash64(exprs.head)),
+    "simhash64" -> ((exprs: Seq[Expression]) => SimHash64(exprs.head)),
+    "minhash_bands" -> ((exprs: Seq[Expression]) => MinHashBandKeys(exprs.head)),
+    "quality_score" -> ((exprs: Seq[Expression]) => QualityScore(exprs.head)),
+    "lang_id" -> ((exprs: Seq[Expression]) => LangId(exprs.head)),
+    "rolling_fingerprint" -> ((exprs: Seq[Expression]) => RollingFingerprint(exprs.head)),
+    "bpe_token_count" -> ((exprs: Seq[Expression]) => BpeTokenCount(exprs.head)),
+    "host_of" -> ((exprs: Seq[Expression]) => HostOf(exprs.head)),
+    "path_of" -> ((exprs: Seq[Expression]) => PathOf(exprs.head)))
+
   def ensureRegistered(spark: SparkSession): Unit = {
     synchronized {
       val reg = spark.sessionState.functionRegistry
-      reg.createOrReplaceTempFunction(
-        "canon_url", (exprs: Seq[Expression]) => CanonicalizeUrl(exprs.head), "scala_udf")
-      reg.createOrReplaceTempFunction(
-        "phash64", (exprs: Seq[Expression]) => PHash64(exprs.head), "scala_udf")
-      reg.createOrReplaceTempFunction(
-        "simhash64", (exprs: Seq[Expression]) => SimHash64(exprs.head), "scala_udf")
-      reg.createOrReplaceTempFunction(
-        "minhash_bands", (exprs: Seq[Expression]) => MinHashBandKeys(exprs.head), "scala_udf")
-      reg.createOrReplaceTempFunction(
-        "quality_score", (exprs: Seq[Expression]) => QualityScore(exprs.head), "scala_udf")
-      reg.createOrReplaceTempFunction(
-        "lang_id", (exprs: Seq[Expression]) => LangId(exprs.head), "scala_udf")
-      reg.createOrReplaceTempFunction(
-        "rolling_fingerprint", (exprs: Seq[Expression]) => RollingFingerprint(exprs.head), "scala_udf")
-      reg.createOrReplaceTempFunction(
-        "bpe_token_count", (exprs: Seq[Expression]) => BpeTokenCount(exprs.head), "scala_udf")
-      reg.createOrReplaceTempFunction(
-        "host_of", (exprs: Seq[Expression]) => HostOf(exprs.head), "scala_udf")
-      reg.createOrReplaceTempFunction(
-        "path_of", (exprs: Seq[Expression]) => PathOf(exprs.head), "scala_udf")
+      builders.foreach { case (name, builder) =>
+        reg.createOrReplaceTempFunction(name, builder, "scala_udf")
+      }
     }
   }
 
