@@ -142,6 +142,8 @@ object SparkEntry {
         .toDF("host_bucket", "cuckoo_bytes", "n_occupied", "overflowed")
         .orderBy("host_bucket")
     }),
+    "c14_stream_dedupe" -> ((s, _) =>
+      graft.streaming.StreamingJobs.dedupeDemo(s)),
     "c12_frame_sample" -> ((s, _) =>
       MediaOps.frameSample(Gen.media(s, 60)).toDF()
         .orderBy("media_id", "frame_idx")),

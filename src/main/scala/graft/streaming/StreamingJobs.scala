@@ -148,6 +148,67 @@ object StreamingJobs {
       }
   }
 
+  /** Streaming URL-seen dedupe — the S4 seen-set expressed as BOUNDED
+    * streaming state: `dropDuplicatesWithinWatermark(url_hash)` keeps the
+    * first arrival of each hash and lets the watermark EXPIRE dedupe state
+    * older than the horizon. That bound is the point at web scale: a batch
+    * seen-set grows with the corpus forever, while the stream stage holds
+    * only hashes younger than the watermark; re-discoveries older than the
+    * horizon fall through to the exact batch anti-join downstream — the
+    * same safety contract as the bloom pre-filter (the approximate/bounded
+    * stage reduces volume, the exact store decides membership).
+    */
+  def streamingDedupe(
+      entries: Dataset[(Long, String, java.sql.Timestamp)], // (url_hash, host, ts)
+      horizon: String = "10 minutes"): DataFrame =
+    entries.toDF("url_hash", "host", "ts")
+      .withWatermark("ts", horizon)
+      .dropDuplicatesWithinWatermark("url_hash")
+
+  /** Driver-contract wrapper: streamingDedupe over a MemoryStream of
+    * locally-generated frontier entries (3 micro-batches, ~30% duplicate
+    * canonical URLs across batches); rows-only gate — StreamingSpec
+    * asserts first-arrival semantics against a single-threaded mirror.
+    */
+  def dedupeDemo(spark: SparkSession, n: Int = 3000): DataFrame =
+    withFewStatePartitions(spark) { dedupeDemoImpl(spark, n) }
+
+  private def dedupeDemoImpl(spark: SparkSession, n: Int): DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val feed: Array[(Long, String, java.sql.Timestamp)] =
+      graft.sources.Gen.seedsLocal(n).zipWithIndex.flatMap { case (s, i) =>
+        val uc = graft.functions.UrlKit.canonicalize(s.url)
+        if (uc == null || uc.isEmpty) None
+        else Some((graft.operators.CrawlOracle.xxhash64(uc),
+          graft.functions.UrlKit.hostOf(uc),
+          new java.sql.Timestamp(1704067200000L + i * 1000L)))
+      }.toArray
+    val stream = MemoryStream[(Long, String, java.sql.Timestamp)]
+    // horizon wider than the feed's 50-min event-time span: no state
+    // expires mid-demo, so the output is exactly global first-arrival and
+    // the single-threaded mirror needs no watermark modeling (expiry
+    // timing is engine-internal; the BOUND is what production relies on)
+    val out = streamingDedupe(stream.toDS(), horizon = "2 hours")
+    val name = s"stream_dedupe_$n"
+    val q = out.writeStream.outputMode(OutputMode.Append())
+      .option("checkpointLocation", ckptDir(name))
+      .format("memory").queryName(name).start()
+    try {
+      val third = feed.length / 3
+      stream.addData(feed.take(third).toIndexedSeq)
+      q.processAllAvailable()
+      stream.addData(feed.slice(third, 2 * third).toIndexedSeq)
+      q.processAllAvailable()
+      stream.addData(feed.drop(2 * third).toIndexedSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    spark.table(name)
+      .select(col("url_hash"), col("host"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("first_ts"))
+      .orderBy("url_hash")
+  }
+
   /** Driver-contract wrapper: run statefulPoliteness over a MemoryStream
     * of synthetic frontier entries split into 3 micro-batches; returns the
     * full scheduled output (rows-only gate; scalatest asserts budget/slot

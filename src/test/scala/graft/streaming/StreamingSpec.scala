@@ -61,4 +61,27 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.map(_._1).toSeq == want, "hot-host top-K != exact selection")
     assert(got.map(_._2).toSeq == (0 until budget), "slots not dense")
   }
+
+  test("streaming dedupe keeps exactly the first arrival of each url_hash") {
+    val n = 1200
+    val got = graft.streaming.StreamingJobs.dedupeDemo(spark, n)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    // single-threaded mirror: first occurrence per canonical hash
+    val fmt = new java.text.SimpleDateFormat("yyyy-MM-dd HH:mm:ss")
+    fmt.setTimeZone(java.util.TimeZone.getTimeZone("UTC"))
+    val seen = scala.collection.mutable.LinkedHashMap.empty[Long, (String, String)]
+    graft.sources.Gen.seedsLocal(n).zipWithIndex.foreach { case (s, i) =>
+      val uc = graft.functions.UrlKit.canonicalize(s.url)
+      if (uc != null && uc.nonEmpty) {
+        val h = graft.operators.CrawlOracle.xxhash64(uc)
+        if (!seen.contains(h))
+          seen(h) = (graft.functions.UrlKit.hostOf(uc),
+            fmt.format(new java.util.Date(1704067200000L + i * 1000L)))
+      }
+    }
+    val want = seen.toSeq.map { case (h, (host, ts)) => (h, host, ts) }.sortBy(_._1)
+    assert(got.length == want.length,
+      s"row count ${got.length} != distinct hashes ${want.length}")
+    assert(got.toSeq == want, "streaming dedupe != first-arrival mirror")
+  }
 }
