@@ -83,6 +83,7 @@ object SparkEntry {
     "q26_strings" -> ((s, d) => Relational.stringFunctions(s, d)),
     "q27_approx_distinct" -> ((s, d) => Relational.approxDistinct(s, d)),
     "q28_from_json" -> ((s, d) => Relational.jsonStruct(s, d)),
+    "q29_range_frame" -> ((s, d) => Relational.windowRangeFrame(s, d)),
     "t01_text_quality" -> ((s, d) => TextOps.qualityStats(s, d)),
     // ---- training-data ops, non-SQL parts (rows-only + scalatest) -----
     "t02_text_profile" -> ((s, d) => TextOps.textProfile(s, d)),
@@ -336,6 +337,13 @@ object SparkEntry {
         |count(*) AS n,
         |CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k
         |FROM events GROUP BY 1, 2""".stripMargin,
+    "q29_range_frame" ->
+      """SELECT event_id, user_id,
+        |count(*) OVER w AS n_10min,
+        |round(sum(value) OVER w, 2) AS sum_10min
+        |FROM (SELECT event_id, user_id, value, epoch_ms(ts) AS ts_ms FROM events)
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms
+        |  RANGE BETWEEN 600000 PRECEDING AND CURRENT ROW)""".stripMargin,
     "t05_neardup_ngram" ->
       """WITH corpus AS (
         |  SELECT doc_id, text FROM documents

@@ -228,6 +228,24 @@ object Relational {
         ntile(4).over(w).cast("long").as("quartile"))
   }
 
+  /** RANGE-frame window (W4 frame breadth): per-user trailing 10-minute
+    * moving event count/sum over EVENT TIME — a range frame ranges over the
+    * ORDER BY value, not row positions, so simultaneous/late rows inside
+    * the horizon are included however many there are (the politeness
+    * rate-limit analog: "requests to this host in the last N seconds").
+    */
+  def windowRangeFrame(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts_ms"))
+      .rangeBetween(-600000L, Window.currentRow)
+    t(spark, dir, "events")
+      .select(col("event_id"), col("user_id"), col("value"),
+        unix_millis(col("ts").cast("timestamp")).as("ts_ms"))
+      .select(col("event_id"), col("user_id"),
+        count(lit(1)).over(w).as("n_10min"),
+        round(sum(col("value")).over(w), 2).as("sum_10min"))
+  }
+
   /** Date/time scalar breadth: year, month, dayofweek-ish, datediff. */
   def dateFunctions(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "orders")

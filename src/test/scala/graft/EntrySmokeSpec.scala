@@ -15,6 +15,24 @@ class EntrySmokeSpec extends AnyFunSuite {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("near-dup family is total on an empty corpus (no crash, zero rows)") {
+    // a freshly-bootstrapped pipeline runs these before any documents or
+    // embeddings exist; empty-input must be a clean zero, not an exception
+    val tmp = graft.SparkTestBase.tempDir("graft-empty")
+    val docsSchema = spark.read.parquet(s"$dir/documents.parquet").schema
+    val embSchema = spark.read.parquet(s"$dir/embeddings.parquet").schema
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], docsSchema)
+      .write.parquet(s"$tmp/documents.parquet")
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], embSchema)
+      .write.parquet(s"$tmp/embeddings.parquet")
+    assert(graft.operators.TextOps.nearDupMinhash(spark, tmp).count() == 0)
+    assert(graft.operators.TextOps.nearDupSimhash(spark, tmp).count() == 0)
+    assert(graft.operators.TextOps.nearDupNgramJaccard(spark, tmp).count() == 0)
+    assert(graft.operators.SimilarityOps.nearDupCosine(spark, tmp).count() == 0)
+    assert(graft.operators.SimilarityOps.bruteCosineTopK(spark, tmp).count() == 0)
+    assert(graft.operators.SimilarityOps.annLshTopK(spark, tmp).count() == 0)
+  }
+
   test("oracleSql keys are a subset of queries") {
     val missing = SparkEntry.oracleSql.keySet.diff(SparkEntry.queries.keySet)
     assert(missing.isEmpty, s"oracleSql without query impl: $missing")
