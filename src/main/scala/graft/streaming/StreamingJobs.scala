@@ -60,13 +60,14 @@ object StreamingJobs {
   /** Stateful streams pin their state-partition count from
     * spark.sql.shuffle.partitions at FIRST batch and pay per-partition
     * state-store files + maintenance EVERY trigger — 32 partitions for a
-    * few thousand demo rows is pure fixed cost. Scope the demos to 8; a
-    * production stream sizes this to its key cardinality instead.
+    * few thousand demo rows is pure fixed cost. Scope the demos to 4
+    * (measured: warm politeness demo 1.6 s at 4 vs ~4 s at 8 in a hot
+    * session); a production stream sizes this to its key cardinality.
     */
   private def withFewStatePartitions[T](spark: SparkSession)(body: => T): T = {
     val key = "spark.sql.shuffle.partitions"
     val prev = spark.conf.get(key)
-    spark.conf.set(key, "8")
+    spark.conf.set(key, "4")
     try body finally spark.conf.set(key, prev)
   }
 
