@@ -145,6 +145,25 @@ object SparkEntry {
     }),
     "c14_stream_dedupe" -> ((s, _) =>
       graft.streaming.StreamingJobs.dedupeDemo(s)),
+    "c15_crossmodal_neardup" -> ((s, _) => {
+      import s.implicits._
+      // image side: phashes of frame 0/8 of the first videos PLANTED as
+      // "known images" (identical pixels => hamming 0), plus the epoch-0
+      // image table as distractors — demonstrates the op firing across
+      // modalities on the shared phash space
+      val planted = Gen.mediaLocal(10).filter(_.kind == "video").flatMap { m =>
+        val (_, w, h) = graft.functions.MediaKit.videoHeader(m.bytes)
+        Seq(0, 8).map { f =>
+          val px = graft.functions.MediaKit.decodeFrame(m.bytes, f)
+          (s"known-${m.media_id}-f$f", graft.functions.ImageKit.phashOfPixels(px, w, h))
+        }
+      }
+      val images = planted.toDF("image_id", "phash")
+        .unionByName(diffHistory(s, 20).where(col("epoch") === 0)
+          .select(col("image_id"), col("phash")))
+      MediaOps.crossModalNearDup(MediaOps.frameSample(Gen.media(s, 10)), images)
+        .orderBy("media_id", "frame_idx", "image_id")
+    }),
     "c12_frame_sample" -> ((s, _) =>
       MediaOps.frameSample(Gen.media(s, 60)).toDF()
         .orderBy("media_id", "frame_idx")),

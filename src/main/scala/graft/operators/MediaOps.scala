@@ -46,6 +46,38 @@ object MediaOps {
     }
   }
 
+  /** Cross-modal near-dup: sampled video frames whose perceptual hash is
+    * within `maxHamming` bits of any image-table phash — the "this video
+    * contains our image" screen, joining the two modalities on the shared
+    * 64-bit phash space. Blocking is the simhash pattern (TextOps): 4
+    * rotated 16-bit blocks of the phash as candidate keys (pigeonhole:
+    * Hamming<=3 guarantees a shared block; 4 blocks is the standard
+    * recall/cost point), so the exchange carries (ids, phash) only and the
+    * exact bit_count verify runs on the candidate set.
+    */
+  def crossModalNearDup(
+      frames: Dataset[FrameFeature],
+      images: org.apache.spark.sql.DataFrame, // (image_id, phash)
+      maxHamming: Int = 6): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    def blocks(df: org.apache.spark.sql.DataFrame) = df.select(
+      df.columns.map(col) :+
+        explode(array((0 until 4).map(b =>
+          struct(lit(b).as("blk"),
+            shiftrightunsigned(col("phash"), b * 16).bitwiseAND(lit(0xffffL)).as("key"))): _*))
+          .as("block"): _*)
+      .select(df.columns.map(col) :+ col("block.blk").as("blk") :+ col("block.key").as("key"): _*)
+    val f = blocks(frames.toDF().select(col("media_id"), col("frame_idx"), col("phash")))
+      .withColumnRenamed("phash", "frame_phash")
+    val i = blocks(images.select(col("image_id"), col("phash")))
+      .withColumnRenamed("phash", "image_phash")
+    f.join(i, Seq("blk", "key"))
+      .select(col("media_id"), col("frame_idx"), col("image_id"),
+        bit_count(col("frame_phash").bitwiseXOR(col("image_phash"))).as("hamming"))
+      .dropDuplicates("media_id", "frame_idx", "image_id")
+      .where(col("hamming") <= maxHamming)
+  }
+
   /** 1-second tumbling-window audio features: RMS energy + zero-crossing
     * rate per window (the cheap silence/voicing screen a training-data
     * pipeline runs before expensive transcription).

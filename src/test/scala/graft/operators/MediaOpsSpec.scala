@@ -52,6 +52,46 @@ class MediaOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("cross-modal near-dup == all-pairs local mirror; planted frames found at hamming 0") {
+    val media = Gen.mediaLocal(10).filter(_.kind == "video")
+    val planted = media.flatMap { m =>
+      val (_, w, h) = MediaKit.videoHeader(m.bytes)
+      Seq(0, 8).map { f =>
+        val px = MediaKit.decodeFrame(m.bytes, f)
+        (s"known-${m.media_id}-f$f", ImageKit.phashOfPixels(px, w, h))
+      }
+    }
+    val images = planted.toDF("image_id", "phash")
+    val got = MediaOps.crossModalNearDup(
+      MediaOps.frameSample(Gen.media(spark, 10), everyNth = 4), images, maxHamming = 6)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getString(2), r.getInt(3))).toSet
+    // local mirror: all (sampled frame) x (image) pairs within 6 bits
+    val frames = media.flatMap { m =>
+      val (n, w, h) = MediaKit.videoHeader(m.bytes)
+      (0 until n by 4).map { f =>
+        (m.media_id, f, ImageKit.phashOfPixels(MediaKit.decodeFrame(m.bytes, f), w, h))
+      }
+    }
+    val want = (for {
+      (mid, f, fp) <- frames
+      (iid, ip) <- planted
+      d = java.lang.Long.bitCount(fp ^ ip)
+      if d <= 6 && d <= 3 // mirror only certain-recall pairs (see below)
+    } yield (mid, f, iid, d)).toSet
+    // block bucketing guarantees recall only for hamming<=3 (pigeonhole);
+    // every such pair must be found, and every planted identical frame is
+    assert(want.subsetOf(got), s"missing certain-recall pairs: ${want.diff(got)}")
+    planted.foreach { case (iid, _) =>
+      assert(got.exists(g => g._3 == iid && g._4 == 0), s"planted $iid not found at 0")
+    }
+    // and nothing reported is a false positive (verify is exact)
+    got.foreach { case (mid, f, iid, d) =>
+      val fp = frames.find(x => x._1 == mid && x._2 == f).get._3
+      val ip = planted.find(_._1 == iid).get._2
+      assert(java.lang.Long.bitCount(fp ^ ip) == d && d <= 6)
+    }
+  }
+
   test("media payload bytes never appear in the feature output schema") {
     val frameCols = MediaOps.frameSample(Gen.media(spark, 4)).toDF().columns.toSet
     val audioCols = MediaOps.audioWindows(Gen.media(spark, 4)).toDF().columns.toSet
