@@ -84,6 +84,7 @@ object SparkEntry {
     "q27_approx_distinct" -> ((s, d) => Relational.approxDistinct(s, d)),
     "q28_from_json" -> ((s, d) => Relational.jsonStruct(s, d)),
     "q29_range_frame" -> ((s, d) => Relational.windowRangeFrame(s, d)),
+    "q30_scalar_subquery" -> ((s, d) => Relational.scalarSubquery(s, d)),
     "t01_text_quality" -> ((s, d) => TextOps.qualityStats(s, d)),
     // ---- training-data ops, non-SQL parts (rows-only + scalatest) -----
     "t02_text_profile" -> ((s, d) => TextOps.textProfile(s, d)),
@@ -363,6 +364,10 @@ object SparkEntry {
         |FROM (SELECT event_id, user_id, value, epoch_ms(ts) AS ts_ms FROM events)
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms
         |  RANGE BETWEEN 600000 PRECEDING AND CURRENT ROW)""".stripMargin,
+    "q30_scalar_subquery" ->
+      """SELECT o_orderkey, round(o_totalprice, 2) AS price
+        |FROM orders
+        |WHERE o_totalprice > (SELECT max(s_acctbal) FROM supplier) * 20""".stripMargin,
     "t05_neardup_ngram" ->
       """WITH corpus AS (
         |  SELECT doc_id, text FROM documents

@@ -246,6 +246,23 @@ object Relational {
         round(sum(col("value")).over(w), 2).as("sum_10min"))
   }
 
+  /** Scalar subquery through the SQL front-end (Catalyst rewrites it to a
+    * broadcast of the single-row aggregate — no per-row re-evaluation):
+    * orders above a threshold derived from another table. The threshold
+    * compares two parquet doubles (max is order-insensitive), so the
+    * predicate is bit-deterministic across engines — no avg()-style
+    * float-summation boundary.
+    */
+  def scalarSubquery(spark: SparkSession, dir: String): DataFrame = {
+    t(spark, dir, "orders").createOrReplaceTempView("graft_orders_v")
+    t(spark, dir, "supplier").createOrReplaceTempView("graft_supplier_v")
+    spark.sql(
+      """SELECT o_orderkey, round(o_totalprice, 2) AS price
+        |FROM graft_orders_v
+        |WHERE o_totalprice > (SELECT max(s_acctbal) FROM graft_supplier_v) * 20
+        |""".stripMargin)
+  }
+
   /** Date/time scalar breadth: year, month, dayofweek-ish, datediff. */
   def dateFunctions(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "orders")
