@@ -90,6 +90,7 @@ object SparkEntry {
     "t02_text_profile" -> ((s, d) => TextOps.textProfile(s, d)),
     "t03_neardup_minhash" -> ((s, d) => TextOps.nearDupMinhash(s, d)),
     "t05_neardup_ngram" -> ((s, d) => TextOps.nearDupNgramJaccard(s, d)),
+    "t06_repeated_spans" -> ((s, d) => TextOps.repeatedSpans(s, d)),
     "t04_neardup_simhash" -> ((s, d) => TextOps.nearDupSimhash(s, d)),
     "emb01_cosine_topk" -> ((s, d) => SimilarityOps.bruteCosineTopK(s, d)),
     "emb02_ann_lsh" -> ((s, d) => SimilarityOps.annLshTopK(s, d)),

@@ -129,6 +129,55 @@ object TextKit {
     minH
   }
 
+  /** Winnowed (offset, hash) anchors over k-byte rolling windows
+    * (Schleimer/Wilkerson/Aiken, "Winnowing: Local Algorithms for Document
+    * Fingerprinting", SIGMOD 2003 — public algorithm, the MOSS kernel):
+    * within every run of `w` consecutive k-gram hashes the minimum
+    * (rightmost on ties) is selected, which GUARANTEES any substring
+    * shared between two documents of length >= k + w - 1 contributes at
+    * least one identical selected (hash) anchor, at ~2/(w+1) the density
+    * of emitting every window. This is the scan-side kernel of
+    * exact-substring dedup (the repeated-span screen of Lee et al.,
+    * "Deduplicating Training Data Makes Language Models Better", ACL 2022
+    * — public work; the suffix-array construction there is replaced by
+    * this shuffle-friendly anchor join).
+    */
+  def winnowedWindows(text: String, k: Int = 50, w: Int = 8): Array[(Int, Long)] = {
+    if (text == null) return Array.empty
+    val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val n = bytes.length - k + 1
+    if (n <= 0) return Array.empty
+    val hs = new Array[Long](n)
+    val B = 0x100000001b3L
+    var bw = 1L
+    var i = 0
+    while (i < k - 1) { bw *= B; i += 1 }
+    var h = 0L
+    i = 0
+    while (i < k) { h = h * B + (bytes(i) & 0xffL); i += 1 }
+    hs(0) = ImageKit.mix64(h)
+    while (i < bytes.length) {
+      h = (h - (bytes(i - k) & 0xffL) * bw) * B + (bytes(i) & 0xffL)
+      hs(i - k + 1) = ImageKit.mix64(h)
+      i += 1
+    }
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Long)]
+    var lastPick = -1
+    var win = 0
+    while (win <= n - w || (win == 0 && n < w)) {
+      val end = math.min(n, win + w)
+      var best = win
+      var j = win + 1
+      while (j < end) {
+        if (java.lang.Long.compareUnsigned(hs(j), hs(best)) <= 0) best = j
+        j += 1
+      }
+      if (best != lastPick) { out += ((best, hs(best))); lastPick = best }
+      win += 1
+    }
+    out.toArray
+  }
+
   /** BPE-ish subword-token count (builder brief "token counting"): the
     * public GPT-2-style pre-tokenizer regex — contractions, letter runs,
     * digit runs, punctuation runs, whitespace — counted without

@@ -142,6 +142,49 @@ object TextOps {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Repeated-span detection — the shuffle-friendly screen of
+    * exact-substring dedup (Lee et al. ACL 2022 use a suffix array; at
+    * Spark scale the equivalent signal is an inverted index of winnowed
+    * rolling-hash anchors, TextKit.winnowedWindows): any byte span of
+    * length >= k + w - 1 shared verbatim between two documents is
+    * GUARANTEED to produce at least one identical anchor, so joining
+    * anchors finds every long verbatim overlap (boilerplate, quotes,
+    * mirrored paragraphs). Plan discipline matches t05: exchanges carry
+    * (hash, doc_id, offset) scalars only; anchors whose document frequency
+    * exceeds `maxDf` (universal boilerplate) are dropped before the
+    * self-join. Output per pair: anchor count + the offset extent of the
+    * shared material in each document.
+    *
+    * A deterministic 4% of docs is planted as partial copies (a verbatim
+    * 300-byte slice inside otherwise-new text) so the operator provably
+    * fires on the test corpus.
+    */
+  def repeatedSpans(spark: SparkSession, dir: String,
+                    minAnchors: Int = 2, maxDf: Int = 64): DataFrame = {
+    import spark.implicits._
+    val base = docs(spark, dir).select("doc_id", "text").as[(Long, String)]
+    val planted = base.filter(_._1 % 25 == 0).map { case (id, text) =>
+      val slice = text.substring(0, math.min(300, text.length))
+      (id + 2000000L, s"entirely fresh lead-in for copy $id :: " + slice +
+        " :: and an unrelated tail section")
+    }
+    val corpus = base.union(planted)
+    val anchors = corpus.flatMap { case (id, text) =>
+      TextKit.winnowedWindows(text).iterator.map { case (off, h) => (h, id, off) }
+    }.toDF("h", "doc_id", "off")
+    val hot = anchors.groupBy("h").agg(countDistinct(col("doc_id")).as("df"))
+      .where(col("df") > maxDf).select("h")
+    val idx = anchors.join(hot, Seq("h"), "left_anti")
+    idx.as("a")
+      .join(idx.as("b"), col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(countDistinct(col("a.h")).as("n_anchors"),
+        min(col("a.off")).as("a_from"), max(col("a.off")).as("a_to"),
+        min(col("b.off")).as("b_from"), max(col("b.off")).as("b_to"))
+      .where(col("n_anchors") >= minAnchors)
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** SimHash near-dup: fingerprint once, candidate pairs by identical
     * 16-bit prefix block (cheap bucketing), verify by Hamming distance.
     */
