@@ -140,8 +140,9 @@ case class BloomMightContain(
 }
 
 /** Cuckoo-sidecar twin of [[BloomMightContain]]: same codegen probe shape
-  * over the deletable filter (north_rule "bloom/cuckoo" — both branches get
-  * the hot-path probe, selected by FrontierJob.Config.seenFilter).
+  * over the deletable filter (north_rule "bloom/cuckoo" — both filter kinds
+  * get the hot-path probe; FrontierJob.dedupeAgainstSeenCuckoo is the
+  * cuckoo-sidecar entry point, golden-equal to the bloom path).
   */
 case class CuckooMightContain(
     left: Expression,
