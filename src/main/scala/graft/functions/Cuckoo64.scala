@@ -203,6 +203,18 @@ object Cuckoo64 {
     }
   }
 
+  /** Serialized-form merge for cross-epoch sidecar accumulation (the
+    * cuckoo analog of Bloom64.mergeSerialized). A cumulative table that
+    * outgrows its fixed capacity saturates via the overflow flag — safe
+    * degradation: everything routes to the exact anti-join, never a false
+    * negative.
+    */
+  def mergeSerialized(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+    if (a == null || a.isEmpty) return b
+    if (b == null || b.isEmpty) return a
+    serialize(mergeInto(deserialize(a), deserialize(b)))
+  }
+
   /** Sidecar form: [numBuckets:int][words...] (last word = overflow flag). */
   def serialize(table: Array[Long]): Array[Byte] = {
     val bb = java.nio.ByteBuffer.allocate(4 + table.length * 8)

@@ -136,6 +136,12 @@ object CrawlPipeline {
   /** Run epochs [latestCommitted+1, untilEpoch] over a seed generator;
     * resume-safe: re-invoking after a crash (or on a fresh session) picks
     * up from the manifest (E3).
+    *
+    * `sidecar` selects the seen-filter kind (north_rule "bloom/cuckoo"):
+    * "bloom" (default) or "cuckoo" — the sidecar only pre-routes rows
+    * around the exact anti-join, so the two runs are golden-equal on every
+    * output table; cuckoo additionally supports O(1) deletion (e.g.
+    * purging a host after a robots change) at ~2x the bytes per key.
     */
   def run(
       spark: SparkSession,
@@ -145,7 +151,9 @@ object CrawlPipeline {
       cfg0: FrontierJob.Config,
       numBuckets: Int = 16,
       outlinkFanout: Int = 2,
-      fetchPartitions: Int = 32): Seq[EpochSummary] = {
+      fetchPartitions: Int = 32,
+      sidecar: String = "bloom"): Seq[EpochSummary] = {
+    require(sidecar == "bloom" || sidecar == "cuckoo", s"unknown sidecar kind: $sidecar")
     import spark.implicits._
     val start = Snapshots.latestCommittedEpoch(root) + 1
     (start to untilEpoch).map { epoch =>
@@ -161,7 +169,9 @@ object CrawlPipeline {
             outlinks(prev, outlinkFanout)
           })
       val seen = SeenStore.load(spark, root)
-      val blooms = SeenStore.loadBlooms(spark, root, epoch - 1)
+      val sidecars =
+        if (sidecar == "cuckoo") SeenStore.loadCuckoos(spark, root, epoch - 1)
+        else SeenStore.loadBlooms(spark, root, epoch - 1)
       val robots = Gen.robots(spark)
       // E1 staged explicitly (vs runEpoch) so the dedupe boundary is
       // observable for the lineage manifest: n_deduped = raw candidates
@@ -170,9 +180,12 @@ object CrawlPipeline {
       // (never bytes); the counts themselves are <= fetchPartitions rows.
       val pidCol = fetchPartitionId(col("url_hash"), fetchPartitions)
       val frontier = FrontierJob.canonicalizeFrontierCounted(seeds).persist()
-      val deduped = FrontierJob
-        .dedupeAgainstSeen(frontier.drop("n_raw"), seen, blooms, numBuckets)
-        .persist()
+      val deduped = (
+        if (sidecar == "cuckoo")
+          FrontierJob.dedupeAgainstSeenCuckoo(frontier.drop("n_raw"), seen, sidecars, numBuckets)
+        else
+          FrontierJob.dedupeAgainstSeen(frontier.drop("n_raw"), seen, sidecars, numBuckets)
+        ).persist()
       val rawCounts = frontier
         .groupBy(pidCol.as("partition_id")).agg(sum("n_raw").as("n_raw"))
         .as[(Int, Long)].collect().toMap
@@ -201,12 +214,18 @@ object CrawlPipeline {
         .select(col("url_hash"), col("host"), lit(epoch).as("first_epoch"))
         .as[SeenEntry]
       SeenStore.append(newSeen, root, epoch)
-      val epochBlooms = SeenStore
-        .buildBlooms(newSeen, numBuckets, expectedPerBucket = math.max(1024L, seedsPerEpoch.toLong))
-        .collect().map(r => r.getInt(0) -> r.getAs[Array[Byte]](1)).toMap
-      val merged = SeenStore.mergeBloomMaps(blooms, epochBlooms)
-      merged.toSeq.toDF("host_bucket", "bloom")
-        .coalesce(1).write.mode("overwrite").parquet(s"$root/bloom/epoch=$epoch")
+      val perBucket = math.max(1024L, seedsPerEpoch.toLong)
+      if (sidecar == "cuckoo") {
+        val epochCuckoos = SeenStore.buildCuckoos(newSeen, numBuckets, perBucket)
+          .collect().map(r => r.getInt(0) -> r.getAs[Array[Byte]](1)).toMap
+        SeenStore.mergeCuckooMaps(sidecars, epochCuckoos).toSeq.toDF("host_bucket", "cuckoo")
+          .coalesce(1).write.mode("overwrite").parquet(s"$root/cuckoo/epoch=$epoch")
+      } else {
+        val epochBlooms = SeenStore.buildBlooms(newSeen, numBuckets, perBucket)
+          .collect().map(r => r.getInt(0) -> r.getAs[Array[Byte]](1)).toMap
+        SeenStore.mergeBloomMaps(sidecars, epochBlooms).toSeq.toDF("host_bucket", "bloom")
+          .coalesce(1).write.mode("overwrite").parquet(s"$root/bloom/epoch=$epoch")
+      }
       // E2 diff for this epoch against the maintained latest-version table
       // (flat per-epoch cost — the full-history window form would grow
       // O(total snapshots) per epoch; equality golden-tested in

@@ -107,12 +107,36 @@ object SeenStore {
     * OR, driver-side over numBuckets small byte arrays).
     */
   def mergeBloomMaps(a: Map[Int, Array[Byte]], b: Map[Int, Array[Byte]]): Map[Int, Array[Byte]] =
+    mergeSidecarMaps(a, b, Bloom64.mergeSerialized)
+
+  /** Cuckoo analog — fingerprint re-seating instead of OR; saturation on
+    * capacity overflow degrades safely (see Cuckoo64.mergeSerialized).
+    */
+  def mergeCuckooMaps(a: Map[Int, Array[Byte]], b: Map[Int, Array[Byte]]): Map[Int, Array[Byte]] =
+    mergeSidecarMaps(a, b, graft.functions.Cuckoo64.mergeSerialized)
+
+  private def mergeSidecarMaps(
+      a: Map[Int, Array[Byte]],
+      b: Map[Int, Array[Byte]],
+      merge: (Array[Byte], Array[Byte]) => Array[Byte]): Map[Int, Array[Byte]] =
     (a.keySet ++ b.keySet).iterator.map { k =>
       (a.get(k), b.get(k)) match {
-        case (Some(x), Some(y)) => k -> Bloom64.mergeSerialized(x, y)
+        case (Some(x), Some(y)) => k -> merge(x, y)
         case (Some(x), None)    => k -> x
         case (None, Some(y))    => k -> y
         case _                  => throw new IllegalStateException("unreachable")
       }
     }.toMap
+
+  /** Cumulative cuckoo sidecar for broadcast — same layout discipline as
+    * loadBlooms, under `root/cuckoo/epoch=N`.
+    */
+  def loadCuckoos(spark: SparkSession, root: String, epoch: Int): Map[Int, Array[Byte]] = {
+    val path = s"$root/cuckoo/epoch=$epoch"
+    if (!new java.io.File(path).exists()) Map.empty
+    else spark.read.parquet(path)
+      .collect()
+      .map(r => r.getInt(0) -> r.getAs[Array[Byte]](1))
+      .toMap
+  }
 }

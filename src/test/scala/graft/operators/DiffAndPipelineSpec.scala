@@ -143,6 +143,38 @@ class PipelineResumeSpec extends AnyFunSuite {
     assert(gotLatest == wantLatest, "latest table != max-epoch-per-id over history")
   }
 
+  test("cuckoo-sidecar pipeline == bloom-sidecar pipeline (every output table)") {
+    val rootB = tempDir("graft-bloomside")
+    val rootC = tempDir("graft-cuckooside")
+    CrawlPipeline.run(spark, rootB, untilEpoch = 2, seedsPerEpoch = 700, cfg)
+    CrawlPipeline.run(spark, rootC, untilEpoch = 2, seedsPerEpoch = 700, cfg,
+      sidecar = "cuckoo")
+    def seenSet(root: String): Set[(Long, Int)] =
+      spark.read.parquet(s"$root/url_seen").select("url_hash", "first_epoch")
+        .as[(Long, Int)].collect().toSet
+    def schedule(root: String, e: Int): Vector[(Long, Int, Long)] =
+      spark.read.parquet(s"$root/scheduled/epoch=$e")
+        .select("url_hash", "slot", "scheduled_at_ms")
+        .as[(Long, Int, Long)].collect().sortBy(x => (x._3, x._1)).toVector
+    assert(seenSet(rootB) == seenSet(rootC), "seen sets diverge across sidecar kinds")
+    (0 to 2).foreach(e =>
+      assert(schedule(rootB, e) == schedule(rootC, e), s"schedule diverges epoch $e"))
+    def revs(root: String) =
+      spark.read.parquet(s"$root/revisions/epoch=2").orderBy("image_id").collect().toVector
+    assert(revs(rootB) == revs(rootC), "revisions diverge across sidecar kinds")
+    // the cuckoo sidecar really is the one in play: per-epoch cumulative
+    // files exist and probe true for every seen hash
+    val tables = graft.sources.SeenStore.loadCuckoos(spark, rootC, 2)
+    assert(tables.nonEmpty, "no cuckoo sidecar written")
+    val seenRows = spark.read.parquet(s"$rootC/url_seen")
+      .select("url_hash", "host").as[(Long, String)].collect()
+    seenRows.foreach { case (h, host) =>
+      val bucket = ((graft.operators.CrawlOracle.xxhash64(host) % 16 + 16) % 16).toInt
+      val t = graft.functions.Cuckoo64.deserialize(tables(bucket))
+      assert(graft.functions.Cuckoo64.contains(t, h), s"seen hash $h missing from sidecar")
+    }
+  }
+
   test("crash mid-epoch (all state written, manifest missing) resumes to identical state") {
     val rootA = tempDir("graft-crash-straight")
     val rootB = tempDir("graft-crash-resume")
