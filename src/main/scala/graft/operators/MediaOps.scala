@@ -61,12 +61,12 @@ object MediaOps {
       maxHamming: Int = 6): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions._
     def blocks(df: org.apache.spark.sql.DataFrame) = df.select(
-      df.columns.map(col) :+
+      df.columns.toIndexedSeq.map(col) :+
         explode(array((0 until 4).map(b =>
           struct(lit(b).as("blk"),
             shiftrightunsigned(col("phash"), b * 16).bitwiseAND(lit(0xffffL)).as("key"))): _*))
           .as("block"): _*)
-      .select(df.columns.map(col) :+ col("block.blk").as("blk") :+ col("block.key").as("key"): _*)
+      .select(df.columns.toIndexedSeq.map(col) :+ col("block.blk").as("blk") :+ col("block.key").as("key"): _*)
     val f = blocks(frames.toDF().select(col("media_id"), col("frame_idx"), col("phash")))
       .withColumnRenamed("phash", "frame_phash")
     val i = blocks(images.select(col("image_id"), col("phash")))

@@ -119,8 +119,8 @@ class PlanSpec extends AnyFunSuite {
         .collect().map(r => r.getInt(0) -> r.getAs[Array[Byte]](1)).toMap
     // build BOTH plans before evaluating EITHER — a shared registry name
     // would bind both probes to whichever sidecar registered last
-    val dedupA = FrontierJob.dedupeAgainstSeen(frontier, seenA.toSeq.toDS(), blooms(seenA), 16)
-    val dedupB = FrontierJob.dedupeAgainstSeen(frontier, seenB.toSeq.toDS(), blooms(seenB), 16)
+    val dedupA = FrontierJob.dedupeAgainstSeen(frontier, seenA.toIndexedSeq.toDS(), blooms(seenA.toIndexedSeq), 16)
+    val dedupB = FrontierJob.dedupeAgainstSeen(frontier, seenB.toIndexedSeq.toDS(), blooms(seenB.toIndexedSeq), 16)
     val all = rows.map(_._1).toSet
     val gotA = dedupA.select(col("url_hash")).as[Long].collect().toSet
     val gotB = dedupB.select(col("url_hash")).as[Long].collect().toSet
