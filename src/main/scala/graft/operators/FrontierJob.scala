@@ -47,6 +47,16 @@ object FrontierJob {
     * and shuffle compare cost flat no matter how long URLs get.
     * min(url_canon) is a deterministic representative (equal for all rows
     * of a group absent a 64-bit collision).
+    *
+    * Agg node choice (measured, round 4): min(string) forces SortAggregate
+    * (string agg buffers are not HashAggregate-mutable). Two
+    * hash-friendly alternatives were measured at 4M rows / local[8],
+    * interleaved, 6 runs each: a typed ObjectHashAggregate Aggregator
+    * (no sort, but per-row encoder ser/de) ran 3.6-4.2 s vs this form's
+    * 2.85-3.0 s; max(struct(priority, url_canon)) still plans to
+    * SortAggregate (struct buffer, same reason). The 8-byte-key
+    * pre-exchange sort is cheaper than the udaf's encoder overhead —
+    * SortAggregate stays.
     */
   def canonicalizeFrontier(seeds: Dataset[Seed]): DataFrame =
     canonicalizeFrontierCounted(seeds).drop("n_raw")
@@ -129,6 +139,24 @@ object FrontierJob {
     * NULL-safety: a null bucket/hash makes the flag null, which must route
     * the row through the EXACT anti-join (coalesce -> true), never
     * silently drop it — the oracle always keeps such rows.
+    *
+    * Double-compute note (measured, round 4): the two union branches both
+    * consume the canonicalize+dedupe-agg subtree, and the INITIAL physical
+    * plan prints two full copies of the scan+canonicalize+partial-agg
+    * pipeline — which reads as a doubled frontier scan. At runtime it is
+    * not: AQE's stage cache serves the second branch's exchange from the
+    * first (final adaptive plan: ONE MapPartitions seed scan + a
+    * ReusedExchange), so the expensive narrow work and its shuffle write
+    * happen once; only the post-shuffle final agg + filter re-run per
+    * branch (bounded by the deduped batch, already partitioned). Pinned in
+    * PlanSpec ("E1 sidecar split-union shares the frontier subtree") for
+    * both bloom and cuckoo paths. When auditing this plan, inspect the
+    * SAME QueryExecution that ran (e.g. after collect()) — a plan printed
+    * without executing it shows the initial copy-heavy form
+    * (isFinalPlan=false) and misreads as a double-compute. An explicit
+    * persist() of the flagged frame would trade the reused exchange for a
+    * cache materialization and was measured slower on the analogous t05
+    * multi-consumer index (BENCH/BASELINE.md).
     */
   private def dedupeWithSidecarProbe(
       frontier: DataFrame,

@@ -174,6 +174,45 @@ class PlanSpec extends AnyFunSuite {
     assert(aggIdx.size >= 2, s"expected partial+final ObjectHashAggregate pair:\n$p")
   }
 
+  test("E1 sidecar split-union shares the frontier subtree (bloom AND cuckoo)") {
+    // The split-union dedupe consumes the canonicalize+agg subtree from two
+    // branches (bloom-"fresh" bypass and bloom-"maybe" anti-join). On the
+    // *initial* (non-executed) plan this prints as two full copies of the
+    // scan+canonicalize+partial-agg pipeline — which looks like a
+    // double-compute — but at RUNTIME AQE's stage cache serves the second
+    // branch from the first branch's shuffle: the final adaptive plan must
+    // show exactly ONE MapPartitions (seed scan) and a ReusedExchange.
+    // Pin that for both sidecar kinds so a refactor that breaks subtree
+    // identity (and thus genuinely doubles the biggest scan of every epoch)
+    // fails here, not at 100 TB. NOTE: inspect the plan of the SAME
+    // QueryExecution that ran (collect()); a plan printed before execution
+    // is the initial one (isFinalPlan=false) and shows no reuse.
+    val seen = Seq(graft.model.SeenEntry(42L, "news0.example.com", 0)).toDS()
+    val numBuckets = 16
+    val blooms = SeenStore.buildBlooms(seen, numBuckets, 128)
+      .collect().map(r => r.getInt(0) -> r.getAs[Array[Byte]](1)).toMap
+    val cuckoos = SeenStore.buildCuckoos(seen, numBuckets, 128)
+      .collect().map(r => r.getInt(0) -> r.getAs[Array[Byte]](1)).toMap
+    val cfg = FrontierJob.Config(globalBudget = 500)
+    for ((kind, sched) <- Seq(
+        "bloom" -> FrontierJob.runEpoch(
+          Gen.seeds(spark, 2000), Gen.robots(spark), seen, blooms, numBuckets, cfg),
+        "cuckoo" -> FrontierJob.applyGlobalBudget(FrontierJob.schedule(
+          FrontierJob.applyRobots(
+            FrontierJob.dedupeAgainstSeenCuckoo(
+              FrontierJob.canonicalizeFrontier(Gen.seeds(spark, 2000)),
+              seen, cuckoos, numBuckets),
+            Gen.robots(spark), cfg), cfg), cfg))) {
+      val p = finalPlan(sched.toDF())
+      val finalSection = p.split("== Initial Plan ==")(0)
+      assert(finalSection.contains("ReusedExchange"),
+        s"$kind: frontier dedupe exchange not reused in final plan:\n$finalSection")
+      val nMapParts = finalSection.linesIterator.count(_.contains("MapPartitions"))
+      assert(nMapParts == 1,
+        s"$kind: seed scan executed $nMapParts times (want 1):\n$finalSection")
+    }
+  }
+
   test("t05 shingle index is served once via ReuseExchange (five consumers)") {
     // the distinct shingle index feeds sizes, the df-cap, and both
     // self-join sides; an explicit persist measured SLOWER than letting
