@@ -97,9 +97,46 @@ object ScalingBench {
         spark.read.parquet(seedPath).as[graft.model.Seed]
       case _ => Gen.seeds(spark, n, inputParts)
     }
-    def job() = FrontierJob.runEpoch(
-      seedTable(), Gen.robots(spark),
-      SeenStore.emptySeen(spark), Map.empty, 64, cfg)
+    // Sidecar mode (SPARK_GRAFT_SIDECAR=none|bloom|cuckoo): "none" is the
+    // epoch-0 shape (empty seen set, exact anti-join short-circuits on an
+    // empty build side). "bloom"/"cuckoo" measure the epoch>=1 shape the
+    // split-union was built for: a quarter of the URL space is already
+    // seen (persisted to parquet untimed, like a real epoch reading the
+    // committed seen table) and a populated sidecar routes rows between
+    // the bypass branch and the exact anti-join.
+    val sidecar = sys.env.getOrElse("SPARK_GRAFT_SIDECAR", "none")
+    val numBuckets = 64
+    val seenDs: org.apache.spark.sql.Dataset[graft.model.SeenEntry] =
+      if (sidecar == "none") SeenStore.emptySeen(spark)
+      else {
+        import spark.implicits._
+        import org.apache.spark.sql.functions.{col, lit}
+        val seenN = n / 4
+        val seenPath =
+          s"${SparkEnv.localDir.getOrElse(System.getProperty("java.io.tmpdir"))}/seen-$seenN"
+        if (!new java.io.File(seenPath).exists())
+          FrontierJob.canonicalizeFrontier(Gen.seeds(spark, seenN, inputParts))
+            .select(col("url_hash"), col("host"), lit(0).as("first_epoch"))
+            .write.mode("overwrite").parquet(seenPath)
+        spark.read.parquet(seenPath).as[graft.model.SeenEntry]
+      }
+    val sidecarMap: Map[Int, Array[Byte]] =
+      if (sidecar == "none") Map.empty
+      else {
+        val builder = if (sidecar == "cuckoo")
+          SeenStore.buildCuckoos(seenDs, numBuckets, math.max(1024L, n / 4 / numBuckets))
+        else
+          SeenStore.buildBlooms(seenDs, numBuckets, math.max(1024L, n / 4 / numBuckets))
+        builder.collect().map(r => r.getInt(0) -> r.getAs[Array[Byte]](1)).toMap
+      }
+    def job() =
+      if (sidecar == "cuckoo")
+        FrontierJob.applyGlobalBudget(FrontierJob.schedule(FrontierJob.applyRobots(
+          FrontierJob.dedupeAgainstSeenCuckoo(
+            FrontierJob.canonicalizeFrontier(seedTable()), seenDs, sidecarMap, numBuckets),
+          Gen.robots(spark), cfg), cfg), cfg)
+      else FrontierJob.runEpoch(
+        seedTable(), Gen.robots(spark), seenDs, sidecarMap, numBuckets, cfg)
     job().write.format("noop").mode("overwrite").save() // warm JIT + codegen
     val deduped = FrontierJob.canonicalizeFrontier(seedTable()).count()
     val scheduled = job().count()
@@ -114,7 +151,7 @@ object ScalingBench {
       System.err.println(s"[metrics] runTimeMs=${metrics.get(0)} gcMs=${metrics.get(1)} " +
         s"deserMs=${metrics.get(2)} shufWriteMs=${metrics.get(3)} shufFetchWaitMs=${metrics.get(4)}")
     spark.stop()
-    f"""{"cores":$cores,"deduped":$deduped,"scheduled":$scheduled,"wall":$wall%.2f,"walls":[${walls.map(w => f"$w%.2f").mkString(",")}],"thr":$thr%.1f}"""
+    f"""{"cores":$cores,"deduped":$deduped,"scheduled":$scheduled,"wall":$wall%.2f,"walls":[${walls.map(w => f"$w%.2f").mkString(",")}],"thr":$thr%.1f,"sidecar":"$sidecar"}"""
   }
 
   /** Directory/jar holding graft classes (for executor classpaths). */
@@ -255,8 +292,9 @@ object ScalingBench {
     val pairJson = pairs.map { case (lo, hi, e) =>
       s"""{"n_cores":$lo,"four_n_cores":$hi,"efficiency":${f"$e%.3f"}}"""
     }.mkString("[", ",", "]")
+    val sidecar = sys.env.getOrElse("SPARK_GRAFT_SIDECAR", "none")
     val json =
-      s"""{"metric":"frontier_scaling","n_urls":$n,"deduped":$deduped,"scheduled":$scheduled,""" +
+      s"""{"metric":"frontier_scaling","n_urls":$n,"sidecar":"$sidecar","deduped":$deduped,"scheduled":$scheduled,""" +
         s""""levels":$levelJson,"pairs":$pairJson}"""
     println(json)
     // rows are embedded in a stripMargin block: double the leading '|' so
@@ -272,7 +310,10 @@ object ScalingBench {
       s"""# BENCH/BASELINE — measured frontier scaling
          |
          |Protocol: identical synthetic frontier (Gen.seeds, seed=42, n=$n
-         |URLs, 64 input partitions, Zipf-skewed hosts), full E1 job
+         |URLs, 64 input partitions, Zipf-skewed hosts, sidecar=$sidecar —
+         |"none" is the epoch-0 empty-seen shape; "bloom"/"cuckoo" pre-seed
+         |a quarter of the URL space into a parquet seen table + populated
+         |sidecar so the split-union dedupe path is exercised), full E1 job
          |(canonicalize -> xxhash64 -> batch dedupe -> robots gate ->
          |bounded-heap politeness top-K -> deterministic global order),
          |`noop` sink. One fresh child JVM per level, `taskset`-pinned to

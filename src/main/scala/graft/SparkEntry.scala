@@ -3,7 +3,7 @@ package graft
 import graft.model.Snapshot
 import graft.operators._
 import graft.sources.Gen
-import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.functions.{col, concat, lit, pmod}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -91,6 +91,8 @@ object SparkEntry {
     "t03_neardup_minhash" -> ((s, d) => TextOps.nearDupMinhash(s, d)),
     "t05_neardup_ngram" -> ((s, d) => TextOps.nearDupNgramJaccard(s, d)),
     "t06_repeated_spans" -> ((s, d) => TextOps.repeatedSpans(s, d)),
+    "t07_dedup_resolve" -> ((s, d) => operators.DedupResolve.resolveNgramDups(s, d)),
+    "t08_dedup_corpus" -> ((s, d) => operators.DedupResolve.dedupedCorpus(s, d)),
     "t04_neardup_simhash" -> ((s, d) => TextOps.nearDupSimhash(s, d)),
     "emb01_cosine_topk" -> ((s, d) => SimilarityOps.bruteCosineTopK(s, d)),
     "emb02_ann_lsh" -> ((s, d) => SimilarityOps.annLshTopK(s, d)),
@@ -166,6 +168,23 @@ object SparkEntry {
       MediaOps.crossModalNearDup(MediaOps.frameSample(Gen.media(s, 10)), images)
         .orderBy("media_id", "frame_idx", "image_id")
     }),
+    "c16_incremental_neardup" -> ((s, d) => {
+      // persisted-index incremental near-dup (SimIndex): a 2-epoch corpus
+      // where epoch 1 probes the PERSISTED epoch-0 shingle index without
+      // re-shingling it — the crawl-loop "is this doc a copy of an earlier
+      // one" semantic; golden-equality vs full recompute is pinned in
+      // SimIndexSpec
+      val root = java.nio.file.Files.createTempDirectory("graft-c16").toString
+      val docs = s.read.parquet(s"$d/documents.parquet").select("doc_id", "text")
+      val e0 = docs.where(pmod(col("doc_id"), lit(2)) === 0)
+      val e1 = docs.where(pmod(col("doc_id"), lit(2)) === 1)
+        .unionByName(e0.where(pmod(col("doc_id"), lit(20)) === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"),
+            concat(col("text"), lit(" appended revision marker tokens")).as("text")))
+      operators.SimIndex.writeShingleIndex(e0, root, 0)
+      operators.SimIndex.writeShingleIndex(e1, root, 1)
+      operators.SimIndex.crossEpochNearDups(s, root, 1).orderBy("doc_a", "doc_b")
+    }),
     "c12_frame_sample" -> ((s, _) =>
       MediaOps.frameSample(Gen.media(s, 60)).toDF()
         .orderBy("media_id", "frame_idx")),
@@ -224,6 +243,39 @@ object SparkEntry {
         .orderBy("host", "rule_idx")
     })
   )
+
+  /** Shared CTE prefix for t07/t08: the t05 near-dup pair construction
+    * (planted corpus -> word 3-gram shingles -> df-capped inverted index ->
+    * Jaccard >= 0.5 pairs), ending open so callers append further CTEs.
+    * RECURSIVE is declared here because the appended `reach` CTE needs it.
+    */
+  private val ngramPairSql: String =
+    """WITH RECURSIVE corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000 AS doc_id, text || ' appended revision marker tokens' AS text
+      |  FROM documents WHERE doc_id % 20 = 0
+      |), toks AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM corpus
+      |), shingles AS (
+      |  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
+      |  FROM (SELECT doc_id, t, unnest(generate_series(1, greatest(len(t)-2, 0))) AS i FROM toks)
+      |), sizes AS (
+      |  SELECT doc_id, count(*) AS sz FROM shingles GROUP BY doc_id
+      |), idx AS (
+      |  SELECT doc_id, sh FROM shingles
+      |  WHERE sh NOT IN (SELECT sh FROM shingles GROUP BY sh HAVING count(*) > 64)
+      |), pairs AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+      |  FROM idx a JOIN idx b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2
+      |), dup_pairs AS (
+      |  SELECT doc_a, doc_b
+      |  FROM pairs
+      |  JOIN sizes sa ON doc_a = sa.doc_id
+      |  JOIN sizes sb ON doc_b = sb.doc_id
+      |  WHERE n_inter * 2 >= sa.sz + sb.sz - n_inter
+      |)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q01_agg_pricing" ->
@@ -395,6 +447,40 @@ object SparkEntry {
         |JOIN sizes sa ON doc_a = sa.doc_id
         |JOIN sizes sb ON doc_b = sb.doc_id
         |WHERE n_inter * 2 >= sa.sz + sb.sz - n_inter""".stripMargin,
+    // t07/t08: connected components over the t05 pair graph. The oracle
+    // enumerates reachable nodes with a recursive CTE (set-semantics UNION
+    // terminates it); component = min reachable id — the same label the
+    // Spark fixpoint converges to.
+    "t07_dedup_resolve" ->
+      (ngramPairSql +
+        """, edges AS (
+          |  SELECT doc_a AS src, doc_b AS dst FROM dup_pairs
+          |  UNION
+          |  SELECT doc_b AS src, doc_a AS dst FROM dup_pairs
+          |), reach AS (
+          |  SELECT src AS id, src AS node FROM edges
+          |  UNION
+          |  SELECT r.id, e.dst AS node FROM reach r JOIN edges e ON r.node = e.src
+          |)
+          |SELECT id AS doc_id, min(node) AS component,
+          |  (id = min(node)) AS is_survivor
+          |FROM reach GROUP BY id""".stripMargin),
+    "t08_dedup_corpus" ->
+      (ngramPairSql +
+        """, edges AS (
+          |  SELECT doc_a AS src, doc_b AS dst FROM dup_pairs
+          |  UNION
+          |  SELECT doc_b AS src, doc_a AS dst FROM dup_pairs
+          |), reach AS (
+          |  SELECT src AS id, src AS node FROM edges
+          |  UNION
+          |  SELECT r.id, e.dst AS node FROM reach r JOIN edges e ON r.node = e.src
+          |), drops AS (
+          |  SELECT id FROM (SELECT id, min(node) AS comp FROM reach GROUP BY id)
+          |  WHERE id <> comp
+          |)
+          |SELECT doc_id FROM corpus WHERE doc_id NOT IN (SELECT id FROM drops)"""
+          .stripMargin),
     "t01_text_quality" ->
       """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_act,
         |CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,

@@ -272,15 +272,51 @@ object GraftFunctions {
     }
   }
 
+  /** Per-sidecar temp functions registered so far, oldest first. A
+    * long-lived session building many sidecars (one per epoch) would
+    * otherwise grow the registry — and pin each closed-over broadcast —
+    * indefinitely; entries beyond the bound are dropped oldest-first.
+    * The bound is far above any number of sidecar frames built-but-not-
+    * yet-analyzed at once (analysis happens within the building epoch),
+    * so a dropped name is never one a live plan still needs to resolve.
+    */
+  private val sidecarFnNames = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+  private val SidecarFnBound = 64
+
+  /** Register once per unique name (repeat calls with the same name are
+    * no-ops — no "function replaced" log churn), tracking sidecar-scoped
+    * names for bounded-lifetime cleanup.
+    */
+  private def registerBounded(
+      spark: SparkSession,
+      name: String,
+      builder: Seq[Expression] => Expression,
+      track: Boolean): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    val id = org.apache.spark.sql.catalyst.FunctionIdentifier(name)
+    if (!reg.functionExists(id)) {
+      reg.createOrReplaceTempFunction(name, builder, "scala_udf")
+      if (track) {
+        sidecarFnNames.add(name)
+        while (sidecarFnNames.size > SidecarFnBound) {
+          val old = sidecarFnNames.poll()
+          if (old != null)
+            reg.dropFunction(org.apache.spark.sql.catalyst.FunctionIdentifier(old))
+        }
+      }
+    }
+  }
+
   /** Codegen'd LSH bucket column. The registered name is unique per nBits:
     * two plans built with different widths in one session each resolve
     * their own builder — a single shared name would be last-writer-wins
-    * and could silently re-bucket a concurrently-built plan.
+    * and could silently re-bucket a concurrently-built plan. (Not
+    * lifetime-tracked: at most one name per distinct nBits <= 64.)
     */
   def lshBucket(spark: SparkSession, nBits: Int, vec: Column): Column = {
     val name = s"lsh_bucket_$nBits"
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      name, (exprs: Seq[Expression]) => LshBucket(exprs.head, nBits), "scala_udf")
+    registerBounded(spark, name,
+      (exprs: Seq[Expression]) => LshBucket(exprs.head, nBits), track = false)
     call_function(name, vec)
   }
 
@@ -297,10 +333,9 @@ object GraftFunctions {
       bucket: Column,
       hash: Column): Column = {
     val name = s"bloom_maybe_seen_${blooms.id}"
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      name,
+    registerBounded(spark, name,
       (exprs: Seq[Expression]) => BloomMightContain(exprs(0), exprs(1), blooms),
-      "scala_udf")
+      track = true)
     call_function(name, bucket, hash)
   }
 
@@ -313,10 +348,9 @@ object GraftFunctions {
       bucket: Column,
       hash: Column): Column = {
     val name = s"cuckoo_maybe_seen_${tables.id}"
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      name,
+    registerBounded(spark, name,
       (exprs: Seq[Expression]) => CuckooMightContain(exprs(0), exprs(1), tables),
-      "scala_udf")
+      track = true)
     call_function(name, bucket, hash)
   }
 

@@ -218,7 +218,31 @@ object CrawlPipeline {
       if (sidecar == "cuckoo") {
         val epochCuckoos = SeenStore.buildCuckoos(newSeen, numBuckets, perBucket)
           .collect().map(r => r.getInt(0) -> r.getAs[Array[Byte]](1)).toMap
-        SeenStore.mergeCuckooMaps(sidecars, epochCuckoos).toSeq.toDF("host_bucket", "cuckoo")
+        var merged = SeenStore.mergeCuckooMaps(sidecars, epochCuckoos)
+        // The merge accumulates every epoch's URLs into a fixed-capacity
+        // table; once a bucket saturates its overflow flag makes every
+        // probe answer "maybe" — correct (rows route to the exact
+        // anti-join) but the sidecar benefit silently vanishes. Make
+        // saturation observable AND self-healing: rebuild overflowed roots
+        // from the full committed seen set at a capacity sized for it.
+        val overflowed = merged.filter { case (_, bytes) =>
+          graft.functions.Cuckoo64.isOverflowed(
+            graft.functions.Cuckoo64.deserialize(bytes))
+        }.keys.toSeq.sorted
+        if (overflowed.nonEmpty) {
+          // committed epochs + THIS epoch's (not-yet-committed) entries —
+          // a rebuild that missed newSeen would give those URLs a false
+          // "definitely fresh" next epoch, skipping the exact anti-join
+          val allSeen = SeenStore.load(spark, root).union(newSeen)
+          val total = allSeen.count()
+          val grown = math.max(perBucket, 2L * total / numBuckets)
+          System.err.println(s"[graft] cuckoo sidecar saturated in buckets " +
+            s"${overflowed.mkString(",")} at epoch $epoch — rebuilding from " +
+            s"$total seen URLs at capacity $grown/bucket")
+          merged = SeenStore.buildCuckoos(allSeen, numBuckets, grown)
+            .collect().map(r => r.getInt(0) -> r.getAs[Array[Byte]](1)).toMap
+        }
+        merged.toSeq.toDF("host_bucket", "cuckoo")
           .coalesce(1).write.mode("overwrite").parquet(s"$root/cuckoo/epoch=$epoch")
       } else {
         val epochBlooms = SeenStore.buildBlooms(newSeen, numBuckets, perBucket)

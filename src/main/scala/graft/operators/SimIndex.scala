@@ -1,0 +1,224 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Persisted, epoch-partitioned similarity indexes (round-3 verdict
+  * "What's missing #2"): the t05 shingle index, the LSH bucket table, and
+  * the IVF centroid+list tables are rebuilt from raw data inside every
+  * query call — fine at test scale, but at 100 TB the index build
+  * dominates and a new epoch's documents should PROBE a persisted index,
+  * not re-shingle/re-embed the corpus. This object applies the
+  * Snapshots.scala epoch-layout discipline (`root/<table>/epoch=N`
+  * parquet, per-epoch overwrite => idempotent re-runs, commit gated by the
+  * caller's manifest) to three index families:
+  *
+  *   shingle_index/epoch=N  (doc_id, sh)       — t05's inverted index rows
+  *   shingle_sizes/epoch=N  (doc_id, sz)       — |shingles(doc)|
+  *   shingle_df/epoch=N     (sh, df)           — per-epoch document freq
+  *   lsh_buckets/epoch=N    (vec_id, bucket)   — hyperplane-LSH bucket ids
+  *   ivf_centroids/epoch=N  (list_id, centroid)
+  *   ivf_lists/epoch=N      (vec_id, list_id)
+  *
+  * Incremental probes read `epoch<=e` unions of these tables; per-shingle
+  * document frequency ACROSS epochs is the sum of per-epoch dfs (a doc
+  * writes its shingles in exactly one epoch), so the df-cap needs no
+  * index rescan. Kernels are shared with the in-memory operators
+  * (TextOps.wordShingles, GraftFunctions.lshBucket, SimilarityOps
+  * centroid assignment), so a persisted index is probe-compatible by
+  * construction — golden-tested equal to full recomputation in
+  * SimIndexSpec.
+  */
+object SimIndex {
+
+  // ---------------------------------------------------------------- text
+
+  /** Build + persist the shingle index rows for ONE epoch's new documents
+    * (docs: (doc_id, text); doc_ids must be globally unique across epochs,
+    * as the crawl's canonical-URL-derived ids are).
+    */
+  def writeShingleIndex(docs: DataFrame, root: String, epoch: Int): Unit = {
+    val sh = TextOps.wordShingles(docs.select("doc_id", "text"))
+    sh.write.mode("overwrite").parquet(s"$root/shingle_index/epoch=$epoch")
+    // derived per-epoch aggregates, written so probes never rescan text or
+    // the full index: sizes are per-doc (epoch-local by uniqueness), df
+    // sums across epochs
+    val written = docs.sparkSession.read.parquet(s"$root/shingle_index/epoch=$epoch")
+    written.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+      .write.mode("overwrite").parquet(s"$root/shingle_sizes/epoch=$epoch")
+    written.groupBy("sh").agg(count(lit(1)).as("df"))
+      .write.mode("overwrite").parquet(s"$root/shingle_df/epoch=$epoch")
+  }
+
+  def readShingleIndex(spark: SparkSession, root: String, upToEpoch: Int): DataFrame =
+    spark.read.parquet(s"$root/shingle_index").where(col("epoch") <= upToEpoch)
+
+  /** Cross-epoch near-dup detection — the news-diff "is this article a copy
+    * of an earlier one" semantic, tied into the crawl loop: epoch `epoch`'s
+    * documents (their index rows already written) are compared against the
+    * ENTIRE corpus-so-far via the persisted index, WITHOUT re-shingling any
+    * earlier epoch. Emits exactly the t05 pair contract (doc_a, doc_b,
+    * n_inter, n_union with Jaccard >= 0.5, df-capped), restricted to pairs
+    * whose newer side is in `epoch`.
+    *
+    * Scale shape: the new epoch's shingle set is small relative to the
+    * index, so the index side is first cut by a semi-join on the new
+    * epoch's shingles (lossless: every pair involving a new doc shares a
+    * shingle with a new doc) — the full index is scanned once but only
+    * matching rows reach the pair join; exchanges carry (doc_id, sh)
+    * scalars only; df-cap uses summed persisted per-epoch dfs (corpus-wide
+    * frequency, no text rescans).
+    */
+  def crossEpochNearDups(
+      spark: SparkSession,
+      root: String,
+      epoch: Int,
+      maxDf: Int = 64): DataFrame = {
+    val idx = readShingleIndex(spark, root, epoch)
+    // corpus-so-far df = sum of the persisted per-epoch partials
+    val hot = spark.read.parquet(s"$root/shingle_df")
+      .where(col("epoch") <= epoch)
+      .groupBy("sh").agg(sum("df").as("df"))
+      .where(col("df") > maxDf).select("sh")
+    val newCapped = idx.where(col("epoch") === epoch)
+      .select("doc_id", "sh")
+      .join(hot, Seq("sh"), "left_anti")
+    // index rows (any epoch <= e) that can possibly pair with a new doc:
+    // cut the index by a semi-join on the new epoch's shingle set before
+    // the pair join (lossless — a pair's shared shingles all lie in the
+    // new doc's set)
+    val matchable = idx
+      .select(col("doc_id"), col("sh"), (col("epoch") === epoch).as("is_new"))
+      .join(newCapped.select("sh").distinct(), Seq("sh"), "left_semi")
+      .join(hot, Seq("sh"), "left_anti")
+    // the `a` side is always new, so a (new, old) pairing is produced once
+    // per shared shingle; a (new, new) pairing would be produced twice
+    // (both orientations) — the b.is_new branch keeps one
+    val pairs = newCapped.as("a")
+      .join(matchable.as("b"),
+        col("a.sh") === col("b.sh") &&
+          when(col("b.is_new"), col("a.doc_id") < col("b.doc_id"))
+            .otherwise(col("a.doc_id") =!= col("b.doc_id")))
+      .groupBy(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    val sizes = spark.read.parquet(s"$root/shingle_sizes")
+      .where(col("epoch") <= epoch).select("doc_id", "sz")
+    pairs
+      .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sz_a")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("sz_b")), "doc_b")
+      .withColumn("n_union", col("sz_a") + col("sz_b") - col("n_inter"))
+      .where(col("n_inter") * 2 >= col("n_union"))
+      .select("doc_a", "doc_b", "n_inter", "n_union")
+  }
+
+  // ----------------------------------------------------------- embeddings
+
+  /** Persist the LSH bucket table for one epoch's new vectors. nBits must
+    * be held constant across a root (it defines the bucket space); the
+    * caller picks it once via SimilarityOps.nBitsFor at root creation.
+    */
+  def writeLshIndex(emb: DataFrame, root: String, epoch: Int, nBits: Int): Unit = {
+    val spark = emb.sparkSession
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    emb.select(col("vec_id"),
+        graft.functions.GraftFunctions.lshBucket(spark, nBits, col("embedding")).as("bucket"))
+      .write.mode("overwrite").parquet(s"$root/lsh_buckets/epoch=$epoch")
+  }
+
+  /** ANN top-k for `queries` (query_id, qvec) against the PERSISTED bucket
+    * table joined back to the vector table — multi-probe identical to
+    * SimilarityOps.annLshTopK but with candidate ids coming from the index
+    * instead of re-hashing the corpus.
+    */
+  def probeLsh(
+      spark: SparkSession,
+      root: String,
+      upToEpoch: Int,
+      vectors: DataFrame,
+      queries: DataFrame,
+      nBits: Int,
+      k: Int = 5,
+      probeRadius: Int = 2): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val masks = (0 until (1 << nBits)).filter(m => Integer.bitCount(m) <= probeRadius)
+    val buckets = spark.read.parquet(s"$root/lsh_buckets")
+      .where(col("epoch") <= upToEpoch).select("vec_id", "bucket")
+    val q = queries.select(col("query_id"),
+      col("qvec"),
+      explode(transform(typedLit(masks), m =>
+        graft.functions.GraftFunctions.lshBucket(spark, nBits, col("qvec"))
+          .bitwiseXOR(m))).as("probe_bucket"))
+    val candIds = buckets.join(broadcast(q.select("query_id", "probe_bucket")),
+        col("bucket") === col("probe_bucket"))
+      .select("query_id", "vec_id")
+    val scored = candIds
+      .join(vectors, Seq("vec_id"))
+      .join(broadcast(queries), Seq("query_id"))
+      .where(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        SimilarityOps.cosineCol(col("embedding"), col("qvec")).as("cos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("cos").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("vec_id"), round(col("cos"), 4).as("cos"), col("rank"))
+  }
+
+  /** Persist IVF centroids + list assignments. Centroids are (re)trained on
+    * the full corpus up to `epoch` (centroid drift across epochs would
+    * silently skew list occupancy); assignments cover the same corpus.
+    * Parameters auto-scale with corpus size (SimilarityOps.clustersFor).
+    */
+  def writeIvfIndex(
+      emb: DataFrame,
+      root: String,
+      epoch: Int,
+      nClusters: Int = 0,
+      nIter: Int = 2): Unit = {
+    val spark = emb.sparkSession
+    val e = emb.select("vec_id", "embedding")
+    val k = if (nClusters > 0) nClusters else SimilarityOps.clustersFor(e.count())
+    val cents = SimilarityOps.ivfTrain(e, k, nIter)
+    import spark.implicits._
+    cents.zipWithIndex.map { case (c, i) => (i, c) }.toDF("list_id", "centroid")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$root/ivf_centroids/epoch=$epoch")
+    e.withColumn("list_id", SimilarityOps.ivfAssignCol(col("embedding"), cents))
+      .select("vec_id", "list_id")
+      .write.mode("overwrite").parquet(s"$root/ivf_lists/epoch=$epoch")
+  }
+
+  /** ANN top-k against the persisted IVF index (centroids + lists read
+    * from `epoch=e`; vectors re-joined for the exact-cosine verify).
+    */
+  def probeIvf(
+      spark: SparkSession,
+      root: String,
+      epoch: Int,
+      vectors: DataFrame,
+      queries: DataFrame,
+      k: Int = 5,
+      nProbe: Int = 4): DataFrame = {
+    val centTable = spark.read.parquet(s"$root/ivf_centroids/epoch=$epoch")
+    val lists = spark.read.parquet(s"$root/ivf_lists/epoch=$epoch")
+    val probeW = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id")
+      .orderBy(SimilarityOps.cosineCol(col("qvec"), col("centroid")).desc,
+        col("list_id").asc)
+    val probes = queries.crossJoin(centTable)
+      .withColumn("probe_rank", row_number().over(probeW))
+      .where(col("probe_rank") <= nProbe)
+      .select("query_id", "qvec", "list_id")
+    val scored = lists.join(broadcast(probes), Seq("list_id"))
+      .where(col("vec_id") =!= col("query_id"))
+      .join(vectors, Seq("vec_id"))
+      .select(col("query_id"), col("vec_id"),
+        SimilarityOps.cosineCol(col("embedding"), col("qvec")).as("cos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("cos").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("vec_id"), round(col("cos"), 4).as("cos"), col("rank"))
+  }
+}

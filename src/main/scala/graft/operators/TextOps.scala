@@ -100,30 +100,55 @@ object TextOps {
     *      output (n_inter, n_union) as integers — no double division that
     *      could round differently across engines.
     */
-  def nearDupNgramJaccard(spark: SparkSession, dir: String, maxDf: Int = 64): DataFrame = {
+  /** The t05/t07/t08 demo corpus: every 20th base doc gets a planted
+    * near-identical revision (id + 1e6, a few appended tokens) so the
+    * near-dup family has known-positive pairs with a DuckDB-expressible
+    * construction.
+    */
+  def plantedCorpus(spark: SparkSession, dir: String): DataFrame = {
     val base = docs(spark, dir).select("doc_id", "text")
     val planted = base.where(pmod(col("doc_id"), lit(20)) === 0)
       .select((col("doc_id") + 1000000L).as("doc_id"),
         concat(col("text"), lit(" appended revision marker tokens")).as("text"))
-    val corpus = base.unionByName(planted)
+    base.unionByName(planted)
+  }
+
+  /** Distinct hashed word-3-gram shingles of a (doc_id, text) frame —
+    * the unit of the t05 inverted index and the persisted SimIndex tables
+    * (the two MUST share this kernel so a persisted index built here is
+    * probe-compatible with the in-memory operator).
+    */
+  def wordShingles(corpus: DataFrame): DataFrame = {
     val toks = corpus.select(col("doc_id"), split(trim(col("text")), "\\s+").as("t"))
     // word 3-grams; guard short docs (Spark's sequence(0, n) DESCENDS for
     // n < 0, so an unguarded size-3 would fabricate shingles)
     val idxs = when(size(col("t")) >= 3, sequence(lit(0), size(col("t")) - 3))
       .otherwise(array().cast("array<int>"))
-    // NOT persisted: the distinct index feeds five consumers (sizes, the
-    // df-cap, both self-join sides), but they all share one byte-identical
-    // shuffle subtree, so ReuseExchange serves them from the same map
-    // output — measured faster than an explicit persist, which only added
-    // memory-store writes (at production scale this would instead be a
-    // written intermediate table).
-    val shingles = toks
+    toks
       .select(col("doc_id"),
         explode(transform(idxs, i => xxhash64(concat_ws(" ",
           element_at(col("t"), i + 1),
           element_at(col("t"), i + 2),
           element_at(col("t"), i + 3))))).as("sh"))
       .distinct()
+  }
+
+  def nearDupNgramJaccard(spark: SparkSession, dir: String, maxDf: Int = 64): DataFrame =
+    ngramJaccardPairs(plantedCorpus(spark, dir), maxDf)
+      .orderBy("doc_a", "doc_b")
+
+  /** Exact n-gram-Jaccard near-dup pairs over any (doc_id, text) corpus —
+    * the t05 kernel, also the full-recompute mirror for the persisted
+    * incremental index (SimIndexSpec).
+    */
+  def ngramJaccardPairs(corpus: DataFrame, maxDf: Int = 64): DataFrame = {
+    // NOT persisted: the distinct index feeds five consumers (sizes, the
+    // df-cap, both self-join sides), but they all share one byte-identical
+    // shuffle subtree, so ReuseExchange serves them from the same map
+    // output — measured faster than an explicit persist, which only added
+    // memory-store writes (at production scale this would instead be a
+    // written intermediate table — see SimIndex).
+    val shingles = wordShingles(corpus)
     val sizes = shingles.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val hot = shingles.groupBy("sh").agg(count(lit(1)).as("df"))
       .where(col("df") > maxDf).select("sh")
@@ -139,7 +164,6 @@ object TextOps {
       .withColumn("n_union", col("sz_a") + col("sz_b") - col("n_inter"))
       .where(col("n_inter") * 2 >= col("n_union"))
       .select("doc_a", "doc_b", "n_inter", "n_union")
-      .orderBy("doc_a", "doc_b")
   }
 
   /** Repeated-span detection — the shuffle-friendly screen of

@@ -30,21 +30,35 @@ object Snapshots {
     * here so every downstream consumer sees the contract table.
     */
   def read(spark: SparkSession, root: String, epoch: Int): DataFrame =
-    parsedOnly(spark.read.parquet(s"$root/snapshots")
+    parsedOnly(readRoot(spark, root)
       .where(col("epoch") === epoch)) // partition-pruned directory scan
 
   def readUpTo(spark: SparkSession, root: String, maxEpoch: Int): DataFrame =
-    parsedOnly(spark.read.parquet(s"$root/snapshots").where(col("epoch") <= maxEpoch))
+    parsedOnly(readRoot(spark, root).where(col("epoch") <= maxEpoch))
 
   /** One epoch WITH the fetch-log columns (status, partition_id,
     * elapsed_ms) and failure rows — the fetch_log view of the same files.
     */
   def readRaw(spark: SparkSession, root: String, epoch: Int): DataFrame =
-    spark.read.parquet(s"$root/snapshots").where(col("epoch") === epoch)
+    readRoot(spark, root).where(col("epoch") === epoch)
+
+  /** mergeSchema: a root may straddle the fetch-log format change (older
+    * epochs written without the status column). Plain parquet reads pick
+    * ONE footer's schema for the whole root — if it has status, old-epoch
+    * rows would read status=null; if it lacks status, new-epoch failure
+    * rows would leak into the contract view. Merging makes every column
+    * visible; [[parsedOnly]] then treats a missing/null status as parsed.
+    */
+  private def readRoot(spark: SparkSession, root: String): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(s"$root/snapshots")
 
   private def parsedOnly(df: DataFrame): DataFrame = {
+    // null status = row from a pre-status epoch = it was parsed (failure
+    // rows did not exist in that format)
     val filtered =
-      if (df.columns.contains("status")) df.where(col("status") === "parsed") else df
+      if (df.columns.contains("status"))
+        df.where(coalesce(col("status"), lit("parsed")) === "parsed")
+      else df
     filtered.select(SnapshotCols.map(col): _*)
   }
 

@@ -1,0 +1,90 @@
+package graft.operators
+
+import graft.SparkTestBase.{spark, tempDir}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Persisted-index goldens: the incremental probes must equal full
+  * recomputation exactly — the contract that lets a 100 TB pipeline probe
+  * an index instead of re-shingling/re-hashing the corpus every epoch.
+  */
+class SimIndexSpec extends AnyFunSuite {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def docsBase: DataFrame =
+    spark.read.parquet(s"$dir/documents.parquet").select("doc_id", "text")
+
+  /** Scripted 3-epoch corpus with planted cross-epoch copies:
+    * epoch 0 = doc_id%3==0; epoch 1 = %3==1 + near-copies of epoch-0 docs;
+    * epoch 2 = %3==2 + near-copies of epoch-0 docs (different stride).
+    */
+  private def epochDocs(e: Int): DataFrame = e match {
+    case 0 => docsBase.where(pmod(col("doc_id"), lit(3)) === 0)
+    case 1 => docsBase.where(pmod(col("doc_id"), lit(3)) === 1)
+      .unionByName(docsBase.where(pmod(col("doc_id"), lit(30)) === 0)
+        .select((col("doc_id") + 2000000L).as("doc_id"),
+          concat(col("text"), lit(" appended revision marker tokens")).as("text")))
+    case 2 => docsBase.where(pmod(col("doc_id"), lit(3)) === 2)
+      .unionByName(docsBase.where(pmod(col("doc_id"), lit(45)) === 0)
+        .select((col("doc_id") + 3000000L).as("doc_id"),
+          concat(col("text"), lit(" appended revision marker tokens")).as("text")))
+  }
+
+  private def collectPairs(df: DataFrame): Set[(Long, Long, Long, Long)] =
+    df.select("doc_a", "doc_b", "n_inter", "n_union").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+
+  test("incremental cross-epoch near-dups equal full recompute, every epoch") {
+    val root = tempDir("graft-simindex")
+    var sawCrossEpoch = false
+    for (e <- 0 to 2) {
+      SimIndex.writeShingleIndex(epochDocs(e), root, e)
+      val inc = collectPairs(SimIndex.crossEpochNearDups(spark, root, e))
+      // full recompute over the corpus-so-far, restricted to pairs whose
+      // newer side is epoch e — the corpus-knowledge the engine has at e
+      val corpusSoFar = (0 to e).map(epochDocs).reduce(_ unionByName _)
+      val eIds = epochDocs(e).select("doc_id").collect().map(_.getLong(0)).toSet
+      val full = collectPairs(TextOps.ngramJaccardPairs(corpusSoFar))
+        .filter(p => eIds.contains(p._1) || eIds.contains(p._2))
+      assert(inc == full, s"epoch $e: incremental != full recompute " +
+        s"(inc=${inc.size}, full=${full.size})")
+      val cross = inc.exists(p => !(eIds.contains(p._1) && eIds.contains(p._2)))
+      sawCrossEpoch ||= cross
+      if (e > 0)
+        assert(inc.nonEmpty, s"epoch $e: planted copies produced no pairs")
+    }
+    assert(sawCrossEpoch, "no cross-epoch pair ever surfaced — plant broken")
+  }
+
+  test("persisted LSH index probe equals the in-memory multi-probe ANN") {
+    val root = tempDir("graft-lshindex")
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select("vec_id", "embedding")
+    SimIndex.writeLshIndex(e, root, 0, nBits = 6)
+    val queries = e.where(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val probed = SimIndex.probeLsh(spark, root, 0, e, queries, nBits = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val mem = SimilarityOps.annLshTopK(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    assert(probed == mem, "persisted-index ANN diverged from in-memory ANN")
+  }
+
+  test("persisted IVF index probe equals the in-memory IVF ANN") {
+    val root = tempDir("graft-ivfindex")
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val kLists = SimilarityOps.clustersFor(e.count())
+    SimIndex.writeIvfIndex(e, root, 0, nClusters = kLists, nIter = 2)
+    val queries = e.where(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val probeN = math.max(4, kLists / 4)
+    val probed = SimIndex.probeIvf(spark, root, 0, e, queries, nProbe = probeN)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val mem = SimilarityOps.annIvfTopK(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    assert(probed == mem, "persisted IVF probe diverged from in-memory IVF")
+  }
+}
