@@ -41,6 +41,15 @@ object ScalingBench {
     // IDENTICAL plan on different resources (how a real cluster sizes
     // partitions: for the data, not the node count).
     val shufParts = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTS", cores.toString)
+    // AQE partition coalescing OFF by default in the scaling protocol
+    // (overridable via SPARK_GRAFT_AQE_COALESCE): measured on the
+    // sidecar-active job, coalescing shrank post-shuffle stages below the
+    // big level's executor count — cores sat idle, task-core-time stayed
+    // flat (work-conserving) while walls refused to scale (eff 0.61-0.73);
+    // with the same 16 partitions actually EXECUTED at both levels the
+    // pair measures 0.87+. Same principle as the fixed shuffle-partition
+    // override above: compare the identical plan on different resources.
+    val aqeCoalesce = sys.env.getOrElse("SPARK_GRAFT_AQE_COALESCE", "false")
     val builder = if (mode == "cluster")
       SparkEnv.applyCommon(SparkSession.builder()
         .master(s"local-cluster[$level,$coresPerExec,$execMemMb]")
@@ -55,11 +64,13 @@ object ScalingBench {
         .config("spark.executor.extraJavaOptions",
           s"-Xms${execMemMb}m -XX:+AlwaysPreTouch")
         .config("spark.io.compression.codec", "zstd")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", aqeCoalesce)
         .config("spark.sql.shuffle.partitions", shufParts))
     else
       SparkEnv.applyCommon(SparkSession.builder()
         .master(s"local[$cores]")
         .appName(s"graft-scaling-$cores")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", aqeCoalesce)
         .config("spark.sql.shuffle.partitions", shufParts))
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

@@ -97,13 +97,41 @@ object FrontierJob {
     * discoveries this removes the dominant shuffle; correctness never
     * depends on the bloom (FPs resolved by the exact anti-join).
     */
+  /** The seen side of the exact anti-join, size-gated exactly like the
+    * robots join (J2b): below the bound Spark may broadcast it (fine for a
+    * young crawl); above it the SHUFFLE_MERGE hint forbids broadcast — at
+    * 10^10-URL scale the seen set could never broadcast, and measured in
+    * the sidecar-active scaling bench the driver-serial HashedRelation
+    * build + per-run broadcast of a multi-M-row seen table is a FIXED cost
+    * that degrades N->4N efficiency (the 4N level's wall is inflated
+    * relatively more by any serial term). Catalyst plan stats only — no
+    * extra action.
+    */
+  private def seenJoinSide(seen: Dataset[SeenEntry], maxBroadcastBytes: Long): DataFrame = {
+    val s = seen.select("url_hash")
+    val small = s.queryExecution.optimizedPlan.stats.sizeInBytes <=
+      BigInt(maxBroadcastBytes)
+    if (small) s else s.hint("SHUFFLE_MERGE")
+  }
+
+  /** Default seen-broadcast gate. Catalyst's column-pruned parquet stats
+    * run ~2.6 bytes per url_hash entry (compressed at-rest footprint, NOT
+    * the in-memory HashedRelation, which is ~30-50x larger and whose
+    * driver-serial build is the real cost) — 2 MB gates at roughly 800k
+    * seen entries, past which the per-run build+broadcast fixed cost
+    * degrades N->4N scaling (measured, BENCH/SIDECAR_SCALING.md).
+    */
+  val SeenBroadcastMaxBytes: Long = 2L << 20
+
   def dedupeAgainstSeen(
       frontier: DataFrame,
       seen: Dataset[SeenEntry],
       blooms: Map[Int, Array[Byte]],
-      numBuckets: Int): DataFrame = {
+      numBuckets: Int,
+      seenBroadcastMaxBytes: Long = SeenBroadcastMaxBytes): DataFrame = {
     if (blooms.isEmpty) // no sidecar yet (epoch 0 / cold resume): exact path
-      return frontier.join(seen.select("url_hash"), Seq("url_hash"), "left_anti")
+      return frontier.join(seenJoinSide(seen, seenBroadcastMaxBytes),
+        Seq("url_hash"), "left_anti")
     val spark = frontier.sparkSession
     GraftFunctions.ensureRegistered(spark)
     val parsed = blooms.map { case (b, bytes) => b -> Bloom64.deserialize(bytes) }
@@ -112,7 +140,8 @@ object FrontierJob {
     // whole-stage-codegen chain; the old UDF form paid encoder ser/de per
     // row.
     dedupeWithSidecarProbe(frontier, seen, numBuckets,
-      (b, h) => GraftFunctions.bloomMaybeSeen(spark, bc, b, h))
+      (b, h) => GraftFunctions.bloomMaybeSeen(spark, bc, b, h),
+      seenBroadcastMaxBytes)
   }
 
   /** Cuckoo-sidecar dedupe — the deletable branch of the north_rule's
@@ -124,15 +153,18 @@ object FrontierJob {
       frontier: DataFrame,
       seen: Dataset[SeenEntry],
       cuckoos: Map[Int, Array[Byte]],
-      numBuckets: Int): DataFrame = {
+      numBuckets: Int,
+      seenBroadcastMaxBytes: Long = SeenBroadcastMaxBytes): DataFrame = {
     if (cuckoos.isEmpty)
-      return frontier.join(seen.select("url_hash"), Seq("url_hash"), "left_anti")
+      return frontier.join(seenJoinSide(seen, seenBroadcastMaxBytes),
+        Seq("url_hash"), "left_anti")
     val spark = frontier.sparkSession
     GraftFunctions.ensureRegistered(spark)
     val parsed = cuckoos.map { case (b, bytes) => b -> graft.functions.Cuckoo64.deserialize(bytes) }
     val bc = spark.sparkContext.broadcast(parsed)
     dedupeWithSidecarProbe(frontier, seen, numBuckets,
-      (b, h) => GraftFunctions.cuckooMaybeSeen(spark, bc, b, h))
+      (b, h) => GraftFunctions.cuckooMaybeSeen(spark, bc, b, h),
+      seenBroadcastMaxBytes)
   }
 
   /** Shared split-union dedupe plan over any sidecar probe.
@@ -162,7 +194,8 @@ object FrontierJob {
       frontier: DataFrame,
       seen: Dataset[SeenEntry],
       numBuckets: Int,
-      probe: (org.apache.spark.sql.Column, org.apache.spark.sql.Column) => org.apache.spark.sql.Column): DataFrame = {
+      probe: (org.apache.spark.sql.Column, org.apache.spark.sql.Column) => org.apache.spark.sql.Column,
+      seenBroadcastMaxBytes: Long = SeenBroadcastMaxBytes): DataFrame = {
     val withBucket = frontier.withColumn(
       "host_bucket", pmod(xxhash64(col("host")), lit(numBuckets)).cast("int"))
     val flagged = withBucket.withColumn(
@@ -170,7 +203,7 @@ object FrontierJob {
       coalesce(probe(col("host_bucket"), col("url_hash")), lit(true)))
     val fresh = flagged.where(!col("maybe_seen"))
     val maybe = flagged.where(col("maybe_seen"))
-      .join(seen.select("url_hash"), Seq("url_hash"), "left_anti")
+      .join(seenJoinSide(seen, seenBroadcastMaxBytes), Seq("url_hash"), "left_anti")
     fresh.unionByName(maybe).drop("maybe_seen", "host_bucket")
   }
 

@@ -165,6 +165,43 @@ object SimIndex {
       .select(col("query_id"), col("vec_id"), round(col("cos"), 4).as("cos"), col("rank"))
   }
 
+  /** Cross-epoch embedding near-dup through the persisted bucket table —
+    * the embedding-space twin of [[crossEpochNearDups]]: epoch-e vectors
+    * (their buckets already written) generate candidates against the
+    * corpus-so-far's PERSISTED buckets (no re-hashing of earlier epochs),
+    * exact cosine verifies. Pair contract matches
+    * SimilarityOps.nearDupCosine: (vec_a < vec_b, cos rounded 4dp).
+    */
+  def crossEpochNearDupCosine(
+      spark: SparkSession,
+      root: String,
+      epoch: Int,
+      vectors: DataFrame,
+      threshold: Double = 0.99): DataFrame = {
+    val buckets = spark.read.parquet(s"$root/lsh_buckets")
+      .where(col("epoch") <= epoch)
+      .select(col("vec_id"), col("bucket"), (col("epoch") === epoch).as("is_new"))
+    val newB = buckets.where(col("is_new")).select("vec_id", "bucket")
+    val cand = newB.as("a")
+      .join(buckets.as("b"),
+        col("a.bucket") === col("b.bucket") &&
+          when(col("b.is_new"), col("a.vec_id") < col("b.vec_id"))
+            .otherwise(col("a.vec_id") =!= col("b.vec_id")))
+      .select(least(col("a.vec_id"), col("b.vec_id")).as("vec_a"),
+        greatest(col("a.vec_id"), col("b.vec_id")).as("vec_b"))
+      .dropDuplicates("vec_a", "vec_b")
+    val candIds = cand.select(col("vec_a").as("vec_id"))
+      .unionByName(cand.select(col("vec_b").as("vec_id")))
+      .dropDuplicates("vec_id")
+    val candVecs = vectors.join(broadcast(candIds), Seq("vec_id"), "left_semi")
+    cand
+      .join(candVecs.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a")), "vec_a")
+      .join(candVecs.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b")), "vec_b")
+      .select(col("vec_a"), col("vec_b"),
+        round(SimilarityOps.cosineCol(col("emb_a"), col("emb_b")), 4).as("cos"))
+      .where(col("cos") >= threshold)
+  }
+
   /** Persist IVF centroids + list assignments. Centroids are (re)trained on
     * the full corpus up to `epoch` (centroid drift across epochs would
     * silently skew list occupancy); assignments cover the same corpus.

@@ -213,6 +213,30 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("seen anti-join is size-gated: forced-shuffle path is SMJ and golden-equal") {
+    import org.apache.spark.sql.functions.{col, lit}
+    // below the gate Spark may broadcast the seen side; forcing the gate
+    // to 0 must yield a SortMergeJoin (the only honest plan at 10^10
+    // seen URLs — a broadcast would mean a driver-serial HashedRelation
+    // build per epoch) with identical results
+    val seen = FrontierJob.canonicalizeFrontier(Gen.seeds(spark, 500))
+      .select(col("url_hash"), col("host"), lit(0).as("first_epoch"))
+      .as[graft.model.SeenEntry]
+    val blooms = SeenStore.buildBlooms(seen, 16, 128)
+      .collect().map(r => r.getInt(0) -> r.getAs[Array[Byte]](1)).toMap
+    for (sidecarMap <- Seq(Map.empty[Int, Array[Byte]], blooms)) {
+      val frontier = FrontierJob.canonicalizeFrontier(Gen.seeds(spark, 2000))
+      val default = FrontierJob.dedupeAgainstSeen(frontier, seen, sidecarMap, 16)
+      val forced = FrontierJob.dedupeAgainstSeen(frontier, seen, sidecarMap, 16, 0L)
+      val p = finalPlan(forced)
+      assert(p.contains("SortMergeJoin") && p.contains("LeftAnti"),
+        s"forced-gate seen join is not a shuffled SMJ anti-join:\n$p")
+      val a = default.select("url_hash").collect().map(_.getLong(0)).sorted.toSeq
+      val b = forced.select("url_hash").collect().map(_.getLong(0)).sorted.toSeq
+      assert(a == b, "gated seen join changed the dedupe result")
+    }
+  }
+
   test("t05 shingle index is served once via ReuseExchange (five consumers)") {
     // the distinct shingle index feeds sizes, the df-cap, and both
     // self-join sides; an explicit persist measured SLOWER than letting

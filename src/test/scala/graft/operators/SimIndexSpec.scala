@@ -72,6 +72,43 @@ class SimIndexSpec extends AnyFunSuite {
     assert(probed == mem, "persisted-index ANN diverged from in-memory ANN")
   }
 
+  test("cross-epoch embedding near-dup equals full bucketed recompute") {
+    val root = tempDir("graft-lshx")
+    val base = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select("vec_id", "embedding")
+    // epoch 0: even ids; epoch 1: odd ids + planted near-copies of epoch-0
+    // vectors (tiny first-dim perturbation, the emb03 plant pattern)
+    val e0 = base.where(pmod(col("vec_id"), lit(2)) === 0)
+    val e1 = base.where(pmod(col("vec_id"), lit(2)) === 1)
+      .unionByName(e0.where(pmod(col("vec_id"), lit(20)) === 0)
+        .select((col("vec_id") + 1000000L).as("vec_id"),
+          transform(col("embedding"), (x, i) =>
+            when(i === 0, (x.cast("double") + lit(0.05)).cast("float")).otherwise(x))
+            .as("embedding")))
+    val all = e0.unionByName(e1)
+    val nBits = 6
+    SimIndex.writeLshIndex(e0, root, 0, nBits)
+    SimIndex.writeLshIndex(e1, root, 1, nBits)
+    val inc = SimIndex.crossEpochNearDupCosine(spark, root, 1, all)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // full recompute mirror: bucket everything, all same-bucket pairs,
+    // exact cosine, restricted to pairs involving an epoch-1 vector
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val bucketed = all.withColumn("bucket",
+      graft.functions.GraftFunctions.lshBucket(spark, nBits, col("embedding")))
+    val full = bucketed.as("a").join(bucketed.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        round(SimilarityOps.cosineCol(col("a.embedding"), col("b.embedding")), 4).as("cos"))
+      .where(col("cos") >= 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val e1Ids = e1.select("vec_id").collect().map(_.getLong(0)).toSet
+    val expected = full.filter(p => e1Ids.contains(p._1) || e1Ids.contains(p._2))
+    assert(inc == expected,
+      s"incremental embedding near-dup diverged (inc=${inc.size}, full=${expected.size})")
+    assert(inc.exists(p => p._2 >= 1000000L), "planted cross-epoch copy not found")
+  }
+
   test("persisted IVF index probe equals the in-memory IVF ANN") {
     val root = tempDir("graft-ivfindex")
     val e = spark.read.parquet(s"$dir/embeddings.parquet")
