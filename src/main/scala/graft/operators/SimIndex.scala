@@ -226,19 +226,44 @@ object SimIndex {
       .write.mode("overwrite").parquet(s"$root/ivf_lists/epoch=$epoch")
   }
 
-  /** ANN top-k against the persisted IVF index (centroids + lists read
-    * from `epoch=e`; vectors re-joined for the exact-cosine verify).
+  /** Incremental IVF maintenance: assign a NEW epoch's vectors to the
+    * PERSISTED centroids (no retrain, no earlier-epoch rescans) — the
+    * cheap path between periodic writeIvfIndex retrains (retrain cadence
+    * is a centroid-drift policy decision; probes stay exact either way
+    * since candidates are cosine-verified).
+    */
+  def appendIvfLists(
+      emb: DataFrame,
+      root: String,
+      centroidEpoch: Int,
+      epoch: Int): Unit = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val cents = spark.read.parquet(s"$root/ivf_centroids/epoch=$centroidEpoch")
+      .orderBy("list_id").select("centroid").as[Seq[Float]].collect().toSeq
+    emb.select("vec_id", "embedding")
+      .withColumn("list_id", SimilarityOps.ivfAssignCol(col("embedding"), cents.toIndexedSeq))
+      .select("vec_id", "list_id")
+      .write.mode("overwrite").parquet(s"$root/ivf_lists/epoch=$epoch")
+  }
+
+  /** ANN top-k against the persisted IVF index: centroids from
+    * `centroidEpoch`, list assignments from every epoch <= `upToEpoch`
+    * (the appendIvfLists increments); vectors re-joined for the
+    * exact-cosine verify.
     */
   def probeIvf(
       spark: SparkSession,
       root: String,
-      epoch: Int,
+      centroidEpoch: Int,
+      upToEpoch: Int,
       vectors: DataFrame,
       queries: DataFrame,
       k: Int = 5,
       nProbe: Int = 4): DataFrame = {
-    val centTable = spark.read.parquet(s"$root/ivf_centroids/epoch=$epoch")
-    val lists = spark.read.parquet(s"$root/ivf_lists/epoch=$epoch")
+    val centTable = spark.read.parquet(s"$root/ivf_centroids/epoch=$centroidEpoch")
+    val lists = spark.read.parquet(s"$root/ivf_lists")
+      .where(col("epoch") <= upToEpoch).select("vec_id", "list_id")
     val probeW = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id")
       .orderBy(SimilarityOps.cosineCol(col("qvec"), col("centroid")).desc,

@@ -118,10 +118,33 @@ class SimIndexSpec extends AnyFunSuite {
     val queries = e.where(col("vec_id") < 3)
       .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
     val probeN = math.max(4, kLists / 4)
-    val probed = SimIndex.probeIvf(spark, root, 0, e, queries, nProbe = probeN)
+    val probed = SimIndex.probeIvf(spark, root, 0, 0, e, queries, nProbe = probeN)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
     val mem = SimilarityOps.annIvfTopK(spark, dir)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
     assert(probed == mem, "persisted IVF probe diverged from in-memory IVF")
+  }
+
+  test("incremental IVF list append equals single-epoch assignment") {
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val e0 = e.where(pmod(col("vec_id"), lit(2)) === 0)
+    val e1 = e.where(pmod(col("vec_id"), lit(2)) === 1)
+    val queries = e.where(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    // split path: train+assign on epoch 0, APPEND epoch 1 against the
+    // persisted centroids (no retrain)
+    val rootSplit = tempDir("graft-ivfsplit")
+    SimIndex.writeIvfIndex(e0, rootSplit, 0, nClusters = 16, nIter = 2)
+    SimIndex.appendIvfLists(e1, rootSplit, centroidEpoch = 0, epoch = 1)
+    // reference path: same centroids, whole corpus assigned in one epoch
+    val rootOne = tempDir("graft-ivfone")
+    SimIndex.writeIvfIndex(e0, rootOne, 0, nClusters = 16, nIter = 2)
+    SimIndex.appendIvfLists(e, rootOne, centroidEpoch = 0, epoch = 0)
+    def run(root: String, upTo: Int) =
+      SimIndex.probeIvf(spark, root, 0, upTo, e, queries)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    assert(run(rootSplit, 1) == run(rootOne, 0),
+      "incremental IVF append diverged from single-epoch assignment")
   }
 }
