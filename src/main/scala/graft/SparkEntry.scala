@@ -3,7 +3,7 @@ package graft
 import graft.model.Snapshot
 import graft.operators._
 import graft.sources.Gen
-import org.apache.spark.sql.functions.{col, concat, lit, pmod}
+import org.apache.spark.sql.functions.{col, concat, lit, pmod, xxhash64}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -93,6 +93,7 @@ object SparkEntry {
     "t06_repeated_spans" -> ((s, d) => TextOps.repeatedSpans(s, d)),
     "t07_dedup_resolve" -> ((s, d) => operators.DedupResolve.resolveNgramDups(s, d)),
     "t08_dedup_corpus" -> ((s, d) => operators.DedupResolve.dedupedCorpus(s, d)),
+    "t09_corpus_curation" -> ((s, d) => TextOps.curatedCorpus(s, d)),
     "t04_neardup_simhash" -> ((s, d) => TextOps.nearDupSimhash(s, d)),
     "emb01_cosine_topk" -> ((s, d) => SimilarityOps.bruteCosineTopK(s, d)),
     "emb02_ann_lsh" -> ((s, d) => SimilarityOps.annLshTopK(s, d)),
@@ -184,6 +185,17 @@ object SparkEntry {
       operators.SimIndex.writeShingleIndex(e0, root, 0)
       operators.SimIndex.writeShingleIndex(e1, root, 1)
       operators.SimIndex.crossEpochNearDups(s, root, 1).orderBy("doc_a", "doc_b")
+    }),
+    "c17_image_dedup" -> ((s, _) => {
+      // image-payload corpus dedup end to end: planted exact/near copies
+      // (same pixels under new URLs) -> phash-block pair generation ->
+      // connected components -> survivor keep-list -> filtered table
+      val base = diffHistory(s, 60).where(col("epoch") === 2)
+        .select("image_id", "phash")
+      val copies = base.where(pmod(xxhash64(col("image_id")), lit(5)) === 0)
+        .select(concat(col("image_id"), lit("?utm=copy")).as("image_id"), col("phash"))
+      ImageOps.dedupImageCorpus(base.unionByName(copies))
+        .select("image_id", "phash").orderBy("image_id")
     }),
     "c12_frame_sample" -> ((s, _) =>
       MediaOps.frameSample(Gen.media(s, 60)).toDF()
@@ -481,6 +493,29 @@ object SparkEntry {
           |)
           |SELECT doc_id FROM corpus WHERE doc_id NOT IN (SELECT id FROM drops)"""
           .stripMargin),
+    "t09_corpus_curation" ->
+      (ngramPairSql +
+        """, edges AS (
+          |  SELECT doc_a AS src, doc_b AS dst FROM dup_pairs
+          |  UNION
+          |  SELECT doc_b AS src, doc_a AS dst FROM dup_pairs
+          |), reach AS (
+          |  SELECT src AS id, src AS node FROM edges
+          |  UNION
+          |  SELECT r.id, e.dst AS node FROM reach r JOIN edges e ON r.node = e.src
+          |), drops AS (
+          |  SELECT id FROM (SELECT id, min(node) AS comp FROM reach GROUP BY id)
+          |  WHERE id <> comp
+          |)
+          |SELECT doc_id,
+          |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+          |  round(CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS DOUBLE)
+          |    / greatest(length(text), 1), 4) AS punct_ratio
+          |FROM corpus
+          |WHERE doc_id NOT IN (SELECT id FROM drops)
+          |  AND len(regexp_split_to_array(trim(text), '\s+')) >= 32
+          |  AND round(CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS DOUBLE)
+          |    / greatest(length(text), 1), 4) <= 0.1""".stripMargin),
     "t01_text_quality" ->
       """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_act,
         |CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,

@@ -73,4 +73,44 @@ object ImageOps {
       .select(col("image_id"), col("epoch"), col("prev_epoch"),
         psnrUdf(col("bytes"), col("prev_bytes")).as("psnr_db"))
   }
+
+  /** Image near-dup PAIRS on the 64-bit phash space: the c15 cross-modal
+    * blocking applied within the image table itself — 4x16-bit phash
+    * blocks as join keys (certain recall for Hamming <= 3: four blocks
+    * can absorb at most 3 flipped bits without one block matching
+    * exactly), exact bit_count verify, ids + phash only on the exchange.
+    * Ids are carried as img_a/img_b = xxhash64(image_id) so downstream
+    * component resolution works on 8-byte keys (the engine's universal
+    * identity discipline); the string ids ride along for readability.
+    */
+  def nearDupPhash(images: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val base = images.select(col("image_id"), col("phash"),
+      xxhash64(col("image_id")).as("img_hash"))
+    val blocked = base.select(col("image_id"), col("phash"), col("img_hash"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("blk"),
+          shiftrightunsigned(col("phash"), b * 16).bitwiseAND(lit(0xffffL)).as("key"))).toIndexedSeq: _*))
+        .as("block"))
+      .select(col("image_id"), col("phash"), col("img_hash"),
+        col("block.blk").as("blk"), col("block.key").as("key"))
+    blocked.as("a").join(blocked.as("b"),
+        col("a.blk") === col("b.blk") && col("a.key") === col("b.key") &&
+          col("a.img_hash") < col("b.img_hash"))
+      .select(col("a.image_id").as("image_a"), col("b.image_id").as("image_b"),
+        col("a.img_hash").as("img_a"), col("b.img_hash").as("img_b"),
+        bit_count(col("a.phash").bitwiseXOR(col("b.phash"))).as("hamming"))
+      .dropDuplicates("img_a", "img_b")
+      .where(col("hamming") <= maxHamming)
+  }
+
+  /** Image-corpus deduplication end to end — the engine's payload-native
+    * flagship of the dedup family: phash near-dup pairs -> connected
+    * components (DedupResolve) -> survivor keep-list -> filtered image
+    * table. Survivor = the component's min img_hash (deterministic).
+    */
+  def dedupImageCorpus(images: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val withHash = images.withColumn("img_hash", xxhash64(col("image_id")))
+    val pairs = nearDupPhash(images, maxHamming)
+    DedupResolve.filterCorpus(withHash, "img_hash", pairs, "img_a", "img_b")
+  }
 }

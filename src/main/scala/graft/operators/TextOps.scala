@@ -15,13 +15,37 @@ object TextOps {
 
   /** SQL-checkable slice of quality scoring: char/token/punct stats. */
   def qualityStats(spark: SparkSession, dir: String): DataFrame =
-    docs(spark, dir).select(
+    qualityStatsOf(docs(spark, dir))
+
+  /** Same quality metrics over any (doc_id, text) frame (t01 kernel,
+    * reused by the t09 curation pipeline).
+    */
+  def qualityStatsOf(corpus: DataFrame): DataFrame =
+    corpus.select(
       col("doc_id"),
       length(col("text")).cast("long").as("n_chars_act"),
       size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"),
       round(
         length(regexp_replace(col("text"), "[^.!?,;:]", "")).cast("double") /
           greatest(length(col("text")), lit(1)), 4).as("punct_ratio"))
+
+  /** t09 — the composed training-data curation step: the planted corpus
+    * minus near-dup non-survivors (t08's keep-list semantics via
+    * DedupResolve) AND minus low-quality docs (t01's metrics) — the
+    * "dedupe then filter" pipeline every corpus build runs, as ONE
+    * declarative plan (Catalyst fuses the quality filter into the scan
+    * side of the keep-list anti-join).
+    */
+  def curatedCorpus(spark: SparkSession, dir: String,
+                    minTokens: Long = 32L, maxPunct: Double = 0.1): DataFrame = {
+    val corpus = plantedCorpus(spark, dir)
+    val kept = DedupResolve.filterCorpus(
+      corpus, "doc_id", ngramJaccardPairs(corpus), "doc_a", "doc_b")
+    qualityStatsOf(kept)
+      .where(col("n_tokens") >= minTokens && col("punct_ratio") <= maxPunct)
+      .select(col("doc_id"), col("n_tokens"), col("punct_ratio"))
+      .orderBy("doc_id")
+  }
 
   /** Full text profile: heuristic language-ID, quality score, simhash +
     * rolling-hash fingerprints, BPE-ish token count (custom codegen'd

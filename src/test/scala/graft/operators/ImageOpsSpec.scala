@@ -51,4 +51,42 @@ class ImageOpsSpec extends AnyFunSuite {
       else assert(p >= 0 && p < 40, s"$id@$epoch revised but psnr=$p (should be low)")
     }
   }
+
+  test("image corpus dedup: planted copies collapse to one survivor per component") {
+    import org.apache.spark.sql.functions.{col, xxhash64}
+    val rnd = new scala.util.Random(7)
+    // base phashes: random 64-bit values are ~32 bits apart — assert the
+    // fixture really has no accidental near-dups, then plant them
+    val base = (0 until 40).map(i => (s"http://imgs/x-$i", rnd.nextLong()))
+    for (Seq((_, a), (_, b)) <- base.combinations(2))
+      assert(java.lang.Long.bitCount(a ^ b) > 3, "fixture collision; reseed")
+    val copies = base.take(8).map { case (id, p) => (s"$id?copy", p) }        // hamming 0
+    val near = base.slice(8, 12).map { case (id, p) => (s"$id?near", p ^ 3L) } // hamming 2
+    val far = base.slice(12, 16).map { case (id, p) => (s"$id?far", p ^ 0x00FF00FF00L) }
+    val all = base ++ copies ++ near ++ far
+    val df = all.toDF("image_id", "phash")
+    val kept = ImageOps.dedupImageCorpus(df).select("image_id").collect()
+      .map(_.getString(0)).toSet
+    // sequential mirror: pairs = all pairs hamming<=3; union-find on
+    // xxhash64 ids; survivors = component-min ids + singletons
+    val hash = df.select(col("image_id"), xxhash64(col("image_id")).as("h"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = { val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r } }
+    for (Seq((ia, pa), (ib, pb)) <- all.combinations(2)
+         if java.lang.Long.bitCount(pa ^ pb) <= 3) {
+      val (ra, rb) = (find(hash(ia)), find(hash(ib)))
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+    }
+    val dropped = parent.keys.filter(h => find(h) != h).toSet
+    val expected = all.map(_._1).filterNot(id => dropped.contains(hash(id))).toSet
+    assert(kept == expected, "distributed image dedup diverged from union-find mirror")
+    assert(kept.size == all.size - dropped.size && dropped.nonEmpty)
+    // every planted ?copy/?near pair lost exactly its non-min member
+    for ((id, _) <- copies ++ near) {
+      val pairIds = Seq(id, id.takeWhile(_ != '?'))
+      assert(pairIds.count(kept.contains) == 1, s"component of $id kept != 1")
+    }
+  }
 }
