@@ -237,6 +237,36 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("t09 curation keep-list anti-join broadcasts the small drop side") {
+    // the drop-list (non-survivor near-dup members) is a small fraction of
+    // the corpus — Catalyst must broadcast it, not shuffle the corpus
+    val df = graft.operators.TextOps.curatedCorpus(spark, "/root/testdata/sf0.001")
+    val p = finalPlan(df)
+    val anti = p.linesIterator.filter(_.contains("LeftAnti")).toSeq
+    assert(anti.nonEmpty, s"keep-list anti-join missing:\n$p")
+    assert(anti.exists(_.contains("BroadcastHashJoin")),
+      s"keep-list anti-join does not broadcast the drop side:\n${anti.mkString("\n")}")
+  }
+
+  test("image near-dup pair exchanges carry ids+phash only (no payload columns)") {
+    import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64, concat}
+    val base = spark.range(0, 200).selectExpr(
+      "concat('http://imgs/x-', id) AS image_id",
+      "xxhash64(concat('p', id)) AS phash")
+    val copies = base.where(pmod(xxhash64(col("image_id")), lit(5)) === 0)
+      .select(concat(col("image_id"), lit("?copy")).as("image_id"), col("phash"))
+    val pairs = graft.operators.ImageOps.nearDupPhash(base.unionByName(copies))
+    val p = finalPlan(pairs)
+    // every Exchange row must mention only id/phash/block columns — a
+    // bytes/caption column leaking onto the pair exchange would be the
+    // payload-shuffle scale bug this plan exists to avoid
+    p.linesIterator.filter(_.trim.startsWith("+- Exchange")).foreach { l =>
+      assert(!l.contains("bytes") && !l.contains("caption"),
+        s"payload column on a pair exchange: $l")
+    }
+    assert(pairs.collect().nonEmpty, "planted copies produced no pairs")
+  }
+
   test("t05 shingle index is served once via ReuseExchange (five consumers)") {
     // the distinct shingle index feeds sizes, the df-cap, and both
     // self-join sides; an explicit persist measured SLOWER than letting
