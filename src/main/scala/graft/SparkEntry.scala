@@ -150,6 +150,8 @@ object SparkEntry {
     }),
     "c14_stream_dedupe" -> ((s, _) =>
       graft.streaming.StreamingJobs.dedupeDemo(s)),
+    "c18_stream_copydetect" -> ((s, d) =>
+      graft.streaming.StreamingJobs.copyDetectDemo(s, d)),
     "c15_crossmodal_neardup" -> ((s, _) => {
       import s.implicits._
       // image side: phashes of frame 0/8 of the first videos PLANTED as

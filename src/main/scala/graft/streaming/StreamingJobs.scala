@@ -256,4 +256,68 @@ object StreamingJobs {
     } finally q.stop()
     spark.table(name).orderBy("host", "slot")
   }
+
+  /** Streaming copy-detection — the ONLINE form of the news-diff
+    * "is this article a copy of an earlier one" check, wired through the
+    * persisted similarity index (SimIndex): every micro-batch of incoming
+    * documents is shingled and appended as its own mini-epoch, then probed
+    * against the ENTIRE corpus-so-far (earlier epochs are never
+    * re-shingled). foreachBatch is the right streaming primitive here: the
+    * probe is a batch join against an external, growing table — exactly
+    * the pattern Structured Streaming documents for stream-static joins
+    * whose static side must advance transactionally with the stream.
+    * Per-batch pair output lands under `root/copy_pairs/epoch=N` (same
+    * per-epoch overwrite idempotence as every other sink in the engine).
+    */
+  def streamingCopyDetect(
+      docs: Dataset[(Long, String)],
+      root: String,
+      startEpoch: Int): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.toDF("doc_id", "text").writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", ckptDir(s"copydetect_$startEpoch"))
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val epoch = startEpoch + batchId.toInt
+        graft.operators.SimIndex.writeShingleIndex(batch, root, epoch)
+        graft.operators.SimIndex.crossEpochNearDups(spark, root, epoch)
+          .write.mode("overwrite").parquet(s"$root/copy_pairs/epoch=$epoch")
+      }
+      .start()
+
+  /** Driver-contract demo (c18): epoch 0 = half the documents table,
+    * indexed batch-side; the stream delivers the other half in two
+    * micro-batches, the second carrying planted near-copies of epoch-0
+    * docs — which the probe must flag as cross-epoch copies. Golden
+    * equality per batch vs full recompute is pinned in StreamingSpec.
+    */
+  def copyDetectDemo(spark: SparkSession, dir: String): DataFrame =
+    withFewStatePartitions(spark) { copyDetectDemoImpl(spark, dir) }
+
+  private def copyDetectDemoImpl(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft-c18").toString
+    val docs = spark.read.parquet(s"$dir/documents.parquet").select("doc_id", "text")
+    val e0 = docs.where(pmod(col("doc_id"), lit(2)) === 0)
+    graft.operators.SimIndex.writeShingleIndex(e0, root, 0)
+    val rest = docs.where(pmod(col("doc_id"), lit(2)) === 1)
+      .as[(Long, String)].collect()
+    val planted = e0.where(pmod(col("doc_id"), lit(20)) === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(col("text"), lit(" appended revision marker tokens")).as("text"))
+      .as[(Long, String)].collect()
+    val stream = MemoryStream[(Long, String)]
+    val q = streamingCopyDetect(stream.toDS(), root, startEpoch = 1)
+    try {
+      stream.addData(rest.toIndexedSeq)
+      q.processAllAvailable()
+      stream.addData(planted.toIndexedSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    spark.read.parquet(s"$root/copy_pairs")
+      .select(col("doc_a"), col("doc_b"), col("n_inter"), col("n_union"),
+        col("epoch").as("found_in_batch"))
+      .orderBy("doc_a", "doc_b")
+  }
 }

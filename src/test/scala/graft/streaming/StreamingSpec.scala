@@ -84,4 +84,32 @@ class StreamingSpec extends AnyFunSuite {
       s"row count ${got.length} != distinct hashes ${want.length}")
     assert(got.toSeq == want, "streaming dedupe != first-arrival mirror")
   }
+
+  test("streaming copy-detection == per-epoch batch probe of the persisted index") {
+    val dir = "/root/testdata/sf0.001"
+    val out = graft.streaming.StreamingJobs.copyDetectDemo(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getInt(4))).toSet
+    // mirror: rebuild the same 3-mini-epoch index batch-side and probe per
+    // epoch — the stream must produce exactly these pairs in these batches
+    // (crossEpochNearDups itself is golden vs full recompute in
+    // SimIndexSpec, so transitively the stream equals full recompute)
+    import org.apache.spark.sql.functions._
+    val root = graft.SparkTestBase.tempDir("graft-c18-mirror")
+    val docs = spark.read.parquet(s"$dir/documents.parquet").select("doc_id", "text")
+    val e0 = docs.where(pmod(col("doc_id"), lit(2)) === 0)
+    val e1 = docs.where(pmod(col("doc_id"), lit(2)) === 1)
+    val e2 = e0.where(pmod(col("doc_id"), lit(20)) === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(col("text"), lit(" appended revision marker tokens")).as("text"))
+    graft.operators.SimIndex.writeShingleIndex(e0, root, 0)
+    graft.operators.SimIndex.writeShingleIndex(e1, root, 1)
+    graft.operators.SimIndex.writeShingleIndex(e2, root, 2)
+    val expected = (1 to 2).flatMap { e =>
+      graft.operators.SimIndex.crossEpochNearDups(spark, root, e)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), e))
+    }.toSet
+    assert(out == expected, s"stream pairs diverged (out=${out.size}, exp=${expected.size})")
+    assert(out.exists(_._5 == 2), "planted copies not flagged in their arrival batch")
+  }
 }
