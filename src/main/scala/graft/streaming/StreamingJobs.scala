@@ -298,7 +298,10 @@ object StreamingJobs {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val root = java.nio.file.Files.createTempDirectory("graft-c18").toString
-    val docs = spark.read.parquet(s"$dir/documents.parquet").select("doc_id", "text")
+    // demo runs on a deterministic quarter of the table: the semantics are
+    // what the golden pins; the full-corpus cost story belongs to t05/c16
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text").where(pmod(col("doc_id"), lit(4)) < 2)
     val e0 = docs.where(pmod(col("doc_id"), lit(2)) === 0)
     graft.operators.SimIndex.writeShingleIndex(e0, root, 0)
     val rest = docs.where(pmod(col("doc_id"), lit(2)) === 1)

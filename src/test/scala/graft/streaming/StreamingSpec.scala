@@ -96,7 +96,8 @@ class StreamingSpec extends AnyFunSuite {
     // SimIndexSpec, so transitively the stream equals full recompute)
     import org.apache.spark.sql.functions._
     val root = graft.SparkTestBase.tempDir("graft-c18-mirror")
-    val docs = spark.read.parquet(s"$dir/documents.parquet").select("doc_id", "text")
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text").where(pmod(col("doc_id"), lit(4)) < 2) // demo's corpus slice
     val e0 = docs.where(pmod(col("doc_id"), lit(2)) === 0)
     val e1 = docs.where(pmod(col("doc_id"), lit(2)) === 1)
     val e2 = e0.where(pmod(col("doc_id"), lit(20)) === 0)
