@@ -232,6 +232,18 @@ object Cuckoo64 {
     while (i < table.length) { table(i) = bb.getLong; i += 1 }
     table
   }
+
+  /** Bucket count of a serialized sidecar (the header int) — lets a caller
+    * build new tables at the shape of an already-persisted cumulative
+    * sidecar. Fingerprint re-seating (merge) is only defined between equal
+    * bucket counts: a stored bucket index is `hash & (buckets-1)`, so a
+    * fingerprint's legal positions in a differently-masked table are NOT
+    * derivable from its position here — cross-shape migration would break
+    * the `contains` contract. Shape agreement is therefore a merge
+    * precondition, enforced by mergeInto's require.
+    */
+  def tableBucketsOf(bytes: Array[Byte]): Int =
+    java.nio.ByteBuffer.wrap(bytes).getInt
 }
 
 /** Typed Aggregator building one cuckoo filter per group — the deletable
@@ -241,9 +253,13 @@ object Cuckoo64 {
   * aggregation applies and the shuffle carries one fixed-size table per
   * (partition, bucket).
   */
-class CuckooAgg(expectedItems: Long)
+class CuckooAgg(expectedItems: Long, tableBuckets: Int = 0)
     extends Aggregator[Long, Array[Long], Array[Byte]] {
-  private val numBuckets = Cuckoo64.numBucketsFor(expectedItems)
+  // tableBuckets > 0 pins the exact table shape (power of two) — required
+  // when the output will merge into an existing sidecar of that shape (see
+  // Cuckoo64.tableBucketsOf); otherwise size for expectedItems at ~95% load.
+  private val numBuckets =
+    if (tableBuckets > 0) tableBuckets else Cuckoo64.numBucketsFor(expectedItems)
 
   override def zero: Array[Long] = Cuckoo64.alloc(numBuckets)
   override def reduce(buf: Array[Long], item: Long): Array[Long] = {

@@ -152,7 +152,8 @@ object CrawlPipeline {
       numBuckets: Int = 16,
       outlinkFanout: Int = 2,
       fetchPartitions: Int = 32,
-      sidecar: String = "bloom"): Seq[EpochSummary] = {
+      sidecar: String = "bloom",
+      sidecarPerBucket: Long = 0L): Seq[EpochSummary] = {
     require(sidecar == "bloom" || sidecar == "cuckoo", s"unknown sidecar kind: $sidecar")
     import spark.implicits._
     val start = Snapshots.latestCommittedEpoch(root) + 1
@@ -214,33 +215,71 @@ object CrawlPipeline {
         .select(col("url_hash"), col("host"), lit(epoch).as("first_epoch"))
         .as[SeenEntry]
       SeenStore.append(newSeen, root, epoch)
-      val perBucket = math.max(1024L, seedsPerEpoch.toLong)
+      val perBucket =
+        if (sidecarPerBucket > 0L) sidecarPerBucket
+        else math.max(1024L, seedsPerEpoch.toLong)
       if (sidecar == "cuckoo") {
-        val epochCuckoos = SeenStore.buildCuckoos(newSeen, numBuckets, perBucket)
-          .collect().map(r => r.getInt(0) -> r.getAs[Array[Byte]](1)).toMap
+        import graft.functions.Cuckoo64
+        // Per-epoch tables MUST share the loaded cumulative sidecar's table
+        // shape: fingerprint re-seating is only defined between equal
+        // bucket counts (a stored index is hash & mask — positions in a
+        // differently-masked table are not derivable), so after a
+        // saturation rebuild has grown the persisted tables, new epochs
+        // build at the grown shape, not the seed capacity. Building at
+        // perBucket here would throw "cuckoo shape mismatch" on the first
+        // post-rebuild merge.
+        val loadedShape =
+          if (sidecars.isEmpty) 0
+          else sidecars.valuesIterator.map(Cuckoo64.tableBucketsOf).max
+        val epochCuckoos =
+          SeenStore.buildCuckoos(newSeen, numBuckets, perBucket, loadedShape)
+            .collect().map(r => r.getInt(0) -> r.getAs[Array[Byte]](1)).toMap
         var merged = SeenStore.mergeCuckooMaps(sidecars, epochCuckoos)
         // The merge accumulates every epoch's URLs into a fixed-capacity
         // table; once a bucket saturates its overflow flag makes every
         // probe answer "maybe" — correct (rows route to the exact
         // anti-join) but the sidecar benefit silently vanishes. Make
-        // saturation observable AND self-healing: rebuild overflowed roots
-        // from the full committed seen set at a capacity sized for it.
-        val overflowed = merged.filter { case (_, bytes) =>
-          graft.functions.Cuckoo64.isOverflowed(
-            graft.functions.Cuckoo64.deserialize(bytes))
-        }.keys.toSeq.sorted
+        // saturation observable AND self-healing: rebuild from the full
+        // seen set at a larger shape, sized on the OBSERVED max per-bucket
+        // occupancy — buckets are host-keyed over a Zipf-skewed host set,
+        // so the saturated bucket can sit far above total/numBuckets and
+        // an average-sized rebuild may re-saturate immediately (repeating
+        // the O(total-seen) rebuild every epoch for nothing).
+        def overflowedIn(m: Map[Int, Array[Byte]]): Seq[Int] =
+          m.filter { case (_, bytes) =>
+            Cuckoo64.isOverflowed(Cuckoo64.deserialize(bytes))
+          }.keys.toSeq.sorted
+        var overflowed = overflowedIn(merged)
         if (overflowed.nonEmpty) {
           // committed epochs + THIS epoch's (not-yet-committed) entries —
           // a rebuild that missed newSeen would give those URLs a false
           // "definitely fresh" next epoch, skipping the exact anti-join
           val allSeen = SeenStore.load(spark, root).union(newSeen)
-          val total = allSeen.count()
-          val grown = math.max(perBucket, 2L * total / numBuckets)
-          System.err.println(s"[graft] cuckoo sidecar saturated in buckets " +
-            s"${overflowed.mkString(",")} at epoch $epoch — rebuilding from " +
-            s"$total seen URLs at capacity $grown/bucket")
-          merged = SeenStore.buildCuckoos(allSeen, numBuckets, grown)
-            .collect().map(r => r.getInt(0) -> r.getAs[Array[Byte]](1)).toMap
+          val perBucketCounts = allSeen
+            .groupBy(SeenStore.bucketOf(col("host"), numBuckets).as("hb"))
+            .agg(count(lit(1)).as("n")).as[(Int, Long)].collect()
+          val total = perBucketCounts.map(_._2).sum
+          val maxPer = perBucketCounts.map(_._2).max
+          val curShape = math.max(loadedShape, Cuckoo64.numBucketsFor(perBucket))
+          // 25% headroom over the fullest bucket, and at least double the
+          // current shape (geometric growth bounds total rebuild work over
+          // the crawl's lifetime to O(final-seen-set))
+          var shape = math.max(
+            Cuckoo64.numBucketsFor(maxPer + maxPer / 4), 2 * curShape)
+          var attempt = 0
+          while (overflowed.nonEmpty && attempt < 3) {
+            System.err.println(s"[graft] cuckoo sidecar saturated in buckets " +
+              s"${overflowed.mkString(",")} at epoch $epoch — rebuilding from " +
+              s"$total seen URLs (max $maxPer/bucket) at $shape table buckets")
+            merged = SeenStore.buildCuckoos(allSeen, numBuckets, perBucket, shape)
+              .collect().map(r => r.getInt(0) -> r.getAs[Array[Byte]](1)).toMap
+            overflowed = overflowedIn(merged)
+            if (overflowed.nonEmpty) { shape *= 2; attempt += 1 }
+          }
+          if (overflowed.nonEmpty)
+            System.err.println(s"[graft] cuckoo sidecar healing FAILED at epoch " +
+              s"$epoch: buckets ${overflowed.mkString(",")} still saturated — " +
+              s"their rows route to the exact anti-join (correct, unaided)")
         }
         merged.toSeq.toDF("host_bucket", "cuckoo")
           .coalesce(1).write.mode("overwrite").parquet(s"$root/cuckoo/epoch=$epoch")

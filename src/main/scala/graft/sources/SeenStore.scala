@@ -79,8 +79,9 @@ object SeenStore {
   def buildCuckoos(
       seen: Dataset[SeenEntry],
       numBuckets: Int,
-      expectedPerBucket: Long): DataFrame = {
-    val cuckooUdaf = udaf(new graft.functions.CuckooAgg(expectedPerBucket))
+      expectedPerBucket: Long,
+      tableBuckets: Int = 0): DataFrame = {
+    val cuckooUdaf = udaf(new graft.functions.CuckooAgg(expectedPerBucket, tableBuckets))
     seen
       .withColumn("host_bucket", bucketOf(col("host"), numBuckets))
       .groupBy("host_bucket")

@@ -175,6 +175,44 @@ class PipelineResumeSpec extends AnyFunSuite {
     }
   }
 
+  test("cuckoo saturation self-heal survives post-rebuild epochs (shape-matched merge)") {
+    // Force saturation: sidecarPerBucket=16 sizes each table at 8 buckets x
+    // 4 slots = 32 fingerprints, while ~700/16 hashes land per host bucket
+    // per epoch — epoch 0 overflows, triggering the rebuild; epochs 1-2 then
+    // exercise the post-rebuild merge path (per-epoch tables must be built
+    // at the GROWN persisted shape or Cuckoo64.mergeInto throws).
+    val rootB = tempDir("graft-bloomsat")
+    val rootC = tempDir("graft-cuckoosat")
+    CrawlPipeline.run(spark, rootB, untilEpoch = 2, seedsPerEpoch = 700, cfg)
+    CrawlPipeline.run(spark, rootC, untilEpoch = 2, seedsPerEpoch = 700, cfg,
+      sidecar = "cuckoo", sidecarPerBucket = 16L)
+    def schedule(root: String, e: Int): Vector[(Long, Int, Long)] =
+      spark.read.parquet(s"$root/scheduled/epoch=$e")
+        .select("url_hash", "slot", "scheduled_at_ms")
+        .as[(Long, Int, Long)].collect().sortBy(x => (x._3, x._1)).toVector
+    (0 to 2).foreach(e =>
+      assert(schedule(rootB, e) == schedule(rootC, e), s"schedule diverges epoch $e"))
+    val tables = graft.sources.SeenStore.loadCuckoos(spark, rootC, 2)
+    assert(tables.nonEmpty, "no cuckoo sidecar written")
+    // the rebuild really ran: persisted tables outgrew the seed shape and
+    // healing succeeded (skew-aware sizing left no bucket saturated)
+    val seedShape = graft.functions.Cuckoo64.numBucketsFor(16L)
+    val shapes = tables.values.map(graft.functions.Cuckoo64.tableBucketsOf)
+    assert(shapes.forall(_ > seedShape),
+      s"expected grown tables, got shapes ${shapes.toSeq.sorted} (seed $seedShape)")
+    tables.values.foreach(bytes => assert(
+      !graft.functions.Cuckoo64.isOverflowed(graft.functions.Cuckoo64.deserialize(bytes)),
+      "rebuild left a saturated bucket — skew-aware sizing failed"))
+    // no false negatives across the whole history
+    val seenRows = spark.read.parquet(s"$rootC/url_seen")
+      .select("url_hash", "host").as[(Long, String)].collect()
+    seenRows.foreach { case (h, host) =>
+      val bucket = ((graft.operators.CrawlOracle.xxhash64(host) % 16 + 16) % 16).toInt
+      val t = graft.functions.Cuckoo64.deserialize(tables(bucket))
+      assert(graft.functions.Cuckoo64.contains(t, h), s"seen hash $h missing after rebuild")
+    }
+  }
+
   test("crash mid-epoch (all state written, manifest missing) resumes to identical state") {
     val rootA = tempDir("graft-crash-straight")
     val rootB = tempDir("graft-crash-resume")
