@@ -215,6 +215,41 @@ object TextKit {
     0.4 * lenScore + 0.4 * alphaRatio + 0.2 * stopScore
   }
 
+  /** Remove repeated-span extents from a document — the corpus ACTION of
+    * the repeated-span screen (Lee et al. ACL 2022 clip the shared
+    * substring and keep the rest; doc-level drop over-deletes on partial
+    * overlap). `extents` are (firstAnchorOff, lastAnchorOff) pairs in BYTE
+    * offsets as emitted by the winnowed-anchor pair aggregation: an anchor
+    * at offset o covers window bytes [o, o+k), so extent (f, t) clips
+    * [f, t+k). Overlapping/adjacent extents are merged first; offsets are
+    * clamped to the document; the surviving byte runs are re-decoded as
+    * UTF-8. Shared by the Spark operator's UDF and the single-threaded
+    * mirror (kernel-parity discipline).
+    */
+  def clipSpans(text: String, extents: Seq[(Int, Int)], k: Int = 50): String = {
+    if (text == null || extents.isEmpty) return text
+    val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val ranges = extents
+      .map { case (f, t) => (math.max(0, f), math.min(bytes.length, t + k)) }
+      .filter { case (f, t) => t > f }
+      .sorted
+    if (ranges.isEmpty) return text
+    val merged = scala.collection.mutable.ArrayBuffer[(Int, Int)](ranges.head)
+    ranges.tail.foreach { case (f, t) =>
+      val (lf, lt) = merged.last
+      if (f <= lt) merged(merged.length - 1) = (lf, math.max(lt, t))
+      else merged += ((f, t))
+    }
+    val out = new java.io.ByteArrayOutputStream(bytes.length)
+    var pos = 0
+    merged.foreach { case (f, t) =>
+      out.write(bytes, pos, f - pos)
+      pos = t
+    }
+    out.write(bytes, pos, bytes.length - pos)
+    new String(out.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
+  }
+
   /** Tiny n-gram language-ID heuristic over a fixed marker table. */
   def langId(text: String): String = {
     val toks = tokenize(text).take(400)
