@@ -83,16 +83,25 @@ object ImageOps {
     * component resolution works on 8-byte keys (the engine's universal
     * identity discipline); the string ids ride along for readability.
     */
-  def nearDupPhash(images: DataFrame, maxHamming: Int = 3): DataFrame = {
+  /** The 4x16-bit phash block rows of an (image_id, phash) table — the
+    * shared blocking kernel of [[nearDupPhash]] and the persisted
+    * SimIndex.writePhashIndex (the two MUST agree so a persisted index is
+    * probe-compatible with the in-memory operator).
+    */
+  def phashBlocks(images: DataFrame): DataFrame = {
     val base = images.select(col("image_id"), col("phash"),
       xxhash64(col("image_id")).as("img_hash"))
-    val blocked = base.select(col("image_id"), col("phash"), col("img_hash"),
+    base.select(col("image_id"), col("phash"), col("img_hash"),
       explode(array((0 until 4).map(b =>
         struct(lit(b).as("blk"),
           shiftrightunsigned(col("phash"), b * 16).bitwiseAND(lit(0xffffL)).as("key"))).toIndexedSeq: _*))
         .as("block"))
       .select(col("image_id"), col("phash"), col("img_hash"),
         col("block.blk").as("blk"), col("block.key").as("key"))
+  }
+
+  def nearDupPhash(images: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val blocked = phashBlocks(images)
     blocked.as("a").join(blocked.as("b"),
         col("a.blk") === col("b.blk") && col("a.key") === col("b.key") &&
           col("a.img_hash") < col("b.img_hash"))

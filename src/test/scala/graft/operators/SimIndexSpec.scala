@@ -109,6 +109,38 @@ class SimIndexSpec extends AnyFunSuite {
     assert(inc.exists(p => p._2 >= 1000000L), "planted cross-epoch copy not found")
   }
 
+  test("cross-epoch image near-dup through the persisted phash index equals full recompute") {
+    val root = tempDir("graft-phashidx")
+    import spark.implicits._
+    // deterministic synthetic image table: random-ish 64-bit phashes are
+    // ~never within hamming 3 of each other, so the only pairs are the
+    // planted exact copies (same pixels re-crawled under a tracking URL)
+    def img(i: Int): (String, Long) =
+      (s"http://h${i % 7}.example/img-$i",
+        graft.functions.ImageKit.mix64(i.toLong * 2654435761L + 13L))
+    val e0 = spark.createDataset((0 until 60).map(img)).toDF("image_id", "phash")
+    val e1 = spark.createDataset((60 until 100).map(img)).toDF("image_id", "phash")
+      .unionByName(e0.where(pmod(xxhash64(col("image_id")), lit(5)) === 0)
+        .select(concat(col("image_id"), lit("?utm=copy")).as("image_id"), col("phash")))
+    def collectP(df: DataFrame): Set[(String, String, Long, Long, Int)] =
+      df.select("image_a", "image_b", "img_a", "img_b", "hamming").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getInt(4)))
+        .toSet
+    var sawCross = false
+    for ((df, e) <- Seq(e0, e1).zipWithIndex) {
+      SimIndex.writePhashIndex(df, root, e)
+      val inc = collectP(SimIndex.crossEpochNearDupPhash(spark, root, e))
+      val corpusSoFar = (0 to e).map(Seq(e0, e1)).reduce(_ unionByName _)
+      val eIds = df.select("image_id").collect().map(_.getString(0)).toSet
+      val full = collectP(ImageOps.nearDupPhash(corpusSoFar))
+        .filter(p => eIds.contains(p._1) || eIds.contains(p._2))
+      assert(inc == full, s"epoch $e: incremental phash probe != full recompute " +
+        s"(inc=${inc.size}, full=${full.size})")
+      sawCross ||= inc.exists(p => !(eIds.contains(p._1) && eIds.contains(p._2)))
+    }
+    assert(sawCross, "no cross-epoch image pair surfaced — plant broken")
+  }
+
   test("persisted IVF index probe equals the in-memory IVF ANN") {
     val root = tempDir("graft-ivfindex")
     val e = spark.read.parquet(s"$dir/embeddings.parquet")
@@ -117,7 +149,7 @@ class SimIndexSpec extends AnyFunSuite {
     SimIndex.writeIvfIndex(e, root, 0, nClusters = kLists, nIter = 2)
     val queries = e.where(col("vec_id") < 3)
       .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
-    val probeN = math.max(4, kLists / 4)
+    val probeN = math.min(64, math.max(4, kLists / 4)) // annIvfTopK's bounded default
     val probed = SimIndex.probeIvf(spark, root, 0, 0, e, queries, nProbe = probeN)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
     val mem = SimilarityOps.annIvfTopK(spark, dir)
