@@ -153,7 +153,8 @@ object CrawlPipeline {
       outlinkFanout: Int = 2,
       fetchPartitions: Int = 32,
       sidecar: String = "bloom",
-      sidecarPerBucket: Long = 0L): Seq[EpochSummary] = {
+      sidecarPerBucket: Long = 0L,
+      compactSeenEvery: Int = 8): Seq[EpochSummary] = {
     require(sidecar == "bloom" || sidecar == "cuckoo", s"unknown sidecar kind: $sidecar")
     import spark.implicits._
     val start = Snapshots.latestCommittedEpoch(root) + 1
@@ -305,6 +306,11 @@ object CrawlPipeline {
       scheduled.unpersist()
       // the atomic commit point: everything above is now at rest
       Snapshots.commitManifest(root, epoch, summary.n_rows, summary.n_partitions)
+      // periodic seen-store compaction AFTER the commit (its input is then
+      // fully committed; a crash mid-compaction leaves no _SUCCESS and the
+      // next load falls back to the previous compact + a longer tail)
+      if (compactSeenEvery > 0 && (epoch + 1) % compactSeenEvery == 0)
+        SeenStore.compact(spark, root, epoch)
       EpochSummary(epoch, nScheduled, nScheduled, nRevised)
     }
   }

@@ -213,6 +213,48 @@ class PipelineResumeSpec extends AnyFunSuite {
     }
   }
 
+  test("seen-store compaction mid-history: identical crawl, narrowed read path, crash-safe") {
+    val rootA = tempDir("graft-nocompact")
+    val rootB = tempDir("graft-compact")
+    // A: compaction never fires (default cadence 8 > 3 epochs);
+    // B: compacts after EVERY epoch — every dedupe from epoch 1 on reads
+    // compact + 1-epoch tail instead of the full epoch-dir union
+    CrawlPipeline.run(spark, rootA, untilEpoch = 2, seedsPerEpoch = 600, cfg)
+    CrawlPipeline.run(spark, rootB, untilEpoch = 2, seedsPerEpoch = 600, cfg,
+      compactSeenEvery = 1)
+    def seenSet(root: String): Set[(Long, Int)] =
+      spark.read.parquet(s"$root/url_seen").select("url_hash", "first_epoch")
+        .as[(Long, Int)].collect().toSet
+    def schedule(root: String, e: Int): Vector[(Long, Int, Long)] =
+      spark.read.parquet(s"$root/scheduled/epoch=$e")
+        .select("url_hash", "slot", "scheduled_at_ms")
+        .as[(Long, Int, Long)].collect().sortBy(x => (x._3, x._1)).toVector
+    assert(seenSet(rootA) == seenSet(rootB), "seen sets diverge under compaction")
+    (0 to 2).foreach(e =>
+      assert(schedule(rootA, e) == schedule(rootB, e), s"schedule diverges epoch $e"))
+    // compacts completed (gated on _SUCCESS) and load() returns the same
+    // set through the compact+tail path as the raw epoch union
+    assert(graft.sources.SeenStore.latestCompactEpoch(rootB, Int.MaxValue) == 2)
+    val viaLoad = graft.sources.SeenStore.load(spark, rootB)
+      .select("url_hash", "first_epoch").as[(Long, Int)].collect().toSet
+    assert(viaLoad == seenSet(rootB), "compact+tail load != raw epoch union")
+    // crash after epoch-2 compaction but before... (manifest deleted): the
+    // epoch-2 compact must be IGNORED (> committed) and resume converge
+    java.nio.file.Files.delete(java.nio.file.Paths.get(s"$rootB/_manifests/epoch-2.json"))
+    assert(graft.sources.SeenStore.latestCompactEpoch(rootB, 1) == 1)
+    CrawlPipeline.run(spark, rootB, untilEpoch = 2, seedsPerEpoch = 600, cfg,
+      compactSeenEvery = 1)
+    assert(seenSet(rootA) == seenSet(rootB), "post-resume seen set diverged")
+    assert(schedule(rootA, 2) == schedule(rootB, 2), "post-resume schedule diverged")
+    // a HALF-WRITTEN compact (no _SUCCESS) is invisible to the read path
+    val half = s"$rootB/url_seen_compact/epoch=9"
+    new java.io.File(half).mkdirs()
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$half/part-junk.parquet"),
+      Array[Byte](1, 2, 3))
+    assert(graft.sources.SeenStore.latestCompactEpoch(rootB, Int.MaxValue) == 2,
+      "partial compact without _SUCCESS was not ignored")
+  }
+
   test("crash mid-epoch (all state written, manifest missing) resumes to identical state") {
     val rootA = tempDir("graft-crash-straight")
     val rootB = tempDir("graft-crash-resume")
