@@ -125,7 +125,11 @@ object ScalingBench {
         val seenN = n / 4
         val seenPath =
           s"${SparkEnv.localDir.getOrElse(System.getProperty("java.io.tmpdir"))}/seen-$seenN"
-        if (!new java.io.File(seenPath).exists())
+        // reuse is gated on the _SUCCESS marker, not bare dir existence: a
+        // run killed mid-write leaves a partial parquet directory that a
+        // bare exists() check would silently read, skewing every
+        // subsequent sidecar bench against a wrong seen set
+        if (!new java.io.File(s"$seenPath/_SUCCESS").exists())
           FrontierJob.canonicalizeFrontier(Gen.seeds(spark, seenN, inputParts))
             .select(col("url_hash"), col("host"), lit(0).as("first_epoch"))
             .write.mode("overwrite").parquet(seenPath)
