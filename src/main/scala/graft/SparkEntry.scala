@@ -94,6 +94,7 @@ object SparkEntry {
     "t07_dedup_resolve" -> ((s, d) => operators.DedupResolve.resolveNgramDups(s, d)),
     "t08_dedup_corpus" -> ((s, d) => operators.DedupResolve.dedupedCorpus(s, d)),
     "t09_corpus_curation" -> ((s, d) => TextOps.curatedCorpus(s, d)),
+    "t10_span_clip" -> ((s, d) => TextOps.spanClippedCorpus(s, d)),
     "t04_neardup_simhash" -> ((s, d) => TextOps.nearDupSimhash(s, d)),
     "emb01_cosine_topk" -> ((s, d) => SimilarityOps.bruteCosineTopK(s, d)),
     "emb02_ann_lsh" -> ((s, d) => SimilarityOps.annLshTopK(s, d)),
@@ -198,6 +199,23 @@ object SparkEntry {
         .select(concat(col("image_id"), lit("?utm=copy")).as("image_id"), col("phash"))
       ImageOps.dedupImageCorpus(base.unionByName(copies))
         .select("image_id", "phash").orderBy("image_id")
+    }),
+    "c19_image_index" -> ((s, _) => {
+      // persisted-index cross-epoch image near-dup (SimIndex phash_blocks):
+      // epoch-1 images probe the PERSISTED epoch-0 block index without
+      // re-blocking it — the c16/D10 pattern applied to the image payload;
+      // incremental == full-recompute golden is pinned in SimIndexSpec
+      val root = java.nio.file.Files.createTempDirectory("graft-c19").toString
+      val base = diffHistory(s, 60).where(col("epoch") === 2)
+        .select("image_id", "phash")
+      val e0 = base.where(pmod(xxhash64(col("image_id")), lit(2)) === 0)
+      val e1 = base.where(pmod(xxhash64(col("image_id")), lit(2)) === 1)
+        .unionByName(e0.where(pmod(xxhash64(col("image_id")), lit(5)) === 0)
+          .select(concat(col("image_id"), lit("?utm=copy")).as("image_id"), col("phash")))
+      operators.SimIndex.writePhashIndex(e0, root, 0)
+      operators.SimIndex.writePhashIndex(e1, root, 1)
+      operators.SimIndex.crossEpochNearDupPhash(s, root, 1)
+        .orderBy("image_a", "image_b")
     }),
     "c12_frame_sample" -> ((s, _) =>
       MediaOps.frameSample(Gen.media(s, 60)).toDF()
@@ -518,6 +536,30 @@ object SparkEntry {
           |  AND len(regexp_split_to_array(trim(text), '\s+')) >= 32
           |  AND round(CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS DOUBLE)
           |    / greatest(length(text), 1), 4) <= 0.1""".stripMargin),
+    // emb01: brute cosine top-k IS plain SQL (round-4 verdict "missing
+    // #4"). The cosine mirrors the Spark column arithmetic exactly —
+    // per-element double casts, sequential list sums, dot/(norm*norm) —
+    // so the UNROUNDED score ranks identically; ties break on vec_id in
+    // both engines and the displayed cos rounds to 4dp after ranking.
+    "emb01_cosine_topk" ->
+      """WITH q AS (
+        |  SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 3
+        |), scored AS (
+        |  SELECT q.query_id, e.vec_id,
+        |    list_aggregate(list_transform(generate_series(1, len(e.embedding)),
+        |      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qvec[i] AS DOUBLE)), 'sum')
+        |    / (sqrt(list_aggregate(list_transform(e.embedding,
+        |         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
+        |     * sqrt(list_aggregate(list_transform(q.qvec,
+        |         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))) AS cos
+        |  FROM embeddings e, q
+        |  WHERE e.vec_id <> q.query_id
+        |)
+        |SELECT query_id, vec_id, round(cos, 4) AS cos, rank FROM (
+        |  SELECT query_id, vec_id, cos,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rank
+        |  FROM scored
+        |) WHERE rank <= 5""".stripMargin,
     "t01_text_quality" ->
       """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_act,
         |CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
