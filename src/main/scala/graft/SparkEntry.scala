@@ -85,6 +85,11 @@ object SparkEntry {
     "q28_from_json" -> ((s, d) => Relational.jsonStruct(s, d)),
     "q29_range_frame" -> ((s, d) => Relational.windowRangeFrame(s, d)),
     "q30_scalar_subquery" -> ((s, d) => Relational.scalarSubquery(s, d)),
+    "q31_grouping_sets" -> ((s, d) => Relational.groupingSets(s, d)),
+    "q32_window_dist" -> ((s, d) => Relational.windowDistribution(s, d)),
+    "q33_conditional_agg" -> ((s, d) => Relational.conditionalAgg(s, d)),
+    "q34_string_agg" -> ((s, d) => Relational.stringAggNations(s, d)),
+    "q35_unpivot" -> ((s, d) => Relational.unpivotMeasures(s, d)),
     "t01_text_quality" -> ((s, d) => TextOps.qualityStats(s, d)),
     // ---- training-data ops, non-SQL parts (rows-only + scalatest) -----
     "t02_text_profile" -> ((s, d) => TextOps.textProfile(s, d)),
@@ -536,6 +541,37 @@ object SparkEntry {
           |  AND len(regexp_split_to_array(trim(text), '\s+')) >= 32
           |  AND round(CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS DOUBLE)
           |    / greatest(length(text), 1), 4) <= 0.1""".stripMargin),
+    "q31_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        |round(sum(o_totalprice), 2) AS total
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())""".stripMargin,
+    "q32_window_dist" ->
+      """SELECT event_id, user_id,
+        |percent_rank() OVER w AS pct_rank,
+        |cume_dist() OVER w AS cdist,
+        |coalesce(nth_value(event_id, 3) OVER w, -1) AS third_event
+        |FROM events WINDOW w AS (PARTITION BY user_id ORDER BY value ASC, event_id ASC)""".stripMargin,
+    "q33_conditional_agg" ->
+      """SELECT l_returnflag,
+        |count(*) FILTER (WHERE l_discount > 0.05) AS n_disc,
+        |round(sum(CASE WHEN l_quantity > 25 THEN l_extendedprice ELSE 0.0 END), 2) AS px_bulk,
+        |count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "q34_string_agg" ->
+      """SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
+        |string_agg(c_name, ',' ORDER BY c_name) AS names,
+        |count(*) AS n
+        |FROM customer WHERE c_custkey <= 200 GROUP BY 1""".stripMargin,
+    "q35_unpivot" ->
+      """WITH agg AS (
+        |  SELECT l_returnflag, round(sum(l_quantity),2) AS sum_qty,
+        |  round(sum(l_extendedprice),2) AS sum_price, round(sum(l_discount),2) AS sum_disc
+        |  FROM lineitem GROUP BY l_returnflag
+        |)
+        |SELECT l_returnflag, 'qty' AS measure, sum_qty AS val FROM agg
+        |UNION ALL SELECT l_returnflag, 'price' AS measure, sum_price AS val FROM agg
+        |UNION ALL SELECT l_returnflag, 'disc' AS measure, sum_disc AS val FROM agg""".stripMargin,
     // emb01: brute cosine top-k IS plain SQL (round-4 verdict "missing
     // #4"). The cosine mirrors the Spark column arithmetic exactly —
     // per-element double casts, sequential list sums, dot/(norm*norm) —

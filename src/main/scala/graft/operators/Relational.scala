@@ -310,6 +310,74 @@ object Relational {
       .groupBy(col("event_type"), pmod(col("k"), lit(10)).as("k_mod"))
       .agg(count(lit(1)).as("n"), sum(col("k").cast("long")).as("sum_k"))
 
+  /** Explicit GROUPING SETS beyond q08's rollup / q21's cube (A6 breadth):
+    * the caller-chosen set list ((status, priority), (status), ()) through
+    * the SQL front-end — DuckDB shares the syntax verbatim.
+    */
+  def groupingSets(spark: SparkSession, dir: String): DataFrame = {
+    t(spark, dir, "orders").createOrReplaceTempView("graft_orders_gs_v")
+    spark.sql(
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        |round(sum(o_totalprice), 2) AS total
+        |FROM graft_orders_gs_v
+        |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+        |""".stripMargin)
+  }
+
+  /** Window DISTRIBUTION functions (W4 breadth): percent_rank / cume_dist /
+    * nth_value. Values are emitted UNROUNDED — (rank-1)/(n-1) and
+    * rank_ties/n are single IEEE divisions of integers, bit-identical
+    * across engines, and the driver's 9dp normalization does the rest
+    * (rounding here could only ADD a boundary).
+    */
+  def windowDistribution(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("value").asc, col("event_id").asc)
+    t(spark, dir, "events")
+      .select(col("event_id"), col("user_id"),
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cdist"),
+        coalesce(nth_value(col("event_id"), 3).over(w), lit(-1L)).as("third_event"))
+  }
+
+  /** Conditional aggregation (A1 breadth): FILTER-style counts and CASE
+    * sums in one grouped pass — the "count only the interesting rows
+    * without a second scan" shape every metrics rollup uses.
+    */
+  def conditionalAgg(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        count(when(col("l_discount") > 0.05, 1)).as("n_disc"),
+        round(sum(when(col("l_quantity") > 25, col("l_extendedprice"))
+          .otherwise(lit(0.0))), 2).as("px_bulk"),
+        count(lit(1)).as("n"))
+
+  /** Deterministic ordered string aggregation (A-family breadth): per-group
+    * concat in an EXPLICIT sort order — sort_array(collect_list) fixes the
+    * nondeterministic arrival order a bare collect_list would leak into
+    * the output (DuckDB: string_agg ... ORDER BY). Input bounded so group
+    * strings stay small.
+    */
+  def stringAggNations(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "customer")
+      .where(col("c_custkey") <= 200)
+      .groupBy(col("c_nationkey").cast("long").as("nationkey"))
+      .agg(concat_ws(",", sort_array(collect_list(col("c_name")))).as("names"),
+        count(lit(1)).as("n"))
+
+  /** UNPIVOT via stack() (U-family breadth): wide per-group measures to
+    * (measure, val) rows — the Spark-native unpivot operator; the oracle
+    * expresses the same reshape as a UNION ALL.
+    */
+  def unpivotMeasures(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(round(sum("l_quantity"), 2).as("sum_qty"),
+        round(sum("l_extendedprice"), 2).as("sum_price"),
+        round(sum("l_discount"), 2).as("sum_disc"))
+      .select(col("l_returnflag"),
+        expr("stack(3, 'qty', sum_qty, 'price', sum_price, 'disc', sum_disc) AS (measure, val)"))
+
   /** Politeness-scheduler operator shape under the SQL oracle: per-key
     * ranked slots with budget cap + slot arithmetic (mirrors FrontierJob
     * W1/W2 on a relational input so DuckDB can check it).
