@@ -181,4 +181,80 @@ object SeenStore {
       .map(r => r.getInt(0) -> r.getAs[Array[Byte]](1))
       .toMap
   }
+
+  /** Purge ONE host's URLs from the seen machinery — the deletable-sidecar
+    * use case the north_rule's cuckoo branch exists for (robots change /
+    * takedown => the host must become schedulable again). Two pieces:
+    *
+    *   1. The exact decider: the seen TABLE is re-compacted at the latest
+    *      committed epoch minus the host (load() then reads exactly that
+    *      compact — empty tail), so the next epoch's anti-join re-admits
+    *      the host. This works under EITHER sidecar kind (a stale bloom
+    *      "maybe" only routes the rows to the exact join, never drops
+    *      them).
+    *   2. The sidecar: with cuckoo sidecars the host's fingerprints are
+    *      deleted IN PLACE, O(1) per key, no rescan of other hosts — the
+    *      operation a bloom cannot perform at all (its stale bits answer
+    *      "maybe" forever, taxing every future epoch with exact-join
+    *      routing for the purged URLs). Only the host's own bucket is
+    *      touched. Deletion on a SATURATED table is unsound (Cuckoo64
+    *      contract), so that bucket is rebuilt from the remaining seen
+    *      rows at its existing shape instead.
+    *
+    * The host's hashes are collected to the driver for the in-place
+    * deletes: the per-bucket filter's own capacity (~seen/numBuckets)
+    * bounds what one bucket can hold, so this collect is sidecar-scale,
+    * not corpus-scale — the same boundedness as the sidecar maps
+    * themselves. Returns the number of purged URLs.
+    */
+  def purgeHost(spark: SparkSession, root: String, host: String, numBuckets: Int): Long = {
+    import spark.implicits._
+    val committed = Snapshots.latestCommittedEpoch(root)
+    if (committed < 0) return 0L
+    val hashes = load(spark, root)
+      .where(col("host") === host).select("url_hash").as[Long].collect()
+    if (hashes.isEmpty) return 0L
+    // 1. exact decider: the CURRENT load() view minus the host, re-written
+    //    as the compact at `committed`. Reading load() (not the pre-compact
+    //    epoch union) keeps an earlier same-epoch purge/compaction visible
+    //    — a second purge must not resurrect the first's host. That makes
+    //    this a self-overwrite (the current compact may be both input and
+    //    output), so the filtered set is eagerly materialized
+    //    (localCheckpoint) BEFORE the overwrite deletes the input files; a
+    //    crash mid-write leaves no _SUCCESS and load() falls back to the
+    //    pre-purge view — retry the purge.
+    val kept = load(spark, root).where(col("host") =!= host)
+      .select("url_hash", "host", "first_epoch").as[SeenEntry]
+      .localCheckpoint(true)
+    kept.write.mode("overwrite").parquet(s"$root/url_seen_compact/epoch=$committed")
+    // 2. sidecar: in-place cuckoo deletes (bloom sidecars are left as-is —
+    //    their stale bits are safe, just imprecise)
+    val cuckoos = loadCuckoos(spark, root, committed)
+    if (cuckoos.nonEmpty) {
+      val bucket = spark.range(1)
+        .select(bucketOf(lit(host), numBuckets)).head().getInt(0)
+      cuckoos.get(bucket).foreach { bytes =>
+        val table = graft.functions.Cuckoo64.deserialize(bytes)
+        val updated =
+          if (graft.functions.Cuckoo64.isOverflowed(table)) {
+            // saturated => deletion unsound; rebuild THIS bucket from the
+            // remaining (post-purge) seen rows at the existing shape
+            val fresh = graft.functions.Cuckoo64.alloc(
+              graft.functions.Cuckoo64.tableBucketsOf(bytes))
+            spark.read.parquet(s"$root/url_seen_compact/epoch=$committed")
+              .where(bucketOf(col("host"), numBuckets) === bucket)
+              .select("url_hash").as[Long].collect()
+              .foreach(h => graft.functions.Cuckoo64.insert(fresh, h))
+            fresh
+          } else {
+            hashes.foreach(h => graft.functions.Cuckoo64.delete(table, h))
+            table
+          }
+        val merged = cuckoos.updated(bucket, graft.functions.Cuckoo64.serialize(updated))
+        merged.toSeq.toDF("host_bucket", "cuckoo")
+          .coalesce(1).write.mode("overwrite").parquet(s"$root/cuckoo/epoch=$committed")
+      }
+    }
+    hashes.length.toLong
+  }
 }

@@ -213,6 +213,53 @@ class PipelineResumeSpec extends AnyFunSuite {
     }
   }
 
+  test("cuckoo host purge: host re-schedules, others untouched, no false negatives") {
+    import graft.functions.Cuckoo64
+    val noBudget = FrontierJob.Config() // per-host budgets only — hosts stay independent
+    val rootP = tempDir("graft-purge")
+    val rootC = tempDir("graft-purgectl")
+    CrawlPipeline.run(spark, rootP, untilEpoch = 1, seedsPerEpoch = 700, noBudget,
+      sidecar = "cuckoo")
+    CrawlPipeline.run(spark, rootC, untilEpoch = 1, seedsPerEpoch = 700, noBudget,
+      sidecar = "cuckoo")
+    val host = spark.read.parquet(s"$rootP/url_seen")
+      .groupBy("host").count().orderBy(col("count").desc, col("host"))
+      .select("host").as[String].head()
+    val victimHashes = spark.read.parquet(s"$rootP/url_seen")
+      .where(col("host") === host).select("url_hash").as[Long].collect().toSet
+    val nPurged = graft.sources.SeenStore.purgeHost(spark, rootP, host, 16)
+    assert(nPurged == victimHashes.size && nPurged > 0)
+    // exact decider forgot the host; sidecar precision restored in place
+    val remaining = graft.sources.SeenStore.load(spark, rootP).collect()
+    assert(!remaining.exists(_.host == host), "purged host still in seen store")
+    val tables = graft.sources.SeenStore.loadCuckoos(spark, rootP, 1)
+    remaining.foreach { e =>
+      val b = ((CrawlOracle.xxhash64(e.host) % 16 + 16) % 16).toInt
+      assert(Cuckoo64.contains(Cuckoo64.deserialize(tables(b)), e.url_hash),
+        s"false negative for surviving ${e.host} after purge")
+    }
+    val vb = ((CrawlOracle.xxhash64(host) % 16 + 16) % 16).toInt
+    val vTable = Cuckoo64.deserialize(tables(vb))
+    val fpSurvivors = victimHashes.count(Cuckoo64.contains(vTable, _))
+    assert(fpSurvivors <= math.max(1, victimHashes.size / 20),
+      s"$fpSurvivors of ${victimHashes.size} purged fingerprints still probe true")
+    // next epoch: the purged run re-schedules the host's previously-seen
+    // URLs; every OTHER host's schedule is bit-identical to the control
+    CrawlPipeline.run(spark, rootP, untilEpoch = 2, seedsPerEpoch = 700, noBudget,
+      sidecar = "cuckoo")
+    CrawlPipeline.run(spark, rootC, untilEpoch = 2, seedsPerEpoch = 700, noBudget,
+      sidecar = "cuckoo")
+    def sched(root: String): Seq[(Long, String)] =
+      spark.read.parquet(s"$root/scheduled/epoch=2")
+        .select("url_hash", "host").as[(Long, String)].collect().toSeq
+    val p2 = sched(rootP)
+    val c2 = sched(rootC)
+    val reScheduled = p2.filter(_._2 == host).map(_._1).toSet.intersect(victimHashes)
+    assert(reScheduled.nonEmpty, "no previously-seen URL of the purged host re-scheduled")
+    assert(p2.filterNot(_._2 == host).toSet == c2.filterNot(_._2 == host).toSet,
+      "purge leaked into other hosts' schedules")
+  }
+
   test("seen-store compaction mid-history: identical crawl, narrowed read path, crash-safe") {
     val rootA = tempDir("graft-nocompact")
     val rootB = tempDir("graft-compact")
