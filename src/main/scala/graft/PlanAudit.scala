@@ -80,6 +80,34 @@ object PlanAudit {
         "broadcast semi-join restriction — no embedding column on candidate exchanges",
       fmt(SimilarityOps.nearDupCosine(spark, sfDir, nBits = 6))))
 
+    sections += (("t10 span-clipped corpus (clipRepeatedSpans)",
+      "extents aggregate carries (doc_id, two ints per pair) only and joins the " +
+        "payload corpus once on doc_id; untouched docs take the when() fast path " +
+        "(UDF evaluated only under extents IS NOT NULL). The initial plan below " +
+        "shows the general SMJ form (extents size unknown at plan time); AQE " +
+        "converts it to a broadcast join at typical dup rates — and at dup rates " +
+        "where the extents table is genuinely huge, the doc_id-partitioned SMJ " +
+        "(payload shuffled ONCE) is the correct fallback, not a defect",
+      fmt(TextOps.clipRepeatedSpans(
+        TextOps.spanCorpus(spark, sfDir),
+        TextOps.repeatedSpanPairs(TextOps.spanCorpus(spark, sfDir))))))
+
+    {
+      import org.apache.spark.sql.functions._
+      val root = Files.createTempDirectory("graft-planaudit-c19").toString
+      val imgs = spark.range(200).select(
+        concat(lit("http://h"), pmod(col("id"), lit(7)), lit(".example/img-"), col("id"))
+          .as("image_id"),
+        xxhash64(col("id")).as("phash"))
+      graft.operators.SimIndex.writePhashIndex(imgs.where(pmod(col("id"), lit(2)) === 0), root, 0)
+      graft.operators.SimIndex.writePhashIndex(imgs.where(pmod(col("id"), lit(2)) === 1), root, 1)
+      sections += (("c19 cross-epoch image near-dup via persisted phash index",
+        "both join sides scan ONLY the persisted block index (ids + 8-byte phash — " +
+          "no image table, no re-blocking); epoch partition pruning cuts the new side; " +
+          "exact bit_count verify reads phash straight off the index rows",
+        fmt(graft.operators.SimIndex.crossEpochNearDupPhash(spark, root, 1))))
+    }
+
     val md = new StringBuilder
     md.append("# BENCH/PLANS — flagship physical plans (explain formatted)\n\n")
     md.append("Generated by `graft.PlanAudit` (re-run after plan-shaping changes).\n")
