@@ -140,10 +140,25 @@ object SimilarityOps {
   /** argmax_c cos(v, c) over a plan-time constant centroid list: ||v|| is
     * constant across c, so rank by dot(v,c)/||c||; ties resolve to the
     * first (lowest) list id.
+    *
+    * Kernel form (round-5): the original nested-HOF column —
+    * transform(cents, c => dotCol(v,c)/normCol(c)) then
+    * array_position(array_max) — evaluates interpreted per-element
+    * lambdas k*d times PER ROW, which made assignment (train + corpus
+    * labeling), not probing, the emb04 wall. The primitive VecKit kernel
+    * is arithmetic-identical (same double casts, same left-to-right
+    * accumulation, same first-occurrence argmax), so every golden and
+    * persisted index is unchanged; centroids ride one broadcast instead
+    * of per-task closures.
     */
   def ivfAssignCol(v: Column, cents: Seq[Seq[Float]]): Column = {
-    val scores = transform(typedLit(cents), c => dotCol(v, c) / normCol(c))
-    (array_position(scores, array_max(scores)) - 1).cast("int")
+    val arr = cents.map(_.toArray).toArray
+    val norms = arr.map(graft.functions.VecKit.norm)
+    val sc = org.apache.spark.sql.SparkSession.active.sparkContext
+    val bcC = sc.broadcast(arr)
+    val bcN = sc.broadcast(norms)
+    udf((vec: Seq[Float]) =>
+      graft.functions.VecKit.ivfAssign(vec, bcC.value, bcN.value)).apply(v)
   }
 
   /** Deterministic IVF training: stride-sampled seed centroids, then
