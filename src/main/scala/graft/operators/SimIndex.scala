@@ -53,6 +53,63 @@ object SimIndex {
   def readShingleIndex(spark: SparkSession, root: String, upToEpoch: Int): DataFrame =
     spark.read.parquet(s"$root/shingle_index").where(col("epoch") <= upToEpoch)
 
+  /** Latest completed (_SUCCESS-gated) compact epoch under `root/<table>`,
+    * or -1 — the SeenStore.latestCompactEpoch discipline applied to the
+    * index family.
+    */
+  private def latestCompact(root: String, table: String, maxEpoch: Int): Int = {
+    val dir = new java.io.File(s"$root/$table")
+    val done = Option(dir.listFiles()).map(_.toSeq).getOrElse(Nil)
+      .filter(f => f.isDirectory && f.getName.startsWith("epoch="))
+      .map(_.getName.stripPrefix("epoch=").toInt)
+      .filter(e => e <= maxEpoch &&
+        new java.io.File(s"$root/$table/epoch=$e/_SUCCESS").exists())
+    if (done.isEmpty) -1 else done.max
+  }
+
+  /** Corpus-so-far per-shingle document frequency as of `upToEpoch`:
+    * latest df compact + the per-epoch partials after it, summed. Without
+    * a compact this degrades to summing every epoch's partials (the
+    * original shape); with periodic [[compactShingleStats]] a 10^4-epoch
+    * index sums O(cadence) partials per probe instead of 10^4.
+    */
+  private def dfUpTo(spark: SparkSession, root: String, upToEpoch: Int,
+                     maxCompactEpoch: Int = Int.MaxValue): DataFrame = {
+    val c = latestCompact(root, "shingle_df_compact",
+      math.min(upToEpoch, maxCompactEpoch))
+    val tail = (c + 1 to upToEpoch).map(e => s"$root/shingle_df/epoch=$e")
+      .filter(p => new java.io.File(p).exists())
+    val parts = (if (c >= 0) Seq(s"$root/shingle_df_compact/epoch=$c") else Nil) ++ tail
+    spark.read.parquet(parts: _*)
+      .groupBy("sh").agg(sum("df").as("df"))
+  }
+
+  /** Per-doc shingle counts as of `upToEpoch` (docs write sizes in exactly
+    * one epoch, so this is a plain union): latest compact + tail dirs.
+    */
+  private def sizesUpTo(spark: SparkSession, root: String, upToEpoch: Int,
+                        maxCompactEpoch: Int = Int.MaxValue): DataFrame = {
+    val c = latestCompact(root, "shingle_sizes_compact",
+      math.min(upToEpoch, maxCompactEpoch))
+    val tail = (c + 1 to upToEpoch).map(e => s"$root/shingle_sizes/epoch=$e")
+      .filter(p => new java.io.File(p).exists())
+    val parts = (if (c >= 0) Seq(s"$root/shingle_sizes_compact/epoch=$c") else Nil) ++ tail
+    spark.read.parquet(parts: _*).select("doc_id", "sz")
+  }
+
+  /** Fold the df partials and sizes dirs up to `upToEpoch` into compact
+    * roots (the SeenStore.compact discipline applied to the index's
+    * derived aggregates; the shingle_index rows themselves ARE the corpus
+    * index and stay epoch-partitioned). Idempotent on re-run (the read
+    * excludes its own target); crash-safe (_SUCCESS-gated read).
+    */
+  def compactShingleStats(spark: SparkSession, root: String, upToEpoch: Int): Unit = {
+    dfUpTo(spark, root, upToEpoch, maxCompactEpoch = upToEpoch - 1)
+      .write.mode("overwrite").parquet(s"$root/shingle_df_compact/epoch=$upToEpoch")
+    sizesUpTo(spark, root, upToEpoch, maxCompactEpoch = upToEpoch - 1)
+      .write.mode("overwrite").parquet(s"$root/shingle_sizes_compact/epoch=$upToEpoch")
+  }
+
   /** Cross-epoch near-dup detection — the news-diff "is this article a copy
     * of an earlier one" semantic, tied into the crawl loop: epoch `epoch`'s
     * documents (their index rows already written) are compared against the
@@ -75,10 +132,8 @@ object SimIndex {
       epoch: Int,
       maxDf: Int = 64): DataFrame = {
     val idx = readShingleIndex(spark, root, epoch)
-    // corpus-so-far df = sum of the persisted per-epoch partials
-    val hot = spark.read.parquet(s"$root/shingle_df")
-      .where(col("epoch") <= epoch)
-      .groupBy("sh").agg(sum("df").as("df"))
+    // corpus-so-far df = latest compact + per-epoch partials after it
+    val hot = dfUpTo(spark, root, epoch)
       .where(col("df") > maxDf).select("sh")
     val newCapped = idx.where(col("epoch") === epoch)
       .select("doc_id", "sh")
@@ -102,8 +157,7 @@ object SimIndex {
       .groupBy(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
         greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
       .agg(count(lit(1)).as("n_inter"))
-    val sizes = spark.read.parquet(s"$root/shingle_sizes")
-      .where(col("epoch") <= epoch).select("doc_id", "sz")
+    val sizes = sizesUpTo(spark, root, epoch)
     pairs
       .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sz_a")), "doc_a")
       .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("sz_b")), "doc_b")

@@ -41,6 +41,9 @@ class SimIndexSpec extends AnyFunSuite {
     var sawCrossEpoch = false
     for (e <- 0 to 2) {
       SimIndex.writeShingleIndex(epochDocs(e), root, e)
+      // compaction mid-history: epoch 1's probe reads the compact alone,
+      // epoch 2's reads compact + one partial — equality must be unchanged
+      if (e == 1) SimIndex.compactShingleStats(spark, root, 1)
       val inc = collectPairs(SimIndex.crossEpochNearDups(spark, root, e))
       // full recompute over the corpus-so-far, restricted to pairs whose
       // newer side is epoch e — the corpus-knowledge the engine has at e
