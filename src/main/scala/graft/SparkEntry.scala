@@ -90,6 +90,7 @@ object SparkEntry {
     "q33_conditional_agg" -> ((s, d) => Relational.conditionalAgg(s, d)),
     "q34_string_agg" -> ((s, d) => Relational.stringAggNations(s, d)),
     "q35_unpivot" -> ((s, d) => Relational.unpivotMeasures(s, d)),
+    "q36_session_window" -> ((s, d) => Relational.sessionWindows(s, d)),
     "t01_text_quality" -> ((s, d) => TextOps.qualityStats(s, d)),
     // ---- training-data ops, non-SQL parts (rows-only + scalatest) -----
     "t02_text_profile" -> ((s, d) => TextOps.textProfile(s, d)),
@@ -572,6 +573,28 @@ object SparkEntry {
         |SELECT l_returnflag, 'qty' AS measure, sum_qty AS val FROM agg
         |UNION ALL SELECT l_returnflag, 'price' AS measure, sum_price AS val FROM agg
         |UNION ALL SELECT l_returnflag, 'disc' AS measure, sum_disc AS val FROM agg""".stripMargin,
+    // q36: gaps-and-islands sessionization — a new session starts when the
+    // gap from the previous event is >= 10 min (matching session_window's
+    // half-open [start, last+gap) boundary); session end = last + gap.
+    "q36_session_window" ->
+      """WITH marked AS (
+        |  SELECT user_id, ts, value, event_id,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR ts - lag(ts) OVER w >= INTERVAL 10 MINUTE
+        |         THEN 1 ELSE 0 END AS new_sess
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+        |), sess AS (
+        |  SELECT user_id, ts, value,
+        |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+        |      ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM marked
+        |)
+        |SELECT user_id,
+        |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+        |  strftime(max(ts) + INTERVAL 10 MINUTE, '%Y-%m-%d %H:%M:%S') AS session_end,
+        |  count(*) AS n, round(sum(value), 2) AS total
+        |FROM sess GROUP BY user_id, sid""".stripMargin,
     // emb01: brute cosine top-k IS plain SQL (round-4 verdict "missing
     // #4"). The cosine mirrors the Spark column arithmetic exactly —
     // per-element double casts, sequential list sums, dot/(norm*norm) —

@@ -310,6 +310,24 @@ object Relational {
       .groupBy(col("event_type"), pmod(col("k"), lit(10)).as("k_mod"))
       .agg(count(lit(1)).as("n"), sum(col("k").cast("long")).as("sum_k"))
 
+  /** SESSION windows (the gap-based window family tumbling/range frames
+    * cannot express): per-user event sessions that close after `gapMin`
+    * minutes of silence — Spark's session_window (dynamic merge; the
+    * streaming politeness state's batch twin). Boundary semantics: an
+    * event exactly `gap` after the previous one starts a NEW session
+    * (session windows are half-open [start, last+gap)); the oracle's
+    * gaps-and-islands form uses >= to match. session end = last event +
+    * gap, by definition on both sides.
+    */
+  def sessionWindows(spark: SparkSession, dir: String, gapMin: Int = 10): DataFrame =
+    t(spark, dir, "events")
+      .groupBy(col("user_id"), session_window(col("ts"), s"$gapMin minutes"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total"))
+      .select(col("user_id"),
+        date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        date_format(col("session_window.end"), "yyyy-MM-dd HH:mm:ss").as("session_end"),
+        col("n"), col("total"))
+
   /** Explicit GROUPING SETS beyond q08's rollup / q21's cube (A6 breadth):
     * the caller-chosen set list ((status, priority), (status), ()) through
     * the SQL front-end — DuckDB shares the syntax verbatim.
