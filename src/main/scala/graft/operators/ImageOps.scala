@@ -122,4 +122,40 @@ object ImageOps {
     val pairs = nearDupPhash(images, maxHamming)
     DedupResolve.filterCorpus(withHash, "img_hash", pairs, "img_a", "img_b")
   }
+
+  /** INCREMENTAL image-corpus dedup: admit only the novel part of a new
+    * epoch, deciding against the corpus-so-far through the PERSISTED
+    * phash index (no re-blocking of earlier epochs — closes the "c17
+    * re-blocks in-call" residual). The committed corpus is immutable, so
+    * the admission rule differs from the batch survivor rule: a new image
+    * whose component touches ANY earlier-epoch image is dropped
+    * regardless of hash order (the content already exists); a
+    * new-images-only component keeps its min img_hash. `newImages` must
+    * be the same (image_id, phash) set already written for `epoch` via
+    * SimIndex.writePhashIndex.
+    *
+    * Scale shape: pairs + components carry ids/hashes only; the drop list
+    * is ~the epoch's dup rate and anti-joins the (small) new epoch, not
+    * the corpus.
+    */
+  def dedupNewEpochImages(
+      spark: org.apache.spark.sql.SparkSession,
+      root: String,
+      epoch: Int,
+      newImages: DataFrame,
+      maxHamming: Int = 3): DataFrame = {
+    val pairs = SimIndex.crossEpochNearDupPhash(spark, root, epoch, maxHamming)
+    val labels = DedupResolve.connectedComponents(pairs, "img_a", "img_b")
+    val withHash = newImages.withColumn("img_hash", xxhash64(col("image_id")))
+    // a label row whose node is NOT a new image is an earlier-epoch member
+    val compWithOld = labels
+      .join(withHash.select(col("img_hash").as("id")), Seq("id"), "left_anti")
+      .select("comp").distinct()
+    val drops = labels.where(col("id") =!= col("comp")).select(col("id").as("__drop_id"))
+      .unionByName(labels.join(compWithOld, Seq("comp"), "left_semi")
+        .select(col("id").as("__drop_id")))
+      .distinct()
+    withHash.join(drops, col("img_hash") === col("__drop_id"), "left_anti")
+      .drop("__drop_id")
+  }
 }

@@ -89,4 +89,59 @@ class ImageOpsSpec extends AnyFunSuite {
       assert(pairIds.count(kept.contains) == 1, s"component of $id kept != 1")
     }
   }
+
+  test("incremental epoch dedup via persisted index == union-find mirror; corpus dups dropped") {
+    import org.apache.spark.sql.functions.{col, xxhash64}
+    val root = graft.SparkTestBase.tempDir("graft-incdedup")
+    val rnd = new scala.util.Random(11)
+    val e0 = (0 until 40).map(i => (s"http://imgs/e0-$i", rnd.nextLong()))
+    val novel = (0 until 10).map(i => (s"http://imgs/e1-$i", rnd.nextLong()))
+    // margin 5: the ?re plants flip 1 bit, so cross-set distances shrink by
+    // at most 1 and must still clear the hamming-3 pair threshold
+    for (Seq((_, a), (_, b)) <- (e0 ++ novel).combinations(2))
+      assert(java.lang.Long.bitCount(a ^ b) > 5, "fixture collision; reseed")
+    val dupOfOld = e0.take(6).map { case (id, p) => (s"$id?re", p ^ 1L) }   // near-dup of corpus
+    val dupWithin = novel.take(3).map { case (id, p) => (s"$id?c", p) }     // new-new exact dup
+    val e1 = novel ++ dupOfOld ++ dupWithin
+    SimIndex.writePhashIndex(e0.toDF("image_id", "phash"), root, 0)
+    SimIndex.writePhashIndex(e1.toDF("image_id", "phash"), root, 1)
+    val admitted = ImageOps.dedupNewEpochImages(spark, root, 1, e1.toDF("image_id", "phash"))
+      .select("image_id").collect().map(_.getString(0)).toSet
+    // mirror: union-find over every hamming<=3 pair touching a NEW image
+    // (the index emits exactly those); drop a new image if its component
+    // contains any e0 member, else keep the component-min img_hash
+    val all = e0 ++ e1
+    val hash = all.map(_._1).toDF("image_id")
+      .select(col("image_id"), xxhash64(col("image_id")).as("h"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val newIds = e1.map(t => hash(t._1)).toSet
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = { val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r } }
+    for (Seq((ia, pa), (ib, pb)) <- all.combinations(2)
+         if java.lang.Long.bitCount(pa ^ pb) <= 3 &&
+           (newIds.contains(hash(ia)) || newIds.contains(hash(ib)))) {
+      val (ra, rb) = (find(hash(ia)), find(hash(ib)))
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+    }
+    val byComp = parent.keys.map(h => find(h) -> h).toSeq.groupMap(_._1)(_._2)
+    val expected = e1.map(_._1).filter { id =>
+      val h = hash(id)
+      if (!parent.contains(h)) true // in no pair — novel by construction
+      else {
+        val members = byComp(find(h))
+        val hasOld = members.exists(m => !newIds.contains(m))
+        !hasOld && members.min == h
+      }
+    }.toSet
+    assert(admitted == expected, "incremental dedup diverged from union-find mirror")
+    // planted semantics
+    dupOfOld.foreach { case (id, _) => assert(!admitted.contains(id), s"$id is a corpus dup") }
+    dupWithin.foreach { case (id, _) =>
+      val orig = id.takeWhile(_ != '?')
+      assert(Seq(id, orig).count(admitted.contains) == 1, s"new-new pair of $orig kept != 1")
+    }
+    novel.drop(3).foreach { case (id, _) =>
+      assert(admitted.contains(id), s"novel $id wrongly dropped") }
+  }
 }
