@@ -105,6 +105,7 @@ object SparkEntry {
     "emb01_cosine_topk" -> ((s, d) => SimilarityOps.bruteCosineTopK(s, d)),
     "emb02_ann_lsh" -> ((s, d) => SimilarityOps.annLshTopK(s, d)),
     "emb04_ann_ivf" -> ((s, d) => SimilarityOps.annIvfTopK(s, d)),
+    "emb05_ann_pq" -> ((s, d) => SimilarityOps.annPqTopK(s, d)),
     "emb03_neardup_cosine" -> ((s, d) =>
       SimilarityOps.nearDupCosine(s, d).orderBy("vec_a", "vec_b")),
     // ---- crawl domain (synthetic inputs; scalatest-golden) ------------
@@ -222,6 +223,23 @@ object SparkEntry {
       operators.SimIndex.writePhashIndex(e1, root, 1)
       operators.SimIndex.crossEpochNearDupPhash(s, root, 1)
         .orderBy("image_a", "image_b")
+    }),
+    "c20_incremental_image_dedup" -> ((s, _) => {
+      // incremental admission of a new image epoch against the corpus-so-far
+      // through the persisted phash index: dups of EXISTING content drop
+      // regardless of hash order, new-new dup groups keep their min —
+      // union-find-mirror golden in ImageOpsSpec
+      val root = java.nio.file.Files.createTempDirectory("graft-c20").toString
+      val base = diffHistory(s, 60).where(col("epoch") === 2)
+        .select("image_id", "phash")
+      val e0 = base.where(pmod(xxhash64(col("image_id")), lit(2)) === 0)
+      val e1 = base.where(pmod(xxhash64(col("image_id")), lit(2)) === 1)
+        .unionByName(e0.where(pmod(xxhash64(col("image_id")), lit(3)) === 0)
+          .select(concat(col("image_id"), lit("?recrawl")).as("image_id"), col("phash")))
+      operators.SimIndex.writePhashIndex(e0, root, 0)
+      operators.SimIndex.writePhashIndex(e1, root, 1)
+      ImageOps.dedupNewEpochImages(s, root, 1, e1)
+        .select("image_id", "phash").orderBy("image_id")
     }),
     "c12_frame_sample" -> ((s, _) =>
       MediaOps.frameSample(Gen.media(s, 60)).toDF()

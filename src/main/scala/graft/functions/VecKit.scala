@@ -44,6 +44,87 @@ object VecKit {
     math.sqrt(s)
   }
 
+  // ---- product quantization (Jégou/Douze/Schmid, TPAMI 2011 — public) ----
+  // Codebook layout: cents(j)(c) = sub-centroid c of subspace j, where
+  // subspace j covers dims [j*subDim, (j+1)*subDim) (last one ragged).
+
+  /** PQ-encode: per subspace, the L2-nearest sub-centroid's index (one
+    * byte per subspace; first index wins ties — deterministic).
+    */
+  def pqEncode(vec: Seq[Float], cents: Array[Array[Array[Float]]]): Array[Byte] = {
+    val v = vec.toArray
+    val m = cents.length
+    val out = new Array[Byte](m)
+    var j = 0
+    var off = 0
+    while (j < m) {
+      val cs = cents(j)
+      val subDim = if (cs.nonEmpty) cs(0).length else 0
+      var best = Double.MaxValue
+      var bi = 0
+      var c = 0
+      while (c < cs.length) {
+        val cc = cs(c)
+        var dist = 0.0
+        var d = 0
+        while (d < subDim && off + d < v.length) {
+          val t = v(off + d).toDouble - cc(d).toDouble
+          dist += t * t
+          d += 1
+        }
+        if (dist < best) { best = dist; bi = c }
+        c += 1
+      }
+      out(j) = bi.toByte
+      off += subDim
+      j += 1
+    }
+    out
+  }
+
+  /** ADC lookup table for one query: table(j)(c) = dot(q_subspace_j,
+    * centroid c of subspace j). The approximate dot(q, v) of an encoded
+    * vector is then the sum of one lookup per subspace ([[pqAdcScore]]).
+    */
+  def pqAdcTable(q: Seq[Float], cents: Array[Array[Array[Float]]]): Array[Array[Double]] = {
+    val qa = q.toArray
+    val m = cents.length
+    val table = new Array[Array[Double]](m)
+    var j = 0
+    var off = 0
+    while (j < m) {
+      val cs = cents(j)
+      val subDim = if (cs.nonEmpty) cs(0).length else 0
+      val row = new Array[Double](cs.length)
+      var c = 0
+      while (c < cs.length) {
+        val cc = cs(c)
+        var dot = 0.0
+        var d = 0
+        while (d < subDim && off + d < qa.length) {
+          dot += qa(off + d).toDouble * cc(d).toDouble
+          d += 1
+        }
+        row(c) = dot
+        c += 1
+      }
+      table(j) = row
+      off += subDim
+      j += 1
+    }
+    table
+  }
+
+  def pqAdcScore(code: Array[Byte], table: Array[Array[Double]]): Double = {
+    var s = 0.0
+    var j = 0
+    while (j < code.length && j < table.length) {
+      s += table(j)(code(j) & 0xff)
+      j += 1
+    }
+    s
+  }
+
   /** Sign-of-random-hyperplane bucket: bit p = sign(dot(vec, plane_p)). */
   def lshBucket(vec: Array[Float], nBits: Int): Int = {
     var bucket = 0

@@ -251,6 +251,126 @@ object SimilarityOps {
       .select(col("query_id"), col("vec_id"), round(col("cos"), 4).as("cos"), col("rank"))
   }
 
+  /** Per-subspace PQ codebooks (product quantization, Jégou/Douze/Schmid
+    * TPAMI 2011 — public technique): the corpus dimension is split into
+    * `m` subspaces and each sub-vector is k-means-quantized to one of
+    * `kSub` sub-centroids, so a vector stores as m bytes instead of d
+    * floats (768 dims -> 8 bytes = 384x) — the compression that makes a
+    * 10^9-vector index RAM-resident. Training is driver-local over a
+    * bounded deterministic stride sample (the ivfTrain discipline; k=16
+    * centroids per subspace need hundreds of points, not the corpus),
+    * with 1e-4 mean rounding so arrival order can never flip a code.
+    */
+  def pqTrain(e: DataFrame, m: Int = 8, kSub: Int = 16, nIter: Int = 2,
+              sampleTarget: Long = 4096L): Array[Array[Array[Float]]] = {
+    import e.sparkSession.implicits._
+    val n = e.count()
+    if (n == 0) return Array.empty
+    val stride = math.max(1L, n / sampleTarget)
+    val sample: Array[Array[Float]] = e
+      .where(pmod(col("vec_id"), lit(stride)) === 0)
+      .orderBy("vec_id").select("embedding").as[Seq[Float]].collect().map(_.toArray)
+    if (sample.isEmpty || sample.head.isEmpty) return Array.empty
+    val dim = sample.head.length
+    val subDim = math.max(1, (dim + m - 1) / m)
+    val mEff = (dim + subDim - 1) / subDim
+    Array.tabulate(mEff) { j =>
+      val lo = j * subDim
+      val hi = math.min(lo + subDim, dim)
+      val subs = sample.map(_.slice(lo, hi))
+      kmeansLocal(subs, math.min(kSub, subs.length), nIter)
+    }
+  }
+
+  /** Driver-local deterministic k-means (stride seeds, L2 assignment with
+    * first-index ties, means rounded 1e-4; an emptied cluster keeps its
+    * centroid). Input is the bounded training sample only.
+    */
+  private def kmeansLocal(vecs: Array[Array[Float]], k: Int, iters: Int): Array[Array[Float]] = {
+    if (vecs.isEmpty || k == 0) return Array.empty
+    val n = vecs.length
+    var cents = Array.tabulate(k)(i => vecs(((i.toLong * n) / k).toInt).clone())
+    for (_ <- 1 to iters) {
+      val dims = vecs(0).length
+      val sums = Array.fill(cents.length)(new Array[Double](dims))
+      val counts = new Array[Int](cents.length)
+      vecs.foreach { v =>
+        var best = Double.MaxValue; var bi = 0; var c = 0
+        while (c < cents.length) {
+          val cc = cents(c); var dist = 0.0; var d = 0
+          while (d < dims) { val t = v(d).toDouble - cc(d).toDouble; dist += t * t; d += 1 }
+          if (dist < best) { best = dist; bi = c }
+          c += 1
+        }
+        counts(bi) += 1
+        var d = 0
+        while (d < dims) { sums(bi)(d) += v(d).toDouble; d += 1 }
+      }
+      cents = cents.zipWithIndex.map { case (c, i) =>
+        if (counts(i) == 0) c
+        else sums(i).map(x => (math.rint(x / counts(i) * 1e4) / 1e4).toFloat)
+      }
+    }
+    cents
+  }
+
+  /** PQ-flat ANN (emb05): encode the corpus to m-byte codes, score every
+    * code per query by ASYMMETRIC DISTANCE (one m x kSub dot-product
+    * lookup table per query; approx dot(q, v) = sum of m table lookups),
+    * keep the top `refine` approximate candidates, then re-score those
+    * few EXACTLY (the engine's verify discipline — approximation affects
+    * recall only, never returned scores).
+    *
+    * Scale shape: the scan side is the CODES table (m bytes/vector, 384x
+    * smaller than the floats — RAM-resident at 10^9 vectors), the query
+    * tables broadcast, the float vectors are touched only for the
+    * refine-set rejoin. Complements LSH (emb02: probe a bucket slice)
+    * and IVF (emb04: probe nearest lists): PQ scans everything but at
+    * bytes-per-vector cost — the right tool when recall must not depend
+    * on a partition guess.
+    */
+  def annPqTopK(spark: SparkSession, dir: String,
+                nQueries: Int = 3, k: Int = 5, m: Int = 8, kSub: Int = 16,
+                refine: Int = 0): DataFrame = {
+    import spark.implicits._
+    val e = emb(spark, dir).select("vec_id", "embedding")
+    val cents = pqTrain(e, m, kSub)
+    val sc = spark.sparkContext
+    val bcC = sc.broadcast(cents)
+    val encodeUdf = udf((v: Seq[Float]) => graft.functions.VecKit.pqEncode(v, bcC.value))
+    val codes = e.select(col("vec_id"), encodeUdf(col("embedding")).as("code"))
+    val queries = e.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    // per-query ADC tables: nQueries tiny rows collected, tables broadcast
+    val qRows = queries.collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val tables = qRows.map { case (qid, qv) =>
+      qid -> graft.functions.VecKit.pqAdcTable(qv, cents)
+    }.toMap
+    val bcT = sc.broadcast(tables)
+    val scoreUdf = udf((qid: Long, code: Array[Byte]) =>
+      graft.functions.VecKit.pqAdcScore(code, bcT.value(qid)))
+    val refineN = if (refine > 0) refine else math.max(50, 10 * k)
+    val qIds = qRows.map(_._1).toIndexedSeq.toDF("query_id")
+    val wA = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("approx").desc, col("vec_id").asc)
+    val cand = codes.crossJoin(broadcast(qIds))
+      .where(col("vec_id") =!= col("query_id"))
+      .withColumn("approx", scoreUdf(col("query_id"), col("code")))
+      .withColumn("arank", row_number().over(wA))
+      .where(col("arank") <= refineN)
+      .select("query_id", "vec_id")
+    val scored = cand
+      .join(e, Seq("vec_id"))
+      .join(broadcast(queries), Seq("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        cosineCol(col("embedding"), col("qvec")).as("cos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("cos").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("vec_id"), round(col("cos"), 4).as("cos"), col("rank"))
+  }
+
   /** MULTI-PROBE LSH ANN (Lv et al., VLDB'07 — public technique):
     * sign-of-random-hyperplane bucket per corpus vector; each query probes
     * every bucket within Hamming distance `probeRadius` of its own bucket

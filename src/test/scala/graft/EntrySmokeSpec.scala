@@ -31,6 +31,7 @@ class EntrySmokeSpec extends AnyFunSuite {
     assert(graft.operators.SimilarityOps.nearDupCosine(spark, tmp).count() == 0)
     assert(graft.operators.SimilarityOps.bruteCosineTopK(spark, tmp).count() == 0)
     assert(graft.operators.SimilarityOps.annLshTopK(spark, tmp).count() == 0)
+    assert(graft.operators.SimilarityOps.annPqTopK(spark, tmp).count() == 0)
   }
 
   test("oracleSql keys are a subset of queries") {
@@ -65,6 +66,24 @@ class EntrySmokeSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = brute.intersect(ivf).size.toDouble / brute.size
     assert(recall >= 0.6, f"IVF recall $recall%.3f fell below the 0.6 floor")
+  }
+
+  test("emb05 PQ-ADC ANN recall vs brute top-k >= 0.6") {
+    val brute = graft.operators.SimilarityOps.bruteCosineTopK(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pq = graft.operators.SimilarityOps.annPqTopK(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = brute.intersect(pq).size.toDouble / brute.size
+    assert(recall >= 0.6, f"PQ recall $recall%.3f fell below the 0.6 floor")
+    // exact-refine discipline: every returned cos equals the brute cos for
+    // the same (query, vec) pair — approximation may only affect WHICH
+    // pairs are returned, never their scores
+    val bruteCos = graft.operators.SimilarityOps.bruteCosineTopK(spark, dir, k = 1000)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    graft.operators.SimilarityOps.annPqTopK(spark, dir).collect().foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      assert(bruteCos(key) == r.getDouble(2), s"refined cos diverged for $key")
+    }
   }
 
   test("emb03 id-only candidate plan == direct vector-carrying form (golden)") {
