@@ -160,6 +160,8 @@ object SparkEntry {
       graft.streaming.StreamingJobs.dedupeDemo(s)),
     "c18_stream_copydetect" -> ((s, d) =>
       graft.streaming.StreamingJobs.copyDetectDemo(s, d)),
+    "c21_stream_image_copydetect" -> ((s, _) =>
+      graft.streaming.StreamingJobs.imageCopyDetectDemo(s)),
     "c15_crossmodal_neardup" -> ((s, _) => {
       import s.implicits._
       // image side: phashes of frame 0/8 of the first videos PLANTED as

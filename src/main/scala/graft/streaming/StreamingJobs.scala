@@ -285,6 +285,65 @@ object StreamingJobs {
       }
       .start()
 
+  /** Streaming IMAGE copy-detection — [[streamingCopyDetect]]'s twin on
+    * the payload the north_rule is about: each micro-batch of
+    * (image_id, phash) rows appends to the persisted phash block index as
+    * its own mini-epoch (SimIndex.writePhashIndex) and probes the
+    * corpus-so-far for near-dups (no re-blocking of earlier epochs);
+    * per-batch pairs land under `root/image_copy_pairs/epoch=N`. The
+    * online "is this image a re-crawl/copy of one we already hold" check.
+    */
+  def streamingImageCopyDetect(
+      images: Dataset[(String, Long)],
+      root: String,
+      startEpoch: Int): org.apache.spark.sql.streaming.StreamingQuery =
+    images.toDF("image_id", "phash").writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", ckptDir(s"imgcopydetect_$startEpoch"))
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val epoch = startEpoch + batchId.toInt
+        graft.operators.SimIndex.writePhashIndex(batch, root, epoch)
+        graft.operators.SimIndex.crossEpochNearDupPhash(spark, root, epoch)
+          .write.mode("overwrite").parquet(s"$root/image_copy_pairs/epoch=$epoch")
+      }
+      .start()
+
+  /** Driver-contract demo (c21): epoch 0 images indexed batch-side; the
+    * stream delivers new images in two micro-batches, the second carrying
+    * exact re-crawls of epoch-0 images under tracking URLs — flagged as
+    * cross-epoch copies. Golden equality per batch vs full recompute is
+    * pinned in StreamingSpec.
+    */
+  def imageCopyDetectDemo(spark: SparkSession): DataFrame =
+    withFewStatePartitions(spark) { imageCopyDetectDemoImpl(spark) }
+
+  private def imageCopyDetectDemoImpl(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft-c21").toString
+    def img(i: Int): (String, Long) =
+      (s"http://h${i % 7}.example/img-$i",
+        graft.functions.ImageKit.mix64(i.toLong * 2654435761L + 13L))
+    val e0 = (0 until 60).map(img)
+    graft.operators.SimIndex.writePhashIndex(
+      e0.toDF("image_id", "phash"), root, 0)
+    val fresh = (60 until 100).map(img)
+    val copies = e0.take(12).map { case (id, p) => (s"$id?utm=copy", p) }
+    val stream = MemoryStream[(String, Long)]
+    val q = streamingImageCopyDetect(stream.toDS(), root, startEpoch = 1)
+    try {
+      stream.addData(fresh)
+      q.processAllAvailable()
+      stream.addData(copies)
+      q.processAllAvailable()
+    } finally q.stop()
+    spark.read.parquet(s"$root/image_copy_pairs")
+      .select(col("image_a"), col("image_b"), col("img_a"), col("img_b"),
+        col("hamming"), col("epoch").as("found_in_batch"))
+      .orderBy("image_a", "image_b")
+  }
+
   /** Driver-contract demo (c18): epoch 0 = half the documents table,
     * indexed batch-side; the stream delivers the other half in two
     * micro-batches, the second carrying planted near-copies of epoch-0

@@ -113,4 +113,35 @@ class StreamingSpec extends AnyFunSuite {
     assert(out == expected, s"stream pairs diverged (out=${out.size}, exp=${expected.size})")
     assert(out.exists(_._5 == 2), "planted copies not flagged in their arrival batch")
   }
+
+  test("streaming image copy-detection == full phash recompute, per arrival batch") {
+    import org.apache.spark.sql.functions._
+    import graft.SparkTestBase.spark
+    import spark.implicits._
+    val out = graft.streaming.StreamingJobs.imageCopyDetectDemo(spark)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getInt(4), r.getInt(5))).toSet
+    // strong mirror: FULL nearDupPhash recompute over the corpus-so-far at
+    // each mini-epoch, restricted to pairs touching that epoch's images —
+    // the stream (which probes the persisted index incrementally) must
+    // produce exactly these pairs in exactly these batches
+    def img(i: Int): (String, Long) =
+      (s"http://h${i % 7}.example/img-$i",
+        graft.functions.ImageKit.mix64(i.toLong * 2654435761L + 13L))
+    val epochs: Seq[Seq[(String, Long)]] = Seq(
+      (0 until 60).map(img),
+      (60 until 100).map(img),
+      (0 until 60).map(img).take(12).map { case (id, p) => (s"$id?utm=copy", p) })
+    val expected = (1 to 2).flatMap { e =>
+      val soFar = epochs.take(e + 1).flatten
+      val eIds = epochs(e).map(_._1).toSet
+      graft.operators.ImageOps.nearDupPhash(soFar.toDF("image_id", "phash"))
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+          r.getInt(4), e))
+        .filter(p => eIds.contains(p._1) || eIds.contains(p._2))
+    }.toSet
+    assert(out == expected, s"image stream pairs diverged (out=${out.size}, exp=${expected.size})")
+    assert(out.exists(_._6 == 2), "planted image copies not flagged in their arrival batch")
+    assert(out.forall(_._5 == 0), "exact re-crawls should pair at hamming 0")
+  }
 }
