@@ -274,6 +274,41 @@ object SimIndex {
     ImageOps.phashBlocks(images.select("image_id", "phash"))
       .write.mode("overwrite").parquet(s"$root/phash_blocks/epoch=$epoch")
 
+  /** Block rows as of `upToEpoch`: latest completed compact + the tail of
+    * per-epoch dirs after it (the SeenStore.loadUpTo discipline). A
+    * streaming copy-detector writes one mini-epoch per micro-batch, so
+    * without compaction a long-running stream's every probe pays an
+    * O(batches-so-far) directory listing; with periodic
+    * [[compactPhashIndex]] it pays O(cadence). Tail dirs are read
+    * individually (no partition discovery over the root — that listing is
+    * the cost being avoided) with their epoch re-attached; the compact
+    * carries epoch as a data column.
+    */
+  private def phashBlocksUpTo(
+      spark: SparkSession, root: String, upToEpoch: Int,
+      maxCompactEpoch: Int = Int.MaxValue): DataFrame = {
+    val c = latestCompact(root, "phash_blocks_compact",
+      math.min(upToEpoch, maxCompactEpoch))
+    val tail = (c + 1 to upToEpoch)
+      .filter(e => new java.io.File(s"$root/phash_blocks/epoch=$e").exists())
+      .map(e => spark.read.parquet(s"$root/phash_blocks/epoch=$e")
+        .withColumn("epoch", lit(e)))
+    val parts =
+      (if (c >= 0) Seq(spark.read.parquet(s"$root/phash_blocks_compact/epoch=$c"))
+       else Nil) ++ tail
+    parts.reduce(_.unionByName(_))
+  }
+
+  /** Fold the block dirs up to `upToEpoch` into
+    * `phash_blocks_compact/epoch=upToEpoch`. Idempotent on re-run (the
+    * read excludes its own target); crash-safe (_SUCCESS-gated read falls
+    * back to the previous compact + longer tail). The per-epoch dirs stay
+    * on disk as the replayable source of truth; only the read narrows.
+    */
+  def compactPhashIndex(spark: SparkSession, root: String, upToEpoch: Int): Unit =
+    phashBlocksUpTo(spark, root, upToEpoch, maxCompactEpoch = upToEpoch - 1)
+      .write.mode("overwrite").parquet(s"$root/phash_blocks_compact/epoch=$upToEpoch")
+
   /** Cross-epoch image near-dup through the persisted block index: epoch
     * `epoch`'s images (their blocks already written) pair against the
     * ENTIRE corpus-so-far without re-blocking any earlier epoch. Emits
@@ -292,8 +327,7 @@ object SimIndex {
       root: String,
       epoch: Int,
       maxHamming: Int = 3): DataFrame = {
-    val blocks = spark.read.parquet(s"$root/phash_blocks")
-      .where(col("epoch") <= epoch)
+    val blocks = phashBlocksUpTo(spark, root, epoch)
       .select(col("image_id"), col("phash"), col("img_hash"),
         col("blk"), col("key"), (col("epoch") === epoch).as("is_new"))
     val newB = blocks.where(col("is_new"))

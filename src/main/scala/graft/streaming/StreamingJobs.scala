@@ -296,7 +296,8 @@ object StreamingJobs {
   def streamingImageCopyDetect(
       images: Dataset[(String, Long)],
       root: String,
-      startEpoch: Int): org.apache.spark.sql.streaming.StreamingQuery =
+      startEpoch: Int,
+      compactEvery: Int = 0): org.apache.spark.sql.streaming.StreamingQuery =
     images.toDF("image_id", "phash").writeStream
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", ckptDir(s"imgcopydetect_$startEpoch"))
@@ -306,6 +307,13 @@ object StreamingJobs {
         graft.operators.SimIndex.writePhashIndex(batch, root, epoch)
         graft.operators.SimIndex.crossEpochNearDupPhash(spark, root, epoch)
           .write.mode("overwrite").parquet(s"$root/image_copy_pairs/epoch=$epoch")
+        // online index maintenance: a stream writes one mini-epoch per
+        // micro-batch, so a long run would pay an O(batches) listing per
+        // probe — fold the block dirs periodically (crash-safe + idempotent
+        // like the probe itself; the probed pairs are unchanged either way,
+        // pinned by the stream==recompute golden running with cadence 1)
+        if (compactEvery > 0 && epoch % compactEvery == 0)
+          graft.operators.SimIndex.compactPhashIndex(spark, root, epoch)
       }
       .start()
 
@@ -331,7 +339,10 @@ object StreamingJobs {
     val fresh = (60 until 100).map(img)
     val copies = e0.take(12).map { case (id, p) => (s"$id?utm=copy", p) }
     val stream = MemoryStream[(String, Long)]
-    val q = streamingImageCopyDetect(stream.toDS(), root, startEpoch = 1)
+    // cadence 1: batch 2's probe reads compact(1) + tail(2) — the
+    // compacted read path is exercised INSIDE the golden equality
+    val q = streamingImageCopyDetect(stream.toDS(), root, startEpoch = 1,
+      compactEvery = 1)
     try {
       stream.addData(fresh)
       q.processAllAvailable()

@@ -142,6 +142,21 @@ class SimIndexSpec extends AnyFunSuite {
       sawCross ||= inc.exists(p => !(eIds.contains(p._1) && eIds.contains(p._2)))
     }
     assert(sawCross, "no cross-epoch image pair surfaced — plant broken")
+    // compaction narrows the read path, never the result: fold epochs 0-1
+    // into a compact, probe epoch 2 through compact+tail, compare to the
+    // never-compacted probe (same root state — compact read is _SUCCESS
+    // gated and the per-epoch dirs remain the source of truth)
+    val before2 = {
+      val e2 = spark.createDataset((100 until 130).map(img)).toDF("image_id", "phash")
+        .unionByName(e0.limit(5)
+          .select(concat(col("image_id"), lit("?v=2")).as("image_id"), col("phash")))
+      SimIndex.writePhashIndex(e2, root, 2)
+      collectP(SimIndex.crossEpochNearDupPhash(spark, root, 2))
+    }
+    SimIndex.compactPhashIndex(spark, root, 1)
+    val after = collectP(SimIndex.crossEpochNearDupPhash(spark, root, 2))
+    assert(after == before2 && after.nonEmpty,
+      s"compacted probe diverged (compact=${after.size}, tail=${before2.size})")
   }
 
   test("persisted IVF index probe equals the in-memory IVF ANN") {
