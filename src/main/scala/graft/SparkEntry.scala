@@ -101,6 +101,8 @@ object SparkEntry {
     "t08_dedup_corpus" -> ((s, d) => operators.DedupResolve.dedupedCorpus(s, d)),
     "t09_corpus_curation" -> ((s, d) => TextOps.curatedCorpus(s, d)),
     "t10_span_clip" -> ((s, d) => TextOps.spanClippedCorpus(s, d)),
+    "t11_multimodal_dedup" -> ((s, d) =>
+      operators.MultimodalDedup.multimodalResolve(s, d)),
     "t04_neardup_simhash" -> ((s, d) => TextOps.nearDupSimhash(s, d)),
     "emb01_cosine_topk" -> ((s, d) => SimilarityOps.bruteCosineTopK(s, d)),
     "emb02_ann_lsh" -> ((s, d) => SimilarityOps.annLshTopK(s, d)),
@@ -539,6 +541,33 @@ object SparkEntry {
           |)
           |SELECT doc_id FROM corpus WHERE doc_id NOT IN (SELECT id FROM drops)"""
           .stripMargin),
+    // t11: components over the UNION of caption near-dup edges (t05
+    // kernel) and exact-image star edges (member -> group-min; same
+    // components as the clique). Image identity mirrors
+    // MultimodalDedup.pairsCorpus: (doc_id % 1000000) % 211.
+    "t11_multimodal_dedup" ->
+      (ngramPairSql +
+        """, img AS (
+          |  SELECT doc_id, (doc_id % 1000000) % 211 AS g FROM corpus
+          |), img_edges AS (
+          |  SELECT m.g_min AS doc_a, i.doc_id AS doc_b
+          |  FROM img i
+          |  JOIN (SELECT g, min(doc_id) AS g_min FROM img GROUP BY g) m
+          |    ON i.g = m.g
+          |  WHERE i.doc_id <> m.g_min
+          |), edges AS (
+          |  SELECT doc_a AS src, doc_b AS dst FROM dup_pairs
+          |  UNION SELECT doc_b AS src, doc_a AS dst FROM dup_pairs
+          |  UNION SELECT doc_a AS src, doc_b AS dst FROM img_edges
+          |  UNION SELECT doc_b AS src, doc_a AS dst FROM img_edges
+          |), reach AS (
+          |  SELECT src AS id, src AS node FROM edges
+          |  UNION
+          |  SELECT r.id, e.dst AS node FROM reach r JOIN edges e ON r.node = e.src
+          |)
+          |SELECT id AS pair_id, min(node) AS component,
+          |  (id = min(node)) AS is_survivor
+          |FROM reach GROUP BY id""".stripMargin),
     "t09_corpus_curation" ->
       (ngramPairSql +
         """, edges AS (

@@ -89,4 +89,41 @@ class DedupResolveSpec extends AnyFunSuite {
     val drops = expected.collect { case (id, comp) if id != comp => id }.toSet
     assert(kept == all -- drops, "filtered corpus != corpus minus non-survivors")
   }
+
+  test("t11 multimodal resolve == union-find on caption+image edges; both modalities merge") {
+    val dir = "/root/testdata/sf0.001"
+    val pairs = MultimodalDedup.pairsCorpus(spark, dir)
+    val capEdges = TextOps.ngramJaccardPairs(pairs.select("doc_id", "text"))
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val imgEdges = MultimodalDedup.exactHashEdges(pairs, "doc_id", "img_hash")
+      .collect().map(r => (r.getLong(1), r.getLong(0))).toSeq // (b, a) order irrelevant
+    // star edges produce the same components as the full hash-clique
+    val groups = pairs.select("doc_id", "img_hash").collect()
+      .map(r => (r.getLong(0), r.getString(1))).groupBy(_._2).values
+    val cliqueEdges = groups.flatMap { ms =>
+      val ids = ms.map(_._1).sorted
+      ids.tail.map(b => (ids.head, b))
+    }.toSeq
+    assert(unionFind(capEdges ++ imgEdges) == unionFind(capEdges ++ cliqueEdges),
+      "star edges changed components vs hash-clique")
+    val resolved = MultimodalDedup.multimodalResolve(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    val expected = unionFind(capEdges ++ imgEdges)
+    assert(resolved.map(t => t._1 -> t._2).toMap == expected,
+      "multimodal components diverged from union-find")
+    assert(resolved.forall(t => t._3 == (t._1 == t._2)), "survivor flag wrong")
+    // both modalities contribute merges the other cannot: some component
+    // joins two docs with no caption edge (image-merged), and some joins
+    // docs in different image groups (caption-merged)
+    val capUf = unionFind(capEdges)
+    val imgOnlyMerge = expected.exists { case (id, comp) =>
+      id != comp && capUf.getOrElse(id, id) != capUf.getOrElse(comp, comp)
+    }
+    val imgUf = unionFind(imgEdges)
+    val capOnlyMerge = expected.exists { case (id, comp) =>
+      id != comp && imgUf.getOrElse(id, id) != imgUf.getOrElse(comp, comp)
+    }
+    assert(imgOnlyMerge, "no image-only merge — image modality inert in the plant")
+    assert(capOnlyMerge, "no caption-only merge — caption modality inert in the plant")
+  }
 }
