@@ -91,6 +91,7 @@ object SparkEntry {
     "q34_string_agg" -> ((s, d) => Relational.stringAggNations(s, d)),
     "q35_unpivot" -> ((s, d) => Relational.unpivotMeasures(s, d)),
     "q36_session_window" -> ((s, d) => Relational.sessionWindows(s, d)),
+    "q37_full_outer" -> ((s, d) => Relational.reconcileEpochs(s, d)),
     "t01_text_quality" -> ((s, d) => TextOps.qualityStats(s, d)),
     // ---- training-data ops, non-SQL parts (rows-only + scalatest) -----
     "t02_text_profile" -> ((s, d) => TextOps.textProfile(s, d)),
@@ -103,6 +104,7 @@ object SparkEntry {
     "t10_span_clip" -> ((s, d) => TextOps.spanClippedCorpus(s, d)),
     "t11_multimodal_dedup" -> ((s, d) =>
       operators.MultimodalDedup.multimodalResolve(s, d)),
+    "t12_stratified_sample" -> ((s, d) => TextOps.stratifiedSample(s, d)),
     "t04_neardup_simhash" -> ((s, d) => TextOps.nearDupSimhash(s, d)),
     "emb01_cosine_topk" -> ((s, d) => SimilarityOps.bruteCosineTopK(s, d)),
     "emb02_ann_lsh" -> ((s, d) => SimilarityOps.annLshTopK(s, d)),
@@ -164,6 +166,7 @@ object SparkEntry {
       graft.streaming.StreamingJobs.copyDetectDemo(s, d)),
     "c21_stream_image_copydetect" -> ((s, _) =>
       graft.streaming.StreamingJobs.imageCopyDetectDemo(s)),
+    "c22_hot_hosts" -> ((s, _) => SketchOps.hotHosts(s, 20000)),
     "c15_crossmodal_neardup" -> ((s, _) => {
       import s.implicits._
       // image side: phashes of frame 0/8 of the first videos PLANTED as
@@ -644,6 +647,30 @@ object SparkEntry {
         |  strftime(max(ts) + INTERVAL 10 MINUTE, '%Y-%m-%d %H:%M:%S') AS session_end,
         |  count(*) AS n, round(sum(value), 2) AS total
         |FROM sess GROUP BY user_id, sid""".stripMargin,
+    // q37: FULL OUTER reconciliation of two deterministic epoch views —
+    // same md5 content hashes both engines (parity proven by q12).
+    "q37_full_outer" ->
+      """WITH prev AS (
+        |  SELECT doc_id AS a_id, md5(text) AS a_hash
+        |  FROM documents WHERE doc_id % 10 <> 0
+        |), cur AS (
+        |  SELECT doc_id AS b_id,
+        |    md5(CASE WHEN doc_id % 5 = 0 THEN text || '[rev]' ELSE text END) AS b_hash
+        |  FROM documents WHERE doc_id % 7 <> 0
+        |)
+        |SELECT coalesce(a_id, b_id) AS doc_id,
+        |  CASE WHEN a_id IS NULL THEN 'new'
+        |       WHEN b_id IS NULL THEN 'gone'
+        |       WHEN a_hash <> b_hash THEN 'revised'
+        |       ELSE 'unchanged' END AS change
+        |FROM prev FULL OUTER JOIN cur ON a_id = b_id""".stripMargin,
+    // t12: hash-threshold stratified sampling — deterministic, so the
+    // oracle reproduces the exact sampled set (hex md5 compares
+    // lexicographically; threshold digit k keeps k/16 of the stratum).
+    "t12_stratified_sample" ->
+      """SELECT doc_id, lang, source FROM documents
+        |WHERE md5('smp1:' || CAST(doc_id AS VARCHAR))
+        |      < (CASE WHEN lang = 'en' THEN '2' ELSE '8' END)""".stripMargin,
     // emb01: brute cosine top-k IS plain SQL (round-4 verdict "missing
     // #4"). The cosine mirrors the Spark column arithmetic exactly —
     // per-element double casts, sequential list sums, dot/(norm*norm) —

@@ -396,6 +396,35 @@ object Relational {
       .select(col("l_returnflag"),
         expr("stack(3, 'qty', sum_qty, 'price', sum_price, 'disc', sum_disc) AS (measure, val)"))
 
+  /** Epoch-over-epoch snapshot reconciliation (q37): the one join family
+    * the inventory lacked — FULL OUTER. Two deterministic epoch views of
+    * the corpus (old crawl misses doc_id%10==0, new crawl misses %7==0,
+    * every %5==0 doc was revised between them) are joined on the stable
+    * key and every key classified new / gone / revised / unchanged — the
+    * crawl-bookkeeping pass that semi/anti/inner joins (q03/q04/q14) each
+    * express only one arm of.
+    *
+    * Scale: both sides are projected to (key, md5) BEFORE the join — 40-ish
+    * bytes/row on the exchange, payload text never ships; the equi-key
+    * full outer plans as a sort-merge join co-partitioned on doc_id.
+    */
+  def reconcileEpochs(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val prev = docs.where(col("doc_id") % 10 =!= 0)
+      .select(col("doc_id").as("a_id"), md5(col("text")).as("a_hash"))
+    val cur = docs.where(col("doc_id") % 7 =!= 0)
+      .select(col("doc_id").as("b_id"),
+        md5(when(col("doc_id") % 5 === 0, concat(col("text"), lit("[rev]")))
+          .otherwise(col("text"))).as("b_hash"))
+    prev.join(cur, col("a_id") === col("b_id"), "full_outer")
+      .select(
+        coalesce(col("a_id"), col("b_id")).as("doc_id"),
+        when(col("a_id").isNull, "new")
+          .when(col("b_id").isNull, "gone")
+          .when(col("a_hash") =!= col("b_hash"), "revised")
+          .otherwise("unchanged").as("change"))
+  }
+
   /** Politeness-scheduler operator shape under the SQL oracle: per-key
     * ranked slots with budget cap + slot arithmetic (mirrors FrontierJob
     * W1/W2 on a relational input so DuckDB can check it).

@@ -47,6 +47,29 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** t12 — DETERMINISTIC stratified corpus sampling: per-language keep
+    * rates applied by hash threshold, not RNG. Every training-corpus
+    * build downsamples over-represented strata (here: en to 1/8, the
+    * rest to 1/2); doing it with `rand()` makes the corpus irreproducible
+    * and shuffle-order-dependent, so the standard trick is a salted
+    * cryptographic hash of the stable key compared against the rate
+    * threshold — the same row is kept or dropped on every run, at any
+    * parallelism, on any engine (which is what lets DuckDB oracle it
+    * hash-exactly). Hex md5 compares lexicographically: a one-hex-digit
+    * prefix threshold 'k' keeps k/16 of keys.
+    *
+    * Scale: a narrow filter fused into the scan — no shuffle, no state;
+    * rates are retuned by re-running with a different salt/threshold
+    * (the salt "smp1:" namespaces this sample against every other
+    * hash-of-doc_id use in the pipeline).
+    */
+  def stratifiedSample(spark: SparkSession, dir: String): DataFrame = {
+    val thr = when(col("lang") === "en", lit("2")).otherwise(lit("8"))
+    docs(spark, dir)
+      .where(md5(concat(lit("smp1:"), col("doc_id").cast("string"))) < thr)
+      .select("doc_id", "lang", "source")
+  }
+
   /** Full text profile: heuristic language-ID, quality score, simhash +
     * rolling-hash fingerprints, BPE-ish token count (custom codegen'd
     * expressions — rows-only gate + scalatest).
