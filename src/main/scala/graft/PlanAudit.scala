@@ -108,6 +108,28 @@ object PlanAudit {
         fmt(graft.operators.SimIndex.crossEpochNearDupPhash(spark, root, 1))))
     }
 
+    {
+      import org.apache.spark.sql.functions.col
+      val pairs = graft.operators.MultimodalDedup.pairsCorpus(spark, sfDir)
+      val capE = TextOps.ngramJaccardPairs(pairs.select("doc_id", "text"))
+        .select(col("doc_a").cast("long").as("doc_a"),
+          col("doc_b").cast("long").as("doc_b"))
+      val imgE = graft.operators.MultimodalDedup.exactHashEdges(
+        pairs, "doc_id", "img_hash")
+      sections += (("t11 multimodal dedup edge union (caption near-dup + image stars)",
+        "caption family reuses the t05 inverted-index shape (ids+shingle-hash " +
+          "exchanges); image family is ONE window shuffle on (doc_b, img_hash) " +
+          "emitting k-1 star edges per hash group — same components as the " +
+          "clique at linear cost; no text payload on any exchange (PlanSpec pin)",
+        fmt(capE.unionByName(imgE))))
+    }
+
+    sections += (("q37 full-outer epoch reconciliation",
+      "both sides project to (doc_id, md5) BEFORE the exchange — the SMJ " +
+        "full outer ships ~40-byte rows, payload text never leaves the scan; " +
+        "ReadSchema prunes documents to (doc_id, text)",
+      fmt(Relational.reconcileEpochs(spark, sfDir))))
+
     val md = new StringBuilder
     md.append("# BENCH/PLANS — flagship physical plans (explain formatted)\n\n")
     md.append("Generated by `graft.PlanAudit` (re-run after plan-shaping changes).\n")

@@ -267,6 +267,41 @@ class PlanSpec extends AnyFunSuite {
     assert(pairs.collect().nonEmpty, "planted copies produced no pairs")
   }
 
+  test("t11 multimodal edge union: no text payload on any exchange") {
+    import org.apache.spark.sql.functions.col
+    val pairs = graft.operators.MultimodalDedup.pairsCorpus(
+      spark, "/root/testdata/sf0.001")
+    val capE = graft.operators.TextOps.ngramJaccardPairs(
+      pairs.select("doc_id", "text"))
+      .select(col("doc_a").cast("long").as("doc_a"),
+        col("doc_b").cast("long").as("doc_b"))
+    val imgE = graft.operators.MultimodalDedup.exactHashEdges(
+      pairs, "doc_id", "img_hash")
+    val p = finalPlan(capE.unionByName(imgE))
+    // both edge families must be ids(+hash)-only on the wire: caption
+    // text leaking onto either family's exchanges is the payload-shuffle
+    // bug the star-edge/inverted-index designs exist to avoid
+    p.linesIterator.filter(_.contains("Exchange")).foreach { l =>
+      assert(!l.contains("text#"), s"text payload on an edge exchange: $l")
+    }
+  }
+
+  test("q37 full-outer reconciliation: SMJ on pre-hashed 2-column sides") {
+    val p = finalPlan(Relational.reconcileEpochs(spark, "/root/testdata/sf0.001"))
+    assert(p.contains("FullOuter"), s"no full outer join in plan:\n$p")
+    // the join children must exchange (id, md5) projections — the text
+    // payload stays below the hash projection, never on the wire
+    p.linesIterator.filter(_.contains("Exchange")).foreach { l =>
+      assert(!l.contains("text#"), s"text payload on the join exchange: $l")
+    }
+    // filters reach the scans (doc_id % k <> 0 is not pushable as a
+    // parquet filter, but the scan must prune to the 2 used columns)
+    p.linesIterator.filter(_.contains("ReadSchema")).foreach { l =>
+      assert(!l.contains("lang") && !l.contains("source") && !l.contains("n_chars"),
+        s"reconcile scan reads unused columns: $l")
+    }
+  }
+
   test("t05 shingle index is served once via ReuseExchange (five consumers)") {
     // the distinct shingle index feeds sizes, the df-cap, and both
     // self-join sides; an explicit persist measured SLOWER than letting
