@@ -109,6 +109,24 @@ object PlanAudit {
     }
 
     {
+      import org.apache.spark.sql.functions.{col, concat_ws, lit, pmod, xxhash64}
+      val tmp = Files.createTempDirectory("graft-planaudit-c23").toString
+      import spark.implicits._
+      val frontier = spark.range(0, 2000)
+        .select(xxhash64(col("id")).as("url_hash"),
+          concat_ws("", lit("h"), pmod(col("id"), lit(50))).as("host"))
+      val seen = frontier.where(pmod(col("url_hash"), lit(4)) === 0)
+        .select(col("url_hash"), col("host"), lit(0).as("first_epoch"))
+        .as[graft.model.SeenEntry]
+      SeenStore.writeBucketed(seen, "planaudit_seen_bucketed", s"$tmp/seen")
+      sections += (("c23 exact dedupe vs BUCKETED seen table",
+        "the cumulative seen side scans `Bucketed: true` and satisfies the SMJ " +
+          "distribution with NO exchange — only the epoch-sized frontier side " +
+          "shuffles; at 10^10 seen URLs this deletes the big shuffle from every epoch",
+        fmt(SeenStore.dedupeAgainstBucketed(spark, frontier, "planaudit_seen_bucketed"))))
+    }
+
+    {
       import org.apache.spark.sql.functions.col
       val pairs = graft.operators.MultimodalDedup.pairsCorpus(spark, sfDir)
       val capE = TextOps.ngramJaccardPairs(pairs.select("doc_id", "text"))

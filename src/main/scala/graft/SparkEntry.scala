@@ -167,6 +167,22 @@ object SparkEntry {
     "c21_stream_image_copydetect" -> ((s, _) =>
       graft.streaming.StreamingJobs.imageCopyDetectDemo(s)),
     "c22_hot_hosts" -> ((s, _) => SketchOps.hotHosts(s, 20000)),
+    // c23: the per-epoch exact dedupe against a BUCKETED cumulative seen
+    // table — the anti-join's 10^10-row side is never exchanged
+    // (PlanSpec-pinned); rows out = surviving frontier per host
+    "c23_bucketed_seen" -> ((s, _) => {
+      import s.implicits._
+      val tmp = java.nio.file.Files.createTempDirectory("graft-c23").toString
+      val frontier = FrontierJob.canonicalizeFrontier(Gen.seeds(s, 20000)).toDF()
+      val seen = frontier.where(pmod(col("url_hash"), lit(4)) === 0)
+        .select(col("url_hash"), col("host"), lit(0).as("first_epoch"))
+        .as[graft.model.SeenEntry]
+      graft.sources.SeenStore.writeBucketed(seen, "c23_seen_bucketed", s"$tmp/seen")
+      graft.sources.SeenStore.dedupeAgainstBucketed(s, frontier, "c23_seen_bucketed")
+        .groupBy("host")
+        .agg(org.apache.spark.sql.functions.count(lit(1)).as("n_new"))
+        .orderBy("host")
+    }),
     "c15_crossmodal_neardup" -> ((s, _) => {
       import s.implicits._
       // image side: phashes of frame 0/8 of the first videos PLANTED as

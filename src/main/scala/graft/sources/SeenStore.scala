@@ -97,6 +97,40 @@ object SeenStore {
   def append(newSeen: Dataset[SeenEntry], root: String, epoch: Int): Unit =
     newSeen.write.mode("overwrite").parquet(s"$root/url_seen/epoch=$epoch")
 
+  /** S9 — the seen set as a BUCKETED table (bucketBy url_hash, sorted
+    * within buckets). The cumulative seen set is the BIG side of every
+    * epoch's exact anti-join; stored bucketed, its scan already satisfies
+    * the join's required hash distribution (Spark's bucket hash == the
+    * shuffle Murmur3 hash), so the per-epoch dedupe exchanges ONLY the
+    * epoch-sized frontier side — the 10^10-row side is never shuffled,
+    * epoch after epoch. This is the at-scale shape of the compact root
+    * (`compact()` keeps the plain-parquet layout for the resume path;
+    * a production deployment points `compact` at this writer).
+    *
+    * `sortBy` additionally persists within-bucket order so the SMJ reads
+    * the seen side sort-free. Requires a catalog table (the bucket
+    * metadata lives in the catalog, not parquet); `path` makes it
+    * external so the data sits with the crawl root.
+    */
+  def writeBucketed(seen: Dataset[SeenEntry], table: String, path: String,
+                    nBuckets: Int = 32): Unit =
+    seen.write.mode("overwrite")
+      .bucketBy(nBuckets, "url_hash").sortBy("url_hash")
+      .option("path", path)
+      .format("parquet")
+      .saveAsTable(table)
+
+  /** Exact dedupe against the bucketed seen table: anti-join on url_hash
+    * whose seen side is exchange-free (PlanSpec-pinned). SHUFFLE_MERGE is
+    * pinned for the same reason as FrontierJob's size gate — at real seen
+    * sizes a broadcast is impossible, and SMJ is what the bucketing (and
+    * its persisted sort) is laid out for.
+    */
+  def dedupeAgainstBucketed(spark: SparkSession, frontier: DataFrame,
+                            table: String): DataFrame =
+    frontier.join(spark.table(table).hint("SHUFFLE_MERGE"),
+      Seq("url_hash"), "left_anti")
+
   /** Build per-bucket blooms over a SeenEntry set — one fixed-size buffer
     * per (map partition, bucket) crosses the shuffle (map-side combine).
     */

@@ -237,6 +237,38 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("bucketed seen table: anti-join exchanges only the frontier side; golden-equal") {
+    import org.apache.spark.sql.functions.{col, concat_ws, lit, pmod, xxhash64}
+    val tmp = java.nio.file.Files.createTempDirectory("graft-bucketed").toString
+    // map-only frontier (no internal exchange) so the single exchange the
+    // pin counts below is unambiguously the join's frontier side
+    val frontier = spark.range(0, 2000)
+      .select(xxhash64(col("id")).as("url_hash"),
+        concat_ws("", lit("h"), pmod(col("id"), lit(50))).as("host"))
+    val seen = frontier.where(pmod(col("url_hash"), lit(4)) === 0)
+      .select(col("url_hash"), col("host"), lit(0).as("first_epoch"))
+      .as[graft.model.SeenEntry]
+    SeenStore.writeBucketed(seen, "planspec_seen_bucketed", s"$tmp/seen")
+    val dd = SeenStore.dedupeAgainstBucketed(spark, frontier, "planspec_seen_bucketed")
+    // final executed plan only — AdaptiveSparkPlan.toString appends the
+    // pre-execution initial plan after this marker
+    val p = finalPlan(dd).split("== Initial Plan ==").head
+    assert(p.contains("SortMergeJoin") && p.contains("LeftAnti"),
+      s"bucketed dedupe is not an SMJ anti-join:\n$p")
+    // the bucketed scan satisfies the join distribution: the ONLY
+    // exchange in the plan is the frontier side's — the 10^10-row seen
+    // side shuffling every epoch is exactly what bucketing removes
+    val exchanges = p.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning"))
+    assert(exchanges == 1, s"expected 1 exchange (frontier side only), got $exchanges:\n$p")
+    assert(p.contains("Bucketed: true"), s"seen scan not bucketed:\n$p")
+    // golden: same survivors as the plain anti-join
+    val plain = frontier.join(seen.toDF(), Seq("url_hash"), "left_anti")
+    assert(dd.select("url_hash").collect().map(_.getLong(0)).sorted.toSeq ==
+      plain.select("url_hash").collect().map(_.getLong(0)).sorted.toSeq,
+      "bucketed dedupe diverged from plain anti-join")
+  }
+
   test("t09 curation keep-list anti-join broadcasts the small drop side") {
     // the drop-list (non-survivor near-dup members) is a small fraction of
     // the corpus — Catalyst must broadcast it, not shuffle the corpus
