@@ -92,6 +92,7 @@ object SparkEntry {
     "q35_unpivot" -> ((s, d) => Relational.unpivotMeasures(s, d)),
     "q36_session_window" -> ((s, d) => Relational.sessionWindows(s, d)),
     "q37_full_outer" -> ((s, d) => Relational.reconcileEpochs(s, d)),
+    "q38_pivot" -> ((s, d) => Relational.pivotStatusRevenue(s, d)),
     "t01_text_quality" -> ((s, d) => TextOps.qualityStats(s, d)),
     // ---- training-data ops, non-SQL parts (rows-only + scalatest) -----
     "t02_text_profile" -> ((s, d) => TextOps.textProfile(s, d)),
@@ -680,6 +681,14 @@ object SparkEntry {
         |       WHEN a_hash <> b_hash THEN 'revised'
         |       ELSE 'unchanged' END AS change
         |FROM prev FULL OUTER JOIN cur ON a_id = b_id""".stripMargin,
+    // q38: pivot == conditional aggregation per pinned value (sum over an
+    // empty set is NULL in both engines)
+    "q38_pivot" ->
+      """SELECT o_orderpriority,
+        |  round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 2) AS rev_f,
+        |  round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 2) AS rev_o,
+        |  round(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 2) AS rev_p
+        |FROM orders GROUP BY o_orderpriority""".stripMargin,
     // t12: hash-threshold stratified sampling — deterministic, so the
     // oracle reproduces the exact sampled set (hex md5 compares
     // lexicographically; threshold digit k keeps k/16 of the stratum).

@@ -425,6 +425,20 @@ object Relational {
           .otherwise("unchanged").as("change"))
   }
 
+  /** PIVOT (q38): long-to-wide reshape with an explicit value list — the
+    * inverse of q35's unpivot. Pinning the pivot values (`Seq("F","O",
+    * "P")`) keeps the plan a single partial+final hash aggregate; an
+    * unpinned pivot needs an extra distinct-values job first, which at
+    * 10^10 rows is a full extra pass just to learn the column list.
+    */
+  def pivotStatusRevenue(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .groupBy("o_orderpriority")
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(round(sum("o_totalprice"), 2))
+      .select(col("o_orderpriority"), col("F").as("rev_f"),
+        col("O").as("rev_o"), col("P").as("rev_p"))
+
   /** Politeness-scheduler operator shape under the SQL oracle: per-key
     * ranked slots with budget cap + slot arithmetic (mirrors FrontierJob
     * W1/W2 on a relational input so DuckDB can check it).
