@@ -163,6 +163,9 @@ object SparkEntry {
     }),
     "c14_stream_dedupe" -> ((s, _) =>
       graft.streaming.StreamingJobs.dedupeDemo(s)),
+    "c24_stream_sessions" -> ((s, d) =>
+      graft.streaming.StreamingJobs.sessionizedEvents(s, d)
+        .orderBy("user_id", "session_start")),
     "c18_stream_copydetect" -> ((s, d) =>
       graft.streaming.StreamingJobs.copyDetectDemo(s, d)),
     "c21_stream_image_copydetect" -> ((s, _) =>

@@ -57,6 +57,44 @@ object StreamingJobs {
     spark.table(name)
   }
 
+  /** Streaming SESSION windows (c24 — the streaming form of q36):
+    * gap-based per-user sessions over the events table consumed as a
+    * stream. session_window is the one window family whose boundaries are
+    * DATA-dependent — the state store must MERGE adjacent sessions when a
+    * late row bridges their gap, which tumbling (q18) never does. Complete
+    * mode: the final table must equal the batch `Relational.sessionWindows`
+    * (itself q36 DuckDB-oracled), so the streaming path inherits oracle
+    * parity transitively (pinned in StreamingSpec).
+    */
+  def sessionizedEvents(spark: SparkSession, dir: String, gapMin: Int = 10): DataFrame =
+    withFewStatePartitions(spark) { sessionizedEventsImpl(spark, dir, gapMin) }
+
+  private def sessionizedEventsImpl(spark: SparkSession, dir: String, gapMin: Int): DataFrame = {
+    val batchSchema = spark.read.parquet(s"$dir/events.parquet").schema
+    val name = s"stream_sess_${math.abs(dir.hashCode)}"
+    val stream = spark.readStream
+      .schema(batchSchema)
+      .option("pathGlobFilter", "events*.parquet")
+      .parquet(dir)
+    val agg = stream
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .withWatermark("ts", "1 hour")
+      .groupBy(col("user_id"), session_window(col("ts"), s"$gapMin minutes"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total"))
+      .select(col("user_id"),
+        date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        date_format(col("session_window.end"), "yyyy-MM-dd HH:mm:ss").as("session_end"),
+        col("n"), col("total"))
+    val q = agg.writeStream
+      .outputMode(OutputMode.Complete())
+      .option("checkpointLocation", ckptDir(name))
+      .format("memory")
+      .queryName(name)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name)
+  }
+
   /** Stateful streams pin their state-partition count from
     * spark.sql.shuffle.partitions at FIRST batch and pay per-partition
     * state-store files + maintenance EVERY trigger — 32 partitions for a

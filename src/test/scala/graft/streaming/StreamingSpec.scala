@@ -16,6 +16,16 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch, "stream complete-mode result != batch groupBy")
   }
 
+  test("streaming session windows == batch session_window (q36-oracled)") {
+    val streamed = StreamingJobs.sessionizedEvents(spark, dir)
+      .orderBy("user_id", "session_start").collect().toSeq
+    val batch = graft.operators.Relational.sessionWindows(spark, dir)
+      .orderBy("user_id", "session_start").collect().toSeq
+    assert(streamed.nonEmpty, "no sessions produced")
+    assert(streamed == batch,
+      "streaming session windows != batch session_window result")
+  }
+
   test("stateful politeness: budgets + cross-batch state carry-over") {
     val out = StreamingJobs.politenessDemo(spark, n = 2000, budget = 30)
       .select("host", "slot").collect()
