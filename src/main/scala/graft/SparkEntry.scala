@@ -132,6 +132,15 @@ object SparkEntry {
     "c04_revisions" -> ((s, _) =>
       DiffJob.revisions(diffHistory(s, 60), epoch = 2, tau = 10).toDF()
         .orderBy("image_id")),
+    // c25: adaptive recrawl scheduling over the 3-epoch revision history —
+    // the revisit policy between epochs (changed => due next epoch,
+    // unchanged => linear backoff)
+    "c25_recrawl_schedule" -> ((s, _) => {
+      val hist = diffHistory(s, 60)
+      val revs = (0 to 2).map(e => DiffJob.revisions(hist, e, tau = 10).toDF())
+        .reduce(_ unionByName _)
+      DiffJob.recrawlSchedule(revs, atEpoch = 3).orderBy("image_id")
+    }),
     "c05_bloom" -> ((s, _) => {
       import s.implicits._
       val seen = FrontierJob.canonicalizeFrontier(Gen.seeds(s, 4000))

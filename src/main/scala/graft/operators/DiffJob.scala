@@ -99,6 +99,38 @@ object DiffJob {
     }
   }
 
+  /** Adaptive recrawl scheduling (c25) — the revisit policy the reference
+    * crawler runs between epochs: an article whose content changed at its
+    * last fetch is probably still being edited (breaking news), so it is
+    * due again next epoch; articles that keep coming back unchanged back
+    * off linearly up to `maxInterval`. Pure integer column arithmetic over
+    * the cumulative revisions table:
+    *
+    *   staleness = last_fetch_epoch - last epoch with a real change
+    *               ('new' counts as a change: fresh articles are hot)
+    *   interval  = min(maxInterval, staleness + 1)
+    *   due@E     = E - last_fetch_epoch >= interval
+    *
+    * Scale: one hash agg over (image_id, epoch, change) — the revisions
+    * table is already the small derived table (no payloads), and the agg
+    * is partial+final on the 10^10-URL tier like every A-family op.
+    * Output feeds the frontier as (url, priority = 1/interval): the
+    * politeness scheduler then treats recrawls like any other seed.
+    */
+  def recrawlSchedule(revisions: DataFrame, atEpoch: Int,
+                      maxInterval: Int = 8): DataFrame =
+    revisions
+      .groupBy("image_id")
+      .agg(max("epoch").as("last_fetch"),
+        coalesce(max(when(col("change") =!= "unchanged", col("epoch"))), lit(-1))
+          .as("last_change"))
+      .withColumn("staleness", col("last_fetch") - col("last_change"))
+      .withColumn("interval",
+        least(lit(maxInterval), col("staleness") + lit(1)).cast("int"))
+      .withColumn("due", (lit(atEpoch) - col("last_fetch")) >= col("interval"))
+      .withColumn("priority", round(lit(1.0) / col("interval"), 4))
+      .select("image_id", "last_fetch", "last_change", "interval", "due", "priority")
+
   def levenshteinLocal(a: String, b: String): Int = {
     val prev = new Array[Int](b.length + 1)
     val cur = new Array[Int](b.length + 1)

@@ -62,6 +62,50 @@ class DiffGoldenSpec extends AnyFunSuite {
     }
   }
 
+  test("recrawl schedule: hand-built cases + formula mirror on real history") {
+    // hand-built revision histories with known expected schedules
+    val revs = Seq(
+      // hot: changed at its last fetch -> interval 1, due next epoch
+      ("imgA", 0, "new"), ("imgA", 1, "revised_pixels"), ("imgA", 2, "revised_caption"),
+      // cooling: unchanged twice since epoch-0 arrival -> interval 3, not due at 3
+      ("imgB", 0, "new"), ("imgB", 1, "unchanged"), ("imgB", 2, "unchanged"),
+      // fetched once long ago -> still interval 1 (was new), due
+      ("imgC", 0, "new"),
+      // degenerate: no change row at all -> last_change=-1 backoff path
+      ("imgD", 1, "unchanged"), ("imgD", 2, "unchanged"))
+      .toDF("image_id", "epoch", "change")
+    val got = DiffJob.recrawlSchedule(revs, atEpoch = 3)
+      .collect().map(r => r.getString(0) ->
+        ((r.getInt(1), r.getInt(2), r.getInt(3), r.getBoolean(4), r.getDouble(5))))
+      .toMap
+    assert(got("imgA") == ((2, 2, 1, true, 1.0)), s"hot article wrong: ${got("imgA")}")
+    assert(got("imgB") == ((2, 0, 3, false, 0.3333)), s"cooling article wrong: ${got("imgB")}")
+    assert(got("imgC") == ((0, 0, 1, true, 1.0)), s"stale-new article wrong: ${got("imgC")}")
+    assert(got("imgD") == ((2, -1, 4, false, 0.25)), s"never-changed path wrong: ${got("imgD")}")
+
+    // formula mirror over the REAL 3-epoch diff history
+    val df = spark.createDataset(history).toDF()
+    val real = (0 to 2).map(e => DiffJob.revisions(df, e, tau = 10).toDF())
+      .reduce(_ unionByName _)
+    val dist = DiffJob.recrawlSchedule(real, atEpoch = 3).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getBoolean(4)))
+    val byImg = (0 to 2).flatMap(e => DiffJob.revisions(df, e, tau = 10).collect())
+      .groupBy(_.image_id)
+    assert(dist.nonEmpty && dist.length == byImg.size)
+    dist.foreach { case (id, lastFetch, lastChange, interval, due) =>
+      val rs = byImg(id)
+      val lf = rs.map(_.epoch).max
+      val lc = rs.filter(_.change != "unchanged").map(_.epoch)
+        .reduceOption(_ max _).getOrElse(-1)
+      assert(lastFetch == lf && lastChange == lc, s"agg wrong for $id")
+      assert(interval == math.min(8, lf - lc + 1), s"interval wrong for $id")
+      assert(due == (3 - lf >= interval), s"due wrong for $id")
+    }
+    // the policy must separate the classes: something due, something not
+    assert(dist.exists(_._5) && dist.exists(!_._5),
+      "backoff produced a degenerate all-due or none-due schedule")
+  }
+
   test("per-row input_hint invariants: dims, phash, PSNR, caption") {
     history.take(60).foreach { s =>
       val (px, w, h) = ImageKit.decodeGray(s.bytes)
