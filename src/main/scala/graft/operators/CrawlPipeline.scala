@@ -154,7 +154,8 @@ object CrawlPipeline {
       fetchPartitions: Int = 32,
       sidecar: String = "bloom",
       sidecarPerBucket: Long = 0L,
-      compactSeenEvery: Int = 8): Seq[EpochSummary] = {
+      compactSeenEvery: Int = 8,
+      recrawl: Boolean = false): Seq[EpochSummary] = {
     require(sidecar == "bloom" || sidecar == "cuckoo", s"unknown sidecar kind: $sidecar")
     import spark.implicits._
     val start = Snapshots.latestCommittedEpoch(root) + 1
@@ -197,7 +198,29 @@ object CrawlPipeline {
       val dedupeCounts = rawCounts.map { case (pid, raw) =>
         pid -> (raw - survCounts.getOrElse(pid, 0L))
       }.filter(_._2 > 0L)
-      val allowed = FrontierJob.applyRobots(deduped, robots, cfg)
+      // recrawl mode (c25 wired end-to-end): articles DUE under the
+      // backoff policy re-enter the frontier AROUND the seen-set dedupe
+      // (re-fetching them is the point) but still pass robots + politeness
+      // like any discovery — recrawls compete for the same host budgets.
+      // image_id == url_canon (a canonicalization fixed point), so the
+      // re-seeded rows re-hash identically. Committed revisions only:
+      // resume recomputes the same due set. Articles whose last fetch
+      // FAILED never reached the revisions table and are not retried here
+      // (failure retry is a different policy from content revisit).
+      val recrawlFrontier =
+        if (!recrawl || epoch == 0) None
+        else {
+          val dirs = (0 until epoch).map(e => s"$root/revisions/epoch=$e")
+            .filter(p => new java.io.File(p).exists())
+          if (dirs.isEmpty) None
+          else Some(FrontierJob.canonicalizeFrontier(
+            DiffJob.recrawlSchedule(spark.read.parquet(dirs: _*), atEpoch = epoch)
+              .where(col("due"))
+              .select(col("image_id").as("url"), col("priority"))
+              .as[Seed]))
+        }
+      val toRobots = recrawlFrontier.fold(deduped)(deduped.unionByName(_))
+      val allowed = FrontierJob.applyRobots(toRobots, robots, cfg)
       val scheduled = FrontierJob
         .applyGlobalBudget(FrontierJob.schedule(allowed, cfg), cfg)
         .persist()
@@ -212,9 +235,17 @@ object CrawlPipeline {
       val fetched = fetchInstrumented(scheduled, epoch, fetchPartitions)
       val summary = Snapshots.writeEpochFetched(fetched, root, epoch, dedupeCounts)
       // seen merge + cumulative bloom sidecar for the NEXT epoch
-      val newSeen = scheduled
+      val newSeen0 = scheduled
         .select(col("url_hash"), col("host"), lit(epoch).as("first_epoch"))
-        .as[SeenEntry]
+      // recrawled URLs are already in the seen store — re-appending them
+      // would duplicate SeenEntry rows (double-inserting their cuckoo
+      // fingerprints, wasting bucket capacity every revisit); the anti-join
+      // runs only in recrawl mode so the default path stays byte-identical
+      val newSeen = (
+        if (recrawl)
+          newSeen0.join(seen.toDF().select("url_hash"), Seq("url_hash"), "left_anti")
+        else newSeen0
+        ).as[SeenEntry]
       SeenStore.append(newSeen, root, epoch)
       val perBucket =
         if (sidecarPerBucket > 0L) sidecarPerBucket

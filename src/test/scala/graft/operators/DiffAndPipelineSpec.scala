@@ -187,6 +187,78 @@ class PipelineResumeSpec extends AnyFunSuite {
     assert(gotLatest == wantLatest, "latest table != max-epoch-per-id over history")
   }
 
+  test("recrawl mode: scheduled recrawls == backoff mirror; version chains grow; seen stays unique") {
+    import org.apache.spark.sql.functions.{col, countDistinct}
+    val root = tempDir("graft-recrawl")
+    val rootCtl = tempDir("graft-recrawl-ctl")
+    val bigCfg = FrontierJob.Config(globalBudget = 100000)
+    CrawlPipeline.run(spark, root, untilEpoch = 3, seedsPerEpoch = 300, bigCfg, recrawl = true)
+    CrawlPipeline.run(spark, rootCtl, untilEpoch = 3, seedsPerEpoch = 300, bigCfg)
+
+    def schedCanon(r: String, e: Int): Set[String] =
+      spark.read.parquet(s"$r/scheduled/epoch=$e")
+        .select("url_canon").as[String].collect().toSet
+
+    // 1. per epoch: re-scheduled URLs (already scheduled before) are
+    //    exactly the local backoff mirror's due set, modulo the per-host
+    //    politeness budget — a due recrawl may legitimately lose the
+    //    priority top-K on a SATURATED host (recrawls compete for the same
+    //    budgets as discoveries), but never vanish for any other reason,
+    //    and nothing outside the due set is ever re-scheduled
+    val budgets = graft.sources.Gen.robotsLocal()
+      .map(r => r.host -> math.min(r.host_budget, cfg.maxHostBudget)).toMap
+    for (e <- 1 to 3) {
+      val revs = (0 until e).flatMap(d =>
+        spark.read.parquet(s"$root/revisions/epoch=$d")
+          .select("image_id", "epoch", "change")
+          .as[(String, Int, String)].collect())
+      val dueMirror = revs.groupBy(_._1).collect {
+        case (id, rs)
+          if e - rs.map(_._2).max >= math.min(8,
+            rs.map(_._2).max -
+              rs.filter(_._3 != "unchanged").map(_._2).reduceOption(_ max _).getOrElse(-1) + 1) => id
+      }.toSet
+      val prevSched = (0 until e).flatMap(schedCanon(root, _)).toSet
+      val schedE = schedCanon(root, e)
+      val rescheduled = schedE intersect prevSched
+      assert((rescheduled -- dueMirror).isEmpty,
+        s"epoch $e re-scheduled URLs outside the due set: ${(rescheduled -- dueMirror).take(3)}")
+      val hostLoad = schedE.toSeq.groupBy(graft.functions.UrlKit.hostOf)
+        .map { case (h, us) => h -> us.size }
+      (dueMirror -- rescheduled).foreach { id =>
+        val h = graft.functions.UrlKit.hostOf(id)
+        assert(hostLoad.getOrElse(h, 0) == budgets(h),
+          s"epoch $e: due $id dropped but host $h not saturated " +
+            s"(${hostLoad.getOrElse(h, 0)}/${budgets(h)})")
+      }
+      assert(e > 1 || dueMirror.nonEmpty, "plant produced no due recrawls at epoch 1")
+    }
+
+    // 2. version chains: recrawl mode re-fetches produce multi-epoch
+    //    image_id chains (the news-diff behavior); a pure discovery crawl
+    //    never does
+    def chains(r: String): Long =
+      spark.read.parquet(s"$r/snapshots")
+        .groupBy("image_id").agg(countDistinct("epoch").as("n"))
+        .where(col("n") >= 2).count()
+    assert(chains(root) > 0, "recrawl produced no version chains")
+    assert(chains(rootCtl) == 0, "control (no recrawl) unexpectedly re-fetched")
+
+    // 3. the seen store stays duplicate-free (recrawls are not re-appended)
+    val dupSeen = spark.read.parquet(s"$root/url_seen")
+      .groupBy("url_hash").count().where(col("count") > 1).count()
+    assert(dupSeen == 0, s"$dupSeen duplicated url_hash rows in url_seen")
+
+    // 4. resume determinism: recrawl due sets recompute identically from
+    //    committed revisions
+    val rootR = tempDir("graft-recrawl-resume")
+    CrawlPipeline.run(spark, rootR, untilEpoch = 1, seedsPerEpoch = 300, bigCfg, recrawl = true)
+    CrawlPipeline.run(spark, rootR, untilEpoch = 3, seedsPerEpoch = 300, bigCfg, recrawl = true)
+    for (e <- 0 to 3)
+      assert(schedCanon(rootR, e) == schedCanon(root, e),
+        s"epoch $e schedule differs after resume")
+  }
+
   test("cuckoo-sidecar pipeline == bloom-sidecar pipeline (every output table)") {
     val rootB = tempDir("graft-bloomside")
     val rootC = tempDir("graft-cuckooside")
