@@ -142,6 +142,33 @@ object PlanAudit {
         fmt(capE.unionByName(imgE))))
     }
 
+    {
+      import org.apache.spark.sql.functions.col
+      // one power-iteration step, pre-checkpoint: the shape that repeats 10x
+      import org.apache.spark.sql.functions.{count, lit, round}
+      val edges = graft.operators.GraphOps.sourceEdges(spark, sfDir)
+      val nodes = edges.select(col("src").as("node"))
+        .union(edges.select(col("dst").as("node"))).distinct().persist()
+      val n = nodes.count()
+      val outdeg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+      val edgesDeg = edges.join(outdeg, "src").persist()
+      edgesDeg.count()
+      // the loop checkpoints each step's output, so a mid-run step reads
+      // ranks as a flat RDD scan — mirror that here
+      val ranks0 = nodes.withColumn("rank", round(lit(1.0) / n, 10))
+        .localCheckpoint()
+      sections += (("g01 host PageRank (one power-iteration step)",
+        "per iteration: ONE equi-join (ranks x degree-annotated edges) + ONE " +
+          "groupBy(dst) with partial_sum BEFORE the exchange (map-side " +
+          "combine) + the 1-row dangling agg cross-joined IN-PLAN (never " +
+          "collected — BNL-Cross BuildRight on one row), so the whole step " +
+          "is one Spark job; rows on every exchange are (node, double) — " +
+          "no payload; the loop localCheckpoints each step so step 10's " +
+          "plan is identical to step 1's",
+        fmt(graft.operators.GraphOps.step(nodes, outdeg, edgesDeg, ranks0,
+          n, 0.85))))
+    }
+
     sections += (("q37 full-outer epoch reconciliation",
       "both sides project to (doc_id, md5) BEFORE the exchange — the SMJ " +
         "full outer ships ~40-byte rows, payload text never leaves the scan; " +

@@ -93,6 +93,7 @@ object SparkEntry {
     "q36_session_window" -> ((s, d) => Relational.sessionWindows(s, d)),
     "q37_full_outer" -> ((s, d) => Relational.reconcileEpochs(s, d)),
     "q38_pivot" -> ((s, d) => Relational.pivotStatusRevenue(s, d)),
+    "g01_host_pagerank" -> ((s, d) => operators.GraphOps.hostPageRank(s, d)),
     "t01_text_quality" -> ((s, d) => TextOps.qualityStats(s, d)),
     // ---- training-data ops, non-SQL parts (rows-only + scalatest) -----
     "t02_text_profile" -> ((s, d) => TextOps.textProfile(s, d)),
@@ -732,6 +733,10 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rank
         |  FROM scored
         |) WHERE rank <= 5""".stripMargin,
+    // g01: host PageRank — the oracle unrolls the power iteration (same
+    // edge derivation, per-step 10 dp rounding, dangling redistribution),
+    // generated from one place so iters/damping can't drift.
+    "g01_host_pagerank" -> operators.GraphOps.pageRankOracleSql(),
     "t01_text_quality" ->
       """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_act,
         |CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,

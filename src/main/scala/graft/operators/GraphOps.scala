@@ -1,0 +1,175 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.storage.StorageLevel
+
+/** Link-graph analytics over the crawl's host graph (PageRank, Brin &
+  * Page WWW'98 — power iteration with damping and dangling-mass
+  * redistribution).
+  *
+  * Why the crawl needs it: frontier priority is the one knob that decides
+  * what a budget-bound crawl actually fetches. Seed priority + recrawl
+  * backoff (c25) rank *known* URLs; host-level PageRank ranks *hosts* by
+  * global link authority so new URLs from well-linked hosts outrank link
+  * farms. The host graph is tiny relative to the page graph (10^6-10^7
+  * hosts vs 10^10 pages), which is exactly why production crawls rank at
+  * host granularity first.
+  *
+  * Scale shape: per iteration ONE equi-join (ranks x out-degree edges,
+  * both hash-partitioned on the same key so the shuffle is the join's
+  * partial-agg output only) + ONE map-side-combined groupBy(dst). The
+  * dangling mass is a 1-row aggregate cross-joined into the same plan
+  * (never collected), so each iteration is exactly one Spark job — the
+  * checkpoint's. Ranks are rounded to
+  * 10 dp every iteration, which makes the fixpoint bit-reproducible
+  * across engines and partition counts (summation-order drift ~1e-16 is
+  * absorbed by the rounding; the DuckDB oracle mirrors the same
+  * per-iteration rounding and is hash-exact).
+  */
+object GraphOps {
+
+  /** Deterministic source-citation edge list over the documents table:
+    * document i "cites" document (i*17+3) mod n, lifted to the source
+    * (host) level, self-loops dropped, de-duplicated. Both engines derive
+    * the identical graph from the same parquet (integer arithmetic only).
+    */
+  def sourceEdges(spark: SparkSession, dir: String): DataFrame = {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("source"))
+    val nDocs = docs.count()
+    val a = docs.select(col("doc_id"), col("source").as("src"))
+      .withColumn("cited", (col("doc_id") * 17L + 3L) % nDocs)
+    val b = docs.select(col("doc_id").as("cited_id"), col("source").as("dst"))
+    a.join(b, a("cited") === b("cited_id"))
+      .where(col("src") =!= col("dst"))
+      .select("src", "dst")
+      .distinct()
+  }
+
+  /** g01 — host PageRank by power iteration. Returns (source, pagerank)
+    * with pagerank rounded to 6 dp for the cross-engine compare.
+    */
+  def hostPageRank(spark: SparkSession, dir: String,
+                   iters: Int = 10, damping: Double = 0.85): DataFrame =
+    pageRank(spark, sourceEdges(spark, dir), iters, damping)
+      .withColumnRenamed("node", "source")
+      .orderBy(col("source"))
+
+  /** Power-iteration PageRank over an arbitrary (src, dst) edge list.
+    * Nodes = endpoints of either side; nodes with no out-edges are
+    * dangling and their mass is redistributed uniformly each step.
+    * Output: (node, pagerank = round(rank, 6)).
+    */
+  def pageRank(spark: SparkSession, edges: DataFrame,
+               iters: Int, damping: Double): DataFrame = {
+    val e = edges.select(col("src"), col("dst")).persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val n = nodes.count()
+    val nEdges = e.count()
+    // out-degree joined onto edges once, up front: the per-iteration join
+    // then carries (src, dst, deg) and needs no second lookup
+    val outdeg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+    val edgesDeg = e.join(outdeg, "src").persist(StorageLevel.MEMORY_AND_DISK)
+
+    // Size the iteration's shuffles to the GRAPH, not the session default:
+    // the host graph is orders of magnitude smaller than the corpus that
+    // produced it, and the loop runs `iters` x ~4 exchanges — at small
+    // graph sizes near-empty tasks (scheduling) dominate the wall, at
+    // 10^8-edge graphs the session default may be far too coarse. Values
+    // are partitioning-invariant (per-iteration rounding; spec sweeps
+    // shuffle-partition counts), so this is purely a cost knob. Conf is
+    // restored after the loop; never raised above the session setting.
+    val sessionParts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val parts = math.max(1L, math.min(sessionParts.toLong,
+      math.max(n, nEdges) / 250000L + 1L)).toInt
+    spark.conf.set("spark.sql.shuffle.partitions", parts)
+    try {
+      var ranks = nodes.withColumn("rank", round(lit(1.0) / n, 10))
+      var i = 0
+      while (i < iters) {
+        // 10 iterations of join-on-join lineage re-plans from scratch each
+        // round otherwise; checkpoint keeps the per-iteration plan flat
+        // (same discipline as DedupResolve's contraction loop)
+        ranks = step(nodes, outdeg, edgesDeg, ranks, n, damping).localCheckpoint()
+        i += 1
+      }
+      val out = ranks.select(col("node"), round(col("rank"), 6).as("pagerank"))
+      e.unpersist(); nodes.unpersist(); edgesDeg.unpersist()
+      out
+    } finally spark.conf.set("spark.sql.shuffle.partitions", sessionParts)
+  }
+
+  /** One power-iteration step, pre-checkpoint — the plan that repeats
+    * `iters` times (exposed so PlanAudit can print the real shape; the
+    * loop's localCheckpoint would otherwise hide it behind an RDD scan).
+    *
+    * The dangling mass (rank leaked by nodes with no out-edges) is folded
+    * into the plan as a 1-row aggregate cross-joined onto the update —
+    * NOT collected to the driver — so the whole step is ONE Spark job
+    * (the checkpoint's), not two. At 10 iterations that halves the
+    * per-epoch job count; the 1-row side plans as a broadcast.
+    */
+  private[graft] def step(nodes: DataFrame, outdeg: DataFrame,
+                          edgesDeg: DataFrame, ranks: DataFrame,
+                          n: Long, damping: Double): DataFrame = {
+    val dangling = ranks
+      .join(outdeg, ranks("node") === outdeg("src"), "left_anti")
+      .agg(coalesce(sum(col("rank")), lit(0.0)).as("dang"))
+    val contribs = ranks
+      .join(edgesDeg, ranks("node") === edgesDeg("src"))
+      .select(col("dst").as("node"), (col("rank") / col("deg")).as("share"))
+      .groupBy("node").agg(sum(col("share")).as("contrib"))
+    nodes
+      .join(contribs, Seq("node"), "left")
+      .crossJoin(dangling)
+      .select(
+        col("node"),
+        round(
+          lit((1.0 - damping) / n) +
+            lit(damping) * (coalesce(col("contrib"), lit(0.0)) + col("dang") / n),
+          10).as("rank"))
+  }
+
+  /** Unrolled-iteration DuckDB SQL mirroring `hostPageRank` exactly
+    * (same edge derivation, per-iteration 10 dp rounding, dangling
+    * redistribution, final 6 dp). Generated so the iteration count and
+    * damping stay in one place.
+    */
+  def pageRankOracleSql(iters: Int = 10, damping: Double = 0.85): String = {
+    val base =
+      s"""WITH docs AS MATERIALIZED (SELECT doc_id, source FROM documents),
+         |cnt AS MATERIALIZED (SELECT count(*) AS c FROM docs),
+         |edges AS MATERIALIZED (
+         |  SELECT DISTINCT a.source AS src, b.source AS dst
+         |  FROM docs a, cnt, docs b
+         |  WHERE b.doc_id = (a.doc_id * 17 + 3) % cnt.c AND a.source <> b.source),
+         |nodes AS MATERIALIZED (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+         |nn AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+         |outdeg AS MATERIALIZED (SELECT src, CAST(count(*) AS DOUBLE) AS deg FROM edges GROUP BY src),
+         |r0 AS MATERIALIZED (SELECT node, round(CAST(1.0 AS DOUBLE) / nn.n, 10) AS rank FROM nodes, nn)""".stripMargin
+    val steps = (1 to iters).map { k =>
+      val p = k - 1
+      s"""r$k AS MATERIALIZED (
+         |  SELECT nd.node,
+         |         round(CAST(${1.0 - damping} AS DOUBLE) / nn.n
+         |               + CAST($damping AS DOUBLE) *
+         |                 (COALESCE(c.contrib, 0) + dang.d / nn.n), 10) AS rank
+         |  FROM nodes nd
+         |  CROSS JOIN nn
+         |  CROSS JOIN (SELECT COALESCE(sum(r.rank), 0) AS d
+         |              FROM r$p r LEFT JOIN outdeg o ON r.node = o.src
+         |              WHERE o.src IS NULL) dang
+         |  LEFT JOIN (SELECT e.dst AS node, sum(r.rank / o.deg) AS contrib
+         |             FROM r$p r
+         |             JOIN outdeg o ON r.node = o.src
+         |             JOIN edges e ON e.src = r.node
+         |             GROUP BY e.dst) c ON nd.node = c.node)""".stripMargin
+    }
+    (base +: steps).mkString(",\n") +
+      s"\nSELECT node AS source, round(rank, 6) AS pagerank FROM r$iters ORDER BY source"
+  }
+}
