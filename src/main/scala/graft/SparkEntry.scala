@@ -142,6 +142,11 @@ object SparkEntry {
         .reduce(_ unionByName _)
       DiffJob.recrawlSchedule(revs, atEpoch = 3).orderBy("image_id")
     }),
+    // c26: cumulative distinct URLs per host via mergeable per-epoch HLL
+    // sketches — recrawled URLs recur across epochs so exact per-epoch
+    // counts can't be summed; the sketch store answers without rescanning
+    // history (merged == one-shot + error bound pinned in SketchOpsSpec)
+    "c26_epoch_distinct" -> ((s, _) => SketchOps.epochDistinctDemo(s, 30000)),
     "c05_bloom" -> ((s, _) => {
       import s.implicits._
       val seen = FrontierJob.canonicalizeFrontier(Gen.seeds(s, 4000))

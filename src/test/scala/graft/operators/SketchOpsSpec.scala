@@ -54,4 +54,60 @@ class SketchOpsSpec extends AnyFunSuite {
     assert(rows.exists { case (_, est, exact) => est > exact },
       "width 8 with 50 hosts produced zero collisions — bound not exercised")
   }
+
+  // ---- c26: mergeable per-epoch HLL sketch store ----------------------
+
+  private val HllN = 30000L
+  private val spans = Seq((0L, HllN / 2), (HllN / 3, 3 * HllN / 4), (3 * HllN / 5, HllN))
+
+  // A unioned sketch answers through the composite estimator while a
+  // directly-built one keeps its HIP estimator (DataSketches HLL
+  // semantics), so merged vs one-shot estimates differ deterministically
+  // by up to a few sigma-rel (~1.3-1.6% each at lgK=12) — the gate here
+  // is a combined-estimator 4% band; the accuracy gate vs TRUE distincts
+  // (5%, which the merged path must meet on its own) is the next test.
+  test("c26 merged per-epoch sketches track the one-shot sketch (combined-estimator band)") {
+    val root = java.nio.file.Files.createTempDirectory("graft-hll-spec").toString
+    spans.zipWithIndex.foreach { case ((lo, hi), ep) =>
+      SketchOps.writeEpochHostHll(SketchOps.epochHostUrls(spark, lo, hi, HllN), root, ep)
+    }
+    val merged = SketchOps.cumulativeDistinctPerHost(spark, root)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val oneShot = spans.map { case (lo, hi) => SketchOps.epochHostUrls(spark, lo, hi, HllN) }
+      .reduce(_ unionByName _)
+      .groupBy("host").agg(hll_sketch_agg(col("url_hash"), 12).as("hll"))
+      .select(col("host"), hll_sketch_estimate(col("hll")).as("est"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(merged.keySet == oneShot.keySet)
+    merged.foreach { case (h, est) =>
+      assert(math.abs(est - oneShot(h)) <= math.max(3.0, 0.04 * oneShot(h)),
+        s"merge lost information for $h: $est vs ${oneShot(h)}")
+    }
+  }
+
+  test("c26 estimates within the lgK=12 error bound of exact distinct") {
+    val rows = SketchOps.epochDistinctDemo(spark, HllN).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    // 3 sigma at lgK=12: 3 * 1.04 / sqrt(4096) ~ 4.9%; small hosts are in
+    // exact list/set mode so the bound is loose for them
+    rows.foreach { case (h, est, exact) =>
+      assert(math.abs(est - exact) <= math.max(2.0, 0.05 * exact),
+        s"host $h: est $est vs exact $exact outside the HLL bound")
+    }
+  }
+
+  test("c26 compaction: compact prefix + tail epochs == full merge (exact)") {
+    val root = java.nio.file.Files.createTempDirectory("graft-hll-compact").toString
+    spans.zipWithIndex.foreach { case ((lo, hi), ep) =>
+      SketchOps.writeEpochHostHll(SketchOps.epochHostUrls(spark, lo, hi, HllN), root, ep)
+    }
+    SketchOps.compactHostHll(spark, root, upTo = 1)
+    val viaCompact = SketchOps.cumulativeFromCompact(spark, root, compactedUpTo = 1, upTo = 2)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val full = SketchOps.cumulativeDistinctPerHost(spark, root)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(viaCompact == full,
+      "compact-prefix + tail answer diverged from the full epoch merge")
+  }
 }
