@@ -93,6 +93,10 @@ object SparkEntry {
     "q36_session_window" -> ((s, d) => Relational.sessionWindows(s, d)),
     "q37_full_outer" -> ((s, d) => Relational.reconcileEpochs(s, d)),
     "q38_pivot" -> ((s, d) => Relational.pivotStatusRevenue(s, d)),
+    // q39: stream-STREAM interval join (click->purchase attribution within
+    // 30 min, both sides watermarked streams) — final table == the batch
+    // interval join, which is what the oracle checks
+    "q39_stream_join" -> ((s, d) => graft.streaming.StreamingJobs.streamStreamAttribution(s, d)),
     "g01_host_pagerank" -> ((s, d) => operators.GraphOps.hostPageRank(s, d)),
     "t01_text_quality" -> ((s, d) => TextOps.qualityStats(s, d)),
     // ---- training-data ops, non-SQL parts (rows-only + scalatest) -----
@@ -707,6 +711,19 @@ object SparkEntry {
         |  round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 2) AS rev_o,
         |  round(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 2) AS rev_p
         |FROM orders GROUP BY o_orderpriority""".stripMargin,
+    // q39: the stream-stream interval join's final table is the plain
+    // batch interval join; purchase_value passes through UNROUNDED (both
+    // engines re-emit the same parquet doubles, no arithmetic)
+    "q39_stream_join" ->
+      """SELECT a.event_id AS click_id, a.user_id AS user_id,
+        |  strftime(a.ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+        |  b.event_id AS purchase_id,
+        |  strftime(b.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+        |  b.value AS purchase_value
+        |FROM events a JOIN events b
+        |  ON a.user_id = b.user_id
+        | AND a.event_type = 'click' AND b.event_type = 'purchase'
+        | AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE""".stripMargin,
     // t12: hash-threshold stratified sampling — deterministic, so the
     // oracle reproduces the exact sampled set (hex md5 compares
     // lexicographically; threshold digit k keeps k/16 of the stratum).

@@ -95,6 +95,63 @@ object StreamingJobs {
     spark.table(name)
   }
 
+  /** Stream-STREAM interval join (q39): click->purchase attribution —
+    * purchases joined to any click by the same user within the preceding
+    * 30 minutes, both sides consumed as streams. This is the one join
+    * family where BOTH inputs are unbounded: each side buffers rows in
+    * the state store and the event-time range condition plus the
+    * watermarks bound how long a buffered click can still match (state
+    * eviction, not correctness, is what the bounds buy — inner-join
+    * matches emit immediately). The final table equals the identical
+    * batch interval join, which is what the DuckDB oracle checks —
+    * values pass through unrounded, so both engines emit the parquet
+    * doubles bit-for-bit.
+    */
+  def streamStreamAttribution(spark: SparkSession, dir: String): DataFrame =
+    withFewStatePartitions(spark) { streamStreamAttributionImpl(spark, dir) }
+
+  private def streamStreamAttributionImpl(spark: SparkSession, dir: String): DataFrame = {
+    val batchSchema = spark.read.parquet(s"$dir/events.parquet").schema
+    val name = s"stream_join_${math.abs(dir.hashCode)}"
+    val stream = spark.readStream
+      .schema(batchSchema)
+      .option("pathGlobFilter", "events*.parquet")
+      .parquet(dir)
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val joined = attributionJoin(stream)
+    val q = joined.writeStream
+      .outputMode(OutputMode.Append()) // stream-stream joins are append-only
+      .option("checkpointLocation", ckptDir(name))
+      .format("memory")
+      .queryName(name)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name).orderBy("click_id", "purchase_id")
+  }
+
+  /** The join itself, shared verbatim by the streaming path and the
+    * batch-parity mirror in StreamingSpec (same plan, bounded input).
+    */
+  private[graft] def attributionJoin(events: DataFrame): DataFrame = {
+    val clicks = events.where(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", "1 hour")
+    val purchases = events.where(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        col("ts").as("purchase_ts"), col("value"))
+      .withWatermark("purchase_ts", "1 hour")
+    clicks.join(purchases,
+      clicks("user_id") === purchases("p_user") &&
+        purchases("purchase_ts") >= clicks("click_ts") &&
+        purchases("purchase_ts") <= clicks("click_ts") + expr("interval 30 minutes"))
+      .select(col("click_id"), col("user_id"),
+        date_format(col("click_ts"), "yyyy-MM-dd HH:mm:ss").as("click_ts"),
+        col("purchase_id"),
+        date_format(col("purchase_ts"), "yyyy-MM-dd HH:mm:ss").as("purchase_ts"),
+        col("value").as("purchase_value"))
+  }
+
   /** Stateful streams pin their state-partition count from
     * spark.sql.shuffle.partitions at FIRST batch and pay per-partition
     * state-store files + maintenance EVERY trigger — 32 partitions for a

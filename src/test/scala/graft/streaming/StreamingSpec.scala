@@ -26,6 +26,17 @@ class StreamingSpec extends AnyFunSuite {
       "streaming session windows != batch session_window result")
   }
 
+  test("stream-stream interval join == batch interval join (q39-oracled)") {
+    val streamed = StreamingJobs.streamStreamAttribution(spark, dir)
+      .orderBy("click_id", "purchase_id").collect().toSeq
+    val batchEvents = spark.read.parquet(s"$dir/events.parquet")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val batch = StreamingJobs.attributionJoin(batchEvents)
+      .orderBy("click_id", "purchase_id").collect().toSeq
+    assert(streamed.nonEmpty, "no click->purchase attributions produced")
+    assert(streamed == batch, "stream-stream join != batch interval join")
+  }
+
   test("stateful politeness: budgets + cross-batch state carry-over") {
     val out = StreamingJobs.politenessDemo(spark, n = 2000, budget = 30)
       .select("host", "slot").collect()
