@@ -39,7 +39,14 @@ object StreamingJobs {
       .schema(batchSchema)
       .option("pathGlobFilter", "events*.parquet")
       .parquet(dir)
-    val agg = stream
+    runToTable(hourlyAgg(stream), ckptDir(name), name)
+  }
+
+  /** The tumbling agg body, shared verbatim by the streaming paths and
+    * the batch-parity mirrors (watermark is a no-op on bounded input).
+    */
+  private[graft] def hourlyAgg(events: DataFrame): DataFrame =
+    events
       // NTZ -> LTZ under the pinned UTC session (watermarks require TIMESTAMP)
       .withColumn("ts", col("ts").cast("timestamp"))
       .withWatermark("ts", "1 hour")
@@ -47,15 +54,36 @@ object StreamingJobs {
       .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total"))
       .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour_ts"),
         col("event_type"), col("n"), col("total"))
+
+  private def runToTable(agg: DataFrame, ckpt: String, name: String): DataFrame = {
+    val spark = agg.sparkSession
     val q = agg.writeStream
       .outputMode(OutputMode.Complete())
-      .option("checkpointLocation", ckptDir(name))
+      .option("checkpointLocation", ckpt)
       .format("memory")
       .queryName(name)
       .start()
     try q.processAllAvailable() finally q.stop()
     spark.table(name)
   }
+
+  /** q18's windowed agg with an EXPLICIT checkpoint over a dedicated
+    * source directory — the restartable form. A stopped query restarted
+    * with the same checkpoint resumes from the offset log + state store:
+    * already-committed files are never re-read (no double counting) and
+    * the restored agg state folds the new files in — the streaming
+    * counterpart of the batch epoch/manifest resume discipline. The
+    * StreamingSpec golden stops after phase-1 files, adds phase-2 files,
+    * restarts, and requires the final table to equal a single-shot batch
+    * over everything.
+    */
+  def windowedEventCountsFrom(spark: SparkSession, srcDir: String,
+                              ckpt: String, name: String): DataFrame =
+    withFewStatePartitions(spark) {
+      val batchSchema = spark.read.parquet(srcDir).schema
+      val stream = spark.readStream.schema(batchSchema).parquet(srcDir)
+      runToTable(hourlyAgg(stream), ckpt, name)
+    }
 
   /** Streaming SESSION windows (c24 — the streaming form of q36):
     * gap-based per-user sessions over the events table consumed as a

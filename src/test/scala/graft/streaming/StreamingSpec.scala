@@ -26,6 +26,28 @@ class StreamingSpec extends AnyFunSuite {
       "streaming session windows != batch session_window result")
   }
 
+  test("restart from checkpoint: stop, add files, resume == single-shot batch") {
+    val src = java.nio.file.Files.createTempDirectory("graft-restart-src").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-restart-ckpt").toString
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+    ev.where(col("event_id") % 2 === 0).coalesce(1)
+      .write.mode("append").parquet(src)
+    val phase1 = StreamingJobs.windowedEventCountsFrom(spark, src, ckpt, "restart_p1")
+      .agg(sum("n")).collect()(0).getLong(0)
+    // phase 2: new files land, the query restarts from the SAME checkpoint
+    ev.where(col("event_id") % 2 === 1).coalesce(1)
+      .write.mode("append").parquet(src)
+    val resumed = StreamingJobs.windowedEventCountsFrom(spark, src, ckpt, "restart_p2")
+      .orderBy("hour_ts", "event_type").collect().toSeq
+    val batch = StreamingJobs.hourlyAgg(ev)
+      .orderBy("hour_ts", "event_type").collect().toSeq
+    assert(phase1 == ev.where(col("event_id") % 2 === 0).count(),
+      "phase-1 table does not reflect exactly the phase-1 rows")
+    assert(resumed.map(_.getLong(2)).sum == ev.count(),
+      "resume re-read committed files (double count) or dropped new ones")
+    assert(resumed == batch, "restarted stream != single-shot batch result")
+  }
+
   test("stream-stream interval join == batch interval join (q39-oracled)") {
     val streamed = StreamingJobs.streamStreamAttribution(spark, dir)
       .orderBy("click_id", "purchase_id").collect().toSeq
