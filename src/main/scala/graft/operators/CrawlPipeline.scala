@@ -1,10 +1,10 @@
 package graft.operators
 
-import graft.functions.ImageKit
+import graft.functions.{GraftFunctions, ImageKit}
 import graft.model._
 import graft.sources.{Gen, SeenStore, Snapshots}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.{Column, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 
 /** The multi-epoch crawl driver: E1 frontier -> synthetic fetch -> snapshot
   * commit -> seen-store merge -> E2 diff, resumable from the last committed
@@ -122,15 +122,62 @@ object CrawlPipeline {
 
   /** Synthetic outlink discovery (SURVEY.md §2.7 U1): each fetched page
     * links to a deterministic handful of other article URLs on its host.
+    * With `crossHost` the LAST link of each fanout set instead targets a
+    * deterministically chosen other host — the link pattern that gives
+    * the crawl a real host graph (and g02 rank-ordered crawling something
+    * to rank). Off by default: the base goldens stay byte-identical.
     */
-  def outlinks(scheduled: Dataset[Scheduled], fanout: Int): Dataset[Seed] = {
+  def outlinks(scheduled: Dataset[Scheduled], fanout: Int,
+               crossHost: Boolean = false): Dataset[Seed] = {
     import scheduled.sparkSession.implicits._
     scheduled.flatMap { s =>
       (0 until fanout).map { k =>
         val a = java.lang.Long.remainderUnsigned(ImageKit.mix64(s.url_hash ^ (k + 1L)), 100000L)
-        Seed(s"http://${s.host}/news/linked/art-$a", 0.25)
+        val host =
+          if (crossHost && k == fanout - 1) crossHostOf(s.url_hash, k)
+          else s.host
+        Seed(s"http://$host/news/linked/art-$a", 0.25)
       }
     }
+  }
+
+  /** The deterministic cross-host target of a page's last outlink —
+    * one formula, used by outlink generation AND by host-edge recovery
+    * from committed schedules (so the edge list never needs persisting).
+    */
+  def crossHostOf(urlHash: Long, k: Int): String =
+    Gen.hostName(java.lang.Long.remainderUnsigned(
+      ImageKit.mix64(urlHash ^ 0x9e3779b97f4a7c15L ^ (k + 1L)), Gen.NumHosts).toInt)
+
+  /** (src_host, dst_host) edges implied by a committed schedule's
+    * cross-host outlinks — regenerated from the same formula, self-loops
+    * dropped, deduplicated. The host graph is tiny relative to the page
+    * tables, so this is one narrow pass + a distinct.
+    */
+  def hostEdgesFromScheduled(scheduled: Dataset[Scheduled], fanout: Int): DataFrame = {
+    import scheduled.sparkSession.implicits._
+    scheduled.flatMap { s =>
+      val dst = crossHostOf(s.url_hash, fanout - 1)
+      if (dst != s.host) Some((s.host, dst)) else None
+    }.toDF("src", "dst").distinct()
+  }
+
+  /** g02 — rank-boost outlink priorities: each outlink's priority gains
+    * its DESTINATION host's PageRank (authority flows to what gets
+    * linked). The rank table is host-sized — broadcast; the arithmetic
+    * is one double add over 6dp-rounded ranks, so the single-threaded
+    * mirror reproduces it bit-for-bit.
+    */
+  def rankBoosted(outs: Dataset[Seed], hostRanks: DataFrame): Dataset[Seed] = {
+    import outs.sparkSession.implicits._
+    GraftFunctions.ensureRegistered(outs.sparkSession)
+    outs.toDF()
+      .withColumn("host", GraftFunctions.hostOf(col("url")))
+      .join(broadcast(hostRanks.select(col("node").as("host"), col("pagerank"))),
+        Seq("host"), "left")
+      .select(col("url"),
+        (col("priority") + coalesce(col("pagerank"), lit(0.0))).as("priority"))
+      .as[Seed]
   }
 
   /** Run epochs [latestCommitted+1, untilEpoch] over a seed generator;
@@ -155,7 +202,8 @@ object CrawlPipeline {
       sidecar: String = "bloom",
       sidecarPerBucket: Long = 0L,
       compactSeenEvery: Int = 8,
-      recrawl: Boolean = false): Seq[EpochSummary] = {
+      recrawl: Boolean = false,
+      rankOrdered: Boolean = false): Seq[EpochSummary] = {
     require(sidecar == "bloom" || sidecar == "cuckoo", s"unknown sidecar kind: $sidecar")
     import spark.implicits._
     val start = Snapshots.latestCommittedEpoch(root) + 1
@@ -169,7 +217,26 @@ object CrawlPipeline {
               .select("url_canon", "url_hash", "host", "path", "priority",
                 "slot", "scheduled_at_ms")
               .withColumn("epoch", lit(epoch - 1)).as[Scheduled]
-            outlinks(prev, outlinkFanout)
+            val outs = outlinks(prev, outlinkFanout, crossHost = rankOrdered)
+            if (!rankOrdered) outs
+            else {
+              // g02 rank-ordered crawling: host authority computed from the
+              // edges the crawl has ALREADY observed (all committed
+              // schedules' cross-host outlinks, recovered by formula — no
+              // persisted edge table), boosting each outlink by its
+              // destination host's PageRank. New URLs on well-linked hosts
+              // outrank link-farm spray when budgets contend.
+              val past = (0 until epoch)
+                .map(e => spark.read.parquet(s"$root/scheduled/epoch=$e")
+                  .select("url_canon", "url_hash", "host", "path", "priority",
+                    "slot", "scheduled_at_ms")
+                  .withColumn("epoch", lit(e)).as[Scheduled])
+                .reduce(_ unionByName _)
+              val edges = hostEdgesFromScheduled(past, outlinkFanout)
+              if (edges.isEmpty) outs
+              else rankBoosted(outs, GraphOps.pageRank(spark, edges, iters = 5,
+                damping = 0.85))
+            }
           })
       val seen = SeenStore.load(spark, root)
       val sidecars =

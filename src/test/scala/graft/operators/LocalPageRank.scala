@@ -1,0 +1,28 @@
+package graft.operators
+
+/** Single-threaded PageRank mirror — identical arithmetic to
+  * GraphOps.pageRank (per-iteration 10 dp HALF_UP rounding, dangling
+  * redistribution, final 6 dp). Shared by GraphOpsSpec and the
+  * rank-ordered-crawl golden.
+  */
+object LocalPageRank {
+  def compute(edges: Seq[(String, String)], iters: Int,
+              damping: Double): Map[String, Double] = {
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct.sorted
+    val n = nodes.size.toDouble
+    val outdeg = edges.groupBy(_._1).map { case (s, es) => s -> es.size.toDouble }
+    def r10(x: Double) = BigDecimal(x).setScale(10, BigDecimal.RoundingMode.HALF_UP).toDouble
+    var ranks = nodes.map(_ -> r10(1.0 / n)).toMap
+    for (_ <- 0 until iters) {
+      val dangling = nodes.filterNot(outdeg.contains).map(ranks).sum
+      val contrib = scala.collection.mutable.Map.empty[String, Double].withDefaultValue(0.0)
+      for ((s, d) <- edges) contrib(d) += ranks(s) / outdeg(s)
+      ranks = nodes.map { nd =>
+        nd -> r10((1.0 - damping) / n + damping * (contrib(nd) + dangling / n))
+      }.toMap
+    }
+    ranks.map { case (k, v) =>
+      k -> BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+  }
+}
