@@ -143,6 +143,7 @@ object SparkEntry {
     "t11_multimodal_dedup" -> ((s, d) =>
       operators.MultimodalDedup.multimodalResolve(s, d)),
     "t12_stratified_sample" -> ((s, d) => TextOps.stratifiedSample(s, d)),
+    "t13_decontaminate" -> ((s, d) => TextOps.contaminationReport(s, d)),
     "t04_neardup_simhash" -> ((s, d) => TextOps.nearDupSimhash(s, d)),
     "emb01_cosine_topk" -> ((s, d) => SimilarityOps.bruteCosineTopK(s, d)),
     "emb02_ann_lsh" -> ((s, d) => SimilarityOps.annLshTopK(s, d)),
@@ -763,6 +764,33 @@ object SparkEntry {
       """SELECT doc_id, lang, source FROM documents
         |WHERE md5('smp1:' || CAST(doc_id AS VARCHAR))
         |      < (CASE WHEN lang = 'en' THEN '2' ELSE '8' END)""".stripMargin,
+    // t13: benchmark decontamination — word-8-gram overlap vs the
+    // deterministic benchmark slice (doc_id % 23). The oracle joins on
+    // the n-gram STRINGS where Spark joins xxhash64 of the same strings
+    // (t05 precedent); the quote-doc construction (first 20 tokens +
+    // novel suffix) is mirrored token-for-token.
+    "t13_decontaminate" ->
+      """WITH bench AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 23 = 0
+        |), corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 2000000 AS doc_id,
+        |    array_to_string(list_slice(regexp_split_to_array(trim(text), '\s+'), 1, 20), ' ')
+        |      || ' then entirely novel commentary continues past the quotation' AS text
+        |  FROM documents WHERE doc_id % 23 = 0
+        |), bng AS (
+        |  SELECT DISTINCT array_to_string(list_slice(t, i, i + 7), ' ') AS ng
+        |  FROM (SELECT t, unnest(generate_series(1, greatest(len(t) - 7, 0))) AS i
+        |        FROM (SELECT regexp_split_to_array(trim(text), '\s+') AS t FROM bench))
+        |), cng AS (
+        |  SELECT DISTINCT doc_id, array_to_string(list_slice(t, i, i + 7), ' ') AS ng
+        |  FROM (SELECT doc_id, t, unnest(generate_series(1, greatest(len(t) - 7, 0))) AS i
+        |        FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM corpus))
+        |)
+        |SELECT c.doc_id, count(*) AS n_hits
+        |FROM cng c JOIN bng b USING (ng)
+        |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin,
     // emb01: brute cosine top-k IS plain SQL (round-4 verdict "missing
     // #4"). The cosine mirrors the Spark column arithmetic exactly —
     // per-element double casts, sequential list sums, dot/(norm*norm) —

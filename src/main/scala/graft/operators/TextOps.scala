@@ -152,6 +152,83 @@ object TextOps {
     * near-dup family has known-positive pairs with a DuckDB-expressible
     * construction.
     */
+  // ---- t13: benchmark decontamination ------------------------------
+  //
+  // The training-data step the near-dup family does NOT cover: eval-set
+  // LEAKAGE detection (Brown et al., NeurIPS'20 appendix C — n-gram
+  // overlap against held-out benchmarks). Near-dup dedupe compares the
+  // corpus against itself; decontamination compares it against a tiny
+  // external set, so the right plan is shaped completely differently:
+  // the benchmark n-gram set (10^5-10^6 entries even for large suites)
+  // broadcasts, and the 10^10-doc corpus side stays narrow end-to-end —
+  // per-doc n-grams are deduped with array_distinct INSIDE the row
+  // (never shuffled), the membership test is a broadcast-hash semi join,
+  // and the only exchange in the whole plan is the partial-agg'd per-doc
+  // hit counts (~flagged-docs-sized). No corpus shuffle, no self-join.
+
+  /** Deterministic stand-in for a held-out eval benchmark: every 23rd
+    * document's text. (A real pipeline reads the suite from its own
+    * table; the derivation only exists so both engines see the same
+    * benchmark.)
+    */
+  def benchmarkDocs(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir).where(pmod(col("doc_id"), lit(23)) === 0)
+      .select("doc_id", "text")
+
+  /** Corpus with planted leakage: the base documents plus "quote" docs
+    * that copy each benchmark doc's first 20 tokens and continue with
+    * novel commentary — the partial-containment case (a doc QUOTING the
+    * eval set) that exact dedupe misses and n-gram overlap catches.
+    */
+  def leakedCorpus(spark: SparkSession, dir: String): DataFrame = {
+    val base = docs(spark, dir).select("doc_id", "text")
+    val quotes = base.where(pmod(col("doc_id"), lit(23)) === 0)
+      .select((col("doc_id") + 2000000L).as("doc_id"),
+        concat(
+          concat_ws(" ", slice(split(trim(col("text")), "\\s+"), 1, 20)),
+          lit(" then entirely novel commentary continues past the quotation"))
+          .as("text"))
+    base.unionByName(quotes)
+  }
+
+  /** Hashed word n-gram set per doc — wordShingles generalized to n,
+    * with the per-doc dedupe done by array_distinct INSIDE the row
+    * instead of a post-explode distinct(): the n-gram stream of a doc
+    * never leaves its input partition.
+    */
+  def wordNgrams(corpus: DataFrame, n: Int): DataFrame = {
+    val toks = corpus.select(col("doc_id"), split(trim(col("text")), "\\s+").as("t"))
+    val idxs = when(size(col("t")) >= n, sequence(lit(0), size(col("t")) - n))
+      .otherwise(array().cast("array<int>"))
+    toks.select(col("doc_id"),
+      explode(array_distinct(transform(idxs, i =>
+        xxhash64(concat_ws(" ",
+          (1 to n).map(k => element_at(col("t"), i + k)): _*))))).as("ng"))
+  }
+
+  /** t13 — contamination report: (doc_id, n_hits) for every corpus doc
+    * sharing at least one word `n`-gram with the benchmark. n = 8 by
+    * default (the 8-to-13-gram range the published decontamination
+    * setups use; 3 would flag on common phrases).
+    */
+  def contaminationReport(spark: SparkSession, dir: String, n: Int = 8): DataFrame = {
+    val benchNg = wordNgrams(benchmarkDocs(spark, dir), n)
+      .select("ng").distinct()
+    wordNgrams(leakedCorpus(spark, dir), n)
+      .join(broadcast(benchNg), Seq("ng"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+      .orderBy("doc_id")
+  }
+
+  /** The corpus ACTION: the leaked corpus minus every flagged doc (the
+    * benchmark rows themselves and all quoting docs drop). Keep-list
+    * anti-join on ids only — payload text joins nothing.
+    */
+  def decontaminatedCorpus(spark: SparkSession, dir: String, n: Int = 8): DataFrame =
+    leakedCorpus(spark, dir)
+      .join(contaminationReport(spark, dir, n).select("doc_id"),
+        Seq("doc_id"), "left_anti")
+
   def plantedCorpus(spark: SparkSession, dir: String): DataFrame = {
     val base = docs(spark, dir).select("doc_id", "text")
     val planted = base.where(pmod(col("doc_id"), lit(20)) === 0)
