@@ -150,6 +150,7 @@ object SparkEntry {
     "emb02_ann_lsh" -> ((s, d) => SimilarityOps.annLshTopK(s, d)),
     "emb04_ann_ivf" -> ((s, d) => SimilarityOps.annIvfTopK(s, d)),
     "emb05_ann_pq" -> ((s, d) => SimilarityOps.annPqTopK(s, d)),
+    "emb06_ann_ivfpq" -> ((s, d) => SimilarityOps.annIvfPqTopK(s, d)),
     "emb03_neardup_cosine" -> ((s, d) =>
       SimilarityOps.nearDupCosine(s, d).orderBy("vec_a", "vec_b")),
     // ---- crawl domain (synthetic inputs; scalatest-golden) ------------

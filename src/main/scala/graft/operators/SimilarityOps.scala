@@ -329,6 +329,75 @@ object SimilarityOps {
     * bytes-per-vector cost — the right tool when recall must not depend
     * on a partition guess.
     */
+  /** IVF-PQ ANN (emb06) — the two approximations COMPOSED, which is the
+    * layout every production billion-scale index actually ships (FAISS
+    * IVFPQ; Jégou et al. TPAMI'11 §V): the IVF coarse quantizer cuts the
+    * scan to nProbe lists (~nProbe*sqrt(n) candidates), and inside the
+    * probed lists the scan touches m-byte PQ CODES, not floats — the two
+    * savings multiply (probe fraction x 384x bytes/vector), which is what
+    * makes a 10^9-vector index both RAM-resident AND sub-linear to query.
+    * Codes quantize the raw vectors (FAISS by_residual=false variant) so
+    * the emb05 codebooks/ADC kernels are reused verbatim. The index
+    * table is (vec_id, list_id, code) — the persistable layout. Top
+    * `refineN` ADC candidates re-score EXACTLY against the floats (the
+    * engine's verify discipline: approximation affects recall only,
+    * never a returned score).
+    */
+  def annIvfPqTopK(spark: SparkSession, dir: String,
+                   nQueries: Int = 3, k: Int = 5, nClusters: Int = 0,
+                   nProbe: Int = 0, m: Int = 8, kSub: Int = 16,
+                   refine: Int = 0): DataFrame = {
+    import spark.implicits._
+    val e = emb(spark, dir).select("vec_id", "embedding")
+    val kLists = if (nClusters > 0) nClusters else clustersFor(e.count())
+    val probeN = if (nProbe > 0) nProbe else math.min(64, math.max(4, kLists / 4))
+    val cents = ivfTrain(e, kLists)
+    val pqC = pqTrain(e, m, kSub)
+    val bcPq = spark.sparkContext.broadcast(pqC)
+    val encodeUdf = udf((v: Seq[Float]) =>
+      graft.functions.VecKit.pqEncode(v, bcPq.value))
+    val index = e.select(col("vec_id"),
+      ivfAssignCol(col("embedding"), cents).as("list_id"),
+      encodeUdf(col("embedding")).as("code"))
+    val queries = e.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val centTable = cents.zipWithIndex
+      .map { case (c, i) => (i, c) }.toDF("list_id", "centroid")
+    val probeW = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id")
+      .orderBy(cosineCol(col("qvec"), col("centroid")).desc, col("list_id").asc)
+    val probes = queries.crossJoin(centTable)
+      .withColumn("probe_rank", row_number().over(probeW))
+      .where(col("probe_rank") <= probeN)
+      .select("query_id", "list_id")
+    val qRows = queries.collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val tables = qRows.map { case (qid, qv) =>
+      qid -> graft.functions.VecKit.pqAdcTable(qv, pqC)
+    }.toMap
+    val bcT = spark.sparkContext.broadcast(tables)
+    val scoreUdf = udf((qid: Long, code: Array[Byte]) =>
+      graft.functions.VecKit.pqAdcScore(code, bcT.value(qid)))
+    val refineN = if (refine > 0) refine else math.max(50, 10 * k)
+    val wA = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("approx").desc, col("vec_id").asc)
+    val cand = index.join(broadcast(probes), Seq("list_id"))
+      .where(col("vec_id") =!= col("query_id"))
+      .withColumn("approx", scoreUdf(col("query_id"), col("code")))
+      .withColumn("arank", row_number().over(wA))
+      .where(col("arank") <= refineN)
+      .select("query_id", "vec_id")
+    val scored = cand
+      .join(e, Seq("vec_id"))
+      .join(broadcast(queries), Seq("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        cosineCol(col("embedding"), col("qvec")).as("cos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("cos").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("vec_id"), round(col("cos"), 4).as("cos"), col("rank"))
+  }
+
   def annPqTopK(spark: SparkSession, dir: String,
                 nQueries: Int = 3, k: Int = 5, m: Int = 8, kSub: Int = 16,
                 refine: Int = 0): DataFrame = {

@@ -32,6 +32,7 @@ class EntrySmokeSpec extends AnyFunSuite {
     assert(graft.operators.SimilarityOps.bruteCosineTopK(spark, tmp).count() == 0)
     assert(graft.operators.SimilarityOps.annLshTopK(spark, tmp).count() == 0)
     assert(graft.operators.SimilarityOps.annPqTopK(spark, tmp).count() == 0)
+    assert(graft.operators.SimilarityOps.annIvfPqTopK(spark, tmp).count() == 0)
   }
 
   test("oracleSql keys are a subset of queries") {
@@ -81,6 +82,23 @@ class EntrySmokeSpec extends AnyFunSuite {
     val bruteCos = graft.operators.SimilarityOps.bruteCosineTopK(spark, dir, k = 1000)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
     graft.operators.SimilarityOps.annPqTopK(spark, dir).collect().foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      assert(bruteCos(key) == r.getDouble(2), s"refined cos diverged for $key")
+    }
+  }
+
+  test("emb06 IVF-PQ ANN recall vs brute top-k >= 0.6") {
+    val brute = graft.operators.SimilarityOps.bruteCosineTopK(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivfpq = graft.operators.SimilarityOps.annIvfPqTopK(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = brute.intersect(ivfpq).size.toDouble / brute.size
+    assert(recall >= 0.6, f"IVF-PQ recall $recall%.3f fell below the 0.6 floor")
+    // composing the approximations can only SHRINK the candidate set the
+    // PQ scan sees, and the exact-refine discipline must survive it
+    val bruteCos = graft.operators.SimilarityOps.bruteCosineTopK(spark, dir, k = 1000)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    graft.operators.SimilarityOps.annIvfPqTopK(spark, dir).collect().foreach { r =>
       val key = (r.getLong(0), r.getLong(1))
       assert(bruteCos(key) == r.getDouble(2), s"refined cos diverged for $key")
     }
