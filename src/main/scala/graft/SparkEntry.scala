@@ -89,6 +89,7 @@ object SparkEntry {
     "q28_from_json" -> ((s, d) => Relational.jsonStruct(s, d)),
     "q29_range_frame" -> ((s, d) => Relational.windowRangeFrame(s, d)),
     "q30_scalar_subquery" -> ((s, d) => Relational.scalarSubquery(s, d)),
+    "q40_exists_subquery" -> ((s, d) => Relational.existsSubquery(s, d)),
     "q31_grouping_sets" -> ((s, d) => Relational.groupingSets(s, d)),
     "q32_window_dist" -> ((s, d) => Relational.windowDistribution(s, d)),
     "q33_conditional_agg" -> ((s, d) => Relational.conditionalAgg(s, d)),
@@ -558,6 +559,14 @@ object SparkEntry {
       """SELECT o_orderkey, round(o_totalprice, 2) AS price
         |FROM orders
         |WHERE o_totalprice > (SELECT max(s_acctbal) FROM supplier) * 20""".stripMargin,
+    "q40_exists_subquery" ->
+      """SELECT c_custkey, c_name
+        |FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 100000)
+        |  AND NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+        |ORDER BY c_custkey""".stripMargin,
     "t05_neardup_ngram" ->
       """WITH corpus AS (
         |  SELECT doc_id, text FROM documents

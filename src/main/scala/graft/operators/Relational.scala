@@ -263,6 +263,27 @@ object Relational {
         |""".stripMargin)
   }
 
+  /** q40 — CORRELATED EXISTS + NOT EXISTS in one query (the subquery
+    * family q30's uncorrelated scalar form doesn't touch): customers
+    * holding a big order but no 'F'-status order. Catalyst rewrites the
+    * correlated predicates to a left-semi + left-anti join pair
+    * (RewritePredicateSubquery) — the declarative form plans exactly like
+    * the hand-built J1/J5 joins, which is the point being exercised.
+    */
+  def existsSubquery(spark: SparkSession, dir: String): DataFrame = {
+    t(spark, dir, "customer").createOrReplaceTempView("graft_customer_v")
+    t(spark, dir, "orders").createOrReplaceTempView("graft_orders_v40")
+    spark.sql(
+      """SELECT c_custkey, c_name
+        |FROM graft_customer_v c
+        |WHERE EXISTS (SELECT 1 FROM graft_orders_v40 o
+        |              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 100000)
+        |  AND NOT EXISTS (SELECT 1 FROM graft_orders_v40 o
+        |                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+        |ORDER BY c_custkey
+        |""".stripMargin)
+  }
+
   /** Date/time scalar breadth: year, month, dayofweek-ish, datediff. */
   def dateFunctions(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "orders")

@@ -346,4 +346,40 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("ReusedExchange"),
       s"shingle-index exchange no longer reused:\n$p")
   }
+
+  test("t13 decontamination: benchmark n-grams broadcast; corpus never self-shuffles") {
+    // the whole point of the plan shape: the tiny benchmark n-gram set
+    // broadcasts into a hash join, the corpus side has NO exchange before
+    // the membership test (in-row array_distinct, not a post-explode
+    // distinct), and the only shuffle is the per-doc hit-count agg
+    val df = graft.operators.TextOps.contaminationReport(
+      spark, "/root/testdata/sf0.001")
+    val p = finalPlan(df)
+    assert(p.contains("BroadcastHashJoin"),
+      s"benchmark n-gram set no longer broadcasts:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"corpus side shuffled into an SMJ:\n$p")
+    // the only n-gram-keyed exchange allowed is the BENCHMARK side's
+    // distinct (benchmark-sized, feeds the broadcast). The corpus n-gram
+    // stream must never hash-shuffle — that would add a second one.
+    // (AdaptiveSparkPlan.toString appends the never-executed Initial Plan
+    // — count in the Final Plan section only)
+    val finalSection = p.split("== Initial Plan ==")(0)
+    val ngExchanges = finalSection.linesIterator
+      .count(_.contains("Exchange hashpartitioning(ng"))
+    assert(ngExchanges <= 1,
+      s"corpus n-grams hash-shuffled (expected only the benchmark distinct):\n$finalSection")
+  }
+
+  test("c27 trap action: suspect-host list broadcasts; frontier side stays narrow") {
+    val report = graft.operators.TrapOps.trapHostReport(
+      spark, "/root/testdata/sf0.001")
+    val frontier = graft.operators.TrapOps.syntheticUrls(
+      spark, "/root/testdata/sf0.001")
+    val p = finalPlan(graft.operators.TrapOps.filterTrapHosts(frontier, report))
+    val anti = p.linesIterator.filter(_.contains("LeftAnti")).toSeq
+    assert(anti.nonEmpty, s"trap-host anti-join missing:\n$p")
+    assert(anti.exists(_.contains("BroadcastHashJoin")),
+      s"suspect-host anti-join does not broadcast:\n${anti.mkString("\n")}")
+  }
 }
