@@ -103,6 +103,10 @@ object SparkEntry {
     // interval join, which is what the oracle checks
     "q39_stream_join" -> ((s, d) => graft.streaming.StreamingJobs.streamStreamAttribution(s, d)),
     "g01_host_pagerank" -> ((s, d) => operators.GraphOps.hostPageRank(s, d)),
+    // g03: warm-start rank refresh on the grown host graph (base ranks
+    // recomputed in-call for the demo; the pipeline reads host_ranks)
+    "g03_incremental_pagerank" -> ((s, d) =>
+      operators.GraphOps.incrementalHostRank(s, d)),
     // g02: rank-ordered crawling — the operator chain that turns one
     // committed schedule into a PageRank-boosted next frontier: cross-host
     // outlinks -> implied host edges (recovered by formula, never

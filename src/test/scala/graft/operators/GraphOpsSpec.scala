@@ -53,4 +53,51 @@ class GraphOpsSpec extends AnyFunSuite {
       assert(run(edges) == base)
     }
   }
+
+  // g03 warm-start fixtures: a 30-node base graph and a grown graph with
+  // a SMALL delta (one new node, three new edges) — the realistic shape:
+  // a crawl's host graph gains a little per epoch, it doesn't churn
+  private val baseEdges: Seq[(String, String)] =
+    (0 until 30).flatMap(i =>
+      Seq(s"n$i" -> s"n${(i * 7 + 3) % 30}", s"n$i" -> s"n${(i + 1) % 30}"))
+      .filter(e => e._1 != e._2).distinct
+  private val grownEdges = baseEdges ++ Seq(
+    "n0" -> "nx", "nx" -> "n5", "n3" -> "n9")
+
+  test("warm-start refresh == sequential mirror from the same init (exact)") {
+    val init = run(baseEdges, iters = 6)
+    val got = GraphOps.pageRankFrom(spark, grownEdges.toDF("src", "dst"),
+        Some(init.toSeq.toDF("node", "pagerank")), iters = 3, damping = 0.85)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val want = LocalPageRank.computeFrom(grownEdges, init, iters = 3, damping = 0.85)
+    assert(got == want, "distributed warm refresh != mirror")
+    // the new node exists in the refresh even though the init lacks it
+    assert(got.contains("nx"))
+  }
+
+  test("warm start converges strictly faster than a cold start (3 iters)") {
+    // reference fixpoint: 60 iterations is far past convergence at 0.85
+    val ref = LocalPageRank.compute(grownEdges, iters = 60, damping = 0.85)
+    val init = LocalPageRank.compute(baseEdges, iters = 12, damping = 0.85)
+    val warm = LocalPageRank.computeFrom(grownEdges, init, iters = 3, damping = 0.85)
+    val cold = LocalPageRank.compute(grownEdges, iters = 3, damping = 0.85)
+    def dist(a: Map[String, Double]) =
+      ref.map { case (k, v) => math.abs(a(k) - v) }.max
+    assert(warm != cold, "warm and cold 3-iter results identical — vacuous")
+    assert(dist(warm) < dist(cold),
+      f"warm ${dist(warm)}%.2e not closer to fixpoint than cold ${dist(cold)}%.2e")
+  }
+
+  test("host-rank store roundtrip + g03 demo query shape") {
+    val root = graft.SparkTestBase.tempDir("graft-ranks")
+    val r0 = GraphOps.pageRank(spark, baseEdges.toDF("src", "dst"), 6, 0.85)
+    GraphOps.writeHostRanks(r0, root, epoch = 0)
+    val back = GraphOps.readHostRanks(spark, root, 0)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(back == r0.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap)
+    val demo = GraphOps.incrementalHostRank(spark, "/root/testdata/sf0.001")
+    val rows = demo.collect()
+    assert(rows.nonEmpty && rows.map(_.getString(0)).toSeq.sorted ==
+      rows.map(_.getString(0)).toSeq, "g03 output not source-ordered")
+  }
 }
