@@ -103,6 +103,10 @@ object SparkEntry {
     // interval join, which is what the oracle checks
     "q39_stream_join" -> ((s, d) => graft.streaming.StreamingJobs.streamStreamAttribution(s, d)),
     "g01_host_pagerank" -> ((s, d) => operators.GraphOps.hostPageRank(s, d)),
+    // g04: HITS hubs & authorities over the same host citation graph —
+    // the two-sided complement of g01 (hubs rank DISCOVERY value,
+    // authorities rank fetch/quality value)
+    "g04_host_hits" -> ((s, d) => operators.GraphOps.hostHits(s, d)),
     // g03: warm-start rank refresh on the grown host graph (base ranks
     // recomputed in-call for the demo; the pipeline reads host_ranks)
     "g03_incremental_pagerank" -> ((s, d) =>
@@ -149,7 +153,20 @@ object SparkEntry {
       operators.MultimodalDedup.multimodalResolve(s, d)),
     "t12_stratified_sample" -> ((s, d) => TextOps.stratifiedSample(s, d)),
     "t13_decontaminate" -> ((s, d) => TextOps.contaminationReport(s, d)),
+    // t14: unigram-LM perplexity filter (CCNet-style) — vocab broadcasts,
+    // token stream never shuffles, planted gibberish must be flagged
+    "t14_lm_filter" -> ((s, d) => TextOps.lmQualityReport(s, d)),
+    // t15: temperature-scaled domain mixture (tau = 1/2) — deterministic
+    // md5-threshold acceptance; rates broadcast, corpus never shuffles
+    "t15_mixture_sample" -> ((s, d) => TextOps.mixtureReport(s, d)),
     "c27_crawl_traps" -> ((s, d) => operators.TrapOps.trapHostReport(s, d)),
+    // c28: DUST url-alias rule mining — learns which query params are
+    // content-irrelevant per host from fetched (url, content-hash) pairs
+    "c28_dust_rules" -> ((s, d) => operators.DustOps.dustReport(s, d)),
+    // c29: sitemap.xml ingestion via native from_xml — the sitemaps.org
+    // discovery channel, parsed typed and unioned into the seed path
+    // (no DuckDB XML functions -> rows-only gate + SitemapSpec goldens)
+    "c29_sitemap_ingest" -> ((s, _) => operators.SitemapOps.sitemapEntries(s)),
     "t04_neardup_simhash" -> ((s, d) => TextOps.nearDupSimhash(s, d)),
     "emb01_cosine_topk" -> ((s, d) => SimilarityOps.bruteCosineTopK(s, d)),
     "emb02_ann_lsh" -> ((s, d) => SimilarityOps.annLshTopK(s, d)),
@@ -806,6 +823,70 @@ object SparkEntry {
         |SELECT c.doc_id, count(*) AS n_hits
         |FROM cng c JOIN bng b USING (ng)
         |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin,
+    // t14: unigram-LM perplexity filter — gibberish plant construction,
+    // Laplace arithmetic, and the rounded-then-compared flag mirrored
+    // exactly (ln's last-ulp differences die in the 4 dp rounding; the
+    // real-vs-gibberish nll gap is ~2x, nowhere near the threshold).
+    "t14_lm_filter" ->
+      """WITH train AS (
+        |  SELECT doc_id, lower(trim(text)) AS text FROM documents
+        |), gib AS (
+        |  SELECT doc_id + 2000000 AS doc_id, gtext AS text FROM (
+        |    SELECT doc_id,
+        |      md5('g0:' || doc_id) || ' ' || md5('g1:' || doc_id) || ' ' ||
+        |      md5('g2:' || doc_id) || ' ' || md5('g3:' || doc_id) || ' ' ||
+        |      md5('g4:' || doc_id) || ' ' || md5('g5:' || doc_id) || ' ' ||
+        |      md5('g6:' || doc_id) || ' ' || md5('g7:' || doc_id) AS gtext
+        |    FROM documents WHERE doc_id % 25 = 0)
+        |), corpus AS (
+        |  SELECT * FROM train UNION ALL SELECT * FROM gib
+        |), train_tok AS (
+        |  SELECT unnest(regexp_split_to_array(text, '\s+')) AS tok FROM train
+        |), vocab AS (
+        |  SELECT tok, CAST(count(*) AS DOUBLE) AS c FROM train_tok GROUP BY tok
+        |), tot AS (
+        |  SELECT sum(c) AS t, CAST(count(*) AS DOUBLE) AS v FROM vocab
+        |), doc_tok AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS tok FROM corpus
+        |), lp AS (
+        |  SELECT d.doc_id, ln((COALESCE(vb.c, 0) + 1.0) / (tot.t + tot.v)) AS lp
+        |  FROM doc_tok d LEFT JOIN vocab vb ON d.tok = vb.tok CROSS JOIN tot
+        |), rep AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |         round(-avg(lp), 4) AS nll
+        |  FROM lp GROUP BY doc_id
+        |)
+        |SELECT doc_id, n_tokens, nll, nll > 8.0 AS flagged
+        |FROM rep ORDER BY doc_id""".stripMargin,
+    // t15: temperature mixture — sqrt weights (IEEE-exact where pow is
+    // not), 9 dp rate rounding before the threshold, md5-prefix
+    // acceptance compared as fixed-width lowercase hex in both engines.
+    "t15_mixture_sample" ->
+      """WITH d AS (SELECT doc_id, source FROM documents),
+        |counts AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs FROM d GROUP BY source),
+        |tot AS (SELECT sum(n_docs) AS n_total,
+        |               sum(sqrt(CAST(n_docs AS DOUBLE))) AS w_total FROM counts),
+        |rates AS (
+        |  SELECT source, n_docs,
+        |    round(least(CAST(1.0 AS DOUBLE),
+        |      floor(n_total * 0.25) * sqrt(CAST(n_docs AS DOUBLE)) /
+        |        (w_total * CAST(n_docs AS DOUBLE))), 9) AS rate
+        |  FROM counts CROSS JOIN tot),
+        |thr AS (
+        |  SELECT source, n_docs, rate,
+        |    CASE WHEN rate >= 1.0 THEN 'g'
+        |         ELSE lower(lpad(to_hex(CAST(floor(rate * 4294967296.0) AS BIGINT)), 8, '0'))
+        |    END AS thr_hex
+        |  FROM rates),
+        |kept AS (
+        |  SELECT d.source, CAST(count(*) AS BIGINT) AS n_kept
+        |  FROM d JOIN thr ON d.source = thr.source
+        |  WHERE substr(md5('mix1:' || d.doc_id), 1, 8) < thr.thr_hex
+        |  GROUP BY d.source)
+        |SELECT t.source, t.n_docs, t.rate,
+        |       CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept
+        |FROM thr t LEFT JOIN kept k ON t.source = k.source
+        |ORDER BY t.source""".stripMargin,
     // c27: crawl-trap detection — URL-shape features (repeated path
     // segments, query-param explosion) aggregated per host. The URL
     // synthesis, segment arithmetic, and the UNROUNDED count-derived
@@ -845,6 +926,51 @@ object SparkEntry {
         |  CAST(count(CASE WHEN is_trap THEN 1 END) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS trap_ratio,
         |  CAST(count(CASE WHEN is_trap THEN 1 END) AS DOUBLE) / CAST(count(*) AS DOUBLE) >= 0.1 AS trap_suspect
         |FROM flagged GROUP BY host ORDER BY host""".stripMargin,
+    // c28: DUST alias-rule mining — URL/content synthesis, the
+    // (host, base_url) pair join, and the zero-refutation verdict are
+    // mirrored exactly (string + count arithmetic only).
+    "c28_dust_rules" ->
+      """WITH docs AS (SELECT doc_id, source FROM documents),
+        |log AS (
+        |  SELECT source AS host,
+        |    'http://' || source || '/item' || (doc_id % 7) || '/a' || doc_id AS url,
+        |    md5('c:' || doc_id) AS content_hash
+        |  FROM docs
+        |  UNION ALL
+        |  SELECT source AS host,
+        |    'http://' || source || '/item' || (doc_id % 7) || '/a' || doc_id
+        |      || '?sid=' || md5('x:' || doc_id) AS url,
+        |    md5('c:' || doc_id) AS content_hash
+        |  FROM docs WHERE doc_id % 3 = 0
+        |  UNION ALL
+        |  SELECT source AS host,
+        |    'http://' || source || '/item' || (doc_id % 7) || '/a' || doc_id
+        |      || '?ref=' || md5('y:' || doc_id) AS url,
+        |    md5('c:' || doc_id) AS content_hash
+        |  FROM docs WHERE doc_id % 5 = 0
+        |  UNION ALL
+        |  SELECT source AS host,
+        |    'http://' || source || '/item' || (doc_id % 7) || '/a' || doc_id
+        |      || '?v=2' AS url,
+        |    md5('d:' || doc_id) AS content_hash
+        |  FROM docs WHERE doc_id % 4 = 1
+        |), wp AS (
+        |  SELECT host, string_split(url, '?')[1] AS base_url,
+        |         regexp_extract(url, '\?([a-z]+)=', 1) AS param, content_hash
+        |  FROM log WHERE contains(url, '?')
+        |), bare AS (
+        |  SELECT host, url AS base_url, content_hash AS bare_hash
+        |  FROM log WHERE NOT contains(url, '?')
+        |), j AS (
+        |  SELECT wp.host, wp.param, wp.content_hash, bare.bare_hash
+        |  FROM wp JOIN bare ON wp.host = bare.host AND wp.base_url = bare.base_url
+        |)
+        |SELECT host, param, CAST(count(*) AS BIGINT) AS n_pairs,
+        |  CAST(count(CASE WHEN content_hash = bare_hash THEN 1 END) AS BIGINT) AS n_same,
+        |  CAST(count(*) - count(CASE WHEN content_hash = bare_hash THEN 1 END) AS BIGINT) AS n_diff,
+        |  (count(CASE WHEN content_hash = bare_hash THEN 1 END) >= 2 AND
+        |   count(*) - count(CASE WHEN content_hash = bare_hash THEN 1 END) = 0) AS irrelevant
+        |FROM j GROUP BY host, param ORDER BY host, param""".stripMargin,
     // emb01: brute cosine top-k IS plain SQL (round-4 verdict "missing
     // #4"). The cosine mirrors the Spark column arithmetic exactly —
     // per-element double casts, sequential list sums, dot/(norm*norm) —
@@ -873,6 +999,7 @@ object SparkEntry {
     // edge derivation, per-step 10 dp rounding, dangling redistribution),
     // generated from one place so iters/damping can't drift.
     "g01_host_pagerank" -> operators.GraphOps.pageRankOracleSql(),
+    "g04_host_hits" -> operators.GraphOps.hitsOracleSql(),
     "t01_text_quality" ->
       """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_act,
         |CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,

@@ -222,6 +222,134 @@ object GraphOps {
           10).as("rank"))
   }
 
+  // ---- g04: HITS hubs & authorities -----------------------------------
+
+  /** g04 — HITS (Kleinberg, JACM'99): hubs point at good authorities,
+    * authorities are pointed at by good hubs. The crawl uses BOTH sides
+    * where PageRank collapses them into one scalar: high-HUB hosts
+    * (directories, aggregators, link roundups) are where frontier
+    * DISCOVERY budget pays off, high-AUTHORITY hosts (content sites) are
+    * where fetch/quality budget pays off — a crawl that seeds from
+    * authorities alone re-finds what it already has.
+    *
+    * Scale shape mirrors pageRank: each half-step is ONE scores-x-edges
+    * equi-join + ONE map-side-combined groupBy, and the L2 norm is a
+    * 1-row aggregate cross-joined in-plan (never collected; plans as a
+    * broadcast). Determinism discipline: vector components round to
+    * 10 dp after every normalize and the norm itself rounds to 6 dp
+    * AFTER the IEEE-exact sqrt (rounding the sum-of-squares before the
+    * sqrt would put the rounding step below the sum's own ulp at large
+    * magnitudes), so summation-order drift never survives a step and
+    * the DuckDB oracle is hash-exact (g01 precedent).
+    */
+  def hostHits(spark: SparkSession, dir: String, iters: Int = 8): DataFrame =
+    hits(spark, sourceEdges(spark, dir), iters)
+      .withColumnRenamed("node", "source")
+      .orderBy("source")
+
+  def hits(spark: SparkSession, edges: DataFrame, iters: Int): DataFrame = {
+    require(iters >= 1, "hits: need at least one iteration")
+    val e = edges.select(col("src"), col("dst")).persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val n = nodes.count()
+    val nEdges = e.count()
+    // same graph-sized shuffle sizing as pageRankFrom — the host graph is
+    // orders of magnitude smaller than the corpus that produced it
+    val sessionParts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val parts = math.max(1L, math.min(sessionParts.toLong,
+      math.max(n, nEdges) / 250000L + 1L)).toInt
+    spark.conf.set("spark.sql.shuffle.partitions", parts)
+    try {
+      var hub = nodes.withColumn("hub", lit(1.0))
+      var auth: DataFrame = null
+      var i = 0
+      while (i < iters) {
+        auth = l2Normalized(nodes,
+          hub.join(e, hub("node") === e("src"))
+            .groupBy(col("dst").as("node")).agg(sum(col("hub")).as("raw")),
+          "auth").localCheckpoint()
+        hub = l2Normalized(nodes,
+          auth.join(e, auth("node") === e("dst"))
+            .groupBy(col("src").as("node")).agg(sum(col("auth")).as("raw")),
+          "hub").localCheckpoint()
+        i += 1
+      }
+      val out = nodes
+        .join(hub, Seq("node"), "left")
+        .join(auth, Seq("node"), "left")
+        .select(col("node"),
+          round(coalesce(col("hub"), lit(0.0)), 6).as("hub"),
+          round(coalesce(col("auth"), lit(0.0)), 6).as("authority"))
+      e.unpersist(); nodes.unpersist()
+      out
+    } finally spark.conf.set("spark.sql.shuffle.partitions", sessionParts)
+  }
+
+  /** Nodes left-joined onto raw scores, L2-normalized in one plan: the
+    * norm is a 1-row aggregate cross-joined (broadcast), rounded to 6 dp
+    * after sqrt; components round to 10 dp. Zero norm (edgeless input)
+    * divides by 1 so the operator stays total.
+    */
+  private def l2Normalized(nodes: DataFrame, raw: DataFrame,
+                           out: String): DataFrame = {
+    val nrm = raw.agg(
+      round(sqrt(coalesce(sum(col("raw") * col("raw")), lit(0.0))), 6).as("nrm"))
+    nodes.join(raw, Seq("node"), "left")
+      .crossJoin(nrm)
+      .select(col("node"),
+        round(coalesce(col("raw"), lit(0.0)) /
+          when(col("nrm") === 0.0, lit(1.0)).otherwise(col("nrm")), 10).as(out))
+  }
+
+  /** Unrolled-iteration DuckDB SQL mirroring `hostHits` exactly: same
+    * edge derivation as pageRankOracleSql, hub0 = 1.0, per half-step
+    * norm = round(sqrt(sum of squares), 6), components round 10 dp,
+    * final 6 dp. Generated so the iteration count stays in one place.
+    */
+  def hitsOracleSql(iters: Int = 8): String = {
+    val base =
+      s"""WITH docs AS MATERIALIZED (SELECT doc_id, source FROM documents),
+         |cnt AS MATERIALIZED (SELECT count(*) AS c FROM docs),
+         |edges AS MATERIALIZED (
+         |  SELECT DISTINCT a.source AS src, b.source AS dst
+         |  FROM docs a, cnt, docs b
+         |  WHERE b.doc_id = (a.doc_id * 17 + 3) % cnt.c AND a.source <> b.source),
+         |nodes AS MATERIALIZED (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+         |h0 AS MATERIALIZED (SELECT node, CAST(1.0 AS DOUBLE) AS hub FROM nodes)""".stripMargin
+    val steps = (1 to iters).map { k =>
+      val p = k - 1
+      s"""araw$k AS MATERIALIZED (
+         |  SELECT e.dst AS node, sum(h.hub) AS raw
+         |  FROM h$p h JOIN edges e ON h.node = e.src GROUP BY e.dst),
+         |an$k AS MATERIALIZED (
+         |  SELECT CASE WHEN q = 0 THEN 1 ELSE q END AS nrm FROM
+         |    (SELECT round(sqrt(COALESCE(sum(raw * raw), 0)), 6) AS q FROM araw$k)),
+         |a$k AS MATERIALIZED (
+         |  SELECT nd.node, round(COALESCE(r.raw, 0) / an$k.nrm, 10) AS auth
+         |  FROM nodes nd LEFT JOIN araw$k r ON nd.node = r.node CROSS JOIN an$k),
+         |hraw$k AS MATERIALIZED (
+         |  SELECT e.src AS node, sum(a.auth) AS raw
+         |  FROM a$k a JOIN edges e ON a.node = e.dst GROUP BY e.src),
+         |hn$k AS MATERIALIZED (
+         |  SELECT CASE WHEN q = 0 THEN 1 ELSE q END AS nrm FROM
+         |    (SELECT round(sqrt(COALESCE(sum(raw * raw), 0)), 6) AS q FROM hraw$k)),
+         |h$k AS MATERIALIZED (
+         |  SELECT nd.node, round(COALESCE(r.raw, 0) / hn$k.nrm, 10) AS hub
+         |  FROM nodes nd LEFT JOIN hraw$k r ON nd.node = r.node CROSS JOIN hn$k)""".stripMargin
+    }
+    (base +: steps).mkString(",\n") +
+      s"""
+         |SELECT nd.node AS source, round(h.hub, 6) AS hub,
+         |       round(a.auth, 6) AS authority
+         |FROM nodes nd
+         |JOIN h$iters h ON nd.node = h.node
+         |JOIN a$iters a ON nd.node = a.node
+         |ORDER BY source""".stripMargin
+  }
+
   /** Unrolled-iteration DuckDB SQL mirroring `hostPageRank` exactly
     * (same edge derivation, per-iteration 10 dp rounding, dangling
     * redistribution, final 6 dp). Generated so the iteration count and

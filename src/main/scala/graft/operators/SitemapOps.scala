@@ -1,0 +1,94 @@
+package graft.operators
+
+import graft.model.Seed
+import graft.sources.Gen
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+
+/** Sitemap ingestion (c29) — the discovery channel every production
+  * crawler reads BESIDE outlinks: hosts publish `sitemap.xml` (urlset of
+  * loc/lastmod/priority entries, sitemaps.org protocol), and a frontier
+  * that ignores it re-discovers the long tail one link hop at a time.
+  *
+  * Spark-first shape: the XML never leaves the executor that fetched it —
+  * `from_xml` (native, codegen-adjacent, Spark 4) parses the document
+  * into a typed array column, one explode lifts entries to URL rows, and
+  * the result unions into the same canonicalize -> dedupe -> politeness
+  * path as every other seed (no separate ingestion pipeline). Malformed
+  * documents parse to NULL and are dropped — a broken sitemap must cost
+  * its own entries, never the wave (PERMISSIVE-mode discipline).
+  *
+  * No DuckDB oracle (no XML functions there); gate = SitemapSpec goldens
+  * vs hand-built expected rows + totality on hostile input.
+  */
+object SitemapOps {
+
+  /** sitemaps.org-shaped urlset schema: `<url>` repeats, so it parses as
+    * an array of structs; `lastmod` stays a string here and casts to date
+    * after parse (W3C datetime allows several shapes).
+    */
+  val urlsetSchema: StructType = StructType(Seq(
+    StructField("url", ArrayType(StructType(Seq(
+      StructField("loc", StringType),
+      StructField("lastmod", StringType),
+      StructField("priority", DoubleType)))))))
+
+  /** Deterministic per-host sitemap documents over the Gen host catalog:
+    * host i publishes `3 + i % 5` entries with a lastmod day and priority
+    * derived from (host, entry) — every value reconstructible by the
+    * spec's mirror. Every 17th host publishes GARBAGE (truncated XML) so
+    * the malformed-document path is always exercised.
+    */
+  def syntheticSitemaps(spark: SparkSession, nHosts: Int = Gen.NumHosts): DataFrame = {
+    import spark.implicits._
+    (0 until nHosts).map { i =>
+      val host = Gen.hostName(i)
+      val xml =
+        if (i % 17 == 13) s"<urlset><url><loc>http://$host/broken"
+        else {
+          val entries = (0 until (3 + i % 5)).map { j =>
+            val day = 1 + (i * 7 + j) % 28
+            val prio = (1 + (i + j) % 9) / 10.0
+            s"<url><loc>http://$host/news/sitemap/art-${i * 100 + j}</loc>" +
+              f"<lastmod>2026-01-$day%02d</lastmod><priority>$prio%.1f</priority></url>"
+          }.mkString
+          s"<urlset>$entries</urlset>"
+        }
+      (host, xml)
+    }.toDF("host", "xml")
+  }
+
+  /** Parse (host, xml) sitemap documents into typed URL rows; malformed
+    * XML yields a NULL struct and is filtered out here.
+    */
+  def parseSitemaps(sitemaps: DataFrame): DataFrame =
+    sitemaps
+      .select(col("host"),
+        from_xml(col("xml"), urlsetSchema,
+          java.util.Map.of("mode", "PERMISSIVE")).as("parsed"))
+      .where(col("parsed").isNotNull && col("parsed.url").isNotNull)
+      .select(col("host"), explode(col("parsed.url")).as("entry"))
+      .select(col("host"),
+        col("entry.loc").as("url"),
+        // try_to_date: ANSI mode throws on a malformed lastmod otherwise —
+        // one sloppy site must cost its field, not the wave
+        try_to_date(col("entry.lastmod"), "yyyy-MM-dd").as("lastmod"),
+        col("entry.priority").as("priority"))
+      .where(col("url").isNotNull)
+
+  /** c29 — the driver-facing query: parsed sitemap entries, date-typed,
+    * deterministic order.
+    */
+  def sitemapEntries(spark: SparkSession): DataFrame =
+    parseSitemaps(syntheticSitemaps(spark)).orderBy("host", "url")
+
+  /** Merge sitemap discoveries into the frontier seed stream: sitemap
+    * priority IS the seed priority (the protocol's semantics), and the
+    * union feeds the same canonicalize/dedupe path as ordinary seeds.
+    */
+  def asSeeds(entries: DataFrame): Dataset[Seed] = {
+    import entries.sparkSession.implicits._
+    entries.select(col("url"), col("priority")).as[Seed]
+  }
+}

@@ -391,6 +391,147 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  // ---- t14: unigram-LM perplexity filter (CCNet-style) ----------------
+
+  /** The LM-scored corpus: every real document plus a planted GIBBERISH
+    * doc for each 25th real one (8 md5-hex tokens the training corpus
+    * cannot contain — deterministic and DuckDB-reconstructible, the c27
+    * URL-synthesis discipline applied to text). Plants shift to
+    * doc_id + 2e6 (the near-dup family plants at +1e6).
+    */
+  private[operators] def lmScoredCorpus(spark: SparkSession, dir: String): DataFrame = {
+    val gib = docs(spark, dir).where(pmod(col("doc_id"), lit(25)) === 0)
+      .select((col("doc_id") + 2000000L).as("doc_id"),
+        concat_ws(" ", (0 until 8).map(k =>
+          md5(concat(lit(s"g$k:"), col("doc_id").cast("string")))): _*).as("text"))
+    lmTrainCorpus(spark, dir).unionByName(gib)
+  }
+
+  /** The LM's training slice: the REAL documents only — scoring plants
+    * must not contaminate the model (they would otherwise vote their own
+    * tokens into the vocabulary).
+    */
+  private[operators] def lmTrainCorpus(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir).select(col("doc_id"), lower(trim(col("text"))).as("text"))
+
+  /** t14 — LM "perplexity" quality filter (the CCNet-style step, Wenzek
+    * et al. LREC'20: score each document under a language model trained
+    * on a reference corpus; gibberish and non-linguistic content lands
+    * far from the corpus distribution and is dropped). A unigram model
+    * with Laplace smoothing keeps the arithmetic cross-engine exact
+    * (DuckDB-oracled) while the PLAN is the production shape:
+    *
+    *   - the vocab table is one map-side-combined agg over the training
+    *     corpus and then BROADCASTS to the scoring join (Heaps' law —
+    *     vocab grows ~sqrt(corpus), so it broadcasts long after the
+    *     corpus stops fitting anywhere);
+    *   - (T, V) normalizers are a 1-row aggregate cross-joined in-plan
+    *     (plans as a broadcast; never collected);
+    *   - the token stream therefore NEVER shuffles for the lookup — the
+    *     only wide exchange carries per-doc partial (sum, count) pairs.
+    *
+    * Per-token log-likelihood: ln((c(tok)+1)/(T+V)), unseen c = 0. The
+    * report emits nll = round(-avg, 4) (lower = more corpus-like);
+    * `flagged` compares the ROUNDED nll against the threshold so both
+    * engines decide from the identical value (ln's last-ulp differences
+    * are absorbed by the 4 dp rounding; the real-vs-gibberish gap is ~2x,
+    * nowhere near the boundary).
+    */
+  def lmQualityReport(spark: SparkSession, dir: String,
+                      nllThreshold: Double = 8.0): DataFrame = {
+    val trainTok = lmTrainCorpus(spark, dir)
+      .select(explode(split(col("text"), "\\s+")).as("tok"))
+    val vocab = trainTok.groupBy("tok").agg(count(lit(1)).cast("double").as("c"))
+    val totals = vocab.agg(sum(col("c")).as("t"),
+      count(lit(1)).cast("double").as("v"))
+    val docTok = lmScoredCorpus(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), "\\s+")).as("tok"))
+    docTok
+      .join(broadcast(vocab), Seq("tok"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col("doc_id"),
+        log((coalesce(col("c"), lit(0.0)) + 1.0) / (col("t") + col("v"))).as("lp"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), round(-avg(col("lp")), 4).as("nll"))
+      .withColumn("flagged", col("nll") > nllThreshold)
+      .orderBy("doc_id")
+  }
+
+  /** The corpus ACTION: drop every flagged doc. The flagged list is a
+    * tiny fraction of the corpus, so the anti-join broadcasts and the
+    * payload side never shuffles.
+    */
+  def lmFilteredCorpus(spark: SparkSession, dir: String,
+                       nllThreshold: Double = 8.0): DataFrame =
+    lmScoredCorpus(spark, dir).join(
+      broadcast(lmQualityReport(spark, dir, nllThreshold)
+        .where(col("flagged")).select("doc_id")),
+      Seq("doc_id"), "left_anti")
+
+  // ---- t15: temperature-scaled domain mixture sampling ----------------
+
+  /** Per-source acceptance rates for a temperature-mixed corpus sample:
+    * sampling weight w_s = n_s^tau with tau = 1/2 (the standard
+    * temperature flattening — over-represented domains are downsampled,
+    * the tail is kept; tau is FIXED at 1/2 because sqrt is IEEE-exact in
+    * every engine where pow is not, which is what lets DuckDB reproduce
+    * the rates bit-for-bit). Expected sample size = targetFrac * N,
+    * allocated proportional to w_s; rate_s = min(1, quota_s / n_s),
+    * rounded to 9 dp so the one order-dependent term (the w_s sum)
+    * cannot leak into the acceptance threshold.
+    */
+  private[operators] def mixtureRates(spark: SparkSession, dir: String,
+                                      targetFrac: Double): DataFrame = {
+    val counts = docs(spark, dir).groupBy("source")
+      .agg(count(lit(1)).as("n_docs"))
+    val tot = counts.agg(sum(col("n_docs")).as("n_total"),
+      sum(sqrt(col("n_docs").cast("double"))).as("w_total"))
+    counts.crossJoin(broadcast(tot))
+      .withColumn("rate", round(
+        least(lit(1.0),
+          floor(col("n_total") * targetFrac) * sqrt(col("n_docs").cast("double")) /
+            (col("w_total") * col("n_docs").cast("double"))), 9))
+      // acceptance threshold as fixed-width lowercase hex: a doc is kept
+      // iff its md5 prefix sorts below it ('g' > every hex digit = keep
+      // all). Lexicographic compare on fixed-width hex IS the numeric
+      // compare, and avoids parsing hex to ints (engine-specific).
+      .withColumn("thr_hex",
+        when(col("rate") >= 1.0, lit("g"))
+          .otherwise(lower(lpad(hex(
+            floor(col("rate") * 4294967296.0).cast("long")), 8, "0"))))
+  }
+
+  /** The kept rows under the mixture: deterministic md5-threshold
+    * acceptance per doc (t12's reproducible-sampling discipline: same
+    * row kept on every run, at any parallelism, on any engine). The rate
+    * table is domain-sized — broadcast; the corpus side is a narrow
+    * filter fused into the scan.
+    */
+  def mixtureSample(spark: SparkSession, dir: String,
+                    targetFrac: Double = 0.25): DataFrame =
+    docs(spark, dir).select("doc_id", "source")
+      .join(broadcast(mixtureRates(spark, dir, targetFrac)
+        .select("source", "thr_hex")), Seq("source"))
+      .where(substring(md5(concat(lit("mix1:"), col("doc_id"))), 1, 8) <
+        col("thr_hex"))
+      .select("doc_id", "source")
+
+  /** t15 — the driver-facing mixture report: per source, corpus count,
+    * 9 dp acceptance rate, and the realized kept count (DuckDB-oracled;
+    * the realized counts pin the per-row accept decisions without
+    * dumping the rows).
+    */
+  def mixtureReport(spark: SparkSession, dir: String,
+                    targetFrac: Double = 0.25): DataFrame = {
+    val kept = mixtureSample(spark, dir, targetFrac)
+      .groupBy("source").agg(count(lit(1)).as("n_kept"))
+    mixtureRates(spark, dir, targetFrac)
+      .join(kept, Seq("source"), "left")
+      .select(col("source"), col("n_docs"), col("rate"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+      .orderBy("source")
+  }
+
   /** SimHash near-dup: fingerprint once, candidate pairs by identical
     * 16-bit prefix block (cheap bucketing), verify by Hamming distance.
     */

@@ -100,4 +100,54 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(rows.nonEmpty && rows.map(_.getString(0)).toSeq.sorted ==
       rows.map(_.getString(0)).toSeq, "g03 output not source-ordered")
   }
+
+  // ---- g04: HITS ------------------------------------------------------
+
+  private def runHits(edges: Seq[(String, String)],
+                      iters: Int = 8): Map[String, (Double, Double)] = {
+    val df = edges.toDF("src", "dst")
+    GraphOps.hits(spark, df, iters)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+  }
+
+  test("hits equals the sequential mirror on a graph with danglings") {
+    val edges = Seq(
+      "a" -> "b", "a" -> "c", "c" -> "a", "c" -> "b", "c" -> "e",
+      "d" -> "c", "d" -> "e", "f" -> "c", "g" -> "a", "g" -> "g")
+    assert(runHits(edges) == LocalHits.compute(edges, 8))
+  }
+
+  test("hits separates hubs from authorities on a bipartite star") {
+    // h1..h3 all point at the single authority x; x points nowhere.
+    val edges = Seq("h1" -> "x", "h2" -> "x", "h3" -> "x")
+    val got = runHits(edges, iters = 4)
+    assert(got == LocalHits.compute(edges, 4))
+    val (xHub, xAuth) = got("x")
+    assert(xAuth == 1.0 && xHub == 0.0, s"authority x got $got")
+    // the three symmetric hubs share one hub score (1/sqrt(3)) and have
+    // zero authority (nothing points at them)
+    val hubs = Seq("h1", "h2", "h3").map(got)
+    assert(hubs.toSet.size == 1 && hubs.head._1 > 0.5 && hubs.head._2 == 0.0)
+  }
+
+  test("hits L2 invariant: hub and authority vectors have unit norm") {
+    val edges = (0 until 20).flatMap(i =>
+      Seq(s"n$i" -> s"n${(i * 7 + 3) % 20}", s"n$i" -> s"n${(i + 2) % 20}"))
+      .filter(e => e._1 != e._2).distinct
+    val got = runHits(edges)
+    val h2 = got.values.map { case (h, _) => h * h }.sum
+    val a2 = got.values.map { case (_, a) => a * a }.sum
+    assert(math.abs(h2 - 1.0) < 1e-4, s"hub norm^2 = $h2")
+    assert(math.abs(a2 - 1.0) < 1e-4, s"auth norm^2 = $a2")
+  }
+
+  test("hits deterministic across parallelism") {
+    val edges = Seq(
+      "a" -> "b", "a" -> "c", "c" -> "a", "c" -> "b", "c" -> "e",
+      "d" -> "c", "d" -> "e", "f" -> "c")
+    val base = runHits(edges)
+    graft.SparkTestBase.withShufflePartitions(1) {
+      assert(runHits(edges) == base)
+    }
+  }
 }

@@ -38,3 +38,31 @@ object LocalPageRank {
     }
   }
 }
+
+/** Single-threaded HITS mirror — identical arithmetic to GraphOps.hits
+  * (hub0 = 1.0; per half-step L2 norm rounded 6 dp after sqrt, components
+  * 10 dp HALF_UP; final 6 dp). Returns node -> (hub, authority).
+  */
+object LocalHits {
+  def compute(edges: Seq[(String, String)], iters: Int): Map[String, (Double, Double)] = {
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct.sorted
+    def rd(x: Double, s: Int) =
+      BigDecimal(x).setScale(s, BigDecimal.RoundingMode.HALF_UP).toDouble
+    var hub = nodes.map(_ -> 1.0).toMap
+    var auth = nodes.map(_ -> 0.0).toMap
+    def normalized(raw: Map[String, Double]): Map[String, Double] = {
+      val q = rd(math.sqrt(nodes.map(n => { val v = raw.getOrElse(n, 0.0); v * v }).sum), 6)
+      val nrm = if (q == 0.0) 1.0 else q
+      nodes.map(n => n -> rd(raw.getOrElse(n, 0.0) / nrm, 10)).toMap
+    }
+    for (_ <- 0 until iters) {
+      val araw = scala.collection.mutable.Map.empty[String, Double].withDefaultValue(0.0)
+      for ((s, d) <- edges) araw(d) += hub(s)
+      auth = normalized(araw.toMap)
+      val hraw = scala.collection.mutable.Map.empty[String, Double].withDefaultValue(0.0)
+      for ((s, d) <- edges) hraw(s) += auth(d)
+      hub = normalized(hraw.toMap)
+    }
+    nodes.map(n => n -> (rd(hub(n), 6), rd(auth(n), 6))).toMap
+  }
+}
