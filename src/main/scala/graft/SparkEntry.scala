@@ -173,6 +173,9 @@ object SparkEntry {
     "emb04_ann_ivf" -> ((s, d) => SimilarityOps.annIvfTopK(s, d)),
     "emb05_ann_pq" -> ((s, d) => SimilarityOps.annPqTopK(s, d)),
     "emb06_ann_ivfpq" -> ((s, d) => SimilarityOps.annIvfPqTopK(s, d)),
+    // emb07: scalar-quantized int8 ANN — integer candidate dots are
+    // engine-exact, so this is the first ANN in the HARD oracle gate
+    "emb07_ann_sq8" -> ((s, d) => SimilarityOps.annSqTopK(s, d)),
     "emb03_neardup_cosine" -> ((s, d) =>
       SimilarityOps.nearDupCosine(s, d).orderBy("vec_a", "vec_b")),
     // ---- crawl domain (synthetic inputs; scalatest-golden) ------------
@@ -989,6 +992,62 @@ object SparkEntry {
         |         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))) AS cos
         |  FROM embeddings e, q
         |  WHERE e.vec_id <> q.query_id
+        |)
+        |SELECT query_id, vec_id, round(cos, 4) AS cos, rank FROM (
+        |  SELECT query_id, vec_id, cos,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rank
+        |  FROM scored
+        |) WHERE rank <= 5""".stripMargin,
+    // emb07: SQ8 ANN — the scales cancel in the quantized cosine, so the
+    // candidate ranking is INTEGER dots + one exact-rounded sqrt/divide
+    // (bit-identical across engines); the refine set re-scores with
+    // emb01's exact cosine arithmetic. round() is half-away-from-zero in
+    // both engines for the code quantization.
+    "emb07_ann_sq8" ->
+      """WITH base AS (SELECT vec_id, embedding FROM embeddings),
+        |codes AS (
+        |  SELECT vec_id, embedding,
+        |    list_transform(embedding,
+        |      x -> CAST(round(CAST(x AS DOUBLE) / scale) AS BIGINT)) AS code
+        |  FROM (
+        |    SELECT vec_id, embedding,
+        |      CASE WHEN m = 0 THEN CAST(1.0 AS DOUBLE) ELSE m / 127.0 END AS scale
+        |    FROM (SELECT vec_id, embedding,
+        |            list_max(list_transform(embedding,
+        |              x -> abs(CAST(x AS DOUBLE)))) AS m
+        |          FROM base))
+        |), cq AS (
+        |  SELECT vec_id, embedding, code,
+        |    list_aggregate(list_transform(code, x -> x * x), 'sum') AS qq
+        |  FROM codes
+        |), q AS (
+        |  SELECT vec_id AS query_id, code AS qcode, qq AS qqq
+        |  FROM cq WHERE vec_id < 3
+        |), approx AS (
+        |  SELECT q.query_id, c.vec_id,
+        |    CAST(list_aggregate(list_transform(generate_series(1, len(c.code)),
+        |      i -> c.code[i] * q.qcode[i]), 'sum') AS DOUBLE)
+        |      / sqrt(CAST(c.qq * q.qqq AS DOUBLE)) AS approx
+        |  FROM cq c, q WHERE c.vec_id <> q.query_id
+        |), cand AS (
+        |  SELECT query_id, vec_id FROM (
+        |    SELECT query_id, vec_id,
+        |      row_number() OVER (PARTITION BY query_id
+        |                         ORDER BY approx DESC, vec_id ASC) AS arank
+        |    FROM approx) WHERE arank <= 50
+        |), qv AS (
+        |  SELECT vec_id AS query_id, embedding AS qvec FROM base WHERE vec_id < 3
+        |), scored AS (
+        |  SELECT cand.query_id, cand.vec_id,
+        |    list_aggregate(list_transform(generate_series(1, len(e.embedding)),
+        |      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(qv.qvec[i] AS DOUBLE)), 'sum')
+        |    / (sqrt(list_aggregate(list_transform(e.embedding,
+        |         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
+        |     * sqrt(list_aggregate(list_transform(qv.qvec,
+        |         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))) AS cos
+        |  FROM cand
+        |  JOIN base e ON cand.vec_id = e.vec_id
+        |  JOIN qv ON cand.query_id = qv.query_id
         |)
         |SELECT query_id, vec_id, round(cos, 4) AS cos, rank FROM (
         |  SELECT query_id, vec_id, cos,

@@ -440,6 +440,71 @@ object SimilarityOps {
       .select(col("query_id"), col("vec_id"), round(col("cos"), 4).as("cos"), col("rank"))
   }
 
+  /** Scalar-quantized int8 ANN (emb07 — the FAISS IndexScalarQuantizer
+    * QT_8bit analog; Jégou et al. TPAMI'11 discuss SQ as the baseline PQ
+    * is measured against): each vector is stored as d int8 codes
+    * (code_i = round(v_i / scale), scale = max|v_i| / 127) — 4x smaller
+    * than floats, the midpoint of the quantization family (PQ/IVF-PQ
+    * compress ~50-100x but need trained codebooks; SQ8 is training-free
+    * and nearly exact). The approximate score needs NO scale lookup:
+    * cos of the quantized vectors is intdot(a,b)/sqrt(intdot(a,a) *
+    * intdot(b,b)) — the per-vector scales cancel — and INTEGER dots are
+    * exact in every engine at any summation order, which is what makes
+    * this the first ANN whose CANDIDATE GENERATION is DuckDB-oracle-
+    * deterministic end to end (emb02/04/05/06 gate on recall floors;
+    * emb07 gates on rows+schema+hash). Top `refineN` approximate
+    * candidates re-score exactly against the floats (the engine's verify
+    * discipline — approximation affects recall only, never a returned
+    * score).
+    *
+    * Scale shape: the codes table is the scan side (1 byte/dim — RAM-
+    * resident long after floats are not), the query codes broadcast, the
+    * floats are touched only for the refine-set rejoin; everything is
+    * Catalyst HOFs — no UDF, no codebook state.
+    */
+  def annSqTopK(spark: SparkSession, dir: String,
+                nQueries: Int = 3, k: Int = 5, refine: Int = 0): DataFrame = {
+    val e = emb(spark, dir).select("vec_id", "embedding")
+    val maxAbs = aggregate(col("embedding"), lit(0.0),
+      (acc, x) => greatest(acc, abs(x.cast("double"))))
+    val codes = e
+      .withColumn("scale",
+        when(maxAbs === 0.0, lit(1.0)).otherwise(maxAbs / 127.0))
+      .select(col("vec_id"), col("embedding"),
+        transform(col("embedding"),
+          x => round(x.cast("double") / col("scale")).cast("long")).as("code"))
+      .withColumn("qq", aggregate(col("code"), lit(0L), (a, x) => a + x * x))
+    val queries = codes.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("code").as("qcode"),
+        col("qq").as("qqq"))
+    val intDot = aggregate(
+      zip_with(col("code"), col("qcode"), (x, y) => x * y), lit(0L), (a, x) => a + x)
+    val refineN = if (refine > 0) refine else math.max(50, 10 * k)
+    val wA = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("approx").desc, col("vec_id").asc)
+    val cand = codes.select("vec_id", "code", "qq")
+      .join(broadcast(queries), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        (intDot.cast("double") / sqrt((col("qq") * col("qqq")).cast("double")))
+          .as("approx"))
+      .withColumn("arank", row_number().over(wA))
+      .where(col("arank") <= refineN)
+      .select("query_id", "vec_id")
+    val qVecs = e.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val scored = cand
+      .join(e, Seq("vec_id"))
+      .join(broadcast(qVecs), Seq("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        cosineCol(col("embedding"), col("qvec")).as("cos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("cos").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("vec_id"), round(col("cos"), 4).as("cos"),
+        col("rank").cast("long").as("rank"))
+  }
+
   /** MULTI-PROBE LSH ANN (Lv et al., VLDB'07 — public technique):
     * sign-of-random-hyperplane bucket per corpus vector; each query probes
     * every bucket within Hamming distance `probeRadius` of its own bucket

@@ -104,6 +104,24 @@ class EntrySmokeSpec extends AnyFunSuite {
     }
   }
 
+  test("emb07 SQ8 ANN: recall >= 0.9 (int8 is nearly exact) + exact refine") {
+    val brute = graft.operators.SimilarityOps.bruteCosineTopK(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sq = graft.operators.SimilarityOps.annSqTopK(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = brute.intersect(sq).size.toDouble / brute.size
+    // SQ8 holds ~7 significant bits/dim — the floor is far above the
+    // codebook methods' 0.6 (and emb07 additionally sits in the HARD
+    // DuckDB oracle gate, which pins the exact rows)
+    assert(recall >= 0.9, f"SQ8 recall $recall%.3f fell below the 0.9 floor")
+    val bruteCos = graft.operators.SimilarityOps.bruteCosineTopK(spark, dir, k = 1000)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    graft.operators.SimilarityOps.annSqTopK(spark, dir).collect().foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      assert(bruteCos(key) == r.getDouble(2), s"refined cos diverged for $key")
+    }
+  }
+
   test("emb03 id-only candidate plan == direct vector-carrying form (golden)") {
     import org.apache.spark.sql.functions._
     val got = graft.operators.SimilarityOps.nearDupCosine(spark, dir, nBits = 6)

@@ -382,4 +382,48 @@ class PlanSpec extends AnyFunSuite {
     assert(anti.exists(_.contains("BroadcastHashJoin")),
       s"suspect-host anti-join does not broadcast:\n${anti.mkString("\n")}")
   }
+
+  test("t14 LM filter: vocab broadcasts; token stream never sort-merge-joins") {
+    val p = finalPlan(graft.operators.TextOps.lmQualityReport(
+      spark, "/root/testdata/sf0.001"))
+    assert(p.contains("BroadcastHashJoin"),
+      s"vocab join does not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"token stream shuffled for a sort-merge join:\n$p")
+    // column pruning: only doc_id + text reach the documents reader
+    p.linesIterator.filter(_.contains("ReadSchema")).foreach { l =>
+      assert(!l.contains("lang") && !l.contains("source"),
+        s"LM filter scan reads unprojected columns: $l")
+    }
+  }
+
+  test("t15 mixture: rate table broadcasts; accept filter codegen'd, no UDF") {
+    val p = finalPlan(graft.operators.TextOps.mixtureSample(
+      spark, "/root/testdata/sf0.001"))
+    assert(p.contains("BroadcastHashJoin"),
+      s"rate join does not broadcast:\n$p")
+    assert(!p.toLowerCase.contains("scalaudf"),
+      s"mixture acceptance fell back to a UDF:\n$p")
+  }
+
+  test("c28 DUST rewrite: rule table broadcasts; frontier never shuffles") {
+    val log = graft.operators.DustOps.syntheticUrlLog(
+      spark, "/root/testdata/sf0.001")
+    val rules = graft.operators.DustOps.dustReport(
+      spark, "/root/testdata/sf0.001")
+    val p = finalPlan(graft.operators.DustOps.rewriteFrontier(
+      log.select("host", "url"), rules))
+    val joins = p.linesIterator.filter(_.contains("Join")).toSeq
+    assert(joins.nonEmpty && joins.exists(j =>
+      j.contains("BroadcastHashJoin") && j.contains("LeftOuter")),
+      s"rule join does not broadcast:\n${joins.mkString("\n")}")
+    // the frontier side must reach the join without its own Exchange: the
+    // only exchanges in the final plan belong to the (tiny) rule-mining
+    // subtree or the broadcast itself
+    val frontierShuffles = p.linesIterator
+      .filter(l => l.contains("Exchange hashpartitioning") && l.contains("url#"))
+      .filterNot(_.contains("base_url")).toSeq
+    assert(frontierShuffles.isEmpty,
+      s"frontier shuffled for the rewrite:\n${frontierShuffles.mkString("\n")}")
+  }
 }
