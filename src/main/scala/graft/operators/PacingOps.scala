@@ -1,0 +1,83 @@
+package graft.operators
+
+import graft.model.RobotsEntry
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+
+/** Adaptive per-host politeness from OBSERVED fetch latency (c30) — the
+  * feedback loop production crawlers (Heritzix/IRLbot conventions) run
+  * on top of robots.txt: a host whose responses are slow gets a larger
+  * crawl delay (delay >= factor x response time), because a static
+  * default either hammers struggling servers or wastes budget on fast
+  * ones. robots.txt stays the FLOOR — adaptation only ever slows a host
+  * down (greatest(robots delay, learned delay)), never overrides an
+  * operator-declared Crawl-delay downward.
+  *
+  * The estimator is the p95 (tail) latency, not the mean: politeness
+  * must pace to the server's bad moments. percentile_disc is used on
+  * BOTH engines (Spark percentile_disc == DuckDB quantile_disc, the q23
+  * parity), so the report is DuckDB-oracled exactly — counts, integer
+  * p95, and the clamped delay arithmetic are all engine-exact.
+  *
+  * Scale shape: one map-side-combined groupBy(host) over a (host,
+  * latency) log — the exchange carries per-host partials; the learned
+  * table is host-catalog-sized and broadcasts into the robots merge, so
+  * re-pacing costs the frontier nothing.
+  */
+object PacingOps {
+
+  /** Deterministic per-fetch latency log from the documents table (c27
+    * synthesis discipline): base 50-250 ms jitter from doc_id; hosts
+    * whose last digit is 3 or 7 are SLOW — every 3rd fetch hits a 900 ms
+    * tail, so adaptation must key on the tail, not the mean. The spike
+    * modulus is COPRIME with the doc->source assignment cycle: a modulus
+    * sharing a factor with it would silently starve some hosts of spiked
+    * doc_ids and make the plant vacuous there.
+    */
+  def syntheticFetchLatencies(spark: SparkSession, dir: String): DataFrame = {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("source"))
+    val lastDigit = substring(col("source"), -1, 1)
+    docs.select(col("source").as("host"),
+      (lit(50L) + pmod(col("doc_id") * 37L, lit(200L)) +
+        when(lastDigit.isin("3", "7") && pmod(col("doc_id"), lit(3)) === 0,
+          lit(900L)).otherwise(lit(0L))).as("latency_ms"))
+  }
+
+  /** Per-host adaptive delay: clamp(minDelay, factor * p95_latency,
+    * maxDelay). Integer arithmetic end to end.
+    */
+  def adaptiveDelays(latencies: DataFrame, factor: Long = 10L,
+                     minDelayMs: Long = 200L,
+                     maxDelayMs: Long = 15000L): DataFrame =
+    latencies.groupBy("host")
+      .agg(count(lit(1)).as("n_fetches"),
+        expr("percentile_disc(0.95) WITHIN GROUP (ORDER BY latency_ms)")
+          .cast("long").as("p95_ms"))
+      .withColumn("adaptive_delay_ms",
+        least(lit(maxDelayMs), greatest(lit(minDelayMs), col("p95_ms") * factor)))
+      .orderBy("host")
+
+  /** c30 — the driver-facing report over the synthetic latency log. */
+  def pacingReport(spark: SparkSession, dir: String): DataFrame =
+    adaptiveDelays(syntheticFetchLatencies(spark, dir))
+
+  /** The ACTION: merge learned delays into the robots cache the
+    * scheduler already consumes — robots' Crawl-delay is the floor, the
+    * learned tail delay only ever raises it. The learned table
+    * broadcasts (host-catalog-sized); the output feeds
+    * FrontierJob.applyRobots unchanged.
+    */
+  def withAdaptiveDelays(robots: Dataset[RobotsEntry],
+                         report: DataFrame): Dataset[RobotsEntry] = {
+    import robots.sparkSession.implicits._
+    robots.toDF()
+      .join(broadcast(report.select("host", "adaptive_delay_ms")),
+        Seq("host"), "left")
+      .withColumn("crawl_delay_ms",
+        greatest(col("crawl_delay_ms"),
+          coalesce(col("adaptive_delay_ms"), lit(0L))))
+      .drop("adaptive_delay_ms")
+      .as[RobotsEntry]
+  }
+}
