@@ -159,6 +159,9 @@ object SparkEntry {
     // t15: temperature-scaled domain mixture (tau = 1/2) — deterministic
     // md5-threshold acceptance; rates broadcast, corpus never shuffles
     "t15_mixture_sample" -> ((s, d) => TextOps.mixtureReport(s, d)),
+    // t16: content-hash train/eval split + near-dup leakage audit (the
+    // in-corpus counterpart of t13's benchmark decontamination)
+    "t16_split_leakage" -> ((s, d) => TextOps.splitLeakageReport(s, d)),
     "c27_crawl_traps" -> ((s, d) => operators.TrapOps.trapHostReport(s, d)),
     // c28: DUST url-alias rule mining — learns which query params are
     // content-irrelevant per host from fetched (url, content-hash) pairs
@@ -893,6 +896,46 @@ object SparkEntry {
         |       CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept
         |FROM thr t LEFT JOIN kept k ON t.source = k.source
         |ORDER BY t.source""".stripMargin,
+    // t16: t05's pair kernel + the content-hash split assignment —
+    // construction, integer Jaccard gate, and the double-md5 split all
+    // mirrored exactly.
+    "t16_split_leakage" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, text || ' appended revision marker tokens' AS text
+        |  FROM documents WHERE doc_id % 20 = 0
+        |), splits AS (
+        |  SELECT doc_id,
+        |    CASE WHEN md5('spl1:' || md5(text)) < '4' THEN 'eval' ELSE 'train' END AS split
+        |  FROM corpus
+        |), toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM corpus
+        |), shingles AS (
+        |  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
+        |  FROM (SELECT doc_id, t, unnest(generate_series(1, greatest(len(t)-2, 0))) AS i FROM toks)
+        |), sizes AS (
+        |  SELECT doc_id, count(*) AS sz FROM shingles GROUP BY doc_id
+        |), idx AS (
+        |  SELECT doc_id, sh FROM shingles
+        |  WHERE sh NOT IN (SELECT sh FROM shingles GROUP BY sh HAVING count(*) > 64)
+        |), pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+        |  FROM idx a JOIN idx b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |), nd AS (
+        |  SELECT doc_a, doc_b
+        |  FROM pairs
+        |  JOIN sizes sa ON doc_a = sa.doc_id
+        |  JOIN sizes sb ON doc_b = sb.doc_id
+        |  WHERE n_inter * 2 >= sa.sz + sb.sz - n_inter
+        |)
+        |SELECT nd.doc_a, nd.doc_b, sa.split AS split_a, sb.split AS split_b,
+        |       sa.split <> sb.split AS leaks
+        |FROM nd
+        |JOIN splits sa ON nd.doc_a = sa.doc_id
+        |JOIN splits sb ON nd.doc_b = sb.doc_id
+        |ORDER BY nd.doc_a, nd.doc_b""".stripMargin,
     // c27: crawl-trap detection — URL-shape features (repeated path
     // segments, query-param explosion) aggregated per host. The URL
     // synthesis, segment arithmetic, and the UNROUNDED count-derived

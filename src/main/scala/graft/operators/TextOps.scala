@@ -468,6 +468,55 @@ object TextOps {
         .where(col("flagged")).select("doc_id")),
       Seq("doc_id"), "left_anti")
 
+  // ---- t16: train/eval split + leakage audit ---------------------------
+
+  /** Content-keyed deterministic split: eval iff md5('spl1:' ||
+    * md5(text)) < '4' (25%). Keying the hash on the CONTENT — never the
+    * doc_id — co-locates exact duplicates in one split by construction;
+    * what a content hash cannot co-locate is NEAR-duplicates, which is
+    * exactly the residual [[splitLeakageReport]] audits.
+    */
+  def splitAssign(corpus: DataFrame): DataFrame =
+    corpus.withColumn("split",
+      when(md5(concat(lit("spl1:"), md5(col("text")))) < "4", lit("eval"))
+        .otherwise(lit("train")))
+
+  /** t16 — eval-split LEAKAGE audit: the corpus's near-dup pairs (t05's
+    * exact integer-gated n-gram Jaccard kernel) joined against the split
+    * assignment; a pair that crosses the boundary leaks eval content
+    * into train — the in-corpus counterpart of t13's benchmark
+    * decontamination (Lee et al. ACL'22 measure exactly this residual
+    * after hash-splitting). Split table carries (doc_id, split) only and
+    * the pair set is tiny, so both joins broadcast at real dup rates.
+    */
+  def splitLeakageReport(spark: SparkSession, dir: String): DataFrame = {
+    val splits = splitAssign(plantedCorpus(spark, dir)).select("doc_id", "split")
+    nearDupNgramJaccard(spark, dir)
+      .join(splits.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("split", "split_a"), Seq("doc_a"))
+      .join(splits.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("split", "split_b"), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("split_a"), col("split_b"),
+        (col("split_a") =!= col("split_b")).as("leaks"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** The ACTION: a leak-free TRAIN corpus — drop the train-side doc of
+    * every crossing pair (eval is the protected set, so train pays).
+    * The drop list is a fraction of the (already tiny) pair set:
+    * broadcast anti-join, train side never shuffles.
+    */
+  def leakFreeTrainCorpus(spark: SparkSession, dir: String): DataFrame = {
+    val assigned = splitAssign(plantedCorpus(spark, dir))
+    val leaks = splitLeakageReport(spark, dir).where(col("leaks"))
+    val dropIds = leaks.select(col("doc_a").as("doc_id"), col("split_a").as("split"))
+      .unionByName(leaks.select(col("doc_b").as("doc_id"), col("split_b").as("split")))
+      .where(col("split") === "train").select("doc_id").distinct()
+    assigned.where(col("split") === "train")
+      .join(broadcast(dropIds), Seq("doc_id"), "left_anti")
+      .select("doc_id", "split")
+  }
+
   // ---- t15: temperature-scaled domain mixture sampling ----------------
 
   /** Per-source acceptance rates for a temperature-mixed corpus sample:
