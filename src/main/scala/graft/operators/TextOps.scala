@@ -438,16 +438,30 @@ object TextOps {
     * nowhere near the boundary).
     */
   def lmQualityReport(spark: SparkSession, dir: String,
-                      nllThreshold: Double = 8.0): DataFrame = {
-    val trainTok = lmTrainCorpus(spark, dir)
-      .select(explode(split(col("text"), "\\s+")).as("tok"))
-    val vocab = trainTok.groupBy("tok").agg(count(lit(1)).cast("double").as("c"))
-    val totals = vocab.agg(sum(col("c")).as("t"),
+                      nllThreshold: Double = 8.0): DataFrame =
+    lmScoreAgainst(lmVocabOf(lmTrainCorpus(spark, dir)),
+      lmScoredCorpus(spark, dir), nllThreshold)
+
+  /** The (tok, c) unigram table of a training corpus — mergeable counts
+    * (the property the persisted store exploits).
+    */
+  def lmVocabOf(trainCorpus: DataFrame): DataFrame =
+    trainCorpus.select(explode(split(col("text"), "\\s+")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c"))
+
+  /** Score any (doc_id, text) corpus against an explicit (tok, c) vocab —
+    * the kernel behind both the one-shot t14 report and the persisted/
+    * incremental path (identical arithmetic: the cast-to-double of
+    * integer counts is value-exact, so the two paths are golden-equal).
+    */
+  def lmScoreAgainst(vocab: DataFrame, corpus: DataFrame,
+                     nllThreshold: Double = 8.0): DataFrame = {
+    val v = vocab.select(col("tok"), col("c").cast("double").as("c"))
+    val totals = v.agg(sum(col("c")).as("t"),
       count(lit(1)).cast("double").as("v"))
-    val docTok = lmScoredCorpus(spark, dir)
+    corpus
       .select(col("doc_id"), explode(split(col("text"), "\\s+")).as("tok"))
-    docTok
-      .join(broadcast(vocab), Seq("tok"), "left")
+      .join(broadcast(v), Seq("tok"), "left")
       .crossJoin(broadcast(totals))
       .select(col("doc_id"),
         log((coalesce(col("c"), lit(0.0)) + 1.0) / (col("t") + col("v"))).as("lp"))
@@ -456,6 +470,27 @@ object TextOps {
       .withColumn("flagged", col("nll") > nllThreshold)
       .orderBy("doc_id")
   }
+
+  // ---- t14b: persisted / incremental LM vocab --------------------------
+
+  /** Persisted per-epoch vocab partials (the SeenStore/SimIndex
+    * persisted-state discipline applied to the LM): `lm_vocab/epoch=N`
+    * holds the (tok, c) counts of epoch N's training slice only.
+    * Unigram counts are MERGEABLE, so the cumulative model at epoch E is
+    * groupBy(tok).sum over partials 0..E — extending the LM by an epoch
+    * re-reads vocab tables (Heaps'-law small), never the earlier text
+    * (at 100 TB the text IS the cost).
+    */
+  def writeVocabEpoch(trainSlice: DataFrame, root: String, epoch: Int): Unit =
+    lmVocabOf(trainSlice).write.mode("overwrite")
+      .parquet(s"$root/lm_vocab/epoch=$epoch")
+
+  /** The cumulative vocab through `uptoEpoch` — sum of persisted
+    * partials.
+    */
+  def readVocab(spark: SparkSession, root: String, uptoEpoch: Int): DataFrame =
+    spark.read.parquet((0 to uptoEpoch).map(e => s"$root/lm_vocab/epoch=$e"): _*)
+      .groupBy("tok").agg(sum(col("c")).as("c"))
 
   /** The corpus ACTION: drop every flagged doc. The flagged list is a
     * tiny fraction of the corpus, so the anti-join broadcasts and the

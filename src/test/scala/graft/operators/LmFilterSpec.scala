@@ -68,4 +68,32 @@ class LmFilterSpec extends AnyFunSuite {
     val all = report().keySet
     assert(kept == all -- flagged)
   }
+
+  // ---- t14b: persisted / incremental vocab ---------------------------
+
+  test("persisted per-epoch vocab partials merge to the full vocab exactly") {
+    import org.apache.spark.sql.functions._
+    val root = graft.SparkTestBase.tempDir("graft-lmvocab")
+    val train = TextOps.lmTrainCorpus(spark, dir)
+    TextOps.writeVocabEpoch(train.where(col("doc_id") % 2 === 0), root, 0)
+    TextOps.writeVocabEpoch(train.where(col("doc_id") % 2 === 1), root, 1)
+    val merged = TextOps.readVocab(spark, root, 1).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val full = TextOps.lmVocabOf(train).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(merged == full)
+  }
+
+  test("scoring through the persisted store == one-shot report exactly") {
+    import org.apache.spark.sql.functions._
+    val root = graft.SparkTestBase.tempDir("graft-lmvocab2")
+    val train = TextOps.lmTrainCorpus(spark, dir)
+    TextOps.writeVocabEpoch(train.where(col("doc_id") % 2 === 0), root, 0)
+    TextOps.writeVocabEpoch(train.where(col("doc_id") % 2 === 1), root, 1)
+    val viaStore = TextOps.lmScoreAgainst(
+      TextOps.readVocab(spark, root, 1), TextOps.lmScoredCorpus(spark, dir))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+      .toMap
+    assert(viaStore == report(), "persisted-vocab scoring diverged from one-shot")
+  }
 }
