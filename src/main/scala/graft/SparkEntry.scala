@@ -173,6 +173,10 @@ object SparkEntry {
     // c30: adaptive politeness — per-host crawl delay learned from
     // observed p95 fetch latency (robots stays the floor)
     "c30_adaptive_pacing" -> ((s, d) => operators.PacingOps.pacingReport(s, d)),
+    // c31: streaming DUST — three adversarially-sliced micro-batches
+    // through the persisted delta-join store; final rules == c28's batch
+    // miner, checked by the SAME oracle SQL
+    "c31_stream_dust" -> ((s, d) => graft.streaming.StreamingJobs.dustMineDemo(s, d)),
     "t04_neardup_simhash" -> ((s, d) => TextOps.nearDupSimhash(s, d)),
     "emb01_cosine_topk" -> ((s, d) => SimilarityOps.bruteCosineTopK(s, d)),
     "emb02_ann_lsh" -> ((s, d) => SimilarityOps.annLshTopK(s, d)),
@@ -444,6 +448,52 @@ object SparkEntry {
       |  JOIN sizes sb ON doc_b = sb.doc_id
       |  WHERE n_inter * 2 >= sa.sz + sb.sz - n_inter
       |)""".stripMargin
+
+  /** c28's rule-mining oracle SQL — shared verbatim by c31 (the
+    * streaming/incremental miner must converge to identical rules).
+    */
+  private val DustRulesSql: String =
+    """WITH docs AS (SELECT doc_id, source FROM documents),
+        |log AS (
+        |  SELECT source AS host,
+        |    'http://' || source || '/item' || (doc_id % 7) || '/a' || doc_id AS url,
+        |    md5('c:' || doc_id) AS content_hash
+        |  FROM docs
+        |  UNION ALL
+        |  SELECT source AS host,
+        |    'http://' || source || '/item' || (doc_id % 7) || '/a' || doc_id
+        |      || '?sid=' || md5('x:' || doc_id) AS url,
+        |    md5('c:' || doc_id) AS content_hash
+        |  FROM docs WHERE doc_id % 3 = 0
+        |  UNION ALL
+        |  SELECT source AS host,
+        |    'http://' || source || '/item' || (doc_id % 7) || '/a' || doc_id
+        |      || '?ref=' || md5('y:' || doc_id) AS url,
+        |    md5('c:' || doc_id) AS content_hash
+        |  FROM docs WHERE doc_id % 5 = 0
+        |  UNION ALL
+        |  SELECT source AS host,
+        |    'http://' || source || '/item' || (doc_id % 7) || '/a' || doc_id
+        |      || '?v=2' AS url,
+        |    md5('d:' || doc_id) AS content_hash
+        |  FROM docs WHERE doc_id % 4 = 1
+        |), wp AS (
+        |  SELECT host, string_split(url, '?')[1] AS base_url,
+        |         regexp_extract(url, '\?([a-z]+)=', 1) AS param, content_hash
+        |  FROM log WHERE contains(url, '?')
+        |), bare AS (
+        |  SELECT host, url AS base_url, content_hash AS bare_hash
+        |  FROM log WHERE NOT contains(url, '?')
+        |), j AS (
+        |  SELECT wp.host, wp.param, wp.content_hash, bare.bare_hash
+        |  FROM wp JOIN bare ON wp.host = bare.host AND wp.base_url = bare.base_url
+        |)
+        |SELECT host, param, CAST(count(*) AS BIGINT) AS n_pairs,
+        |  CAST(count(CASE WHEN content_hash = bare_hash THEN 1 END) AS BIGINT) AS n_same,
+        |  CAST(count(*) - count(CASE WHEN content_hash = bare_hash THEN 1 END) AS BIGINT) AS n_diff,
+        |  (count(CASE WHEN content_hash = bare_hash THEN 1 END) >= 2 AND
+        |   count(*) - count(CASE WHEN content_hash = bare_hash THEN 1 END) = 0) AS irrelevant
+        |FROM j GROUP BY host, param ORDER BY host, param""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q01_agg_pricing" ->
@@ -978,48 +1028,10 @@ object SparkEntry {
     // c28: DUST alias-rule mining — URL/content synthesis, the
     // (host, base_url) pair join, and the zero-refutation verdict are
     // mirrored exactly (string + count arithmetic only).
-    "c28_dust_rules" ->
-      """WITH docs AS (SELECT doc_id, source FROM documents),
-        |log AS (
-        |  SELECT source AS host,
-        |    'http://' || source || '/item' || (doc_id % 7) || '/a' || doc_id AS url,
-        |    md5('c:' || doc_id) AS content_hash
-        |  FROM docs
-        |  UNION ALL
-        |  SELECT source AS host,
-        |    'http://' || source || '/item' || (doc_id % 7) || '/a' || doc_id
-        |      || '?sid=' || md5('x:' || doc_id) AS url,
-        |    md5('c:' || doc_id) AS content_hash
-        |  FROM docs WHERE doc_id % 3 = 0
-        |  UNION ALL
-        |  SELECT source AS host,
-        |    'http://' || source || '/item' || (doc_id % 7) || '/a' || doc_id
-        |      || '?ref=' || md5('y:' || doc_id) AS url,
-        |    md5('c:' || doc_id) AS content_hash
-        |  FROM docs WHERE doc_id % 5 = 0
-        |  UNION ALL
-        |  SELECT source AS host,
-        |    'http://' || source || '/item' || (doc_id % 7) || '/a' || doc_id
-        |      || '?v=2' AS url,
-        |    md5('d:' || doc_id) AS content_hash
-        |  FROM docs WHERE doc_id % 4 = 1
-        |), wp AS (
-        |  SELECT host, string_split(url, '?')[1] AS base_url,
-        |         regexp_extract(url, '\?([a-z]+)=', 1) AS param, content_hash
-        |  FROM log WHERE contains(url, '?')
-        |), bare AS (
-        |  SELECT host, url AS base_url, content_hash AS bare_hash
-        |  FROM log WHERE NOT contains(url, '?')
-        |), j AS (
-        |  SELECT wp.host, wp.param, wp.content_hash, bare.bare_hash
-        |  FROM wp JOIN bare ON wp.host = bare.host AND wp.base_url = bare.base_url
-        |)
-        |SELECT host, param, CAST(count(*) AS BIGINT) AS n_pairs,
-        |  CAST(count(CASE WHEN content_hash = bare_hash THEN 1 END) AS BIGINT) AS n_same,
-        |  CAST(count(*) - count(CASE WHEN content_hash = bare_hash THEN 1 END) AS BIGINT) AS n_diff,
-        |  (count(CASE WHEN content_hash = bare_hash THEN 1 END) >= 2 AND
-        |   count(*) - count(CASE WHEN content_hash = bare_hash THEN 1 END) = 0) AS irrelevant
-        |FROM j GROUP BY host, param ORDER BY host, param""".stripMargin,
+    "c28_dust_rules" -> DustRulesSql,
+    // c31: streaming DUST — the persisted incremental miner must converge
+    // to the same rules, so it shares c28's oracle verbatim
+    "c31_stream_dust" -> DustRulesSql,
     // c30: adaptive pacing — latency synthesis, disc-percentile (Spark
     // percentile_disc == DuckDB quantile_disc, q23 parity), and the
     // integer clamp mirrored exactly.

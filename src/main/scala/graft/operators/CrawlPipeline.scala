@@ -203,13 +203,25 @@ object CrawlPipeline {
       sidecarPerBucket: Long = 0L,
       compactSeenEvery: Int = 8,
       recrawl: Boolean = false,
-      rankOrdered: Boolean = false): Seq[EpochSummary] = {
+      rankOrdered: Boolean = false,
+      sitemaps: Boolean = false): Seq[EpochSummary] = {
     require(sidecar == "bloom" || sidecar == "cuckoo", s"unknown sidecar kind: $sidecar")
     import spark.implicits._
     val start = Snapshots.latestCommittedEpoch(root) + 1
     (start to untilEpoch).map { epoch =>
       val cfg = cfg0.copy(epoch = epoch, epochT0Ms = cfg0.epochT0Ms + epoch * 3600000L)
+      // c29 wired end-to-end: sitemap discoveries enter at epoch 0 as
+      // ordinary seeds (sitemap priority == seed priority) and take the
+      // same canonicalize -> dedupe -> robots -> politeness path; later
+      // epochs need no re-read because the synthetic catalog is static
+      // (a real crawl re-reads on the sitemap's own change cadence).
+      // Off by default: the base goldens stay byte-identical.
+      val sitemapSeeds =
+        if (sitemaps && epoch == 0)
+          SitemapOps.asSeeds(SitemapOps.sitemapEntries(spark))
+        else spark.emptyDataset[Seed]
       val seeds = Gen.seeds(spark, seedsPerEpoch.toLong)
+        .unionByName(sitemapSeeds)
         .unionByName(
           if (epoch == 0) spark.emptyDataset[Seed]
           else {

@@ -90,6 +90,63 @@ object DustOps {
                  minSupport: Int = 2): DataFrame =
     aliasRules(syntheticUrlLog(spark, dir), minSupport)
 
+  // ---- c31: incremental / streaming rule mining -----------------------
+
+  /** One epoch of DUST observations appended to the persisted store
+    * (the SeenStore/SimIndex discipline): the batch's parameterized and
+    * bare URLs land under `dust_param/epoch=N` / `dust_bare/epoch=N`,
+    * and the epoch's PAIR DELTA is computed with the standard
+    * incremental-join identity
+    *
+    *   pairs(all) = pairs(old)  ∪  newParam x allBare  ∪  oldParam x newBare
+    *
+    * so an alias observed long after its bare counterpart (or before it —
+    * streams deliver in any order) still pairs exactly once. Only the
+    * per-(host, param) COUNT partials persist under `dust_pairs/epoch=N`;
+    * counts are mergeable, so rule evaluation never re-joins history.
+    */
+  def writeDustEpoch(log: DataFrame, root: String, epoch: Int): Unit = {
+    val spark = log.sparkSession
+    val base = element_at(split(col("url"), "\\?"), 1)
+    val param = regexp_extract(col("url"), "\\?([a-z]+)=", 1)
+    val newParam = log.where(col("url").contains("?"))
+      .select(col("host"), base.as("base_url"), param.as("param"),
+        col("content_hash"))
+    val newBare = log.where(!col("url").contains("?"))
+      .select(col("host"), col("url").as("base_url"),
+        col("content_hash").as("bare_hash"))
+    newParam.write.mode("overwrite").parquet(s"$root/dust_param/epoch=$epoch")
+    newBare.write.mode("overwrite").parquet(s"$root/dust_bare/epoch=$epoch")
+    val allBare = spark.read.parquet(
+      (0 to epoch).map(e => s"$root/dust_bare/epoch=$e"): _*)
+    val oldParam =
+      if (epoch == 0) newParam.limit(0)
+      else spark.read.parquet(
+        (0 until epoch).map(e => s"$root/dust_param/epoch=$e"): _*)
+    newParam.join(allBare, Seq("host", "base_url"))
+      .unionByName(newBare.join(oldParam, Seq("host", "base_url"))
+        .select(col("host"), col("base_url"), col("param"),
+          col("content_hash"), col("bare_hash")))
+      .groupBy("host", "param")
+      .agg(count(lit(1)).as("n_pairs"),
+        count(when(col("content_hash") === col("bare_hash"), 1)).as("n_same"))
+      .write.mode("overwrite").parquet(s"$root/dust_pairs/epoch=$epoch")
+  }
+
+  /** Rules from the persisted pair partials through `uptoEpoch` — one
+    * sum per (host, param), identical verdict arithmetic to
+    * [[aliasRules]] (the incremental==batch golden pins equality).
+    */
+  def dustRulesFrom(spark: SparkSession, root: String, uptoEpoch: Int,
+                    minSupport: Int = 2): DataFrame =
+    spark.read.parquet((0 to uptoEpoch).map(e => s"$root/dust_pairs/epoch=$e"): _*)
+      .groupBy("host", "param")
+      .agg(sum(col("n_pairs")).as("n_pairs"), sum(col("n_same")).as("n_same"))
+      .withColumn("n_diff", col("n_pairs") - col("n_same"))
+      .withColumn("irrelevant",
+        col("n_same") >= minSupport && col("n_diff") === 0)
+      .orderBy("host", "param")
+
   /** The frontier ACTION: strip params that a learned rule marks
     * content-irrelevant on their host. The rule table broadcasts; the
     * frontier never shuffles — untouched URLs pass through unchanged.

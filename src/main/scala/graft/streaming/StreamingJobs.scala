@@ -478,6 +478,56 @@ object StreamingJobs {
       .orderBy("image_a", "image_b")
   }
 
+  /** Streaming DUST rule mining (c31): each micro-batch of fetched
+    * (host, url, content_hash) rows appends its observation partials and
+    * pair DELTA to the persisted store (DustOps.writeDustEpoch — the
+    * incremental-join identity pairs an alias with a bare URL from ANY
+    * earlier batch, or a later one), so the crawl's alias rules tighten
+    * online without ever re-joining history.
+    */
+  def streamingDustMine(
+      logs: Dataset[(String, String, String)],
+      root: String,
+      startEpoch: Int = 0): org.apache.spark.sql.streaming.StreamingQuery =
+    logs.toDF("host", "url", "content_hash").writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", ckptDir(s"dust_$startEpoch"))
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.DustOps.writeDustEpoch(batch, root,
+          startEpoch + batchId.toInt)
+      }
+      .start()
+
+  /** Driver-contract demo (c31): the synthetic fetched-URL log arrives
+    * over three micro-batches in an ADVERSARIAL slicing (url-hash based,
+    * so many aliases precede their bare counterpart); the final persisted
+    * rules must equal the one-shot batch miner — which is what the
+    * DuckDB oracle (c28's SQL, shared verbatim) checks.
+    */
+  def dustMineDemo(spark: SparkSession, dir: String): DataFrame =
+    withFewStatePartitions(spark) { dustMineDemoImpl(spark, dir) }
+
+  private def dustMineDemoImpl(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft-c31").toString
+    val rows = graft.operators.DustOps.syntheticUrlLog(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    // deterministic 3-way slicing on the URL text, uncorrelated with the
+    // row kind — bare and alias forms of one page usually land in
+    // DIFFERENT batches, which is exactly the case the delta join covers
+    def slice(u: String): Int = math.floorMod(u.hashCode, 3)
+    val stream = MemoryStream[(String, String, String)]
+    val q = streamingDustMine(stream.toDS(), root)
+    try {
+      (0 until 3).foreach { k =>
+        stream.addData(rows.filter(r => slice(r._2) == k).toSeq)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    graft.operators.DustOps.dustRulesFrom(spark, root, uptoEpoch = 2)
+  }
+
   /** Driver-contract demo (c18): epoch 0 = half the documents table,
     * indexed batch-side; the stream delivers the other half in two
     * micro-batches, the second carrying planted near-copies of epoch-0

@@ -74,6 +74,38 @@ class DustOpsSpec extends AnyFunSuite {
     assert(byParam("v").values.forall(_._3 > 0L), "v plant produced no refutation")
   }
 
+  test("incremental delta-join store == one-shot batch miner (3 adversarial slices)") {
+    import spark.implicits._
+    val root = graft.SparkTestBase.tempDir("graft-dust-inc")
+    val rows = localLog()
+    def slice(u: String): Int = math.floorMod(u.hashCode, 3)
+    (0 until 3).foreach { k =>
+      DustOps.writeDustEpoch(
+        rows.filter(r => slice(r._2) == k).toDF("host", "url", "content_hash"),
+        root, k)
+    }
+    // the slicing actually separates some alias from its bare URL — the
+    // cross-batch pairing path is exercised, not vacuous
+    val crossBatch = rows.filter(_._2.contains("?")).exists { case (_, u, _) =>
+      slice(u) != slice(u.split("\\?")(0))
+    }
+    assert(crossBatch, "all aliases landed with their bare URL — slicing vacuous")
+    val inc = DustOps.dustRulesFrom(spark, root, uptoEpoch = 2).collect().map { r =>
+      (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getBoolean(5))
+    }.toMap
+    assert(inc == sparkRules(), "incremental rules diverged from batch miner")
+  }
+
+  test("streaming demo (c31) == batch rules") {
+    val streamed = graft.streaming.StreamingJobs.dustMineDemo(spark, dir)
+      .collect().map { r =>
+        (r.getString(0), r.getString(1)) ->
+          (r.getLong(2), r.getLong(3), r.getLong(4), r.getBoolean(5))
+      }.toMap
+    assert(streamed == sparkRules(), "streamed rules diverged from batch miner")
+  }
+
   test("frontier rewrite collapses exactly the learned aliases") {
     import spark.implicits._
     val log = localLog()

@@ -47,6 +47,20 @@ class SitemapSpec extends AnyFunSuite {
     assert(rows.head.getDouble(3) == 0.5)
   }
 
+  test("pipeline with sitemaps=true schedules sitemap URLs; resume-safe") {
+    val root = graft.SparkTestBase.tempDir("graft-sitemap-pipe")
+    CrawlPipeline.run(spark, root, untilEpoch = 0, seedsPerEpoch = 300,
+      cfg0 = FrontierJob.Config(), sitemaps = true)
+    val sched = spark.read.parquet(s"$root/scheduled/epoch=0")
+    val fromSitemap = sched.where(
+      org.apache.spark.sql.functions.col("path").startsWith("/news/sitemap/"))
+    assert(fromSitemap.count() > 0, "no sitemap URL was scheduled")
+    // resume: re-invoking after the commit is a no-op (nothing re-runs)
+    val again = CrawlPipeline.run(spark, root, untilEpoch = 0,
+      seedsPerEpoch = 300, cfg0 = FrontierJob.Config(), sitemaps = true)
+    assert(again.isEmpty, "committed epoch re-ran on resume")
+  }
+
   test("sitemap seeds flow through the ordinary canonicalize path") {
     val entries = SitemapOps.sitemapEntries(spark)
     val frontier = FrontierJob.canonicalizeFrontier(SitemapOps.asSeeds(entries))
