@@ -90,6 +90,9 @@ object SparkEntry {
     "q29_range_frame" -> ((s, d) => Relational.windowRangeFrame(s, d)),
     "q30_scalar_subquery" -> ((s, d) => Relational.scalarSubquery(s, d)),
     "q40_exists_subquery" -> ((s, d) => Relational.existsSubquery(s, d)),
+    // q41: MapType breadth — map built/read on the Spark side; the oracle
+    // checks the same scalars relationally (maps never cross the gate)
+    "q41_map_functions" -> ((s, d) => Relational.mapFunctions(s, d)),
     "q31_grouping_sets" -> ((s, d) => Relational.groupingSets(s, d)),
     "q32_window_dist" -> ((s, d) => Relational.windowDistribution(s, d)),
     "q33_conditional_agg" -> ((s, d) => Relational.conditionalAgg(s, d)),
@@ -107,6 +110,9 @@ object SparkEntry {
     // the two-sided complement of g01 (hubs rank DISCOVERY value,
     // authorities rank fetch/quality value)
     "g04_host_hits" -> ((s, d) => operators.GraphOps.hostHits(s, d)),
+    // g05: weakly-connected host components (mirror-domain clustering,
+    // shared politeness identity) via the DedupResolve contraction
+    "g05_host_components" -> ((s, d) => operators.GraphOps.hostComponents(s, d)),
     // g03: warm-start rank refresh on the grown host graph (base ranks
     // recomputed in-call for the demo; the pipeline reads host_ranks)
     "g03_incremental_pagerank" -> ((s, d) =>
@@ -1132,8 +1138,16 @@ object SparkEntry {
     // g01: host PageRank — the oracle unrolls the power iteration (same
     // edge derivation, per-step 10 dp rounding, dangling redistribution),
     // generated from one place so iters/damping can't drift.
+    "q41_map_functions" ->
+      """SELECT o_custkey,
+        |  CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS n_statuses,
+        |  CAST(count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS BIGINT) AS n_f,
+        |  CAST(count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS BIGINT) AS n_o,
+        |  CAST(count(*) AS BIGINT) AS n_total
+        |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
     "g01_host_pagerank" -> operators.GraphOps.pageRankOracleSql(),
     "g04_host_hits" -> operators.GraphOps.hitsOracleSql(),
+    "g05_host_components" -> operators.GraphOps.hostComponentsOracleSql(),
     "t01_text_quality" ->
       """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_act,
         |CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,

@@ -304,6 +304,59 @@ object GraphOps {
           when(col("nrm") === 0.0, lit(1.0)).otherwise(col("nrm")), 10).as(out))
   }
 
+  // ---- g05: host components (mirror-domain clustering) ----------------
+
+  /** g05 — weakly-connected components of the host citation graph:
+    * clusters of hosts that cite each other are typically one publisher
+    * / mirror family, and a crawl that treats them as one POLITENESS
+    * identity (shared budget) avoids hammering a single backend through
+    * its N frontends. Reuses DedupResolve's large/small-star contraction
+    * verbatim (SoCC'14 — ~log-diameter rounds); hosts map to dense
+    * lexicographic ids first (a catalog-sized window — fine for 10^6-10^7
+    * hosts; the CONTRACTION is where the scale lives), so the component
+    * label min-id IS the lexicographically smallest host, which the
+    * recursive-CTE oracle reproduces as min(node) over reachability.
+    */
+  def hostComponents(spark: SparkSession, dir: String): DataFrame = {
+    val e = sourceEdges(spark, dir).localCheckpoint()
+    val nodes = e.select(col("src").as("host"))
+      .union(e.select(col("dst").as("host"))).distinct()
+    val ids = nodes.withColumn("hid",
+      row_number().over(org.apache.spark.sql.expressions.Window.orderBy("host"))
+        .cast("long"))
+    val idEdges = e
+      .join(ids.select(col("host").as("src"), col("hid").as("a")), Seq("src"))
+      .join(ids.select(col("host").as("dst"), col("hid").as("b")), Seq("dst"))
+      .select("a", "b")
+    val comp = DedupResolve.connectedComponents(idEdges, "a", "b")
+    comp
+      .join(ids.select(col("hid").as("id"), col("host").as("source")), Seq("id"))
+      .join(ids.select(col("hid").as("comp"), col("host").as("component")),
+        Seq("comp"))
+      .select("source", "component")
+      .orderBy("source")
+  }
+
+  /** Recursive-CTE DuckDB mirror of `hostComponents` (t07's reachability
+    * oracle pattern on the g01 edge derivation): component = min
+    * reachable host over the symmetrized edges.
+    */
+  def hostComponentsOracleSql(): String =
+    """WITH RECURSIVE docs AS (SELECT doc_id, source FROM documents),
+      |cnt AS (SELECT count(*) AS c FROM docs),
+      |dedges AS (
+      |  SELECT DISTINCT a.source AS src, b.source AS dst
+      |  FROM docs a, cnt, docs b
+      |  WHERE b.doc_id = (a.doc_id * 17 + 3) % cnt.c AND a.source <> b.source),
+      |edges AS (SELECT src, dst FROM dedges UNION SELECT dst, src FROM dedges),
+      |reach AS (
+      |  SELECT src AS id, src AS node FROM edges
+      |  UNION
+      |  SELECT r.id, e.dst AS node FROM reach r JOIN edges e ON r.node = e.src
+      |)
+      |SELECT id AS source, min(node) AS component
+      |FROM reach GROUP BY id ORDER BY source""".stripMargin
+
   /** Unrolled-iteration DuckDB SQL mirroring `hostHits` exactly: same
     * edge derivation as pageRankOracleSql, hub0 = 1.0, per half-step
     * norm = round(sqrt(sum of squares), 6), components round 10 dp,

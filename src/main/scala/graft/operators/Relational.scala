@@ -474,4 +474,27 @@ object Relational {
         (col("rn") - 1).cast("long").as("slot"),
         (lit(1704067200000L) + (col("rn") - 1) * lit(200L)).as("scheduled_at_ms"))
   }
+
+  /** q41 — MapType breadth (§2.8's transient-map claim exercised for
+    * real): per-customer status->count map built with map_from_entries
+    * over a sorted entry list (sorted so the map's internal order is
+    * deterministic), then read back through map_keys / element_at /
+    * map_values + aggregate. The oracle computes the same SCALARS
+    * relationally — maps never cross the comparator (map column order
+    * is engine-internal, scalars are not).
+    */
+  def mapFunctions(spark: SparkSession, dir: String): DataFrame = {
+    val byStatus = t(spark, dir, "orders")
+      .groupBy("o_custkey", "o_orderstatus").agg(count(lit(1)).as("n"))
+    byStatus.groupBy("o_custkey")
+      .agg(map_from_entries(sort_array(
+        collect_list(struct(col("o_orderstatus"), col("n"))))).as("status_map"))
+      .select(col("o_custkey"),
+        size(map_keys(col("status_map"))).cast("long").as("n_statuses"),
+        coalesce(element_at(col("status_map"), "F"), lit(0L)).as("n_f"),
+        coalesce(element_at(col("status_map"), "O"), lit(0L)).as("n_o"),
+        aggregate(map_values(col("status_map")), lit(0L), (a, x) => a + x)
+          .as("n_total"))
+      .orderBy("o_custkey")
+  }
 }

@@ -141,6 +141,27 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(math.abs(a2 - 1.0) < 1e-4, s"auth norm^2 = $a2")
   }
 
+  test("g05 host components == BFS mirror on the real edge derivation") {
+    val dir = "/root/testdata/sf0.001"
+    val edges = GraphOps.sourceEdges(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    // undirected BFS mirror: component = min reachable host
+    val adj = (edges ++ edges.map(_.swap)).groupBy(_._1)
+      .map { case (k, vs) => k -> vs.map(_._2).toSet }
+    def compOf(start: String): String = {
+      var seen = Set(start); var frontier = Set(start)
+      while (frontier.nonEmpty) {
+        frontier = frontier.flatMap(adj.getOrElse(_, Set.empty)) -- seen
+        seen ++= frontier
+      }
+      seen.min
+    }
+    val want = adj.keys.map(h => h -> compOf(h)).toMap
+    val got = GraphOps.hostComponents(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got == want)
+  }
+
   test("hits deterministic across parallelism") {
     val edges = Seq(
       "a" -> "b", "a" -> "c", "c" -> "a", "c" -> "b", "c" -> "e",
