@@ -183,6 +183,9 @@ object SparkEntry {
     // through the persisted delta-join store; final rules == c28's batch
     // miner, checked by the SAME oracle SQL
     "c31_stream_dust" -> ((s, d) => graft.streaming.StreamingJobs.dustMineDemo(s, d)),
+    // c32: streaming pacing — mergeable latency histograms through the
+    // persisted store; final delays == c30's batch report + oracle
+    "c32_stream_pacing" -> ((s, d) => graft.streaming.StreamingJobs.pacingMineDemo(s, d)),
     "t04_neardup_simhash" -> ((s, d) => TextOps.nearDupSimhash(s, d)),
     "emb01_cosine_topk" -> ((s, d) => SimilarityOps.bruteCosineTopK(s, d)),
     "emb02_ann_lsh" -> ((s, d) => SimilarityOps.annLshTopK(s, d)),
@@ -454,6 +457,24 @@ object SparkEntry {
       |  JOIN sizes sb ON doc_b = sb.doc_id
       |  WHERE n_inter * 2 >= sa.sz + sb.sz - n_inter
       |)""".stripMargin
+
+  /** c30's pacing oracle SQL — shared verbatim by c32 (the streaming
+    * histogram store must converge to the identical delay table).
+    */
+  private val PacingSql: String =
+    """WITH docs AS (SELECT doc_id, source FROM documents),
+      |lat AS (
+      |  SELECT source AS host,
+      |    50 + (doc_id * 37) % 200 +
+      |    CASE WHEN right(source, 1) IN ('3','7') AND doc_id % 3 = 0
+      |         THEN 900 ELSE 0 END AS latency_ms
+      |  FROM docs)
+      |SELECT host, CAST(count(*) AS BIGINT) AS n_fetches,
+      |  CAST(quantile_disc(latency_ms, 0.95) AS BIGINT) AS p95_ms,
+      |  CAST(least(15000, greatest(200,
+      |    CAST(quantile_disc(latency_ms, 0.95) AS BIGINT) * 10)) AS BIGINT)
+      |    AS adaptive_delay_ms
+      |FROM lat GROUP BY host ORDER BY host""".stripMargin
 
   /** c28's rule-mining oracle SQL — shared verbatim by c31 (the
     * streaming/incremental miner must converge to identical rules).
@@ -1041,20 +1062,10 @@ object SparkEntry {
     // c30: adaptive pacing — latency synthesis, disc-percentile (Spark
     // percentile_disc == DuckDB quantile_disc, q23 parity), and the
     // integer clamp mirrored exactly.
-    "c30_adaptive_pacing" ->
-      """WITH docs AS (SELECT doc_id, source FROM documents),
-        |lat AS (
-        |  SELECT source AS host,
-        |    50 + (doc_id * 37) % 200 +
-        |    CASE WHEN right(source, 1) IN ('3','7') AND doc_id % 3 = 0
-        |         THEN 900 ELSE 0 END AS latency_ms
-        |  FROM docs)
-        |SELECT host, CAST(count(*) AS BIGINT) AS n_fetches,
-        |  CAST(quantile_disc(latency_ms, 0.95) AS BIGINT) AS p95_ms,
-        |  CAST(least(15000, greatest(200,
-        |    CAST(quantile_disc(latency_ms, 0.95) AS BIGINT) * 10)) AS BIGINT)
-        |    AS adaptive_delay_ms
-        |FROM lat GROUP BY host ORDER BY host""".stripMargin,
+    "c30_adaptive_pacing" -> PacingSql,
+    // c32: streaming pacing must converge to the same delay table, so it
+    // shares c30's oracle verbatim
+    "c32_stream_pacing" -> PacingSql,
     // emb01: brute cosine top-k IS plain SQL (round-4 verdict "missing
     // #4"). The cosine mirrors the Spark column arithmetic exactly —
     // per-element double casts, sequential list sums, dot/(norm*norm) —

@@ -62,6 +62,45 @@ object PacingOps {
   def pacingReport(spark: SparkSession, dir: String): DataFrame =
     adaptiveDelays(syntheticFetchLatencies(spark, dir))
 
+  // ---- c32: streaming / incremental pacing -----------------------------
+
+  /** One epoch of latency observations persisted as a HISTOGRAM partial
+    * (host, latency_ms, n) — the exact-mergeable percentile state: raw
+    * quantiles don't merge, but count histograms do, and fetch latencies
+    * are naturally low-cardinality (ms granularity, bounded range), so
+    * the partial is tiny and the recomputed disc percentile is EXACT —
+    * no t-digest approximation needed.
+    */
+  def writeLatencyEpoch(latencies: DataFrame, root: String, epoch: Int): Unit =
+    latencies.groupBy("host", "latency_ms").agg(count(lit(1)).as("n"))
+      .write.mode("overwrite").parquet(s"$root/latency_hist/epoch=$epoch")
+
+  /** Adaptive delays from the summed persisted histograms. The p95 is
+    * read off the cumulative histogram with percentile_disc's own
+    * definition — smallest value whose cume_dist (cumulative/total, in
+    * doubles) reaches the percentage — so the store path equals the
+    * one-shot batch report bit-for-bit.
+    */
+  def adaptiveDelaysFrom(spark: SparkSession, root: String, uptoEpoch: Int,
+                         factor: Long = 10L, minDelayMs: Long = 200L,
+                         maxDelayMs: Long = 15000L): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("host").orderBy("latency_ms")
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy("host")
+    spark.read.parquet(
+        (0 to uptoEpoch).map(e => s"$root/latency_hist/epoch=$e"): _*)
+      .groupBy("host", "latency_ms").agg(sum(col("n")).as("n"))
+      .withColumn("cum", sum(col("n")).over(w))
+      .withColumn("total", sum(col("n")).over(wAll))
+      .where(col("cum").cast("double") / col("total").cast("double") >= 0.95)
+      .groupBy("host")
+      .agg(max(col("total")).as("n_fetches"), min(col("latency_ms")).as("p95_ms"))
+      .withColumn("adaptive_delay_ms",
+        least(lit(maxDelayMs), greatest(lit(minDelayMs), col("p95_ms") * factor)))
+      .select("host", "n_fetches", "p95_ms", "adaptive_delay_ms")
+      .orderBy("host")
+  }
+
   /** The ACTION: merge learned delays into the robots cache the
     * scheduler already consumes — robots' Crawl-delay is the floor, the
     * learned tail delay only ever raises it. The learned table

@@ -528,6 +528,52 @@ object StreamingJobs {
     graft.operators.DustOps.dustRulesFrom(spark, root, uptoEpoch = 2)
   }
 
+  /** Streaming adaptive pacing (c32): each micro-batch of (host,
+    * latency_ms) fetch observations appends an exact-mergeable histogram
+    * partial (PacingOps.writeLatencyEpoch); the per-host delay table is
+    * recomputed from the summed histograms — raw percentiles don't
+    * merge, count histograms do, so the online delays equal the batch
+    * miner's exactly at every point in the stream.
+    */
+  def streamingPacing(
+      latencies: Dataset[(String, Long)],
+      root: String,
+      startEpoch: Int = 0): org.apache.spark.sql.streaming.StreamingQuery =
+    latencies.toDF("host", "latency_ms").writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", ckptDir(s"pacing_$startEpoch"))
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.PacingOps.writeLatencyEpoch(batch, root,
+          startEpoch + batchId.toInt)
+      }
+      .start()
+
+  /** Driver-contract demo (c32): the synthetic latency log arrives over
+    * three url-hash-sliced micro-batches; the final store-derived delay
+    * table must equal the one-shot batch report (c30's oracle SQL,
+    * shared verbatim).
+    */
+  def pacingMineDemo(spark: SparkSession, dir: String): DataFrame =
+    withFewStatePartitions(spark) { pacingMineDemoImpl(spark, dir) }
+
+  private def pacingMineDemoImpl(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft-c32").toString
+    val rows = graft.operators.PacingOps.syntheticFetchLatencies(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val stream = MemoryStream[(String, Long)]
+    val q = streamingPacing(stream.toDS(), root)
+    try {
+      (0 until 3).foreach { k =>
+        stream.addData(rows.zipWithIndex
+          .filter { case (_, i) => i % 3 == k }.map(_._1).toSeq)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    graft.operators.PacingOps.adaptiveDelaysFrom(spark, root, uptoEpoch = 2)
+  }
+
   /** Driver-contract demo (c18): epoch 0 = half the documents table,
     * indexed batch-side; the stream delivers the other half in two
     * micro-batches, the second carrying planted near-copies of epoch-0

@@ -54,6 +54,34 @@ class PacingSpec extends AnyFunSuite {
       s"tail latency not learned: slow min $minSlow <= fast max $maxFast")
   }
 
+  test("histogram store (3 slices) == one-shot batch report exactly") {
+    val root = graft.SparkTestBase.tempDir("graft-pacing-inc")
+    val rows = PacingOps.syntheticFetchLatencies(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    (0 until 3).foreach { k =>
+      PacingOps.writeLatencyEpoch(
+        rows.zipWithIndex.filter(_._2 % 3 == k).map(_._1)
+          .toSeq.toDF("host", "latency_ms"), root, k)
+    }
+    val inc = PacingOps.adaptiveDelaysFrom(spark, root, uptoEpoch = 2)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    val batch = PacingOps.pacingReport(spark, dir)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(inc == batch, "histogram-store delays diverged from batch report")
+  }
+
+  test("streaming demo (c32) == batch report") {
+    val streamed = graft.streaming.StreamingJobs.pacingMineDemo(spark, dir)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    val batch = PacingOps.pacingReport(spark, dir)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(streamed == batch, "streamed delays diverged from batch report")
+  }
+
   test("action: learned delays raise per-host schedule gaps; robots floor kept") {
     val host0 = Gen.hostName(0)
     // host0's tail: every 5th observation takes 500 ms -> learned delay 5000 ms
