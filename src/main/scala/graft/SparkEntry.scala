@@ -168,6 +168,9 @@ object SparkEntry {
     // t16: content-hash train/eval split + near-dup leakage audit (the
     // in-corpus counterpart of t13's benchmark decontamination)
     "t16_split_leakage" -> ((s, d) => TextOps.splitLeakageReport(s, d)),
+    // t17: deterministic sequence packing — md5 shuffle + per-shard
+    // prefix sum + integer chunking (GPT-style doc concatenation)
+    "t17_sequence_pack" -> ((s, d) => TextOps.sequencePack(s, d)),
     "c27_crawl_traps" -> ((s, d) => operators.TrapOps.trapHostReport(s, d)),
     // c28: DUST url-alias rule mining — learns which query params are
     // content-irrelevant per host from fetched (url, content-hash) pairs
@@ -973,6 +976,25 @@ object SparkEntry {
         |       CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept
         |FROM thr t LEFT JOIN kept k ON t.source = k.source
         |ORDER BY t.source""".stripMargin,
+    // t17: md5-order prefix sums + integer division, mirrored exactly
+    // (window sum over BIGINT; ROWS frame pinned in both engines).
+    "t17_sequence_pack" ->
+      """WITH d AS (
+        |  SELECT doc_id, doc_id % 8 AS shard,
+        |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+        |    md5('pack1:' || doc_id) AS ord
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id, shard, n_tokens,
+        |    sum(n_tokens) OVER (PARTITION BY shard ORDER BY ord
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM d
+        |)
+        |SELECT doc_id, shard, n_tokens,
+        |  CAST(cum - n_tokens AS BIGINT) AS start_token,
+        |  CAST(floor((cum - n_tokens) / 512.0) AS BIGINT) AS seq_first,
+        |  CAST(floor((cum - 1) / 512.0) AS BIGINT) AS seq_last
+        |FROM c ORDER BY doc_id""".stripMargin,
     // t16: t05's pair kernel + the content-hash split assignment —
     // construction, integer Jaccard gate, and the double-md5 split all
     // mirrored exactly.

@@ -503,6 +503,42 @@ object TextOps {
         .where(col("flagged")).select("doc_id")),
       Seq("doc_id"), "left_anti")
 
+  // ---- t17: sequence packing -------------------------------------------
+
+  /** t17 — deterministic SEQUENCE PACKING: pretraining consumes the
+    * corpus as fixed-length token sequences built by concatenating
+    * shuffled documents and chunking at the budget (docs may straddle a
+    * boundary — the GPT-style packing, not bin-packing). Relationally
+    * that is: a deterministic order (md5 of doc_id — a reproducible
+    * "shuffle", t12's discipline), a prefix sum, and integer division —
+    * every column engine-exact.
+    *
+    * Scale shape: packing is PER-SHARD (partitionBy(shard) window), the
+    * way real pipelines shard their tokenized corpus — a single global
+    * prefix sum would serialize on one partition at 100 TB. Shard
+    * assignment is doc_id-deterministic so the layout is reproducible
+    * end to end.
+    */
+  def sequencePack(spark: SparkSession, dir: String,
+                   budget: Int = 512, shards: Int = 8): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy("ord")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    docs(spark, dir).select(col("doc_id"),
+        pmod(col("doc_id"), lit(shards.toLong)).as("shard"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"),
+        md5(concat(lit("pack1:"), col("doc_id"))).as("ord"))
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .select(col("doc_id"), col("shard"), col("n_tokens"),
+        (col("cum") - col("n_tokens")).as("start_token"),
+        floor((col("cum") - col("n_tokens")) / lit(budget.toDouble))
+          .cast("long").as("seq_first"),
+        floor((col("cum") - 1) / lit(budget.toDouble))
+          .cast("long").as("seq_last"))
+      .orderBy("doc_id")
+  }
+
   // ---- t16: train/eval split + leakage audit ---------------------------
 
   /** Content-keyed deterministic split: eval iff md5('spl1:' ||
