@@ -93,6 +93,9 @@ object SparkEntry {
     // q41: MapType breadth — map built/read on the Spark side; the oracle
     // checks the same scalars relationally (maps never cross the gate)
     "q41_map_functions" -> ((s, d) => Relational.mapFunctions(s, d)),
+    // q42: correlated scalar subquery in SELECT — the subquery family's
+    // last member (q30 uncorrelated scalar, q40 correlated EXISTS)
+    "q42_correlated_scalar" -> ((s, d) => Relational.correlatedScalarSubquery(s, d)),
     "q31_grouping_sets" -> ((s, d) => Relational.groupingSets(s, d)),
     "q32_window_dist" -> ((s, d) => Relational.windowDistribution(s, d)),
     "q33_conditional_agg" -> ((s, d) => Relational.conditionalAgg(s, d)),
@@ -1171,6 +1174,12 @@ object SparkEntry {
     // g01: host PageRank — the oracle unrolls the power iteration (same
     // edge derivation, per-step 10 dp rounding, dangling redistribution),
     // generated from one place so iters/damping can't drift.
+    "q42_correlated_scalar" ->
+      """SELECT c_custkey,
+        |  round(coalesce((SELECT max(o.o_totalprice) FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey), 0.0), 2) AS max_order
+        |FROM customer c
+        |ORDER BY c_custkey""".stripMargin,
     "q41_map_functions" ->
       """SELECT o_custkey,
         |  CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS n_statuses,

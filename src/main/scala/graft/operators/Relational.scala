@@ -284,6 +284,25 @@ object Relational {
         |""".stripMargin)
   }
 
+  /** q42 — CORRELATED SCALAR subquery in the SELECT list (the last
+    * member of the subquery family: q30 = uncorrelated scalar, q40 =
+    * correlated EXISTS): each customer's max single-order price.
+    * Catalyst's RewriteCorrelatedScalarSubquery turns it into a LEFT
+    * OUTER join against the pre-aggregated subquery — the declarative
+    * form plans like the hand-built J4/A5 combination.
+    */
+  def correlatedScalarSubquery(spark: SparkSession, dir: String): DataFrame = {
+    t(spark, dir, "customer").createOrReplaceTempView("graft_customer_v42")
+    t(spark, dir, "orders").createOrReplaceTempView("graft_orders_v42")
+    spark.sql(
+      """SELECT c_custkey,
+        |  round(coalesce((SELECT max(o.o_totalprice) FROM graft_orders_v42 o
+        |                  WHERE o.o_custkey = c.c_custkey), 0.0), 2) AS max_order
+        |FROM graft_customer_v42 c
+        |ORDER BY c_custkey
+        |""".stripMargin)
+  }
+
   /** Date/time scalar breadth: year, month, dayofweek-ish, datediff. */
   def dateFunctions(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "orders")
