@@ -201,6 +201,9 @@ object SparkEntry {
     // emb07: scalar-quantized int8 ANN — integer candidate dots are
     // engine-exact, so this is the first ANN in the HARD oracle gate
     "emb07_ann_sq8" -> ((s, d) => SimilarityOps.annSqTopK(s, d)),
+    // emb08: persisted SQ8 code store — two epoch appends + a cumulative
+    // probe; must return emb07's exact rows (same oracle)
+    "emb08_ann_sq8_store" -> ((s, d) => SimilarityOps.annSqStoreDemo(s, d)),
     "emb03_neardup_cosine" -> ((s, d) =>
       SimilarityOps.nearDupCosine(s, d).orderBy("vec_a", "vec_b")),
     // ---- crawl domain (synthetic inputs; scalatest-golden) ------------
@@ -463,6 +466,61 @@ object SparkEntry {
       |  JOIN sizes sb ON doc_b = sb.doc_id
       |  WHERE n_inter * 2 >= sa.sz + sb.sz - n_inter
       |)""".stripMargin
+
+  /** emb07's SQ8 oracle SQL — shared verbatim by emb08 (the persisted
+    * code store must return identical rows).
+    */
+  private val Sq8Sql: String =
+    """WITH base AS (SELECT vec_id, embedding FROM embeddings),
+        |codes AS (
+        |  SELECT vec_id, embedding,
+        |    list_transform(embedding,
+        |      x -> CAST(round(CAST(x AS DOUBLE) / scale) AS BIGINT)) AS code
+        |  FROM (
+        |    SELECT vec_id, embedding,
+        |      CASE WHEN m = 0 THEN CAST(1.0 AS DOUBLE) ELSE m / 127.0 END AS scale
+        |    FROM (SELECT vec_id, embedding,
+        |            list_max(list_transform(embedding,
+        |              x -> abs(CAST(x AS DOUBLE)))) AS m
+        |          FROM base))
+        |), cq AS (
+        |  SELECT vec_id, embedding, code,
+        |    list_aggregate(list_transform(code, x -> x * x), 'sum') AS qq
+        |  FROM codes
+        |), q AS (
+        |  SELECT vec_id AS query_id, code AS qcode, qq AS qqq
+        |  FROM cq WHERE vec_id < 3
+        |), approx AS (
+        |  SELECT q.query_id, c.vec_id,
+        |    CAST(list_aggregate(list_transform(generate_series(1, len(c.code)),
+        |      i -> c.code[i] * q.qcode[i]), 'sum') AS DOUBLE)
+        |      / sqrt(CAST(c.qq * q.qqq AS DOUBLE)) AS approx
+        |  FROM cq c, q WHERE c.vec_id <> q.query_id
+        |), cand AS (
+        |  SELECT query_id, vec_id FROM (
+        |    SELECT query_id, vec_id,
+        |      row_number() OVER (PARTITION BY query_id
+        |                         ORDER BY approx DESC, vec_id ASC) AS arank
+        |    FROM approx) WHERE arank <= 50
+        |), qv AS (
+        |  SELECT vec_id AS query_id, embedding AS qvec FROM base WHERE vec_id < 3
+        |), scored AS (
+        |  SELECT cand.query_id, cand.vec_id,
+        |    list_aggregate(list_transform(generate_series(1, len(e.embedding)),
+        |      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(qv.qvec[i] AS DOUBLE)), 'sum')
+        |    / (sqrt(list_aggregate(list_transform(e.embedding,
+        |         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
+        |     * sqrt(list_aggregate(list_transform(qv.qvec,
+        |         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))) AS cos
+        |  FROM cand
+        |  JOIN base e ON cand.vec_id = e.vec_id
+        |  JOIN qv ON cand.query_id = qv.query_id
+        |)
+        |SELECT query_id, vec_id, round(cos, 4) AS cos, rank FROM (
+        |  SELECT query_id, vec_id, cos,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rank
+        |  FROM scored
+        |) WHERE rank <= 5""".stripMargin
 
   /** c30's pacing oracle SQL — shared verbatim by c32 (the streaming
     * histogram store must converge to the identical delay table).
@@ -1120,57 +1178,8 @@ object SparkEntry {
     // (bit-identical across engines); the refine set re-scores with
     // emb01's exact cosine arithmetic. round() is half-away-from-zero in
     // both engines for the code quantization.
-    "emb07_ann_sq8" ->
-      """WITH base AS (SELECT vec_id, embedding FROM embeddings),
-        |codes AS (
-        |  SELECT vec_id, embedding,
-        |    list_transform(embedding,
-        |      x -> CAST(round(CAST(x AS DOUBLE) / scale) AS BIGINT)) AS code
-        |  FROM (
-        |    SELECT vec_id, embedding,
-        |      CASE WHEN m = 0 THEN CAST(1.0 AS DOUBLE) ELSE m / 127.0 END AS scale
-        |    FROM (SELECT vec_id, embedding,
-        |            list_max(list_transform(embedding,
-        |              x -> abs(CAST(x AS DOUBLE)))) AS m
-        |          FROM base))
-        |), cq AS (
-        |  SELECT vec_id, embedding, code,
-        |    list_aggregate(list_transform(code, x -> x * x), 'sum') AS qq
-        |  FROM codes
-        |), q AS (
-        |  SELECT vec_id AS query_id, code AS qcode, qq AS qqq
-        |  FROM cq WHERE vec_id < 3
-        |), approx AS (
-        |  SELECT q.query_id, c.vec_id,
-        |    CAST(list_aggregate(list_transform(generate_series(1, len(c.code)),
-        |      i -> c.code[i] * q.qcode[i]), 'sum') AS DOUBLE)
-        |      / sqrt(CAST(c.qq * q.qqq AS DOUBLE)) AS approx
-        |  FROM cq c, q WHERE c.vec_id <> q.query_id
-        |), cand AS (
-        |  SELECT query_id, vec_id FROM (
-        |    SELECT query_id, vec_id,
-        |      row_number() OVER (PARTITION BY query_id
-        |                         ORDER BY approx DESC, vec_id ASC) AS arank
-        |    FROM approx) WHERE arank <= 50
-        |), qv AS (
-        |  SELECT vec_id AS query_id, embedding AS qvec FROM base WHERE vec_id < 3
-        |), scored AS (
-        |  SELECT cand.query_id, cand.vec_id,
-        |    list_aggregate(list_transform(generate_series(1, len(e.embedding)),
-        |      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(qv.qvec[i] AS DOUBLE)), 'sum')
-        |    / (sqrt(list_aggregate(list_transform(e.embedding,
-        |         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
-        |     * sqrt(list_aggregate(list_transform(qv.qvec,
-        |         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))) AS cos
-        |  FROM cand
-        |  JOIN base e ON cand.vec_id = e.vec_id
-        |  JOIN qv ON cand.query_id = qv.query_id
-        |)
-        |SELECT query_id, vec_id, round(cos, 4) AS cos, rank FROM (
-        |  SELECT query_id, vec_id, cos,
-        |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rank
-        |  FROM scored
-        |) WHERE rank <= 5""".stripMargin,
+    "emb07_ann_sq8" -> Sq8Sql,
+    "emb08_ann_sq8_store" -> Sq8Sql,
     // g01: host PageRank — the oracle unrolls the power iteration (same
     // edge derivation, per-step 10 dp rounding, dangling redistribution),
     // generated from one place so iters/damping can't drift.

@@ -465,16 +465,31 @@ object SimilarityOps {
   def annSqTopK(spark: SparkSession, dir: String,
                 nQueries: Int = 3, k: Int = 5, refine: Int = 0): DataFrame = {
     val e = emb(spark, dir).select("vec_id", "embedding")
+    annSqAgainstCodes(e, sqCodesOf(e).select("vec_id", "code", "qq"),
+      nQueries, k, refine)
+  }
+
+  /** The SQ8 code table of an embedding frame: (vec_id, code, qq) — the
+    * persistable 1-byte/dim layout (emb08 stores exactly this).
+    */
+  def sqCodesOf(e: DataFrame): DataFrame = {
     val maxAbs = aggregate(col("embedding"), lit(0.0),
       (acc, x) => greatest(acc, abs(x.cast("double"))))
-    val codes = e
-      .withColumn("scale",
+    e.withColumn("scale",
         when(maxAbs === 0.0, lit(1.0)).otherwise(maxAbs / 127.0))
       .select(col("vec_id"), col("embedding"),
         transform(col("embedding"),
           x => round(x.cast("double") / col("scale")).cast("long")).as("code"))
       .withColumn("qq", aggregate(col("code"), lit(0L), (a, x) => a + x * x))
-    val queries = codes.where(col("vec_id") < nQueries)
+  }
+
+  /** SQ8 top-k against an explicit code table — the kernel shared by the
+    * one-shot emb07 and the persisted-store emb08 path (identical
+    * integer arithmetic, so the two are equal by construction).
+    */
+  private def annSqAgainstCodes(e: DataFrame, codes: DataFrame,
+                                nQueries: Int, k: Int, refine: Int): DataFrame = {
+    val queries = sqCodesOf(e.where(col("vec_id") < nQueries))
       .select(col("vec_id").as("query_id"), col("code").as("qcode"),
         col("qq").as("qqq"))
     val intDot = aggregate(
@@ -482,7 +497,7 @@ object SimilarityOps {
     val refineN = if (refine > 0) refine else math.max(50, 10 * k)
     val wA = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id").orderBy(col("approx").desc, col("vec_id").asc)
-    val cand = codes.select("vec_id", "code", "qq")
+    val cand = codes
       .join(broadcast(queries), col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
         (intDot.cast("double") / sqrt((col("qq") * col("qqq")).cast("double")))
@@ -503,6 +518,39 @@ object SimilarityOps {
       .where(col("rank") <= k)
       .select(col("query_id"), col("vec_id"), round(col("cos"), 4).as("cos"),
         col("rank").cast("long").as("rank"))
+  }
+
+  /** emb08 — the PERSISTED SQ8 code store (SimIndex discipline applied
+    * to emb07): `sq_codes/epoch=N` holds each epoch's (vec_id, code, qq)
+    * — per-vector state, so appending an epoch quantizes ONLY the new
+    * vectors; a probe reads the cumulative 1-byte/dim store and touches
+    * floats only for the exact refine. The store path must return
+    * emb07's exact rows (same oracle), which is the persisted-index
+    * guarantee every SimIndex table also pins.
+    */
+  def writeSqCodes(e: DataFrame, root: String, epoch: Int): Unit =
+    sqCodesOf(e).select("vec_id", "code", "qq")
+      .write.mode("overwrite").parquet(s"$root/sq_codes/epoch=$epoch")
+
+  def annSqTopKFromStore(spark: SparkSession, dir: String, root: String,
+                         uptoEpoch: Int, nQueries: Int = 3, k: Int = 5,
+                         refine: Int = 0): DataFrame = {
+    val codes = spark.read.parquet(
+      (0 to uptoEpoch).map(e => s"$root/sq_codes/epoch=$e"): _*)
+    annSqAgainstCodes(emb(spark, dir).select("vec_id", "embedding"), codes,
+      nQueries, k, refine)
+  }
+
+  /** emb08 driver demo: the corpus arrives as two epoch slices, codes
+    * persisted per epoch, the probe reads the cumulative store — result
+    * must equal the one-shot emb07 (checked by the SAME oracle SQL).
+    */
+  def annSqStoreDemo(spark: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft-emb08").toString
+    val e = emb(spark, dir).select("vec_id", "embedding")
+    writeSqCodes(e.where(pmod(col("vec_id"), lit(2)) === 0), root, 0)
+    writeSqCodes(e.where(pmod(col("vec_id"), lit(2)) === 1), root, 1)
+    annSqTopKFromStore(spark, dir, root, uptoEpoch = 1)
   }
 
   /** MULTI-PROBE LSH ANN (Lv et al., VLDB'07 — public technique):

@@ -122,6 +122,16 @@ class EntrySmokeSpec extends AnyFunSuite {
     }
   }
 
+  test("emb08 persisted SQ8 store == one-shot emb07 exactly (split-epoch append)") {
+    val oneShot = graft.operators.SimilarityOps.annSqTopK(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .toSeq
+    val viaStore = graft.operators.SimilarityOps.annSqStoreDemo(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .toSeq
+    assert(viaStore == oneShot, "persisted-store SQ8 diverged from one-shot")
+  }
+
   test("emb03 id-only candidate plan == direct vector-carrying form (golden)") {
     import org.apache.spark.sql.functions._
     val got = graft.operators.SimilarityOps.nearDupCosine(spark, dir, nBits = 6)
