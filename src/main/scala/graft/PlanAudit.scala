@@ -175,6 +175,34 @@ object PlanAudit {
         "ReadSchema prunes documents to (doc_id, text)",
       fmt(Relational.reconcileEpochs(spark, sfDir))))
 
+    sections += (("t14 unigram-LM perplexity filter",
+      "the vocab (Heaps'-law small) and the (T,V) 1-row normalizer both " +
+        "BROADCAST — the exploded token stream reaches its lookup without " +
+        "an exchange (no SortMergeJoin anywhere); the only wide exchange " +
+        "carries per-doc partial (sum,count) pairs; ReadSchema prunes " +
+        "documents to (doc_id, text)",
+      fmt(TextOps.lmQualityReport(spark, sfDir))))
+
+    sections += (("c28 DUST alias-rule mining",
+      "the pair join keys on (host, base_url) and both sides carry " +
+        "(host, base, 32-char digest) only — content bytes never exist in " +
+        "this plan; the report aggregate is (hosts x params)-sized",
+      fmt(graft.operators.DustOps.dustReport(spark, sfDir))))
+
+    sections += (("emb07 SQ8 scalar-quantized ANN",
+      "the scan side is the codes table (1 byte/dim); query codes + float " +
+        "query vectors broadcast; candidate scoring is integer dots inside " +
+        "the projection (no UDF); floats re-enter only for the top-50 " +
+        "exact-refine rejoin",
+      fmt(SimilarityOps.annSqTopK(spark, sfDir))))
+
+    sections += (("t17 sequence packing",
+      "one exchange on the shard key, then a per-shard running-sum window " +
+        "— no global single-partition window (a global prefix sum would " +
+        "serialize at 100 TB); everything after the window is a narrow " +
+        "projection of integer arithmetic",
+      fmt(TextOps.sequencePack(spark, sfDir))))
+
     val md = new StringBuilder
     md.append("# BENCH/PLANS — flagship physical plans (explain formatted)\n\n")
     md.append("Generated by `graft.PlanAudit` (re-run after plan-shaping changes).\n")
