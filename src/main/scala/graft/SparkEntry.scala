@@ -96,6 +96,8 @@ object SparkEntry {
     // q42: correlated scalar subquery in SELECT — the subquery family's
     // last member (q30 uncorrelated scalar, q40 correlated EXISTS)
     "q42_correlated_scalar" -> ((s, d) => Relational.correlatedScalarSubquery(s, d)),
+    // q43: EXCEPT ALL / INTERSECT ALL — bag-semantics set ops
+    "q43_setops_all" -> ((s, d) => Relational.setOpsAll(s, d)),
     "q31_grouping_sets" -> ((s, d) => Relational.groupingSets(s, d)),
     "q32_window_dist" -> ((s, d) => Relational.windowDistribution(s, d)),
     "q33_conditional_agg" -> ((s, d) => Relational.conditionalAgg(s, d)),
@@ -1183,6 +1185,17 @@ object SparkEntry {
     // g01: host PageRank — the oracle unrolls the power iteration (same
     // edge derivation, per-step 10 dp rounding, dangling redistribution),
     // generated from one place so iters/damping can't drift.
+    "q43_setops_all" ->
+      """SELECT 'except_all' AS op, o_custkey FROM
+        |  (SELECT o_custkey FROM orders
+        |   EXCEPT ALL
+        |   SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+        |UNION ALL
+        |SELECT 'intersect_all' AS op, o_custkey FROM
+        |  (SELECT o_custkey FROM orders
+        |   INTERSECT ALL
+        |   SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+        |ORDER BY op, o_custkey""".stripMargin,
     "q42_correlated_scalar" ->
       """SELECT c_custkey,
         |  round(coalesce((SELECT max(o.o_totalprice) FROM orders o

@@ -303,6 +303,21 @@ object Relational {
         |""".stripMargin)
   }
 
+  /** q43 — EXCEPT ALL / INTERSECT ALL: the BAG-semantics set ops (q09/
+    * q19 cover the distinct forms). Bag difference keeps surplus
+    * multiplicity — the semantics dedupe ledgers need ("orders minus the
+    * finished ones, counted").
+    */
+  def setOpsAll(spark: SparkSession, dir: String): DataFrame = {
+    val all = t(spark, dir, "orders").select("o_custkey")
+    val fin = t(spark, dir, "orders")
+      .where(col("o_orderstatus") === "F").select("o_custkey")
+    all.exceptAll(fin).select(lit("except_all").as("op"), col("o_custkey"))
+      .unionByName(all.intersectAll(fin)
+        .select(lit("intersect_all").as("op"), col("o_custkey")))
+      .orderBy("op", "o_custkey")
+  }
+
   /** Date/time scalar breadth: year, month, dayofweek-ish, datediff. */
   def dateFunctions(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "orders")
