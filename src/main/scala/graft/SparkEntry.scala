@@ -194,6 +194,9 @@ object SparkEntry {
     // c32: streaming pacing — mergeable latency histograms through the
     // persisted store; final delays == c30's batch report + oracle
     "c32_stream_pacing" -> ((s, d) => graft.streaming.StreamingJobs.pacingMineDemo(s, d)),
+    // c33: robots-cache TTL — stale hosts' pages held back, one
+    // top-priority robots fetch scheduled instead (rows-only gate)
+    "c33_robots_ttl" -> ((s, _) => operators.RobotsTtlOps.ttlReport(s)),
     "t04_neardup_simhash" -> ((s, d) => TextOps.nearDupSimhash(s, d)),
     "emb01_cosine_topk" -> ((s, d) => SimilarityOps.bruteCosineTopK(s, d)),
     "emb02_ann_lsh" -> ((s, d) => SimilarityOps.annLshTopK(s, d)),
