@@ -204,7 +204,8 @@ object CrawlPipeline {
       compactSeenEvery: Int = 8,
       recrawl: Boolean = false,
       rankOrdered: Boolean = false,
-      sitemaps: Boolean = false): Seq[EpochSummary] = {
+      sitemaps: Boolean = false,
+      adaptivePacing: Boolean = false): Seq[EpochSummary] = {
     require(sidecar == "bloom" || sidecar == "cuckoo", s"unknown sidecar kind: $sidecar")
     import spark.implicits._
     val start = Snapshots.latestCommittedEpoch(root) + 1
@@ -254,7 +255,17 @@ object CrawlPipeline {
       val sidecars =
         if (sidecar == "cuckoo") SeenStore.loadCuckoos(spark, root, epoch - 1)
         else SeenStore.loadBlooms(spark, root, epoch - 1)
-      val robots = Gen.robots(spark)
+      // c30/c32 wired end-to-end: epoch N schedules under delays learned
+      // from epochs < N's observed fetch latencies (persisted mergeable
+      // histograms — committed state, so resume re-learns identically);
+      // robots' Crawl-delay stays the floor. Off by default: the base
+      // goldens stay byte-identical.
+      val robots = {
+        val base = Gen.robots(spark)
+        if (!adaptivePacing || epoch == 0) base
+        else PacingOps.withAdaptiveDelays(base,
+          PacingOps.adaptiveDelaysFrom(spark, root, epoch - 1))
+      }
       // E1 staged explicitly (vs runEpoch) so the dedupe boundary is
       // observable for the lineage manifest: n_deduped = raw candidates
       // minus dedupe survivors, per fetch partition. Both sides are
@@ -313,6 +324,18 @@ object CrawlPipeline {
       // let a crash produce a committed epoch whose URLs re-schedule)
       val fetched = fetchInstrumented(scheduled, epoch, fetchPartitions)
       val summary = Snapshots.writeEpochFetched(fetched, root, epoch, dedupeCounts)
+      // adaptive pacing: persist this epoch's latency histogram partial
+      // BEFORE the manifest commit (sibling-state discipline — a crash
+      // re-runs the epoch and overwrites it idempotently); the kernel is
+      // url_hash-seeded so the observations are resume-stable
+      if (adaptivePacing) {
+        val lat = scheduled
+          .select(col("host"), col("url_hash")).as[(String, Long)]
+          .map { case (host, h) =>
+            (host, PacingOps.fetchLatencyMs(h, epoch, PacingOps.isSlowHost(host)))
+          }.toDF("host", "latency_ms")
+        PacingOps.writeLatencyEpoch(lat, root, epoch)
+      }
       // seen merge + cumulative bloom sidecar for the NEXT epoch
       val newSeen0 = scheduled
         .select(col("url_hash"), col("host"), lit(epoch).as("first_epoch"))

@@ -62,6 +62,26 @@ object PacingOps {
   def pacingReport(spark: SparkSession, dir: String): DataFrame =
     adaptiveDelays(syntheticFetchLatencies(spark, dir))
 
+  // ---- pipeline wiring: per-fetch latency kernel -----------------------
+
+  /** Deterministic per-fetch latency for the PIPELINE's synthetic fetch
+    * (the fetchFails/contentVariant discipline — the network would
+    * provide this for free; url_hash-seeded so resume re-runs are
+    * bit-identical): 50-305 ms jitter, plus a 900 ms tail on every 3rd
+    * page of a SLOW host. Pure JVM kernel so single-threaded mirrors
+    * reproduce it exactly.
+    */
+  def fetchLatencyMs(urlHash: Long, epoch: Int, slowHost: Boolean): Long =
+    50L + (graft.functions.ImageKit.mix64(urlHash ^ (epoch * 0x77c1L + 0x11L)) & 0xffL) +
+      (if (slowHost && java.lang.Long.remainderUnsigned(urlHash, 3L) == 0L) 900L
+       else 0L)
+
+  /** Slow-host class for the Gen catalog: every 4th host index. */
+  def isSlowHost(host: String): Boolean = {
+    val digits = host.takeWhile(_ != '.').filter(_.isDigit)
+    digits.nonEmpty && digits.toInt % 4 == 0
+  }
+
   // ---- c32: streaming / incremental pacing -----------------------------
 
   /** One epoch of latency observations persisted as a HISTOGRAM partial

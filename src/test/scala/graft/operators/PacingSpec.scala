@@ -82,6 +82,48 @@ class PacingSpec extends AnyFunSuite {
     assert(streamed == batch, "streamed delays diverged from batch report")
   }
 
+  test("pipeline adaptivePacing: epoch-1 gaps == delays learned from epoch-0 tails") {
+    val root = graft.SparkTestBase.tempDir("graft-pacing-pipe")
+    CrawlPipeline.run(spark, root, untilEpoch = 1, seedsPerEpoch = 600,
+      cfg0 = FrontierJob.Config(), adaptivePacing = true)
+    // mirror the learned delays from the COMMITTED epoch-0 schedule
+    val sched0 = spark.read.parquet(s"$root/scheduled/epoch=0")
+      .select("host", "url_hash").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val learned = sched0.groupBy(_._1).map { case (h, xs) =>
+      val lats = xs.map(x =>
+        PacingOps.fetchLatencyMs(x._2, 0, PacingOps.isSlowHost(h))).sorted
+      val p = lats(math.ceil(0.95 * lats.size).toInt - 1)
+      h -> math.min(15000L, math.max(200L, p * 10L))
+    }
+    val robotsDelay = Gen.robotsLocal().map(e => e.host -> e.crawl_delay_ms).toMap
+    // epoch-1 per-host gaps equal max(robots floor, learned delay)
+    val sched1 = spark.read.parquet(s"$root/scheduled/epoch=1")
+      .select("host", "slot", "scheduled_at_ms").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+    val checked = sched1.groupBy(_._1).count { case (h, xs) =>
+      val want = math.max(robotsDelay(h), learned.getOrElse(h, 0L))
+      val sorted = xs.sortBy(_._2)
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(b._3 - a._3 == want, s"$h gap ${b._3 - a._3} != $want")
+        case _ =>
+      }
+      xs.length > 1
+    }
+    assert(checked > 0, "no host with >= 2 epoch-1 slots — gap check vacuous")
+    // the learning is non-vacuous: among hosts with enough epoch-0
+    // observations for the 900 ms tail to reach the p95 (>= 20 rows at a
+    // 1-in-3 spike rate), every slow host's learned delay clears every
+    // fast host's (a 1-row host can legitimately miss its tail)
+    val nObs = sched0.groupBy(_._1).map { case (h, xs) => h -> xs.length }
+    val big = learned.filter { case (h, _) => nObs(h) >= 20 }
+    val (slowL, fastL) = big.partition { case (h, _) => PacingOps.isSlowHost(h) }
+    assert(slowL.nonEmpty && fastL.nonEmpty, "host classes not both observed")
+    assert(slowL.values.min > fastL.values.max,
+      "slow-host tail not learned above fast hosts")
+  }
+
   test("action: learned delays raise per-host schedule gaps; robots floor kept") {
     val host0 = Gen.hostName(0)
     // host0's tail: every 5th observation takes 500 ms -> learned delay 5000 ms
