@@ -98,6 +98,8 @@ object SparkEntry {
     "q42_correlated_scalar" -> ((s, d) => Relational.correlatedScalarSubquery(s, d)),
     // q43: EXCEPT ALL / INTERSECT ALL — bag-semantics set ops
     "q43_setops_all" -> ((s, d) => Relational.setOpsAll(s, d)),
+    // q44: bitwise aggregates — flag-mask folds
+    "q44_bitwise_agg" -> ((s, d) => Relational.bitwiseAgg(s, d)),
     "q31_grouping_sets" -> ((s, d) => Relational.groupingSets(s, d)),
     "q32_window_dist" -> ((s, d) => Relational.windowDistribution(s, d)),
     "q33_conditional_agg" -> ((s, d) => Relational.conditionalAgg(s, d)),
@@ -118,6 +120,9 @@ object SparkEntry {
     // g05: weakly-connected host components (mirror-domain clustering,
     // shared politeness identity) via the DedupResolve contraction
     "g05_host_components" -> ((s, d) => operators.GraphOps.hostComponents(s, d)),
+    // g06: TrustRank — teleport restricted to trusted seed hosts; link
+    // farms unreachable from the trust set converge to rank 0
+    "g06_host_trustrank" -> ((s, d) => operators.GraphOps.hostTrustRank(s, d)),
     // g03: warm-start rank refresh on the grown host graph (base ranks
     // recomputed in-call for the demo; the pipeline reads host_ranks)
     "g03_incremental_pagerank" -> ((s, d) =>
@@ -1188,6 +1193,13 @@ object SparkEntry {
     // g01: host PageRank — the oracle unrolls the power iteration (same
     // edge derivation, per-step 10 dp rounding, dangling redistribution),
     // generated from one place so iters/damping can't drift.
+    "q44_bitwise_agg" ->
+      """SELECT l_returnflag,
+        |  CAST(bit_and(CAST(l_linenumber AS BIGINT)) AS BIGINT) AS mask_and,
+        |  CAST(bit_or(CAST(l_linenumber AS BIGINT)) AS BIGINT) AS mask_or,
+        |  CAST(bit_xor(CAST(l_linenumber AS BIGINT)) AS BIGINT) AS mask_xor,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q43_setops_all" ->
       """SELECT 'except_all' AS op, o_custkey FROM
         |  (SELECT o_custkey FROM orders
@@ -1215,6 +1227,7 @@ object SparkEntry {
     "g01_host_pagerank" -> operators.GraphOps.pageRankOracleSql(),
     "g04_host_hits" -> operators.GraphOps.hitsOracleSql(),
     "g05_host_components" -> operators.GraphOps.hostComponentsOracleSql(),
+    "g06_host_trustrank" -> operators.GraphOps.trustRankOracleSql(),
     "t01_text_quality" ->
       """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_act,
         |CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,

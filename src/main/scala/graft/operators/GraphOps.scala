@@ -1,7 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.storage.StorageLevel
 
 /** Link-graph analytics over the crawl's host graph (PageRank, Brin &
@@ -302,6 +302,116 @@ object GraphOps {
       .select(col("node"),
         round(coalesce(col("raw"), lit(0.0)) /
           when(col("nrm") === 0.0, lit(1.0)).otherwise(col("nrm")), 10).as(out))
+  }
+
+  // ---- g06: TrustRank (spam-resistant authority) -----------------------
+
+  /** g06 — TrustRank (Gyöngyi, Garcia-Molina & Pedersen, VLDB'04):
+    * PageRank with the teleport restricted to a TRUSTED seed set, so
+    * authority can only flow outward from vetted hosts. A link farm can
+    * inflate plain PageRank by citing itself; under TrustRank a cluster
+    * unreachable from the trust seeds converges to rank 0 — the
+    * anti-spam frontier priority g01 cannot express. Same per-iteration
+    * plan shape as pageRank (ONE ranks-x-edges join + ONE
+    * map-side-combined groupBy + the dangling mass as an in-plan 1-row
+    * aggregate, here redistributed to the trust vector, not uniformly);
+    * same 10 dp/6 dp rounding discipline, DuckDB-oracled by unrolled
+    * iterations.
+    */
+  def hostTrustRank(spark: SparkSession, dir: String,
+                    iters: Int = 10, damping: Double = 0.85): DataFrame =
+    trustRank(spark, sourceEdges(spark, dir),
+      node => substring(node, -1, 1).isin("0", "1"), iters, damping)
+      .withColumnRenamed("node", "source")
+      .orderBy("source")
+
+  def trustRank(spark: SparkSession, edges: DataFrame,
+                trustedCol: Column => Column,
+                iters: Int, damping: Double): DataFrame = {
+    val e = edges.select(col("src"), col("dst")).persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .distinct().persist(StorageLevel.MEMORY_AND_DISK)
+    val n = nodes.count()
+    val nEdges = e.count()
+    val tCount = nodes.where(trustedCol(col("node"))).count()
+    require(tCount > 0, "trustRank: empty trusted set")
+    val outdeg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+    val edgesDeg = e.join(outdeg, "src").persist(StorageLevel.MEMORY_AND_DISK)
+    val teleT = nodes.select(col("node"),
+      when(trustedCol(col("node")), lit(1.0 / tCount)).otherwise(lit(0.0)).as("t"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val sessionParts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val parts = math.max(1L, math.min(sessionParts.toLong,
+      math.max(n, nEdges) / 250000L + 1L)).toInt
+    spark.conf.set("spark.sql.shuffle.partitions", parts)
+    try {
+      var ranks = teleT.select(col("node"), round(col("t"), 10).as("rank"))
+      var i = 0
+      while (i < iters) {
+        val dangling = ranks
+          .join(outdeg, ranks("node") === outdeg("src"), "left_anti")
+          .agg(coalesce(sum(col("rank")), lit(0.0)).as("dang"))
+        val contribs = ranks
+          .join(edgesDeg, ranks("node") === edgesDeg("src"))
+          .select(col("dst").as("node"), (col("rank") / col("deg")).as("share"))
+          .groupBy("node").agg(sum(col("share")).as("contrib"))
+        ranks = teleT
+          .join(contribs, Seq("node"), "left")
+          .crossJoin(dangling)
+          .select(col("node"),
+            round(lit(1.0 - damping) * col("t") +
+              lit(damping) * (coalesce(col("contrib"), lit(0.0)) +
+                col("dang") * col("t")), 10).as("rank"))
+          .localCheckpoint()
+        i += 1
+      }
+      val out = ranks.select(col("node"), round(col("rank"), 6).as("trustrank"))
+      e.unpersist(); nodes.unpersist(); edgesDeg.unpersist(); teleT.unpersist()
+      out
+    } finally spark.conf.set("spark.sql.shuffle.partitions", sessionParts)
+  }
+
+  /** Unrolled-iteration DuckDB SQL mirroring `hostTrustRank` exactly
+    * (trusted = hosts whose last character is '0' or '1'; dangling mass
+    * redistributed along the trust vector).
+    */
+  def trustRankOracleSql(iters: Int = 10, damping: Double = 0.85): String = {
+    val base =
+      s"""WITH docs AS MATERIALIZED (SELECT doc_id, source FROM documents),
+         |cnt AS MATERIALIZED (SELECT count(*) AS c FROM docs),
+         |edges AS MATERIALIZED (
+         |  SELECT DISTINCT a.source AS src, b.source AS dst
+         |  FROM docs a, cnt, docs b
+         |  WHERE b.doc_id = (a.doc_id * 17 + 3) % cnt.c AND a.source <> b.source),
+         |nodes AS MATERIALIZED (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+         |tc AS MATERIALIZED (
+         |  SELECT count(*) AS tcnt FROM nodes WHERE right(node, 1) IN ('0','1')),
+         |tele AS MATERIALIZED (
+         |  SELECT node, CASE WHEN right(node, 1) IN ('0','1')
+         |                    THEN CAST(1.0 AS DOUBLE) / tc.tcnt ELSE 0 END AS t
+         |  FROM nodes, tc),
+         |outdeg AS MATERIALIZED (SELECT src, CAST(count(*) AS DOUBLE) AS deg FROM edges GROUP BY src),
+         |r0 AS MATERIALIZED (SELECT node, round(t, 10) AS rank FROM tele)""".stripMargin
+    val steps = (1 to iters).map { k =>
+      val p = k - 1
+      s"""r$k AS MATERIALIZED (
+         |  SELECT te.node,
+         |         round(CAST(${1.0 - damping} AS DOUBLE) * te.t
+         |               + CAST($damping AS DOUBLE) *
+         |                 (COALESCE(c.contrib, 0) + dang.d * te.t), 10) AS rank
+         |  FROM tele te
+         |  CROSS JOIN (SELECT COALESCE(sum(r.rank), 0) AS d
+         |              FROM r$p r LEFT JOIN outdeg o ON r.node = o.src
+         |              WHERE o.src IS NULL) dang
+         |  LEFT JOIN (SELECT e.dst AS node, sum(r.rank / o.deg) AS contrib
+         |             FROM r$p r
+         |             JOIN outdeg o ON r.node = o.src
+         |             JOIN edges e ON e.src = r.node
+         |             GROUP BY e.dst) c ON te.node = c.node)""".stripMargin
+    }
+    (base +: steps).mkString(",\n") +
+      s"\nSELECT node AS source, round(rank, 6) AS trustrank FROM r$iters ORDER BY source"
   }
 
   // ---- g05: host components (mirror-domain clustering) ----------------

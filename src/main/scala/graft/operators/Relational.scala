@@ -318,6 +318,20 @@ object Relational {
       .orderBy("op", "o_custkey")
   }
 
+  /** q44 — bitwise aggregates (bit_and / bit_or / bit_xor): the flag-mask
+    * folds (capability intersection, any-seen union, parity) that bitmap
+    * sidecars reduce to.
+    */
+  def bitwiseAgg(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        expr("bit_and(CAST(l_linenumber AS BIGINT))").as("mask_and"),
+        expr("bit_or(CAST(l_linenumber AS BIGINT))").as("mask_or"),
+        expr("bit_xor(CAST(l_linenumber AS BIGINT))").as("mask_xor"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+
   /** Date/time scalar breadth: year, month, dayofweek-ish, datediff. */
   def dateFunctions(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "orders")

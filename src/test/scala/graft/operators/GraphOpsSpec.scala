@@ -162,6 +162,45 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  // ---- g06: TrustRank ---------------------------------------------------
+
+  private def runTrust(edges: Seq[(String, String)], trusted: String => Boolean,
+                       iters: Int = 10): Map[String, Double] = {
+    import org.apache.spark.sql.functions.{col, substring}
+    val trustedNames = (edges.map(_._1) ++ edges.map(_._2)).distinct.filter(trusted)
+    GraphOps.trustRank(spark, edges.toDF("src", "dst"),
+        node => node.isin(trustedNames: _*), iters, 0.85)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+  }
+
+  test("trustRank equals the sequential mirror (danglings + trust teleport)") {
+    val edges = Seq(
+      "t0" -> "a", "a" -> "b", "b" -> "t0", "t0" -> "c", "c" -> "d",
+      "d" -> "a", "e" -> "t0")
+    val trusted = Set("t0")
+    assert(runTrust(edges, trusted) ==
+      LocalTrustRank.compute(edges, trusted, 10, 0.85))
+  }
+
+  test("a link farm unreachable from the trust set converges to rank 0") {
+    // trusted cluster t0->a->t0 ... spam farm s1<->s2<->s3 self-citing,
+    // with a link INTO the trusted cluster but none back
+    val edges = Seq(
+      "t0" -> "a", "a" -> "t0",
+      "s1" -> "s2", "s2" -> "s3", "s3" -> "s1", "s1" -> "a")
+    val trusted = Set("t0")
+    val got = runTrust(edges, trusted, iters = 30)
+    assert(got == LocalTrustRank.compute(edges, trusted, 30, 0.85))
+    assert(Seq("s1", "s2", "s3").forall(got(_) == 0.0),
+      s"spam farm holds trust mass: $got")
+    assert(got("t0") > 0.3 && got("a") > 0.3, s"trusted cluster drained: $got")
+    // plain PageRank, by contrast, gives the farm substantial mass —
+    // the semantics g06 adds over g01
+    val pr = run(edges, iters = 30)
+    assert(Seq("s1", "s2", "s3").map(pr).sum > 0.2,
+      "fixture too weak: PageRank does not reward the farm")
+  }
+
   test("hits deterministic across parallelism") {
     val edges = Seq(
       "a" -> "b", "a" -> "c", "c" -> "a", "c" -> "b", "c" -> "e",

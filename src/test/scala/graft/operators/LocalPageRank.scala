@@ -66,3 +66,32 @@ object LocalHits {
     nodes.map(n => n -> (rd(hub(n), 6), rd(auth(n), 6))).toMap
   }
 }
+
+/** Single-threaded TrustRank mirror — identical arithmetic to
+  * GraphOps.trustRank (teleport restricted to `trusted`, dangling mass
+  * along the trust vector, 10 dp per step, final 6 dp).
+  */
+object LocalTrustRank {
+  def compute(edges: Seq[(String, String)], trusted: String => Boolean,
+              iters: Int, damping: Double): Map[String, Double] = {
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct.sorted
+    val tCount = nodes.count(trusted).toDouble
+    require(tCount > 0)
+    def r10(x: Double) = BigDecimal(x).setScale(10, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val tele = nodes.map(n => n -> (if (trusted(n)) 1.0 / tCount else 0.0)).toMap
+    val outdeg = edges.groupBy(_._1).map { case (s, es) => s -> es.size.toDouble }
+    var ranks = nodes.map(n => n -> r10(tele(n))).toMap
+    for (_ <- 0 until iters) {
+      val dang = nodes.filterNot(outdeg.contains).map(ranks).sum
+      val contrib = scala.collection.mutable.Map.empty[String, Double].withDefaultValue(0.0)
+      for ((s, d) <- edges) contrib(d) += ranks(s) / outdeg(s)
+      ranks = nodes.map { n =>
+        n -> r10((1.0 - damping) * tele(n) +
+          damping * (contrib(n) + dang * tele(n)))
+      }.toMap
+    }
+    ranks.map { case (k, v) =>
+      k -> BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+  }
+}
