@@ -123,6 +123,9 @@ object SparkEntry {
     // g06: TrustRank — teleport restricted to trusted seed hosts; link
     // farms unreachable from the trust set converge to rank 0
     "g06_host_trustrank" -> ((s, d) => operators.GraphOps.hostTrustRank(s, d)),
+    // c34: authority-weighted host budget allocation — largest-remainder
+    // apportionment of the global fetch budget over PageRank (integer-exact)
+    "c34_budget_allocation" -> ((s, d) => operators.GraphOps.budgetAllocation(s, d)),
     // g03: warm-start rank refresh on the grown host graph (base ranks
     // recomputed in-call for the demo; the pipeline reads host_ranks)
     "g03_incremental_pagerank" -> ((s, d) =>
@@ -1228,6 +1231,7 @@ object SparkEntry {
     "g04_host_hits" -> operators.GraphOps.hitsOracleSql(),
     "g05_host_components" -> operators.GraphOps.hostComponentsOracleSql(),
     "g06_host_trustrank" -> operators.GraphOps.trustRankOracleSql(),
+    "c34_budget_allocation" -> operators.GraphOps.budgetOracleSql(),
     "t01_text_quality" ->
       """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_act,
         |CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,

