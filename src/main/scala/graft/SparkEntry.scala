@@ -184,6 +184,9 @@ object SparkEntry {
     // t17: deterministic sequence packing — md5 shuffle + per-shard
     // prefix sum + integer chunking (GPT-style doc concatenation)
     "t17_sequence_pack" -> ((s, d) => TextOps.sequencePack(s, d)),
+    // t18: Gopher-style repetition filter — dup-token + top-n-gram
+    // fractions, computed exchange-free (grams never leave the doc's row)
+    "t18_repetition_filter" -> ((s, d) => TextOps.repetitionReport(s, d)),
     "c27_crawl_traps" -> ((s, d) => operators.TrapOps.trapHostReport(s, d)),
     // c28: DUST url-alias rule mining — learns which query params are
     // content-irrelevant per host from fetched (url, content-hash) pairs
@@ -205,6 +208,10 @@ object SparkEntry {
     // c33: robots-cache TTL — stale hosts' pages held back, one
     // top-priority robots fetch scheduled instead (rows-only gate)
     "c33_robots_ttl" -> ((s, _) => operators.RobotsTtlOps.ttlReport(s)),
+    // c35: rendezvous-hash crawler shard assignment — minimal-movement
+    // host ownership across fleet resizes (argmin folds in-row, no
+    // per-(host,shard) exchange)
+    "c35_shard_assign" -> ((s, d) => operators.ShardOps.shardReport(s, d)),
     "t04_neardup_simhash" -> ((s, d) => TextOps.nearDupSimhash(s, d)),
     "emb01_cosine_topk" -> ((s, d) => SimilarityOps.bruteCosineTopK(s, d)),
     "emb02_ann_lsh" -> ((s, d) => SimilarityOps.annLshTopK(s, d)),
@@ -1232,11 +1239,52 @@ object SparkEntry {
     "g05_host_components" -> operators.GraphOps.hostComponentsOracleSql(),
     "g06_host_trustrank" -> operators.GraphOps.trustRankOracleSql(),
     "c34_budget_allocation" -> operators.GraphOps.budgetOracleSql(),
+    "c35_shard_assign" -> operators.ShardOps.shardOracleSql(),
     "t01_text_quality" ->
       """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_act,
         |CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
         |round(CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS DOUBLE)
         |  / greatest(length(text), 1), 4) AS punct_ratio
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+    // t18: identical planted corpus (repeat()/trim() exist in both
+    // engines), gram counting mirrored relationally (unnest + group by —
+    // same semantics as the Spark side's in-row run-length HOF).
+    "t18_repetition_filter" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 2000000 AS doc_id,
+        |    CASE WHEN doc_id % 50 = 0 THEN trim(repeat('spam ', 60))
+        |         ELSE trim(repeat('click here now ', 30)) END AS text
+        |  FROM documents WHERE doc_id % 25 = 0
+        |), toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM corpus
+        |), base AS (
+        |  SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+        |         CAST(len(list_distinct(t)) AS BIGINT) AS n_distinct FROM toks
+        |), g2 AS (
+        |  SELECT doc_id, t[i] || ' ' || t[i+1] AS g
+        |  FROM (SELECT doc_id, t, unnest(generate_series(1, greatest(len(t)-1, 0))) AS i FROM toks)
+        |), m2 AS (
+        |  SELECT doc_id, max(cnt) AS max2
+        |  FROM (SELECT doc_id, g, count(*) AS cnt FROM g2 GROUP BY 1, 2) GROUP BY 1
+        |), g3 AS (
+        |  SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
+        |  FROM (SELECT doc_id, t, unnest(generate_series(1, greatest(len(t)-2, 0))) AS i FROM toks)
+        |), m3 AS (
+        |  SELECT doc_id, max(cnt) AS max3
+        |  FROM (SELECT doc_id, g, count(*) AS cnt FROM g3 GROUP BY 1, 2) GROUP BY 1
+        |), stats AS (
+        |  SELECT b.doc_id, b.n_tokens,
+        |    round(1.0 - CAST(b.n_distinct AS DOUBLE) / greatest(b.n_tokens, 1), 4) AS dup_tok_frac,
+        |    round(CAST(COALESCE(m2.max2, 0) AS DOUBLE) / greatest(b.n_tokens - 1, 1), 4) AS top2_frac,
+        |    round(CAST(COALESCE(m3.max3, 0) AS DOUBLE) / greatest(b.n_tokens - 2, 1), 4) AS top3_frac
+        |  FROM base b LEFT JOIN m2 ON b.doc_id = m2.doc_id
+        |              LEFT JOIN m3 ON b.doc_id = m3.doc_id
+        |)
+        |SELECT doc_id, n_tokens, dup_tok_frac, top2_frac, top3_frac,
+        |  CAST(CASE WHEN dup_tok_frac <= 0.85 AND top2_frac <= 0.3
+        |             AND top3_frac <= 0.3 THEN 1 ELSE 0 END AS INT) AS kept
+        |FROM stats ORDER BY doc_id""".stripMargin
   )
 }

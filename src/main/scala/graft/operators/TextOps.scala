@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.functions.{GraftFunctions, TextKit}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
 /** Training-data text operators over the `documents` table (builder brief:
   * dedup / language-ID / quality / fingerprinting as first-class engine
@@ -651,6 +651,82 @@ object TextOps {
         coalesce(col("n_kept"), lit(0L)).as("n_kept"))
       .orderBy("source")
   }
+
+  /** t18 corpus: documents plus planted REPETITIVE spam — a unigram
+    * flood on every 50th id and a looping 3-gram slogan on the remaining
+    * multiples of 25. Both shapes are constructible with repeat()/trim()
+    * in plain SQL, so the DuckDB oracle builds the IDENTICAL corpus.
+    */
+  def repetitionCorpus(spark: SparkSession, dir: String): DataFrame = {
+    val base = docs(spark, dir).select("doc_id", "text")
+    val spam = base.where(pmod(col("doc_id"), lit(25)) === 0)
+      .select((col("doc_id") + 2000000L).as("doc_id"),
+        when(pmod(col("doc_id"), lit(50)) === 0,
+          trim(repeat(lit("spam "), 60)))
+          .otherwise(trim(repeat(lit("click here now "), 30))).as("text"))
+    base.unionByName(spam)
+  }
+
+  /** t18 kernel — Gopher-style repetition metrics (Rae et al. 2021,
+    * "Scaling Language Models", appendix A1.1: repetitious documents are
+    * filtered on duplicate-fraction and top-n-gram-fraction signals):
+    *   dup_tok_frac — fraction of tokens that repeat an earlier token;
+    *   topN_frac    — fraction of n-gram OCCURRENCES taken by the single
+    *                  most frequent n-gram (normalized by the n-gram
+    *                  count so a uniform k-gram loop scores ~1/1, not >1).
+    * Scale shape: the grams of a document never leave its own row — the
+    * top-gram count is array_sort + ONE run-length aggregate HOF, so the
+    * whole metrics job is a single codegen'd map over the scan with ZERO
+    * exchanges (vs the naive explode + groupBy(doc_id, gram) which
+    * shuffles every gram occurrence of a 100 TB corpus twice).
+    */
+  def repetitionStatsOf(corpus: DataFrame): DataFrame = {
+    val toks = corpus.select(col("doc_id"), split(trim(col("text")), "\\s+").as("t"))
+    def topGramFrac(n: Int): Column = {
+      val idxs = when(size(col("t")) >= n, sequence(lit(0), size(col("t")) - n))
+        .otherwise(array().cast("array<int>"))
+      val grams = array_sort(transform(idxs, i =>
+        concat_ws(" ", (1 to n).map(j => element_at(col("t"), i + j)): _*)))
+      // run-length max over the sorted grams: state = (prev, run, best)
+      val best = aggregate(
+        grams,
+        struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+        (st, g) => {
+          val run = when(g === st.getField("prev"), st.getField("run") + 1L)
+            .otherwise(lit(1L))
+          struct(g.as("prev"), run.as("run"),
+            greatest(st.getField("best"), run).as("best"))
+        },
+        st => st.getField("best"))
+      round(best.cast("double") /
+        greatest(size(col("t")) - (n - 1), lit(1)), 4)
+    }
+    toks.select(
+      col("doc_id"),
+      size(col("t")).cast("long").as("n_tokens"),
+      round(lit(1.0) - size(array_distinct(col("t"))).cast("double") /
+        greatest(size(col("t")), lit(1)), 4).as("dup_tok_frac"),
+      topGramFrac(2).as("top2_frac"),
+      topGramFrac(3).as("top3_frac"))
+  }
+
+  /** t18 — repetition metrics + keep decision over the planted corpus.
+    * Thresholds sized from the measured NATURAL maxima at sf0.01
+    * (dup 0.7234 / top2 0.1667 / top3 0.1429): every natural doc passes,
+    * while both spam shapes fail by construction (a looping k-gram
+    * drives top-k-frac to ~1/1 of the gram stream — 1.0 for the flood,
+    * ~0.34 for the 3-gram slogan — and the tiny vocabulary pushes
+    * dup_tok_frac past 0.96).
+    */
+  def repetitionReport(spark: SparkSession, dir: String,
+                       maxDup: Double = 0.85,
+                       maxTopGram: Double = 0.3): DataFrame =
+    repetitionStatsOf(repetitionCorpus(spark, dir))
+      .withColumn("kept",
+        (col("dup_tok_frac") <= maxDup &&
+          col("top2_frac") <= maxTopGram &&
+          col("top3_frac") <= maxTopGram).cast("int"))
+      .orderBy("doc_id")
 
   /** SimHash near-dup: fingerprint once, candidate pairs by identical
     * 16-bit prefix block (cheap bucketing), verify by Hamming distance.
