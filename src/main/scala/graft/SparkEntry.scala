@@ -100,6 +100,9 @@ object SparkEntry {
     "q43_setops_all" -> ((s, d) => Relational.setOpsAll(s, d)),
     // q44: bitwise aggregates — flag-mask folds
     "q44_bitwise_agg" -> ((s, d) => Relational.bitwiseAgg(s, d)),
+    // q45: LATERAL correlated subquery — top-k per outer row, the join
+    // form the window idiom (q05) can't express declaratively
+    "q45_lateral_join" -> ((s, d) => Relational.lateralJoin(s, d)),
     "q31_grouping_sets" -> ((s, d) => Relational.groupingSets(s, d)),
     "q32_window_dist" -> ((s, d) => Relational.windowDistribution(s, d)),
     "q33_conditional_agg" -> ((s, d) => Relational.conditionalAgg(s, d)),
@@ -187,6 +190,9 @@ object SparkEntry {
     // t18: Gopher-style repetition filter — dup-token + top-n-gram
     // fractions, computed exchange-free (grams never leave the doc's row)
     "t18_repetition_filter" -> ((s, d) => TextOps.repetitionReport(s, d)),
+    // t19: PII scrub — email/IPv4 redaction counts + scrubbed text,
+    // a pure codegen'd per-row map (C4/CCNet/ROOTS-style release pass)
+    "t19_pii_scrub" -> ((s, d) => TextOps.piiScrub(s, d)),
     "c27_crawl_traps" -> ((s, d) => operators.TrapOps.trapHostReport(s, d)),
     // c28: DUST url-alias rule mining — learns which query params are
     // content-irrelevant per host from fetched (url, content-hash) pairs
@@ -1203,6 +1209,13 @@ object SparkEntry {
     // g01: host PageRank — the oracle unrolls the power iteration (same
     // edge derivation, per-step 10 dp rounding, dangling redistribution),
     // generated from one place so iters/damping can't drift.
+    "q45_lateral_join" ->
+      """SELECT n.n_name, c.c_name, round(c.c_acctbal, 2) AS acctbal
+        |FROM nation n,
+        |LATERAL (SELECT c_name, c_acctbal FROM customer
+        |         WHERE c_nationkey = n.n_nationkey
+        |         ORDER BY c_acctbal DESC, c_name LIMIT 2) c
+        |ORDER BY n.n_name, acctbal DESC, c.c_name""".stripMargin,
     "q44_bitwise_agg" ->
       """SELECT l_returnflag,
         |  CAST(bit_and(CAST(l_linenumber AS BIGINT)) AS BIGINT) AS mask_and,
@@ -1285,6 +1298,25 @@ object SparkEntry {
         |SELECT doc_id, n_tokens, dup_tok_frac, top2_frac, top3_frac,
         |  CAST(CASE WHEN dup_tok_frac <= 0.85 AND top2_frac <= 0.3
         |             AND top3_frac <= 0.3 THEN 1 ELSE 0 END AS INT) AS kept
-        |FROM stats ORDER BY doc_id""".stripMargin
+        |FROM stats ORDER BY doc_id""".stripMargin,
+    // t19: identical planted corpus; Java regex and RE2 agree on these
+    // ASCII patterns; DuckDB regexp_replace needs the explicit 'g' flag
+    // (Spark's is global by default).
+    "t19_pii_scrub" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 3000000 AS doc_id,
+        |    text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+        |    '@example.com or 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7 now' AS text
+        |  FROM documents WHERE doc_id % 10 = 0
+        |)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ips,
+        |  regexp_replace(regexp_replace(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS text_scrubbed
+        |FROM corpus ORDER BY doc_id""".stripMargin
   )
 }

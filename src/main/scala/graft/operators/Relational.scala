@@ -523,6 +523,26 @@ object Relational {
         (lit(1704067200000L) + (col("rn") - 1) * lit(200L)).as("scheduled_at_ms"))
   }
 
+  /** q45 — LATERAL correlated subquery in FROM (SPARK-34382; DuckDB
+    * implements the same ANSI construct): per-nation top-2 customers by
+    * account balance — the "top-k per outer row" idiom. Unlike the
+    * window-function form (q05), the lateral form lets the inner query
+    * see the outer row directly; Catalyst decorrelates it into a
+    * LateralJoin and pushes the per-group limit below the join.
+    */
+  def lateralJoin(spark: SparkSession, dir: String): DataFrame = {
+    t(spark, dir, "nation").createOrReplaceTempView("graft_nation_v45")
+    t(spark, dir, "customer").createOrReplaceTempView("graft_customer_v45")
+    spark.sql(
+      """SELECT n.n_name, c.c_name, round(c.c_acctbal, 2) AS acctbal
+        |FROM graft_nation_v45 n,
+        |LATERAL (SELECT c_name, c_acctbal FROM graft_customer_v45
+        |         WHERE c_nationkey = n.n_nationkey
+        |         ORDER BY c_acctbal DESC, c_name LIMIT 2) c
+        |ORDER BY n.n_name, acctbal DESC, c.c_name
+        |""".stripMargin)
+  }
+
   /** q41 — MapType breadth (§2.8's transient-map claim exercised for
     * real): per-customer status->count map built with map_from_entries
     * over a sorted entry list (sorted so the map's internal order is

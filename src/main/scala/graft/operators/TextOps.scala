@@ -728,6 +728,47 @@ object TextOps {
           col("top3_frac") <= maxTopGram).cast("int"))
       .orderBy("doc_id")
 
+  /** t19 corpus: documents plus planted PII variants — every 10th doc
+    * reappears (id + 3000000) with a deterministic email + IPv4 appended,
+    * both constructible in plain SQL so the oracle builds the identical
+    * corpus. The natural corpus carries no PII (no '@', no dotted quads),
+    * so the filter's false-positive rate is directly observable.
+    */
+  def piiCorpus(spark: SparkSession, dir: String): DataFrame = {
+    val base = docs(spark, dir).select("doc_id", "text")
+    val planted = base.where(pmod(col("doc_id"), lit(10)) === 0)
+      .select((col("doc_id") + 3000000L).as("doc_id"),
+        concat(col("text"),
+          lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.com or 10.0."),
+          pmod(col("doc_id"), lit(256)).cast("string"),
+          lit(".7 now")).as("text"))
+    base.unionByName(planted)
+  }
+
+  /** ASCII-safe patterns shared by both engines (Java regex and RE2 agree
+    * on char classes, bounded repetition, and \b here — no lookaround, no
+    * unicode classes).
+    */
+  private[operators] val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private[operators] val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /** t19 — PII scrubbing, the redaction pass every public-web training
+    * corpus runs before release (C4, CCNet, ROOTS all scrub emails /
+    * dotted quads with exactly this regexp-replace shape): per-doc match
+    * counts plus the redacted text. Pure per-row map — codegen'd
+    * regexp_count/regexp_replace, ZERO exchanges; at 100 TB this is a
+    * scan-speed pass fused into whatever else touches the text.
+    */
+  def piiScrub(spark: SparkSession, dir: String): DataFrame =
+    piiCorpus(spark, dir).select(
+      col("doc_id"),
+      regexp_count(col("text"), lit(EmailRe)).cast("long").as("n_emails"),
+      regexp_count(col("text"), lit(Ipv4Re)).cast("long").as("n_ips"),
+      regexp_replace(regexp_replace(col("text"), EmailRe, "<EMAIL>"),
+        Ipv4Re, "<IP>").as("text_scrubbed"))
+      .orderBy("doc_id")
+
   /** SimHash near-dup: fingerprint once, candidate pairs by identical
     * 16-bit prefix block (cheap bucketing), verify by Hamming distance.
     */
