@@ -193,6 +193,9 @@ object SparkEntry {
     // t19: PII scrub — email/IPv4 redaction counts + scrubbed text,
     // a pure codegen'd per-row map (C4/CCNet/ROOTS-style release pass)
     "t19_pii_scrub" -> ((s, d) => TextOps.piiScrub(s, d)),
+    // t20: BPE tokenizer-training kernel — corpus-wide adjacent-pair
+    // counts (the per-round argmax input; multi-round trainer in BpeSpec)
+    "t20_bpe_pairs" -> ((s, d) => TextOps.bpePairCounts(s, d)),
     "c27_crawl_traps" -> ((s, d) => operators.TrapOps.trapHostReport(s, d)),
     // c28: DUST url-alias rule mining — learns which query params are
     // content-irrelevant per host from fetched (url, content-hash) pairs
@@ -1299,6 +1302,18 @@ object SparkEntry {
         |  CAST(CASE WHEN dup_tok_frac <= 0.85 AND top2_frac <= 0.3
         |             AND top3_frac <= 0.3 THEN 1 ELSE 0 END AS INT) AS kept
         |FROM stats ORDER BY doc_id""".stripMargin,
+    // t20: pair counting mirrored relationally; the (cnt desc, pair asc)
+    // total order makes the LIMIT 5 engine-exact.
+    "t20_bpe_pairs" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents
+        |), p AS (
+        |  SELECT t[i] AS tok_l, t[i+1] AS tok_r
+        |  FROM (SELECT t, unnest(generate_series(1, greatest(len(t)-1, 0))) AS i FROM toks)
+        |)
+        |SELECT tok_l, tok_r, CAST(count(*) AS BIGINT) AS cnt
+        |FROM p GROUP BY 1, 2
+        |ORDER BY cnt DESC, tok_l, tok_r LIMIT 5""".stripMargin,
     // t19: identical planted corpus; Java regex and RE2 agree on these
     // ASCII patterns; DuckDB regexp_replace needs the explicit 'g' flag
     // (Spark's is global by default).

@@ -769,6 +769,90 @@ object TextOps {
         Ipv4Re, "<IP>").as("text_scrubbed"))
       .orderBy("doc_id")
 
+  // ---- t20: BPE merge mining (Sennrich et al., ACL 2016) --------------
+  //
+  // Tokenizer training is a corpus-scale job: each round counts ADJACENT
+  // symbol pairs across the whole corpus, picks the most frequent pair,
+  // and rewrites every document with that pair merged. The count is one
+  // map-side-combined groupBy per round (pairs reduce to a vocab²-bounded
+  // key space, tiny vs the corpus); the rewrite is a per-row fold that
+  // never leaves the document's partition; the only driver traffic is the
+  // 1-row argmax per round. Word-level symbols here (the testdata corpus
+  // is word-granular); byte-level BPE is the same plan with a different
+  // initial alphabet.
+
+  private def tokensOf(corpus: DataFrame): DataFrame =
+    corpus.select(col("doc_id"), split(trim(col("text")), "\\s+").as("t"))
+
+  /** Corpus-wide adjacent-pair counts of a (doc_id, t: array<string>)
+    * frame — the per-round kernel.
+    */
+  private[operators] def pairCounts(toks: DataFrame): DataFrame = {
+    val idxs = when(size(col("t")) >= 2, sequence(lit(0), size(col("t")) - 2))
+      .otherwise(array().cast("array<int>"))
+    toks
+      .select(explode(transform(idxs, i => struct(
+        element_at(col("t"), i + 1).as("tok_l"),
+        element_at(col("t"), i + 2).as("tok_r")))).as("p"))
+      .groupBy(col("p.tok_l").as("tok_l"), col("p.tok_r").as("tok_r"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** t20 — the ORACLED slice: top-5 round-1 pair counts with a total
+    * (cnt desc, pair asc) tie-break.
+    */
+  def bpePairCounts(spark: SparkSession, dir: String): DataFrame =
+    pairCounts(tokensOf(docs(spark, dir).select("doc_id", "text")))
+      .orderBy(col("cnt").desc, col("tok_l"), col("tok_r"))
+      .limit(5)
+
+  /** Left-to-right greedy merge of one (l, r) pair in every document —
+    * the BPE rewrite. A sequential scan per row (a pair consumes its left
+    * token, so "a a a" merges to ["a a", "a"], not twice), expressed as
+    * one aggregate HOF with (out, pending) state; the merged symbol is
+    * the space-join of its parts. Zero exchanges.
+    */
+  private[operators] def applyMerge(toks: DataFrame, l: String, r: String): DataFrame =
+    toks.select(col("doc_id"),
+      aggregate(
+        col("t"),
+        struct(array().cast("array<string>").as("out"), lit("").as("pend")),
+        (st, x) => {
+          val out = st.getField("out")
+          val pend = st.getField("pend")
+          when(pend === "", struct(out.as("out"), x.as("pend")))
+            .when(pend === lit(l) && x === lit(r),
+              struct(concat(out, array(lit(s"$l $r"))).as("out"),
+                lit("").as("pend")))
+            .otherwise(struct(concat(out, array(pend)).as("out"), x.as("pend")))
+        },
+        st => when(st.getField("pend") === "", st.getField("out"))
+          .otherwise(concat(st.getField("out"), array(st.getField("pend")))))
+        .as("t"))
+
+  /** Multi-round BPE trainer: returns (round, tok_l, tok_r, cnt) for each
+    * selected merge. One collect of ONE row per round; the rewritten
+    * corpus is localCheckpoint'd so round N+1's count doesn't replay
+    * round N's rewrite lineage. Top-1 counts are provably non-increasing
+    * across rounds (a merge only removes occurrences of existing pairs;
+    * pairs it creates inherit a subset of a removed pair's occurrences) —
+    * BpeSpec asserts that invariant besides the mirror equality.
+    */
+  def bpeTrain(spark: SparkSession, corpus: DataFrame,
+               rounds: Int = 3): Seq[(Int, String, String, Long)] = {
+    var toks = tokensOf(corpus)
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    for (round <- 1 to rounds) {
+      val top = pairCounts(toks)
+        .orderBy(col("cnt").desc, col("tok_l"), col("tok_r"))
+        .limit(1).collect()(0)
+      val (l, r, c) = (top.getString(0), top.getString(1), top.getLong(2))
+      out += ((round, l, r, c))
+      toks = applyMerge(toks, l, r).localCheckpoint()
+    }
+    out.toSeq
+  }
+
   /** SimHash near-dup: fingerprint once, candidate pairs by identical
     * 16-bit prefix block (cheap bucketing), verify by Hamming distance.
     */
