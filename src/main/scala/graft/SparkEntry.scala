@@ -221,6 +221,10 @@ object SparkEntry {
     // host ownership across fleet resizes (argmin folds in-row, no
     // per-(host,shard) exchange)
     "c35_shard_assign" -> ((s, d) => operators.ShardOps.shardReport(s, d)),
+    // c36: image+caption pair curation — LAION-style resolution/aspect/
+    // caption/alignment/contrast gates over the input_hint table (bytes
+    // decoded once, never shuffled; rows-only gate + ImageCurationSpec)
+    "c36_image_curation" -> ((s, _) => operators.ImageOps.curateImages(s)),
     "t04_neardup_simhash" -> ((s, d) => TextOps.nearDupSimhash(s, d)),
     "emb01_cosine_topk" -> ((s, d) => SimilarityOps.bruteCosineTopK(s, d)),
     "emb02_ann_lsh" -> ((s, d) => SimilarityOps.annLshTopK(s, d)),

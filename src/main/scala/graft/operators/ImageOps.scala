@@ -158,4 +158,81 @@ object ImageOps {
     withHash.join(drops, col("img_hash") === col("__drop_id"), "left_anti")
       .drop("__drop_id")
   }
+
+  // ---- c36: image+caption pair curation (LAION/DataComp-style) --------
+
+  /** One c36 corpus row: varied-but-valid shapes by default, with four
+    * planted failure families — tiny resolution (i%13), extreme aspect
+    * (i%17), sub-3-token caption (i%19), caption referencing a DIFFERENT
+    * image (i%23), and flat zero-contrast pixels (i%29). Every field is a
+    * pure function of i, so tests recompute rows locally.
+    */
+  def curationRowOf(i: Long): graft.model.Snapshot = {
+    val id = s"img-$i"
+    var w = 32 + ((i * 7) % 32).toInt // 32..63
+    var h = 32 + ((i * 11) % 24).toInt // 32..55 -> natural aspect < 2
+    if (i % 13 == 0) { w = 8; h = 8 } // resolution fail
+    else if (i % 17 == 0) { w = 96; h = 16 } // aspect fail (6:1)
+    val fmt = if (i % 2 == 0) "png" else "jpeg"
+    val px =
+      if (i % 29 == 0) Array.fill(w * h)(128) // flat: zero contrast
+      else ImageKit.genPixels(ImageKit.mix64(i * 2654435761L + 99L), 0, w, h)
+    val bytes = ImageKit.encode(px, w, h, fmt)
+    val caption =
+      if (i % 19 == 0) "x" // caption-length fail
+      else if (i % 23 == 0) s"caption of img-${i + 1} v0" // misaligned
+      else s"caption of $id v0"
+    graft.model.Snapshot(id, bytes, w, h, fmt, caption,
+      ImageKit.phash64(bytes), 0)
+  }
+
+  def curationCorpus(spark: org.apache.spark.sql.SparkSession,
+                     n: Int): Dataset[graft.model.Snapshot] = {
+    import spark.implicits._
+    spark.range(0L, n.toLong, 1L, math.max(1, math.min(8, n / 64)))
+      .mapPartitions(_.map(i => curationRowOf(i.longValue)))
+  }
+
+  /** c36 — image+caption pair curation, the filter stack every
+    * web-scale image-text corpus build runs before training (LAION-5B /
+    * DataComp publish exactly these gates): resolution floor, aspect-ratio
+    * bound, caption token minimum, caption-image alignment, and a
+    * decoded-pixel contrast floor (blank/flat images). Alignment here is
+    * the deterministic stand-in for the CLIP-score threshold — the
+    * synthetic captions name their image, so the check is exact; swapping
+    * in a model score changes ONE column, not the plan.
+    *
+    * Scale shape: the decode pass (the expensive part) emits only
+    * (image_id, contrast) — bytes never shuffle; the metadata gates are a
+    * codegen'd map over the slim columns; the single join carries ids +
+    * scalars. Thresholds are on ROUNDED values so the decision is
+    * engine- and order-reproducible.
+    */
+  def curateImages(spark: org.apache.spark.sql.SparkSession,
+                   n: Int = 800,
+                   minSide: Int = 24, maxAspectX100: Int = 200,
+                   minCapTokens: Int = 3, minContrast: Double = 2.0): DataFrame = {
+    val corpus = curationCorpus(spark, n).toDF()
+    val feats = features(corpus).toDF()
+      .select(col("image_id"), round(col("contrast"), 4).as("contrast"))
+    corpus.select(col("image_id"), col("w"), col("h"), col("caption"))
+      .join(feats, Seq("image_id"))
+      .select(
+        col("image_id"),
+        least(col("w"), col("h")).as("min_side"),
+        (greatest(col("w"), col("h")) * 100 / least(col("w"), col("h")))
+          .cast("int").as("aspect_x100"),
+        size(split(col("caption"), " ")).as("cap_tokens"),
+        col("caption").startsWith(
+          concat(lit("caption of "), col("image_id"), lit(" ")))
+          .cast("int").as("aligned"),
+        col("contrast"))
+      .withColumn("kept",
+        (col("min_side") >= minSide &&
+          col("aspect_x100") <= maxAspectX100 &&
+          col("cap_tokens") >= minCapTokens &&
+          col("aligned") === 1 &&
+          col("contrast") >= minContrast).cast("int"))
+      .orderBy("image_id")
+  }
 }
