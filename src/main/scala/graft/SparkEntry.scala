@@ -225,6 +225,10 @@ object SparkEntry {
     // caption/alignment/contrast gates over the input_hint table (bytes
     // decoded once, never shuffled; rows-only gate + ImageCurationSpec)
     "c36_image_curation" -> ((s, _) => operators.ImageOps.curateImages(s)),
+    // c37: content-defined-chunking storage dedup — per-epoch new-bytes
+    // accounting over the page archive (gear rolling hash; rows-only
+    // gate + CdcSpec goldens incl. the insertion-resync property)
+    "c37_cdc_dedup" -> ((s, _) => operators.CdcOps.dedupReport(s)),
     "t04_neardup_simhash" -> ((s, d) => TextOps.nearDupSimhash(s, d)),
     "emb01_cosine_topk" -> ((s, d) => SimilarityOps.bruteCosineTopK(s, d)),
     "emb02_ann_lsh" -> ((s, d) => SimilarityOps.annLshTopK(s, d)),
