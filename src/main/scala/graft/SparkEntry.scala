@@ -126,6 +126,9 @@ object SparkEntry {
     // g06: TrustRank — teleport restricted to trusted seed hosts; link
     // farms unreachable from the trust set converge to rank 0
     "g06_host_trustrank" -> ((s, d) => operators.GraphOps.hostTrustRank(s, d)),
+    // g07: aggregated anchor text per cited target — top-2 anchors with
+    // a total tie-break (counts reduce map-side before the rank)
+    "g07_anchor_text" -> ((s, d) => operators.GraphOps.anchorText(s, d)),
     // c34: authority-weighted host budget allocation — largest-remainder
     // apportionment of the global fetch budget over PageRank (integer-exact)
     "c34_budget_allocation" -> ((s, d) => operators.GraphOps.budgetAllocation(s, d)),
@@ -1262,6 +1265,7 @@ object SparkEntry {
     "g04_host_hits" -> operators.GraphOps.hitsOracleSql(),
     "g05_host_components" -> operators.GraphOps.hostComponentsOracleSql(),
     "g06_host_trustrank" -> operators.GraphOps.trustRankOracleSql(),
+    "g07_anchor_text" -> operators.GraphOps.anchorTextOracleSql(),
     "c34_budget_allocation" -> operators.GraphOps.budgetOracleSql(),
     "c35_shard_assign" -> operators.ShardOps.shardOracleSql(),
     "t01_text_quality" ->

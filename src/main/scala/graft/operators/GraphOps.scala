@@ -613,4 +613,62 @@ object GraphOps {
          |SELECT source, m,
          |  CAST(base + CASE WHEN pos <= ex.extras THEN 1 ELSE 0 END AS BIGINT) AS budget
          |FROM pos, ex ORDER BY source""".stripMargin
+
+  // ---- g07: anchor-text aggregation ----------------------------------
+
+  /** g07 — aggregated anchor text per cited target (the classic search /
+    * crawl signal: how OTHER pages describe a target is a stronger
+    * relevance feature than the target's own content — Brin & Page
+    * WWW'98 §2.2 index anchor text with the page it points AT). Citation
+    * edges follow sourceEdges' deterministic doc->doc rule; the "anchor
+    * text" of a citation is the citing document's first three tokens.
+    * Output: the top-2 anchors per target source with (cnt desc, anchor
+    * asc) tie-break.
+    *
+    * Scale shape: anchors reduce to (target, anchor) counts with
+    * map-side combine before the rank — the exchange carries distinct
+    * (host, trigram) keys, not citations; the per-target top-2 is the
+    * O3 bounded-heap pattern (window over a count-bounded table here;
+    * the key space is hosts x anchors, already aggregated).
+    */
+  def anchorText(spark: SparkSession, dir: String, k: Int = 2): DataFrame = {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("source"), col("text"))
+    val nDocs = docs.count()
+    val citing = docs.select(col("doc_id"),
+      (col("doc_id") * 17L + 3L) % nDocs as "cited",
+      concat_ws(" ", slice(split(trim(col("text")), "\\s+"), 1, 3)).as("anchor"))
+    val target = docs.select(col("doc_id").as("cited_id"),
+      col("source").as("target_source"))
+    val counts = citing.join(target, citing("cited") === target("cited_id"))
+      .groupBy("target_source", "anchor").agg(count(lit(1)).as("cnt"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("target_source")
+      .orderBy(col("cnt").desc, col("anchor"))
+    counts.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .orderBy("target_source", "rank")
+  }
+
+  def anchorTextOracleSql(k: Int = 2): String =
+    s"""WITH docs AS (
+       |  SELECT doc_id, source, text FROM documents
+       |), n AS (SELECT count(*) AS n_docs FROM docs),
+       |citing AS (
+       |  SELECT d.doc_id, (d.doc_id * 17 + 3) % n.n_docs AS cited,
+       |    array_to_string(regexp_split_to_array(trim(d.text), '\\s+')[1:3], ' ') AS anchor
+       |  FROM docs d, n
+       |), counts AS (
+       |  SELECT t.source AS target_source, c.anchor, CAST(count(*) AS BIGINT) AS cnt
+       |  FROM citing c JOIN docs t ON c.cited = t.doc_id
+       |  GROUP BY 1, 2
+       |), ranked AS (
+       |  SELECT target_source, anchor, cnt,
+       |    row_number() OVER (PARTITION BY target_source
+       |                       ORDER BY cnt DESC, anchor) AS rank
+       |  FROM counts
+       |)
+       |SELECT target_source, anchor, cnt, CAST(rank AS BIGINT) AS rank
+       |FROM ranked WHERE rank <= $k
+       |ORDER BY target_source, rank""".stripMargin
 }
