@@ -199,6 +199,9 @@ object SparkEntry {
     // t20: BPE tokenizer-training kernel — corpus-wide adjacent-pair
     // counts (the per-round argmax input; multi-round trainer in BpeSpec)
     "t20_bpe_pairs" -> ((s, d) => TextOps.bpePairCounts(s, d)),
+    // t21: DSIR importance weights — hashed-unigram importance ratios in
+    // integer fixed-point (engine-exact, no rounding), top-quartile select
+    "t21_dsir_select" -> ((s, d) => TextOps.dsirWeights(s, d)),
     "c27_crawl_traps" -> ((s, d) => operators.TrapOps.trapHostReport(s, d)),
     // c28: DUST url-alias rule mining — learns which query params are
     // content-irrelevant per host from fetched (url, content-hash) pairs
@@ -1266,6 +1269,7 @@ object SparkEntry {
     "g05_host_components" -> operators.GraphOps.hostComponentsOracleSql(),
     "g06_host_trustrank" -> operators.GraphOps.trustRankOracleSql(),
     "g07_anchor_text" -> operators.GraphOps.anchorTextOracleSql(),
+    "t21_dsir_select" -> TextOps.dsirOracleSql(),
     "c34_budget_allocation" -> operators.GraphOps.budgetOracleSql(),
     "c35_shard_assign" -> operators.ShardOps.shardOracleSql(),
     "t01_text_quality" ->

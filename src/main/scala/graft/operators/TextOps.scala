@@ -853,6 +853,97 @@ object TextOps {
     out.toSeq
   }
 
+  /** t21 — DSIR-style importance weighting (Xie et al., NeurIPS 2023:
+    * select raw-corpus documents whose hashed-n-gram distribution looks
+    * like a trusted TARGET corpus). Target here = the 'en' slice; features
+    * = word unigrams hashed into 64 buckets (first 8 md5 hex digits, a
+    * conversion both engines perform bit-identically).
+    *
+    * Deviation, deliberate: DSIR scores with log-probability ratios;
+    * ln() is not bit-identical across engines (unlike sqrt — see t15's
+    * tau=1/2 note), so the cross-engine contract uses the RATIO itself in
+    * integer fixed-point: score_b = ((cnt_t+1)·10^6·(total_r+64)) div
+    * ((cnt_r+1)·(total_t+64)) — add-1-smoothed importance ratio, scaled,
+    * floor-divided. Every arithmetic step is BIGINT-exact, so weights,
+    * ranks, and the top-quartile selection are reproducible on any
+    * engine at any parallelism with NO rounding tolerance at all.
+    * (Swapping in log scores changes one column, not the plan.)
+    *
+    * Scale shape: token occurrences reduce map-side to (doc, bucket) and
+    * (bucket) counts; the bucket score table is 64 rows (broadcast); the
+    * only corpus-sized exchanges carry ids + integers.
+    */
+  def dsirWeights(spark: SparkSession, dir: String,
+                  nBuckets: Int = 64, scale: Long = 1000000L): DataFrame =
+    dsirWeightsOf(
+      spark.read.parquet(s"$dir/documents.parquet")
+        .select("doc_id", "lang", "text"),
+      "en", nBuckets, scale)
+
+  /** t21 kernel over any (doc_id, lang, text) corpus — the target slice
+    * is `lang = targetLang`.
+    */
+  def dsirWeightsOf(corpus: DataFrame, targetLang: String,
+                    nBuckets: Int = 64, scale: Long = 1000000L): DataFrame = {
+    val nDocs = corpus.count()
+    val toks = corpus
+      .select(col("doc_id"), col("lang"),
+        explode(split(trim(col("text")), "\\s+")).as("tok"))
+      .withColumn("b", pmod(
+        conv(substring(md5(col("tok").cast("binary")), 1, 8), 16, 10)
+          .cast("long"), lit(nBuckets.toLong)))
+    val cntDb = toks.groupBy("doc_id", "b").agg(count(lit(1)).as("cnt_db"))
+    val rawB = toks.groupBy("b").agg(count(lit(1)).as("cnt_r"))
+    val tgtB = toks.where(col("lang") === targetLang)
+      .groupBy("b").agg(count(lit(1)).as("cnt_t"))
+    val totals = toks.agg(
+      count(lit(1)).as("total_r"),
+      sum(when(col("lang") === targetLang, 1L).otherwise(0L)).as("total_t"))
+    val scores = rawB.join(tgtB, Seq("b"), "left").crossJoin(totals)
+      .select(col("b"), expr(
+        s"((coalesce(cnt_t, 0) + 1) * $scale * (total_r + $nBuckets)) div " +
+          s"((cnt_r + 1) * (total_t + $nBuckets))").as("score"))
+    val weights = cntDb.join(broadcast(scores), Seq("b"))
+      .groupBy("doc_id").agg(sum(col("cnt_db") * col("score")).as("weight"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("weight").desc, col("doc_id"))
+    weights
+      .withColumn("selected",
+        (row_number().over(w) <= lit(nDocs / 4)).cast("int"))
+      .orderBy("doc_id")
+  }
+
+  def dsirOracleSql(nBuckets: Int = 64, scale: Long = 1000000L): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, lang,
+       |    ('0x' || substr(md5(tok), 1, 8))::BIGINT % $nBuckets AS b
+       |  FROM (SELECT doc_id, lang,
+       |          unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+       |        FROM documents)
+       |), cnt_db AS (
+       |  SELECT doc_id, b, CAST(count(*) AS BIGINT) AS cnt_db FROM toks GROUP BY 1, 2
+       |), raw_b AS (
+       |  SELECT b, CAST(count(*) AS BIGINT) AS cnt_r FROM toks GROUP BY 1
+       |), tgt_b AS (
+       |  SELECT b, CAST(count(*) AS BIGINT) AS cnt_t FROM toks WHERE lang = 'en' GROUP BY 1
+       |), totals AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS total_r,
+       |         CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS total_t
+       |  FROM toks
+       |), scores AS (
+       |  SELECT r.b,
+       |    ((COALESCE(t.cnt_t, 0) + 1) * $scale * (total_r + $nBuckets)) //
+       |      ((r.cnt_r + 1) * (total_t + $nBuckets)) AS score
+       |  FROM raw_b r LEFT JOIN tgt_b t ON r.b = t.b, totals
+       |), weights AS (
+       |  SELECT d.doc_id, CAST(sum(d.cnt_db * s.score) AS BIGINT) AS weight
+       |  FROM cnt_db d JOIN scores s ON d.b = s.b GROUP BY 1
+       |), k AS (SELECT count(*) // 4 AS k FROM documents)
+       |SELECT doc_id, weight,
+       |  CAST(CASE WHEN row_number() OVER (ORDER BY weight DESC, doc_id) <= k.k
+       |       THEN 1 ELSE 0 END AS INT) AS selected
+       |FROM weights, k ORDER BY doc_id""".stripMargin
+
   /** SimHash near-dup: fingerprint once, candidate pairs by identical
     * 16-bit prefix block (cheap bucketing), verify by Hamming distance.
     */
