@@ -171,6 +171,10 @@ object SparkEntry {
     "t05_neardup_ngram" -> ((s, d) => TextOps.nearDupNgramJaccard(s, d)),
     "t06_repeated_spans" -> ((s, d) => TextOps.repeatedSpans(s, d)),
     "t07_dedup_resolve" -> ((s, d) => operators.DedupResolve.resolveNgramDups(s, d)),
+    // g08: t07's resolution through the PERSISTED incremental label
+    // store (two epoch merges) — shares t07's reachability oracle, so
+    // the gate proves store == from-scratch
+    "g08_incremental_cc" -> ((s, d) => operators.DedupResolve.resolveNgramDupsIncremental(s, d)),
     "t08_dedup_corpus" -> ((s, d) => operators.DedupResolve.dedupedCorpus(s, d)),
     "t09_corpus_curation" -> ((s, d) => TextOps.curatedCorpus(s, d)),
     "t10_span_clip" -> ((s, d) => TextOps.spanClippedCorpus(s, d)),
@@ -812,6 +816,22 @@ object SparkEntry {
     // terminates it); component = min reachable id — the same label the
     // Spark fixpoint converges to.
     "t07_dedup_resolve" ->
+      (ngramPairSql +
+        """, edges AS (
+          |  SELECT doc_a AS src, doc_b AS dst FROM dup_pairs
+          |  UNION
+          |  SELECT doc_b AS src, doc_a AS dst FROM dup_pairs
+          |), reach AS (
+          |  SELECT src AS id, src AS node FROM edges
+          |  UNION
+          |  SELECT r.id, e.dst AS node FROM reach r JOIN edges e ON r.node = e.src
+          |)
+          |SELECT id AS doc_id, min(node) AS component,
+          |  (id = min(node)) AS is_survivor
+          |FROM reach GROUP BY id""".stripMargin),
+    // g08 shares t07's oracle VERBATIM: the incremental store must return
+    // the identical label table a from-scratch resolution produces.
+    "g08_incremental_cc" ->
       (ngramPairSql +
         """, edges AS (
           |  SELECT doc_a AS src, doc_b AS dst FROM dup_pairs

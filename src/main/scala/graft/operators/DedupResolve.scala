@@ -149,6 +149,87 @@ object DedupResolve {
     resolve(TextOps.nearDupNgramJaccard(spark, dir), "doc_a", "doc_b")
       .orderBy("doc_id")
 
+  // ---- g08: INCREMENTAL connected components (persisted label store) --
+  //
+  // The dedup family's cluster state, given the SimIndex treatment: a
+  // crawl discovers near-dup PAIRS every epoch, but re-running CC over
+  // the union of all epochs' edges grows with history. cc_labels/epoch=N
+  // persists the (id, comp) table; an epoch merges only its OWN edges.
+  //
+  // Soundness: contracting every node to its component representative
+  // preserves connectivity, so CC over {(rep(a), rep(b))} computed from
+  // the NEW edges alone reproduces the full-history components; and
+  // because each representative is its component's MIN id, min-semantics
+  // CC over the rep graph yields the global min id — label tables are
+  // EQUAL to a from-scratch recompute, not just isomorphic (asserted in
+  // IncrementalCcSpec; the g08 query shares t07's reachability oracle
+  // verbatim, which a drifted store could not pass).
+  //
+  // Scale shape: the rep-graph edge set is bounded by the EPOCH's pair
+  // count (not history); the label store is dup-rate-sized; relabeling
+  // old components is one equi-join on comp. Only epoch-sized state ever
+  // enters the CC fixpoint.
+
+  /** Persist the full label table as of `epoch`. */
+  def writeLabels(labels: DataFrame, root: String, epoch: Int): Unit =
+    labels.select(col("id").cast("long").as("id"), col("comp").cast("long").as("comp"))
+      .write.mode("overwrite").parquet(s"$root/cc_labels/epoch=$epoch")
+
+  def readLabels(spark: SparkSession, root: String, epoch: Int): DataFrame =
+    spark.read.parquet(s"$root/cc_labels/epoch=$epoch")
+
+  /** Merge one epoch's new pair table into the persisted labels and
+    * persist the updated table. Returns the epoch's (id, comp) labels.
+    */
+  def updateLabels(spark: SparkSession, root: String, epoch: Int,
+                   newPairs: DataFrame, aCol: String, bCol: String): DataFrame = {
+    import spark.implicits._
+    val prev =
+      if (epoch == 0) Seq.empty[(Long, Long)].toDF("id", "comp")
+      else readLabels(spark, root, epoch - 1)
+    val e = newPairs
+      .select(col(aCol).cast("long").as("a"), col(bCol).cast("long").as("b"))
+      .where(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b"))
+    // endpoints through the previous labels (identity for unseen nodes)
+    val la = prev.select(col("id").as("a"), col("comp").as("ca"))
+    val lb = prev.select(col("id").as("b"), col("comp").as("cb"))
+    val repEdges = e.join(la, Seq("a"), "left").join(lb, Seq("b"), "left")
+      .select(coalesce(col("ca"), col("a")).as("ra"),
+        coalesce(col("cb"), col("b")).as("rb"))
+      .where(col("ra") =!= col("rb"))
+    val merged = connectedComponents(repEdges, "ra", "rb") // (id=rep, comp)
+    val repMap = merged.select(col("id").as("comp"), col("comp").as("new_comp"))
+    val updatedPrev = prev.join(repMap, Seq("comp"), "left")
+      .select(col("id"), coalesce(col("new_comp"), col("comp")).as("comp"))
+    val newNodes = e.select(col("a").as("id"))
+      .unionByName(e.select(col("b").as("id"))).distinct()
+      .join(prev.select("id"), Seq("id"), "left_anti")
+      .join(merged, Seq("id"), "left") // self-pair-only new nodes keep own id
+      .select(col("id"), coalesce(col("comp"), col("id")).as("comp"))
+    val labels = updatedPrev.unionByName(newNodes)
+    writeLabels(labels, root, epoch)
+    readLabels(spark, root, epoch)
+  }
+
+  /** g08 — the t07 resolution computed INCREMENTALLY: t05's pair table
+    * split into two epochs by doc_a parity, merged through the persisted
+    * store; output shape (and oracle SQL) identical to t07, so the gate
+    * proves store == from-scratch.
+    */
+  def resolveNgramDupsIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft-g08").toString
+    val pairs = TextOps.nearDupNgramJaccard(spark, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    updateLabels(spark, root, 0,
+      pairs.where(pmod(col("doc_a"), lit(2)) === 0), "doc_a", "doc_b")
+    val labels = updateLabels(spark, root, 1,
+      pairs.where(pmod(col("doc_a"), lit(2)) === 1), "doc_a", "doc_b")
+    pairs.unpersist()
+    labels.select(col("id").as("doc_id"), col("comp").as("component"),
+      (col("id") === col("comp")).as("is_survivor"))
+      .orderBy("doc_id")
+  }
+
   /** t08 — the deduplicated corpus: t05's planted corpus (base docs +
     * planted revisions) minus non-survivor near-dup members. Returns only
     * ids + kept-doc count-stable columns so the oracle compare is exact.
