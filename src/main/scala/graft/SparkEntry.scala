@@ -239,6 +239,9 @@ object SparkEntry {
     // accounting over the page archive (gear rolling hash; rows-only
     // gate + CdcSpec goldens incl. the insertion-resync property)
     "c37_cdc_dedup" -> ((s, _) => operators.CdcOps.dedupReport(s)),
+    // c38: audio copy detection — Shazam-style constellation hashes with
+    // an offset vote (trim+gain robust; rows-only gate + AudioCopySpec)
+    "c38_audio_copydetect" -> ((s, _) => operators.MediaOps.audioCopyDetect(s)),
     "t04_neardup_simhash" -> ((s, d) => TextOps.nearDupSimhash(s, d)),
     "emb01_cosine_topk" -> ((s, d) => SimilarityOps.bruteCosineTopK(s, d)),
     "emb02_ann_lsh" -> ((s, d) => SimilarityOps.annLshTopK(s, d)),

@@ -108,4 +108,61 @@ object MediaKit {
     }
     n.toDouble / math.max(1, until - from - 1)
   }
+
+  /** Wrap raw PCM samples in a GFA1 container (the re-encode half of the
+    * codec stub — used to construct derived clips: trims, gain changes).
+    */
+  def encodeAudioFromSamples(sampleRate: Int, samples: Array[Short]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(12 + samples.length * 2)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(AudioMagic); bb.putInt(sampleRate); bb.putInt(samples.length)
+    samples.foreach(bb.putShort)
+    bb.array()
+  }
+
+  /** Per-frame dominant spectral bin (the "constellation" peak — Wang,
+    * ISMIR'03): non-overlapping `win`-sample frames, naive DFT magnitude
+    * over bins 1..kBins, argmax with a lower-bin tiebreak. Gain changes
+    * scale all magnitudes uniformly, so the argmax is level-invariant —
+    * the property copy detection needs.
+    */
+  def spectralPeaks(samples: Array[Short], win: Int = 256, kBins: Int = 32): Array[Int] = {
+    val nFrames = samples.length / win
+    val out = new Array[Int](nFrames)
+    var f = 0
+    while (f < nFrames) {
+      val base = f * win
+      var bestBin = 1
+      var bestMag = -1.0
+      var b = 1
+      while (b <= kBins) {
+        var re = 0.0; var im = 0.0
+        var n = 0
+        while (n < win) {
+          val ang = -2.0 * math.Pi * b * n / win
+          val s = samples(base + n).toDouble
+          re += s * math.cos(ang); im += s * math.sin(ang)
+          n += 1
+        }
+        val mag = re * re + im * im
+        if (mag > bestMag) { bestMag = mag; bestBin = b }
+        b += 1
+      }
+      out(f) = bestBin
+      f += 1
+    }
+    out
+  }
+
+  /** Constellation hashes: each frame's peak paired with the next
+    * `fanout` frames' peaks; hash encodes (f1, f2, dt) so a match implies
+    * the same spectral TRAJECTORY, not just a shared bin. Returns
+    * (hash, frame_idx) pairs.
+    */
+  def constellation(peaks: Array[Int], fanout: Int = 3): IndexedSeq[(Long, Int)] =
+    for {
+      t <- 0 until peaks.length
+      d <- 1 to fanout
+      if t + d < peaks.length
+    } yield (peaks(t).toLong * 1000000L + peaks(t + d).toLong * 100L + d, t)
 }

@@ -2,7 +2,8 @@ package graft.operators
 
 import graft.functions.{ImageKit, MediaKit}
 import graft.model.{AudioWindow, FrameFeature, MediaRow}
-import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 
 /** Multimodal operators over opaque media payloads (builder brief:
   * image/audio/video as opaque binary columns with typed metadata;
@@ -99,5 +100,94 @@ object MediaOps {
         }
       }
     }
+  }
+
+  // ---- c38: audio copy detection (constellation fingerprints) ---------
+  //
+  // Shazam-style landmark matching (Wang, ISMIR'03): per clip, frame-wise
+  // dominant spectral bins pair into (f1, f2, dt) hashes; two clips match
+  // when many shared hashes agree on ONE time offset. The offset vote is
+  // what separates a real copy from incidental hash collisions.
+  //
+  // Scale shape: fingerprinting is a per-row flatMap (bytes never
+  // shuffle; ids + 8-byte hashes out); candidates come from an
+  // equi-join on the hash (the inverted-index discipline of t05/c17,
+  // df-capped the same way); the offset vote is one map-side-combined
+  // groupBy. Robust by construction to gain changes (argmax peaks) and
+  // frame-aligned trims (offset vote absorbs the shift); sub-frame
+  // shifts need overlapping hops — the same plan with hop < win.
+
+  /** One audio clip per id; every 5th clip (i%5==4) is a PLANTED COPY of
+    * clip i-1: first 2 frames (512 samples) trimmed, gain scaled to 0.8,
+    * 512 fresh noise samples appended — trim + gain + different tail.
+    */
+  def audioCopyRowOf(i: Long, rate: Int = 8000, seconds: Int = 2): MediaRow = {
+    def freshSeed(j: Long) = ImageKit.mix64(0xAD10_C0DEL + j * 7919L)
+    val n = rate * seconds
+    if (i % 5 == 4) {
+      val (r, src) = MediaKit.decodeAudio(
+        MediaKit.encodeAudio(freshSeed(i - 1), rate, n))
+      val trimmed = src.drop(512).map(s => (s * 0.8).toShort)
+      var state = ImageKit.mix64(freshSeed(i) + 17L)
+      val tail = Array.fill(512) {
+        state = ImageKit.mix64(state + 0x9e3779b97f4a7c15L)
+        (state >> 16).toShort
+      }
+      MediaRow(s"aud-$i", "audio",
+        MediaKit.encodeAudioFromSamples(r, trimmed ++ tail),
+        duration_ms = seconds * 1000L, fps = 0, sample_rate = r, n_frames = n)
+    } else {
+      MediaRow(s"aud-$i", "audio", MediaKit.encodeAudio(freshSeed(i), rate, n),
+        duration_ms = seconds * 1000L, fps = 0, sample_rate = rate, n_frames = n)
+    }
+  }
+
+  def audioCopyCorpus(spark: SparkSession, n: Int): Dataset[MediaRow] = {
+    import spark.implicits._
+    spark.range(0L, n.toLong, 1L, math.max(1, math.min(8, n / 8)))
+      .mapPartitions(_.map(i => audioCopyRowOf(i.longValue)))
+  }
+
+  /** (media_idx, hash, t) fingerprint table — per-row flatMap, bytes
+    * never leave the scan.
+    */
+  def audioFingerprints(clips: Dataset[MediaRow]): DataFrame = {
+    import clips.sparkSession.implicits._
+    clips.filter(_.kind == "audio").flatMap { m =>
+      val idx = m.media_id.stripPrefix("aud-").toLong
+      val (_, samples) = MediaKit.decodeAudio(m.bytes)
+      MediaKit.constellation(MediaKit.spectralPeaks(samples))
+        .map { case (h, t) => (idx, h, t) }
+    }.toDF("media_idx", "hash", "t")
+  }
+
+  /** c38 — detected copies: (media_a, media_b, offset, score) where
+    * score = matching hashes at the best single offset; `minScore` sits
+    * far above the incidental-collision band (asserted in AudioCopySpec).
+    */
+  def audioCopyDetect(spark: SparkSession, n: Int = 60,
+                      minScore: Long = 20L, maxDf: Int = 16): DataFrame = {
+    val fp = audioFingerprints(audioCopyCorpus(spark, n))
+    // df-cap: a hash shared by many clips is a stop-landmark — joining it
+    // costs df^2 pairs and carries no alignment information
+    val rare = fp.join(
+      fp.groupBy("hash").agg(countDistinct(col("media_idx")).as("df"))
+        .where(col("df") <= maxDf).select("hash"),
+      Seq("hash"), "left_semi")
+    val votes = rare.as("a").join(rare.as("b"),
+        col("a.hash") === col("b.hash") &&
+          col("a.media_idx") < col("b.media_idx"))
+      .groupBy(col("a.media_idx").as("media_a"),
+        col("b.media_idx").as("media_b"),
+        (col("b.t") - col("a.t")).as("offset"))
+      .agg(count(lit(1)).as("score"))
+    // deterministic best offset: lexicographic max over (score, -offset)
+    // = highest score, smallest offset on ties
+    val best = votes.groupBy("media_a", "media_b")
+      .agg(max(struct(col("score"), (-col("offset")).as("noff"))).as("m"))
+      .select(col("media_a"), col("media_b"),
+        (-col("m.noff")).cast("long").as("offset"), col("m.score").as("score"))
+    best.where(col("score") >= minScore)
+      .orderBy("media_a", "media_b")
   }
 }
