@@ -242,6 +242,9 @@ object SparkEntry {
     // c38: audio copy detection — Shazam-style constellation hashes with
     // an offset vote (trim+gain robust; rows-only gate + AudioCopySpec)
     "c38_audio_copydetect" -> ((s, _) => operators.MediaOps.audioCopyDetect(s)),
+    // c39: sitemap discovery FROM robots.txt (the sitemaps.org discovery
+    // mechanism; only advertised sitemaps are fetched — rows-only gate)
+    "c39_sitemap_discovery" -> ((s, _) => operators.SitemapOps.discoveredEntries(s)),
     "t04_neardup_simhash" -> ((s, d) => TextOps.nearDupSimhash(s, d)),
     "emb01_cosine_topk" -> ((s, d) => SimilarityOps.bruteCosineTopK(s, d)),
     "emb02_ann_lsh" -> ((s, d) => SimilarityOps.annLshTopK(s, d)),

@@ -28,7 +28,8 @@ object RobotsKit {
   final case class Parsed(
       rules: Seq[RobotsRule],
       crawlDelayMs: Option[Long],
-      nDroppedRules: Int = 0)
+      nDroppedRules: Int = 0,
+      sitemaps: Seq[String] = Seq.empty)
 
   def parse(text: String, agent: String = "graftbot"): Parsed = {
     if (text == null || text.isEmpty) return Parsed(Seq.empty, None)
@@ -41,6 +42,9 @@ object RobotsKit {
     var delay: Option[Long] = None
     var inDirectives = false
     var dropped = 0
+    // `Sitemap:` is GLOBAL per sitemaps.org — collected document-wide,
+    // independent of which agent group is selected; URL case preserved
+    var sitemapUrls = Vector.empty[String]
     def flush(): Unit = {
       if (agents.nonEmpty) groups += Group(agents, rules, delay)
       agents = Vector.empty; rules = Vector.empty; delay = None; inDirectives = false
@@ -73,7 +77,10 @@ object RobotsKit {
               inDirectives = true
               delay = scala.util.Try(math.round(value.toDouble * 1000.0)).toOption
                 .filter(_ >= 0)
-            case _ => inDirectives = true // sitemap etc: directive, ignored
+            case "sitemap" =>
+              inDirectives = true
+              if (value.nonEmpty) sitemapUrls :+= value
+            case _ => inDirectives = true // unknown directive, ignored
           }
         }
       }
@@ -91,20 +98,22 @@ object RobotsKit {
     Parsed(
       selected.flatMap(_.rules),
       selected.flatMap(_.delayMs).headOption,
-      dropped)
+      dropped,
+      sitemapUrls)
   }
 
   /** Render a rule set back to robots.txt text (round-trip property-tested:
     * parse(render(rules)) == rules).
     */
   def render(rules: Seq[RobotsRule], crawlDelayMs: Option[Long],
-             agent: String = "*"): String = {
+             agent: String = "*", sitemaps: Seq[String] = Seq.empty): String = {
     val sb = new StringBuilder
     sb.append("User-agent: ").append(agent).append('\n')
     rules.foreach { r =>
       sb.append(if (r.allow) "Allow: " else "Disallow: ").append(r.prefix).append('\n')
     }
     crawlDelayMs.foreach(ms => sb.append("Crawl-delay: ").append(ms / 1000.0).append('\n'))
+    sitemaps.foreach(u => sb.append("Sitemap: ").append(u).append('\n'))
     sb.toString
   }
 }

@@ -91,4 +91,56 @@ object SitemapOps {
     import entries.sparkSession.implicits._
     entries.select(col("url"), col("priority")).as[Seed]
   }
+
+  // ---- c39: sitemap DISCOVERY from robots.txt --------------------------
+  //
+  // sitemaps.org's discovery mechanism: hosts advertise their sitemap
+  // with a global `Sitemap:` line in robots.txt. The crawl already
+  // fetches robots.txt for the politeness gate, so discovery is FREE —
+  // the same fetched text yields the sitemap URL list, and only
+  // advertised sitemaps are fetched (a crawler must not guess URLs).
+
+  /** Deterministic robots.txt texts over the host catalog: every host
+    * carries one Disallow rule and a crawl delay; every 11th host (i%11
+    * == 3) advertises NO sitemap — discovery must not fabricate one.
+    */
+  def syntheticRobotsWithSitemaps(spark: SparkSession,
+                                  nHosts: Int = Gen.NumHosts): DataFrame = {
+    import spark.implicits._
+    (0 until nHosts).map { i =>
+      val host = Gen.hostName(i)
+      val sitemaps =
+        if (i % 11 == 3) Seq.empty[String]
+        else Seq(s"http://$host/sitemap.xml")
+      (host, graft.functions.RobotsKit.render(
+        Seq(graft.model.RobotsRule(allow = false, prefix = s"/private$i")),
+        Some(1000L + 100L * (i % 5)), agent = "*", sitemaps = sitemaps))
+    }.toDF("host", "robots_txt")
+  }
+
+  /** Extract advertised sitemap URLs from fetched robots.txt text —
+    * executor-side kernel parse, (host, url) rows out.
+    */
+  def discoverFromRobots(robotsTexts: DataFrame): DataFrame = {
+    import robotsTexts.sparkSession.implicits._
+    robotsTexts.select("host", "robots_txt").as[(String, String)]
+      .flatMap { case (h, txt) =>
+        graft.functions.RobotsKit.parse(txt).sitemaps.map(u => (h, u))
+      }
+      .toDF("host", "sitemap_url")
+  }
+
+  /** c39 — the discovery chain end to end: robots.txt -> advertised
+    * sitemap URLs -> fetch (the synthetic per-host document stands in) ->
+    * parsed, typed entries. Hosts that advertise nothing contribute
+    * nothing, whatever they publish.
+    */
+  def discoveredEntries(spark: SparkSession,
+                        nHosts: Int = Gen.NumHosts): DataFrame = {
+    val advertised = discoverFromRobots(
+      syntheticRobotsWithSitemaps(spark, nHosts))
+    parseSitemaps(
+      advertised.join(syntheticSitemaps(spark, nHosts), Seq("host")))
+      .orderBy("host", "url")
+  }
 }

@@ -73,4 +73,36 @@ class SitemapSpec extends AnyFunSuite {
       .map(Gen.hostName).toSet
     assert(hosts == wantHosts)
   }
+
+  // ---- c39: discovery from robots.txt --------------------------------
+
+  test("robots Sitemap: lines parse globally; render round-trips them") {
+    val txt = graft.functions.RobotsKit.render(
+      Seq(graft.model.RobotsRule(allow = false, prefix = "/x")),
+      Some(2000L), agent = "*",
+      sitemaps = Seq("http://a.example.com/SiteMap.xml",
+        "http://a.example.com/news.xml"))
+    val p = graft.functions.RobotsKit.parse(txt, agent = "graftbot")
+    // global: collected even though the '*' group is not graftbot-named
+    assert(p.sitemaps == Seq("http://a.example.com/SiteMap.xml",
+      "http://a.example.com/news.xml"))
+    // URL case preserved (only directive KEYS are case-insensitive)
+    assert(p.sitemaps.head.contains("SiteMap"))
+    assert(graft.functions.RobotsKit.parse("").sitemaps.isEmpty)
+  }
+
+  test("c39 discovery == c29 entries restricted to advertising hosts") {
+    val got = SitemapOps.discoveredEntries(spark).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    val want = SitemapOps.sitemapEntries(spark).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+      .filter { case (h, _) =>
+        val i = (0 until Gen.NumHosts).find(Gen.hostName(_) == h).get
+        i % 11 != 3
+      }.toSeq
+    assert(got == want)
+    // both plants non-vacuous: some host advertises nothing, some does
+    assert((0 until Gen.NumHosts).exists(_ % 11 == 3))
+    assert((0 until Gen.NumHosts).exists(i => i % 11 != 3 && i % 17 != 13))
+  }
 }
