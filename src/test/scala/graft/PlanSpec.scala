@@ -426,4 +426,39 @@ class PlanSpec extends AnyFunSuite {
     assert(frontierShuffles.isEmpty,
       s"frontier shuffled for the rewrite:\n${frontierShuffles.mkString("\n")}")
   }
+
+  test("c35 rendezvous argmin folds in-row: no Generate, no per-(host,shard) exchange") {
+    val p = finalPlan(graft.operators.ShardOps.shardReport(
+      spark, "/root/testdata/sf0.001"))
+    // the in-row aggregate HOF must not plan as an explode (Generate) +
+    // re-aggregation — that shape shuffles |hosts| x |shards| rows
+    assert(!p.contains("Generate"), s"rendezvous exploded:\n$p")
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).size
+    // host-catalog distinct (+AQE reads) and the final sort only
+    assert(exchanges <= 4, s"unexpected exchanges ($exchanges):\n$p")
+  }
+
+  test("t21 DSIR: bucket-score table broadcasts; no text on weight exchanges") {
+    val p = finalPlan(graft.operators.TextOps.dsirWeights(
+      spark, "/root/testdata/sf0.001"))
+    assert(p.contains("BroadcastHashJoin"), s"score join does not broadcast:\n$p")
+    p.linesIterator.filter(_.contains("Exchange hashpartitioning")).foreach { l =>
+      assert(!l.contains("text#"), s"text payload on a weight exchange: $l")
+    }
+  }
+
+  test("c37 CDC: chunk bytes never reach an exchange (pruned before the store agg)") {
+    val p = finalPlan(graft.operators.CdcOps.dedupReport(spark, n = 60, epochs = 2))
+    p.linesIterator.filter(_.contains("Exchange")).foreach { l =>
+      assert(!l.contains("chunk_bytes") && !l.contains("bytes#"),
+        s"chunk payload on a store exchange: $l")
+    }
+  }
+
+  test("c38 audio fingerprints: no payload bytes on the vote exchanges") {
+    val p = finalPlan(graft.operators.MediaOps.audioCopyDetect(spark, n = 20))
+    p.linesIterator.filter(_.contains("Exchange")).foreach { l =>
+      assert(!l.contains("bytes"), s"audio payload on a vote exchange: $l")
+    }
+  }
 }
