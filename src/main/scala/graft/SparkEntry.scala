@@ -103,6 +103,15 @@ object SparkEntry {
     // q45: LATERAL correlated subquery — top-k per outer row, the join
     // form the window idiom (q05) can't express declaratively
     "q45_lateral_join" -> ((s, d) => Relational.lateralJoin(s, d)),
+    // q46: IGNORE NULLS windows — carry-forward + nearest non-null
+    // neighbors (gap-filling over sparse measurements)
+    "q46_ignore_nulls" -> ((s, d) => Relational.ignoreNullsWindow(s, d)),
+    // q47: null-aware anti join — NOT IN's ANSI tri-state semantics
+    // (one planted NULL empties the branch; plain anti join would not)
+    "q47_not_in_null" -> ((s, d) => Relational.notInNullAware(s, d)),
+    // t22: the corpus BUILD end to end in one plan — dedup keep-list +
+    // quality + repetition gates, then sequence packing of survivors
+    "t22_corpus_build" -> ((s, d) => TextOps.corpusBuild(s, d)),
     "q31_grouping_sets" -> ((s, d) => Relational.groupingSets(s, d)),
     "q32_window_dist" -> ((s, d) => Relational.windowDistribution(s, d)),
     "q33_conditional_agg" -> ((s, d) => Relational.conditionalAgg(s, d)),
@@ -851,6 +860,74 @@ object SparkEntry {
           |SELECT id AS doc_id, min(node) AS component,
           |  (id = min(node)) AS is_survivor
           |FROM reach GROUP BY id""".stripMargin),
+    // t22: the four verified fragments CHAINED — t05 pairs -> t07
+    // components -> t08 keep-list (drops), then t01's quality gate and
+    // t18's repetition gate over the kept docs, then t17's packing of
+    // the survivors. The compare gates the composition end to end.
+    "t22_corpus_build" ->
+      (ngramPairSql +
+        """, edges AS (
+          |  SELECT doc_a AS src, doc_b AS dst FROM dup_pairs
+          |  UNION
+          |  SELECT doc_b AS src, doc_a AS dst FROM dup_pairs
+          |), reach AS (
+          |  SELECT src AS id, src AS node FROM edges
+          |  UNION
+          |  SELECT r.id, e.dst AS node FROM reach r JOIN edges e ON r.node = e.src
+          |), drops AS (
+          |  SELECT id FROM (SELECT id, min(node) AS comp FROM reach GROUP BY id)
+          |  WHERE id <> comp
+          |), kept AS (
+          |  SELECT c.doc_id, c.text FROM corpus c
+          |  WHERE c.doc_id NOT IN (SELECT id FROM drops)
+          |), kt AS (
+          |  SELECT k.doc_id, t.t FROM kept k JOIN toks t ON k.doc_id = t.doc_id
+          |), qual AS (
+          |  SELECT doc_id FROM kept
+          |  WHERE CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) >= 32
+          |    AND round(CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS DOUBLE)
+          |          / greatest(length(text), 1), 4) <= 0.1
+          |), base18 AS (
+          |  SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+          |         CAST(len(list_distinct(t)) AS BIGINT) AS n_distinct FROM kt
+          |), g2 AS (
+          |  SELECT doc_id, t[i] || ' ' || t[i+1] AS g
+          |  FROM (SELECT doc_id, t, unnest(generate_series(1, greatest(len(t)-1, 0))) AS i FROM kt)
+          |), m2 AS (
+          |  SELECT doc_id, max(cnt) AS max2
+          |  FROM (SELECT doc_id, g, count(*) AS cnt FROM g2 GROUP BY 1, 2) GROUP BY 1
+          |), g3 AS (
+          |  SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
+          |  FROM (SELECT doc_id, t, unnest(generate_series(1, greatest(len(t)-2, 0))) AS i FROM kt)
+          |), m3 AS (
+          |  SELECT doc_id, max(cnt) AS max3
+          |  FROM (SELECT doc_id, g, count(*) AS cnt FROM g3 GROUP BY 1, 2) GROUP BY 1
+          |), rep AS (
+          |  SELECT b.doc_id
+          |  FROM base18 b LEFT JOIN m2 USING (doc_id) LEFT JOIN m3 USING (doc_id)
+          |  WHERE round(1.0 - CAST(b.n_distinct AS DOUBLE) / greatest(b.n_tokens, 1), 4) <= 0.85
+          |    AND round(CAST(COALESCE(max2, 0) AS DOUBLE) / greatest(b.n_tokens - 1, 1), 4) <= 0.3
+          |    AND round(CAST(COALESCE(max3, 0) AS DOUBLE) / greatest(b.n_tokens - 2, 1), 4) <= 0.3
+          |), surv AS (
+          |  SELECT k.doc_id, k.text FROM kept k
+          |  JOIN qual q ON k.doc_id = q.doc_id
+          |  JOIN rep r ON k.doc_id = r.doc_id
+          |), d17 AS (
+          |  SELECT doc_id, doc_id % 8 AS shard,
+          |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+          |    md5('pack1:' || doc_id) AS ord
+          |  FROM surv
+          |), c17 AS (
+          |  SELECT doc_id, shard, n_tokens,
+          |    sum(n_tokens) OVER (PARTITION BY shard ORDER BY ord
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+          |  FROM d17
+          |)
+          |SELECT doc_id, shard, n_tokens,
+          |  CAST(cum - n_tokens AS BIGINT) AS start_token,
+          |  CAST(floor((cum - n_tokens) / 512.0) AS BIGINT) AS seq_first,
+          |  CAST(floor((cum - 1) / 512.0) AS BIGINT) AS seq_last
+          |FROM c17 ORDER BY doc_id""".stripMargin),
     "t08_dedup_corpus" ->
       (ngramPairSql +
         """, edges AS (
@@ -1252,6 +1329,28 @@ object SparkEntry {
     // g01: host PageRank — the oracle unrolls the power iteration (same
     // edge derivation, per-step 10 dp rounding, dangling redistribution),
     // generated from one place so iters/damping can't drift.
+    "q47_not_in_null" ->
+      """SELECT 'no_null' AS op, c_custkey FROM customer
+        |WHERE c_custkey NOT IN
+        |  (SELECT o_custkey FROM orders WHERE o_totalprice > 400000)
+        |UNION ALL
+        |SELECT 'with_null' AS op, c_custkey FROM customer
+        |WHERE c_custkey NOT IN
+        |  (SELECT CASE WHEN o_orderstatus = 'P' THEN NULL ELSE o_custkey END
+        |   FROM orders)
+        |ORDER BY op, c_custkey""".stripMargin,
+    "q46_ignore_nulls" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, ts,
+        |    CASE WHEN event_type = 'click' THEN NULL ELSE round(value, 2) END AS x
+        |  FROM events
+        |)
+        |SELECT CAST(event_id AS BIGINT) AS event_id,
+        |  last_value(x IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS carry_fwd,
+        |  lag(x, 1 IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_nn,
+        |  lead(x, 1 IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_nn
+        |FROM e ORDER BY event_id""".stripMargin,
     "q45_lateral_join" ->
       """SELECT n.n_name, c.c_name, round(c.c_acctbal, 2) AS acctbal
         |FROM nation n,

@@ -543,6 +543,56 @@ object Relational {
         |""".stripMargin)
   }
 
+  /** q46 — IGNORE NULLS window functions (the W-family's last gap:
+    * q06/q24/q29 use the null-respecting forms): carry-forward of the
+    * last non-null observation plus nearest non-null neighbors — the
+    * gap-filling idiom for sparse measurements (here: 'click' events
+    * carry no value). Same windows, different null handling; Spark's
+    * last/lag/lead all take an ignoreNulls flag, DuckDB spells it
+    * `IGNORE NULLS` inline.
+    */
+  def ignoreNullsWindow(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val frame = w.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding,
+      org.apache.spark.sql.expressions.Window.currentRow)
+    t(spark, dir, "events")
+      .withColumn("x", when(col("event_type") === "click",
+        lit(null).cast("double")).otherwise(round(col("value"), 2)))
+      .select(col("event_id").cast("long").as("event_id"),
+        last(col("x"), ignoreNulls = true).over(frame).as("carry_fwd"),
+        lag(col("x"), 1, null, true).over(w).as("prev_nn"),
+        lead(col("x"), 1, null, true).over(w).as("next_nn"))
+      .orderBy("event_id")
+  }
+
+  /** q47 — NULL-AWARE anti join: `NOT IN` over a subquery is only an
+    * anti join when the key set is null-free; ONE null in the set makes
+    * the predicate UNKNOWN for every non-matching row (ANSI tri-state),
+    * so the result is EMPTY. Spark plans the nullable branch as a
+    * null-aware anti join (BroadcastNestedLoopJoin + NAAJ); an engine
+    * that lowered it to a plain anti join would return rows here and
+    * fail the gate. Both branches in one query: the null-free branch
+    * behaves as q03's anti join, the planted-null branch contributes
+    * zero rows.
+    */
+  def notInNullAware(spark: SparkSession, dir: String): DataFrame = {
+    t(spark, dir, "customer").createOrReplaceTempView("graft_customer_v47")
+    t(spark, dir, "orders").createOrReplaceTempView("graft_orders_v47")
+    spark.sql(
+      """SELECT 'no_null' AS op, c_custkey FROM graft_customer_v47
+        |WHERE c_custkey NOT IN
+        |  (SELECT o_custkey FROM graft_orders_v47 WHERE o_totalprice > 400000)
+        |UNION ALL
+        |SELECT 'with_null' AS op, c_custkey FROM graft_customer_v47
+        |WHERE c_custkey NOT IN
+        |  (SELECT CASE WHEN o_orderstatus = 'P' THEN NULL ELSE o_custkey END
+        |   FROM graft_orders_v47)
+        |ORDER BY op, c_custkey
+        |""".stripMargin)
+  }
+
   /** q41 — MapType breadth (§2.8's transient-map claim exercised for
     * real): per-customer status->count map built with map_from_entries
     * over a sorted entry list (sorted so the map's internal order is

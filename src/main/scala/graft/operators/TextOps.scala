@@ -520,12 +520,19 @@ object TextOps {
     * end to end.
     */
   def sequencePack(spark: SparkSession, dir: String,
-                   budget: Int = 512, shards: Int = 8): DataFrame = {
+                   budget: Int = 512, shards: Int = 8): DataFrame =
+    sequencePackOf(docs(spark, dir), budget, shards)
+
+  /** t17 kernel over any (doc_id, text) corpus (t22 packs the BUILT
+    * corpus through this same code).
+    */
+  def sequencePackOf(corpus: DataFrame,
+                     budget: Int = 512, shards: Int = 8): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("shard").orderBy("ord")
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
         org.apache.spark.sql.expressions.Window.currentRow)
-    docs(spark, dir).select(col("doc_id"),
+    corpus.select(col("doc_id"),
         pmod(col("doc_id"), lit(shards.toLong)).as("shard"),
         size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"),
         md5(concat(lit("pack1:"), col("doc_id"))).as("ord"))
@@ -537,6 +544,35 @@ object TextOps {
         floor((col("cum") - 1) / lit(budget.toDouble))
           .cast("long").as("seq_last"))
       .orderBy("doc_id")
+  }
+
+  /** t22 — the corpus BUILD end to end, as ONE declarative plan: dedup
+    * keep-list (t05 pairs -> t07 components -> survivors), quality gate
+    * (t01 metrics), repetition gate (t18 metrics), then sequence packing
+    * (t17) of what survives. This is the pipeline a training-data release
+    * actually runs; expressing it as one plan lets Catalyst fuse the
+    * quality/repetition filters into the post-anti-join scan and share
+    * the corpus scan across gate branches. Every stage reuses its
+    * already-oracled kernel, and the composed DuckDB oracle chains the
+    * same four verified SQL fragments — the gate checks the COMPOSITION,
+    * not just the parts.
+    */
+  def corpusBuild(spark: SparkSession, dir: String,
+                  minTokens: Long = 32L, maxPunct: Double = 0.1,
+                  maxDup: Double = 0.85, maxTopGram: Double = 0.3): DataFrame = {
+    val corpus = plantedCorpus(spark, dir)
+    val kept = DedupResolve.filterCorpus(
+      corpus, "doc_id", ngramJaccardPairs(corpus), "doc_a", "doc_b")
+    val qualOk = qualityStatsOf(kept)
+      .where(col("n_tokens") >= minTokens && col("punct_ratio") <= maxPunct)
+      .select("doc_id")
+    val repOk = repetitionStatsOf(kept)
+      .where(col("dup_tok_frac") <= maxDup &&
+        col("top2_frac") <= maxTopGram && col("top3_frac") <= maxTopGram)
+      .select("doc_id")
+    sequencePackOf(
+      kept.join(qualOk, Seq("doc_id"), "left_semi")
+        .join(repOk, Seq("doc_id"), "left_semi"))
   }
 
   // ---- t16: train/eval split + leakage audit ---------------------------
