@@ -112,6 +112,12 @@ object SparkEntry {
     // t22: the corpus BUILD end to end in one plan — dedup keep-list +
     // quality + repetition gates, then sequence packing of survivors
     "t22_corpus_build" -> ((s, d) => TextOps.corpusBuild(s, d)),
+    // q48: RECURSIVE CTE multi-hop reachability (UnionLoop) — BFS min-hop
+    // crawl depth from a seed host as ONE declarative plan
+    "q48_recursive_cte" -> ((s, d) => Relational.recursiveReachability(s, d)),
+    // t23: TF-IDF top terms per doc — integer fixed-point idf so the
+    // score/rank table is engine-exact (t21 discipline)
+    "t23_tfidf_topterms" -> ((s, d) => TextOps.tfidfTopTerms(s, d)),
     "q31_grouping_sets" -> ((s, d) => Relational.groupingSets(s, d)),
     "q32_window_dist" -> ((s, d) => Relational.windowDistribution(s, d)),
     "q33_conditional_agg" -> ((s, d) => Relational.conditionalAgg(s, d)),
@@ -254,6 +260,9 @@ object SparkEntry {
     // c39: sitemap discovery FROM robots.txt (the sitemaps.org discovery
     // mechanism; only advertised sitemaps are fetched — rows-only gate)
     "c39_sitemap_discovery" -> ((s, _) => operators.SitemapOps.discoveredEntries(s)),
+    // c40: stream-static enrichment — per-micro-batch broadcast dimension
+    // join (no state store); StreamingSpec pins stream == batch mirror
+    "c40_stream_enrich" -> ((s, _) => graft.streaming.StreamingJobs.enrichDemo(s)),
     "t04_neardup_simhash" -> ((s, d) => TextOps.nearDupSimhash(s, d)),
     "emb01_cosine_topk" -> ((s, d) => SimilarityOps.bruteCosineTopK(s, d)),
     "emb02_ann_lsh" -> ((s, d) => SimilarityOps.annLshTopK(s, d)),
@@ -266,6 +275,9 @@ object SparkEntry {
     // emb08: persisted SQ8 code store — two epoch appends + a cumulative
     // probe; must return emb07's exact rows (same oracle)
     "emb08_ann_sq8_store" -> ((s, d) => SimilarityOps.annSqStoreDemo(s, d)),
+    // emb09: SemDeDup — k-means cluster-scoped semantic near-dup pairs
+    // resolved to components; survivor = component-min (Abbas et al. '23)
+    "emb09_semdedup" -> ((s, d) => SimilarityOps.semDedup(s, d)),
     "emb03_neardup_cosine" -> ((s, d) =>
       SimilarityOps.nearDupCosine(s, d).orderBy("vec_a", "vec_b")),
     // ---- crawl domain (synthetic inputs; scalatest-golden) ------------
@@ -864,6 +876,57 @@ object SparkEntry {
     // components -> t08 keep-list (drops), then t01's quality gate and
     // t18's repetition gate over the kept docs, then t17's packing of
     // the survivors. The compare gates the composition end to end.
+    // q48: identical ANSI recursive-CTE text runs on both engines; the
+    // formula edge set bounds the expansion (out-degree 2, depth < 7)
+    // despite cycles, and min-hop-per-node is order-independent.
+    "q48_recursive_cte" ->
+      """WITH RECURSIVE hops(node, depth) AS (
+        |  SELECT CAST(0 AS BIGINT) AS node, 0 AS depth
+        |  UNION ALL
+        |  SELECT CAST(e.dst AS BIGINT), h.depth + 1
+        |  FROM hops h
+        |  JOIN (
+        |    SELECT n_nationkey AS src, (n_nationkey * 7 + 3) % 25 AS dst
+        |    FROM nation
+        |    UNION ALL
+        |    SELECT n_nationkey AS src, (n_nationkey * 3 + 11) % 25 AS dst
+        |    FROM nation
+        |  ) e ON e.src = h.node
+        |  WHERE h.depth < 7
+        |)
+        |SELECT h.node AS n_nationkey, n.n_name,
+        |       CAST(MIN(h.depth) AS INT) AS min_hops
+        |FROM hops h
+        |JOIN nation n ON n.n_nationkey = h.node
+        |GROUP BY h.node, n.n_name""".stripMargin,
+    // t23: TF-IDF — tokenization mirrors t14 (lower/trim + \s+ split),
+    // idf in BIGINT fixed-point ((N*1e6) // df) so score/rank carry no
+    // float anywhere; ties break on term text in both engines.
+    "t23_tfidf_topterms" ->
+      """WITH toks AS (
+        |  SELECT doc_id, t AS term FROM (
+        |    SELECT doc_id,
+        |      unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS t
+        |    FROM documents)
+        |  WHERE t <> ''
+        |), tf AS (
+        |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        |  FROM toks GROUP BY 1, 2
+        |), df AS (
+        |  SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1
+        |), n AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents
+        |), scored AS (
+        |  SELECT t.doc_id, t.term, t.tf, df.df,
+        |         t.tf * ((n.n_docs * 1000000) // df.df) AS score
+        |  FROM tf t JOIN df USING (term) CROSS JOIN n
+        |), ranked AS (
+        |  SELECT *, CAST(row_number() OVER (
+        |      PARTITION BY doc_id ORDER BY score DESC, term ASC) AS INT) AS rank
+        |  FROM scored
+        |)
+        |SELECT doc_id, term, tf, df, score, rank
+        |FROM ranked WHERE rank <= 3""".stripMargin,
     "t22_corpus_build" ->
       (ngramPairSql +
         """, edges AS (

@@ -543,6 +543,42 @@ object Relational {
         |""".stripMargin)
   }
 
+  /** q48 — RECURSIVE CTE multi-hop reachability (SPARK-24497, new in
+    * Spark 4.x — the iteration-in-SQL family none of q01..q47 touches):
+    * BFS minimum hop distance from a seed host over a deterministic
+    * 2-out-degree link graph, the declarative form of "crawl to depth d
+    * from this seed" (the driver loop DedupResolve/GraphOps run by hand
+    * is here a single UnionLoop plan). Edges derive from the nation table
+    * by formula (dst = (src*7+3)%25 and (src*3+11)%25) so the expansion
+    * is bounded (out-degree 2, depth < 7 => <= 255 path rows) on any
+    * engine despite cycles; the final aggregate collapses paths to
+    * min-hop per reached node. DuckDB runs the identical ANSI text.
+    */
+  def recursiveReachability(spark: SparkSession, dir: String): DataFrame = {
+    t(spark, dir, "nation").createOrReplaceTempView("graft_nation_v48")
+    spark.sql(
+      """WITH RECURSIVE hops(node, depth) AS (
+        |  SELECT CAST(0 AS BIGINT) AS node, 0 AS depth
+        |  UNION ALL
+        |  SELECT CAST(e.dst AS BIGINT), h.depth + 1
+        |  FROM hops h
+        |  JOIN (
+        |    SELECT n_nationkey AS src, (n_nationkey * 7 + 3) % 25 AS dst
+        |    FROM graft_nation_v48
+        |    UNION ALL
+        |    SELECT n_nationkey AS src, (n_nationkey * 3 + 11) % 25 AS dst
+        |    FROM graft_nation_v48
+        |  ) e ON e.src = h.node
+        |  WHERE h.depth < 7
+        |)
+        |SELECT h.node AS n_nationkey, n.n_name,
+        |       CAST(MIN(h.depth) AS INT) AS min_hops
+        |FROM hops h
+        |JOIN graft_nation_v48 n ON n.n_nationkey = h.node
+        |GROUP BY h.node, n.n_name
+        |""".stripMargin)
+  }
+
   /** q46 — IGNORE NULLS window functions (the W-family's last gap:
     * q06/q24/q29 use the null-respecting forms): carry-forward of the
     * last non-null observation plus nearest non-null neighbors — the

@@ -553,6 +553,78 @@ object SimilarityOps {
     annSqTopKFromStore(spark, dir, root, uptoEpoch = 1)
   }
 
+  // ---- emb09: SemDeDup ---------------------------------------------------
+
+  /** emb09 — SemDeDup, SEMANTIC deduplication of an embedding corpus
+    * (Abbas et al. 2023, arXiv:2303.09540 — public technique): k-means
+    * partitions the embedding space (the IVF coarse quantizer, ivfTrain,
+    * reused verbatim), near-dup pairs are searched ONLY within each
+    * cluster, the pair graph resolves to connected components (the D9
+    * operator), and the component-min vector survives.
+    *
+    * The cluster scoping IS the scale story: with k ~ sqrt(n) clusters of
+    * ~sqrt(n) vectors the pair join costs sum_c n_c^2 ~ n^1.5 instead of
+    * n^2 — exactly how SemDeDup ran on LAION-440M. Unlike nearDupCosine's
+    * LSH blocking, the key is SEMANTIC: near-identical embeddings share a
+    * nearest centroid even when a random hyperplane happens to separate
+    * them (the pigeonhole failure LSH pays multi-probe to recover).
+    * Plan shape: vectors ride exactly one exchange per join side (the
+    * hash partition on list_id); cosine is computed inside the join stage
+    * and projected away immediately, so everything downstream — the pair
+    * table, the CC fixpoint, the keep-list — carries (id, id) longs only;
+    * cluster-size skew is AQE skew-join territory (the same backstop the
+    * salted joins document).
+    */
+  def semDedup(spark: SparkSession, dir: String,
+               threshold: Double = 0.99, nClusters: Int = 0): DataFrame =
+    semDedupOf(plantedEmb(spark, dir), threshold, nClusters)
+      .orderBy("vec_id")
+
+  /** The nearDupCosine plant (deterministic 5% perturbed copies) so the
+    * operator provably fires on the test corpus.
+    */
+  private def plantedEmb(spark: SparkSession, dir: String): DataFrame = {
+    val base = emb(spark, dir).select("vec_id", "embedding")
+    val planted = base.where(pmod(col("vec_id"), lit(20)) === 0)
+      .select((col("vec_id") + 1000000L).as("vec_id"),
+        transform(col("embedding"), (x, i) =>
+          when(i === 0, (x.cast("double") + lit(0.05)).cast("float")).otherwise(x))
+          .as("embedding"))
+    base.unionByName(planted)
+  }
+
+  /** SemDeDup kernel over any (vec_id, embedding) frame: returns
+    * (vec_id, component, is_survivor) for every vector in a near-dup
+    * pair; component = min vec_id (the survivor), the DedupResolve
+    * contract.
+    */
+  def semDedupOf(corpus: DataFrame, threshold: Double = 0.99,
+                 nClusters: Int = 0): DataFrame = {
+    val kLists = if (nClusters > 0) nClusters else clustersFor(corpus.count())
+    val cents = ivfTrain(corpus, kLists)
+    val listed = corpus
+      .withColumn("list_id", ivfAssignCol(col("embedding"), cents))
+      .select("list_id", "vec_id", "embedding")
+    val pairs = listed.as("a").join(listed.as("b"),
+        col("a.list_id") === col("b.list_id") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        round(cosineCol(col("a.embedding"), col("b.embedding")), 4).as("cos"))
+      .where(col("cos") >= threshold)
+    DedupResolve.resolve(pairs, "vec_a", "vec_b")
+      .select(col("doc_id").as("vec_id"), col("component"), col("is_survivor"))
+  }
+
+  /** SemDeDup corpus ACTION: the embedding table minus non-survivors
+    * (keep = survivor or never-paired; same anti-join discipline as
+    * DedupResolve.filterCorpus).
+    */
+  def semDedupedCorpus(corpus: DataFrame, threshold: Double = 0.99,
+                       nClusters: Int = 0): DataFrame = {
+    val drop = semDedupOf(corpus, threshold, nClusters)
+      .where(!col("is_survivor")).select("vec_id")
+    corpus.join(broadcast(drop), Seq("vec_id"), "left_anti")
+  }
+
   /** MULTI-PROBE LSH ANN (Lv et al., VLDB'07 — public technique):
     * sign-of-random-hyperplane bucket per corpus vector; each query probes
     * every bucket within Hamming distance `probeRadius` of its own bucket

@@ -980,6 +980,49 @@ object TextOps {
        |       THEN 1 ELSE 0 END AS INT) AS selected
        |FROM weights, k ORDER BY doc_id""".stripMargin
 
+  // ---- t23: TF-IDF top terms -------------------------------------------
+
+  /** t23 — TF-IDF keyword extraction (Spärck Jones, J.Doc 1972 — public
+    * technique): the per-document top-k most DISTINCTIVE terms, the first
+    * representation retrieval / corpus-exploration stacks build over a
+    * crawled corpus. Arithmetic discipline (the t21 fixed-point lesson):
+    * idf is INTEGER fixed-point — `idf_fp = (N * 1e6) div df` — instead of
+    * `ln(N/df)`, because ln() is not bit-identical across engines while
+    * BIGINT division is exact everywhere; idf_fp is strictly monotone in
+    * N/df, so per-document ranks agree with the classic formulation up to
+    * the 1e-6 quantization, and the whole (score, rank) table reproduces
+    * with NO rounding tolerance — which is what puts t23 in the hard
+    * DuckDB oracle gate.
+    *
+    * Scale shape: the token stream shuffles ONCE into the (doc_id, term)
+    * tf aggregate (map-side combined — the exchange carries distinct
+    * per-doc terms, not token occurrences); df derives from tf by a
+    * term-keyed re-agg whose output is vocab-sized (Heaps' law ~
+    * sqrt(corpus)) and joins back BROADCAST; N is a 1-row aggregate
+    * cross-joined in-plan, never collected; top-k is a per-doc window
+    * over the doc-partitioned tf table.
+    */
+  def tfidfTopTerms(spark: SparkSession, dir: String, k: Int = 3): DataFrame =
+    tfidfTopTermsOf(docs(spark, dir), k)
+
+  /** t23 kernel over any (doc_id, text) frame. */
+  def tfidfTopTermsOf(corpus: DataFrame, k: Int = 3): DataFrame = {
+    val base = corpus.select(col("doc_id"), col("text"))
+    val toks = base.select(col("doc_id"),
+      explode(split(lower(trim(col("text"))), "\\s+")).as("term"))
+      .where(length(col("term")) > 0)
+    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfT = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = base.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(broadcast(dfT), "term").crossJoin(broadcast(n))
+      .withColumn("score", expr("tf * ((n_docs * 1000000) div df)"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("score").desc, col("term").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("doc_id", "term", "tf", "df", "score", "rank")
+  }
+
   /** SimHash near-dup: fingerprint once, candidate pairs by identical
     * 16-bit prefix block (cheap bucketing), verify by Hamming distance.
     */

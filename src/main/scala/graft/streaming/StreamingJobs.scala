@@ -612,4 +612,77 @@ object StreamingJobs {
         col("epoch").as("found_in_batch"))
       .orderBy("doc_a", "doc_b")
   }
+
+  // ---- c40: stream-STATIC enrichment join --------------------------------
+
+  /** The join body shared verbatim between the streaming path and the
+    * batch mirror (the q39 discipline): broadcast-hash LEFT join of
+    * frontier entries against the host policy dimension + the P4
+    * longest-prefix robots verdict, defaults applied where the dimension
+    * has no row for the host.
+    */
+  private[graft] def enrichJoin(entries: DataFrame, dim: DataFrame): DataFrame =
+    entries.join(broadcast(dim), Seq("host"), "left")
+      .select(col("url_hash"), col("host"), col("path"),
+        (col("rules").isNull ||
+          graft.operators.FrontierJob.robotsAllowedCol(col("rules"), col("path")))
+          .as("allowed"),
+        coalesce(col("crawl_delay_ms"), lit(500L)).as("crawl_delay_ms"),
+        coalesce(col("host_budget"), lit(40)).as("host_budget"))
+
+  /** c40 — stream-STATIC enrichment (the dimension join every streaming
+    * pipeline runs, and the one join family the streaming suite lacked:
+    * q18 aggregates, c14/c24 hold keyed state, q39 buffers BOTH sides —
+    * here the unbounded frontier joins a bounded, slowly-changing
+    * dimension). No state store is involved, which is the point: Spark
+    * re-plans the static side into every micro-batch, a host-catalog-sized
+    * dimension BROADCASTS, and the stream side never shuffles — per-batch
+    * cost is O(batch), independent of how long the stream has run. At
+    * 100 TB the dimension (robots/policy per host) is ~10^7 rows —
+    * broadcast territory — while the frontier stream is unbounded.
+    */
+  def streamStaticEnrich(
+      entries: Dataset[(Long, String, String)], // (url_hash, host, path)
+      dim: DataFrame): DataFrame =
+    enrichJoin(entries.toDF("url_hash", "host", "path"), dim)
+
+  /** Driver-contract wrapper: 3 micro-batches of canonicalized frontier
+    * entries (plus planted unknown-dimension hosts exercising the left
+    * side) enriched against the Gen.robots catalog; rows-only gate —
+    * StreamingSpec asserts stream == batch mirror exactly.
+    */
+  def enrichDemo(spark: SparkSession, n: Int = 3000): DataFrame =
+    withFewStatePartitions(spark) { enrichDemoImpl(spark, n) }
+
+  private[graft] def enrichFeed(n: Int): Array[(Long, String, String)] =
+    (graft.sources.Gen.seedsLocal(n).flatMap { s =>
+      val uc = graft.functions.UrlKit.canonicalize(s.url)
+      if (uc == null || uc.isEmpty) None
+      else Some((graft.operators.CrawlOracle.xxhash64(uc),
+        graft.functions.UrlKit.hostOf(uc), graft.functions.UrlKit.pathOf(uc)))
+    } ++ (0 until 7).map(i =>
+      (9000000L + i, s"unknown-$i.example", s"/page/$i"))).toArray
+
+  private def enrichDemoImpl(spark: SparkSession, n: Int): DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dim = graft.sources.Gen.robots(spark).toDF()
+    val feed = enrichFeed(n)
+    val stream = MemoryStream[(Long, String, String)]
+    val out = streamStaticEnrich(stream.toDS(), dim)
+    val name = s"stream_enrich_$n"
+    val q = out.writeStream.outputMode(OutputMode.Append())
+      .option("checkpointLocation", ckptDir(name))
+      .format("memory").queryName(name).start()
+    try {
+      val third = feed.length / 3
+      stream.addData(feed.take(third).toIndexedSeq)
+      q.processAllAvailable()
+      stream.addData(feed.slice(third, 2 * third).toIndexedSeq)
+      q.processAllAvailable()
+      stream.addData(feed.drop(2 * third).toIndexedSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    spark.table(name).orderBy("url_hash", "path")
+  }
 }

@@ -187,4 +187,27 @@ class StreamingSpec extends AnyFunSuite {
     assert(out.exists(_._6 == 2), "planted image copies not flagged in their arrival batch")
     assert(out.forall(_._5 == 0), "exact re-crawls should pair at hamming 0")
   }
+
+  test("stream-static enrichment == batch mirror (c40); defaults on unknown hosts") {
+    import spark.implicits._
+    val n = 900
+    val streamed = StreamingJobs.enrichDemo(spark, n).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getBoolean(3),
+        r.getLong(4), r.getInt(5))).toSet
+    val feed = StreamingJobs.enrichFeed(n)
+    val batch = StreamingJobs.enrichJoin(
+      spark.createDataset(feed.toIndexedSeq).toDF("url_hash", "host", "path"),
+      graft.sources.Gen.robots(spark).toDF()).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getBoolean(3),
+        r.getLong(4), r.getInt(5))).toSet
+    assert(streamed == batch, "stream-static join != batch broadcast join")
+    // non-vacuity: the robots verdict actually fires, and the planted
+    // unknown hosts take the left-join default policy
+    assert(streamed.exists(!_._4), "no disallowed row — robots verdict vacuous")
+    assert(streamed.exists(_._4), "no allowed row")
+    val unknown = streamed.filter(_._2.startsWith("unknown-"))
+    assert(unknown.size == 7 &&
+      unknown.forall(t => t._4 && t._5 == 500L && t._6 == 40),
+      "unknown-host rows did not take the default policy")
+  }
 }
