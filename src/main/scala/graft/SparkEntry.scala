@@ -263,6 +263,9 @@ object SparkEntry {
     // c40: stream-static enrichment — per-micro-batch broadcast dimension
     // join (no state store); StreamingSpec pins stream == batch mirror
     "c40_stream_enrich" -> ((s, _) => graft.streaming.StreamingJobs.enrichDemo(s)),
+    // c41: FULL-language robots matching (RFC 9309 wildcards/anchors) —
+    // both engines' verdicts side by side; spec pins kernel==column==REP
+    "c41_robots_wildcard" -> ((s, _) => operators.RobotsWildcardOps.wildcardVerdicts(s)),
     "t04_neardup_simhash" -> ((s, d) => TextOps.nearDupSimhash(s, d)),
     "emb01_cosine_topk" -> ((s, d) => SimilarityOps.bruteCosineTopK(s, d)),
     "emb02_ann_lsh" -> ((s, d) => SimilarityOps.annLshTopK(s, d)),
@@ -278,6 +281,9 @@ object SparkEntry {
     // emb09: SemDeDup — k-means cluster-scoped semantic near-dup pairs
     // resolved to components; survivor = component-min (Abbas et al. '23)
     "emb09_semdedup" -> ((s, d) => SimilarityOps.semDedup(s, d)),
+    // emb10: persisted PQ index — codebooks trained once + per-epoch code
+    // tables; probe == one-shot emb05 (EntrySmokeSpec exact + stale floor)
+    "emb10_ann_pq_store" -> ((s, d) => SimilarityOps.annPqStoreDemo(s, d)),
     "emb03_neardup_cosine" -> ((s, d) =>
       SimilarityOps.nearDupCosine(s, d).orderBy("vec_a", "vec_b")),
     // ---- crawl domain (synthetic inputs; scalatest-golden) ------------

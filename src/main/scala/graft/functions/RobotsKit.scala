@@ -31,7 +31,22 @@ object RobotsKit {
       nDroppedRules: Int = 0,
       sitemaps: Seq[String] = Seq.empty)
 
-  def parse(text: String, agent: String = "graftbot"): Parsed = {
+  /** FULL-language parse (c41): wildcard/anchor rules are KEPT as raw
+    * patterns for the wildcard matcher instead of dropped-and-counted —
+    * `RobotsRule.prefix` holds the pattern verbatim ('*' any-sequence,
+    * trailing '$' end-anchor, prefix semantics otherwise). The base
+    * prefix-engine `parse` is unchanged (its dropped-rule accounting is
+    * what c10 pins); this variant is the opt-in completion of the RFC 9309
+    * matching language.
+    */
+  def parseWildcard(text: String, agent: String = "graftbot"): Parsed =
+    parseImpl(text, agent, keepWildcards = true)
+
+  def parse(text: String, agent: String = "graftbot"): Parsed =
+    parseImpl(text, agent, keepWildcards = false)
+
+  private def parseImpl(text: String, agent: String,
+                        keepWildcards: Boolean): Parsed = {
     if (text == null || text.isEmpty) return Parsed(Seq.empty, None)
     val agentLc = agent.toLowerCase
     // split into groups: a group = 1+ user-agent lines followed by directives
@@ -70,7 +85,8 @@ object RobotsKit {
               // empty Disallow = allow everything (no rule); wildcard rules
               // are outside the prefix engine's language — drop AND COUNT
               if (value.nonEmpty) {
-                if (value.contains("*") || value.endsWith("$")) dropped += 1
+                if (!keepWildcards && (value.contains("*") || value.endsWith("$")))
+                  dropped += 1
                 else rules :+= RobotsRule(allow = key == "allow", prefix = value)
               }
             case "crawl-delay" =>
@@ -100,6 +116,56 @@ object RobotsKit {
       selected.flatMap(_.delayMs).headOption,
       dropped,
       sitemapUrls)
+  }
+
+  // ---- c41: wildcard matching (RFC 9309 §2.2.2 full language) ------------
+
+  /** Does a robots path pattern match `path`? '*' matches any character
+    * sequence, a trailing '$' anchors the pattern at the end of the path;
+    * without '$' the pattern is a prefix matcher (anything may follow).
+    * Greedy leftmost placement of the middle segments is sound: it only
+    * maximizes the room left for later segments, and the anchored tail is
+    * checked against the path END explicitly.
+    */
+  def wildcardMatches(pattern: String, path: String): Boolean = {
+    val anchored = pattern.endsWith("$")
+    val p = if (anchored) pattern.substring(0, pattern.length - 1) else pattern
+    val segs = p.split("\\*", -1)
+    if (!path.startsWith(segs.head)) return false
+    var pos = segs.head.length
+    if (segs.length == 1) return !anchored || path.length == pos
+    var i = 1
+    while (i < segs.length) {
+      val seg = segs(i)
+      if (i == segs.length - 1 && anchored) {
+        if (!(path.endsWith(seg) && path.length - seg.length >= pos)) return false
+        pos = path.length
+      } else {
+        val idx = path.indexOf(seg, pos)
+        if (idx < 0) return false
+        pos = idx + seg.length
+      }
+      i += 1
+    }
+    true
+  }
+
+  /** Rule-set verdict under the full language: the most specific match —
+    * longest pattern in octets, RFC 9309 §2.2.2 — decides; equal-length
+    * ties resolve to allow ("if rules are equivalent, allow SHOULD be
+    * used"); no match = allow.
+    */
+  def wildcardAllowed(rules: Seq[RobotsRule], path: String): Boolean = {
+    var bestLen = -1
+    var bestAllow = true
+    rules.foreach { r =>
+      if (wildcardMatches(r.prefix, path)) {
+        val len = r.prefix.length
+        if (len > bestLen) { bestLen = len; bestAllow = r.allow }
+        else if (len == bestLen && r.allow) bestAllow = true
+      }
+    }
+    bestAllow
   }
 
   /** Render a rule set back to robots.txt text (round-trip property-tested:

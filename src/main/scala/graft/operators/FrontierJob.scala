@@ -250,6 +250,40 @@ object FrontierJob {
     best.getField("allow")
   }
 
+  /** c41 — FULL-language robots verdict as a pure Catalyst column (the
+    * wildcard completion of P4's prefix engine): each pattern translates
+    * to an anchored Java regex IN-PLAN ('*' -> '.*' after escaping every
+    * non-alphanumeric octet — escaping non-alnum is always legal in Java
+    * regex; trailing '$' strips to a regex end-anchor; no '$' appends the
+    * implicit any-suffix), matching via regexp_like with a per-row
+    * pattern (rules are data). Precedence per RFC 9309 §2.2.2: longest
+    * pattern in octets decides, equal-length ties resolve to allow, no
+    * match = allow. Kernel parity (RobotsKit.wildcardAllowed) is
+    * fuzz-pinned in RobotsWildcardSpec.
+    */
+  def wildcardAllowedCol(rules: Column, path: Column): Column = {
+    def regexOf(p: Column): Column = {
+      val anchored = endswith(p, lit("$"))
+      val body = when(anchored, regexp_replace(p, "\\$$", "")).otherwise(p)
+      val esc = regexp_replace(body, "([^a-zA-Z0-9])", "\\\\$1")
+      val starred = regexp_replace(esc, "\\\\\\*", ".*")
+      concat(lit("^"), starred, when(anchored, lit("$")).otherwise(lit("")))
+    }
+    val matched = filter(rules, r => regexp_like(path, regexOf(r.getField("prefix"))))
+    val best = aggregate(
+      matched,
+      struct(lit(-1).as("len"), lit(true).as("allow")),
+      (acc, r) => {
+        val len = length(r.getField("prefix"))
+        when(len > acc.getField("len"),
+          struct(len.as("len"), r.getField("allow").as("allow")))
+          .when(len === acc.getField("len") && r.getField("allow"),
+            struct(len.as("len"), lit(true).as("allow")))
+          .otherwise(acc)
+      })
+    best.getField("allow")
+  }
+
   /** Per-host politeness scheduling: the priority queue of the north_rule
     * as a bounded-heap top-K Aggregator (TopKAgg) with map-side combine.
     *

@@ -401,13 +401,32 @@ object SimilarityOps {
   def annPqTopK(spark: SparkSession, dir: String,
                 nQueries: Int = 3, k: Int = 5, m: Int = 8, kSub: Int = 16,
                 refine: Int = 0): DataFrame = {
-    import spark.implicits._
     val e = emb(spark, dir).select("vec_id", "embedding")
     val cents = pqTrain(e, m, kSub)
-    val sc = spark.sparkContext
-    val bcC = sc.broadcast(cents)
+    annPqAgainstCodes(e, pqCodesOf(e, cents), cents, nQueries, k, refine)
+  }
+
+  /** Encode a corpus against a (possibly persisted) codebook set: codes
+    * are a pure per-vector function of the codebooks, so re-encoding is
+    * reproducible and epoch slices encode independently.
+    */
+  def pqCodesOf(e: DataFrame, cents: Array[Array[Array[Float]]]): DataFrame = {
+    val bcC = e.sparkSession.sparkContext.broadcast(cents)
     val encodeUdf = udf((v: Seq[Float]) => graft.functions.VecKit.pqEncode(v, bcC.value))
-    val codes = e.select(col("vec_id"), encodeUdf(col("embedding")).as("code"))
+    e.select(col("vec_id"), encodeUdf(col("embedding")).as("code"))
+  }
+
+  /** PQ ADC top-k against an explicit code table — the kernel shared by
+    * the one-shot emb05 and the persisted-store emb10 path (identical
+    * lookup-table arithmetic, so the two are equal by construction given
+    * equal codebooks + codes).
+    */
+  private def annPqAgainstCodes(e: DataFrame, codes: DataFrame,
+                                cents: Array[Array[Array[Float]]],
+                                nQueries: Int, k: Int, refine: Int): DataFrame = {
+    import e.sparkSession.implicits._
+    val spark = e.sparkSession
+    val sc = spark.sparkContext
     val queries = e.where(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
     // per-query ADC tables: nQueries tiny rows collected, tables broadcast
@@ -438,6 +457,70 @@ object SimilarityOps {
     scored.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select(col("query_id"), col("vec_id"), round(col("cos"), 4).as("cos"), col("rank"))
+  }
+
+  // ---- emb10: persisted PQ index ------------------------------------------
+
+  /** emb10 — the PERSISTED PQ index (the SimIndex/emb08 discipline applied
+    * to emb05, completing the persisted-form matrix: shingles S8, LSH
+    * buckets D10b, IVF lists S8b, SQ8 codes emb08, PQ codebooks + codes
+    * HERE). Codebooks are TRAINED ONCE and persisted (`pq_index/codebooks`
+    * — m x kSub sub-centroid rows, KBs); each epoch then encodes ONLY its
+    * new vectors against the stored codebooks (`pq_index/codes/epoch=N`,
+    * m bytes/vector) — no retrain, no corpus rescan, which is the PQ
+    * incremental story (unlike SQ8, codes are meaningless without the
+    * codebooks, so the codebooks ARE the index state that must persist).
+    * A probe reads the cumulative byte-sized code store and touches floats
+    * only for the exact refine. Stale codebooks (trained before later
+    * epochs arrived) degrade RECALL only — candidates still re-score
+    * exactly — which EntrySmokeSpec pins with a floor.
+    */
+  def writePqCodebooks(spark: SparkSession, cents: Array[Array[Array[Float]]],
+                       root: String): Unit = {
+    import spark.implicits._
+    val rows = for {
+      (sub, j) <- cents.zipWithIndex
+      (c, ci) <- sub.zipWithIndex
+    } yield (j, ci, c.toSeq)
+    rows.toIndexedSeq.toDF("sub", "cent", "vals")
+      .coalesce(1).write.mode("overwrite").parquet(s"$root/pq_index/codebooks")
+  }
+
+  def readPqCodebooks(spark: SparkSession, root: String): Array[Array[Array[Float]]] = {
+    val rows = spark.read.parquet(s"$root/pq_index/codebooks")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getSeq[Float](2).toArray))
+    rows.groupBy(_._1).toSeq.sortBy(_._1)
+      .map(_._2.sortBy(_._2).map(_._3).toArray).toArray
+  }
+
+  def writePqCodes(e: DataFrame, root: String, epoch: Int,
+                   cents: Array[Array[Array[Float]]]): Unit =
+    pqCodesOf(e, cents)
+      .write.mode("overwrite").parquet(s"$root/pq_index/codes/epoch=$epoch")
+
+  def annPqTopKFromStore(spark: SparkSession, dir: String, root: String,
+                         uptoEpoch: Int, nQueries: Int = 3, k: Int = 5,
+                         refine: Int = 0): DataFrame = {
+    val cents = readPqCodebooks(spark, root)
+    val codes = spark.read.parquet(
+      (0 to uptoEpoch).map(e => s"$root/pq_index/codes/epoch=$e"): _*)
+    annPqAgainstCodes(emb(spark, dir).select("vec_id", "embedding"), codes,
+      cents, nQueries, k, refine)
+  }
+
+  /** emb10 driver demo: codebooks trained on the FULL corpus (so the
+    * result must equal the one-shot emb05 exactly — the persisted-index
+    * guarantee), persisted, READ BACK, and used to encode the corpus as
+    * two epoch slices; the probe reads the cumulative code store.
+    */
+  def annPqStoreDemo(spark: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft-emb10").toString
+    val e = emb(spark, dir).select("vec_id", "embedding")
+    writePqCodebooks(spark, pqTrain(e), root)
+    val cents = readPqCodebooks(spark, root)
+    writePqCodes(e.where(pmod(col("vec_id"), lit(2)) === 0), root, 0, cents)
+    writePqCodes(e.where(pmod(col("vec_id"), lit(2)) === 1), root, 1, cents)
+    annPqTopKFromStore(spark, dir, root, uptoEpoch = 1)
   }
 
   /** Scalar-quantized int8 ANN (emb07 — the FAISS IndexScalarQuantizer

@@ -132,6 +132,50 @@ class EntrySmokeSpec extends AnyFunSuite {
     assert(viaStore == oneShot, "persisted-store SQ8 diverged from one-shot")
   }
 
+  test("emb10 persisted PQ index == one-shot emb05 exactly; codebooks roundtrip") {
+    val oneShot = graft.operators.SimilarityOps.annPqTopK(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .toSeq
+    // full-corpus-trained codebooks persisted + read back + split-epoch
+    // encode: identical codebooks + codes => identical ADC result
+    val viaStore = graft.operators.SimilarityOps.annPqStoreDemo(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .toSeq
+    assert(viaStore == oneShot, "persisted-store PQ diverged from one-shot")
+    // codebook parquet roundtrip is float-exact
+    val root = java.nio.file.Files.createTempDirectory("graft-emb10-rt").toString
+    val e = spark.read.parquet(s"$dir/embeddings.parquet").select("vec_id", "embedding")
+    val cents = graft.operators.SimilarityOps.pqTrain(e)
+    graft.operators.SimilarityOps.writePqCodebooks(spark, cents, root)
+    val back = graft.operators.SimilarityOps.readPqCodebooks(spark, root)
+    assert(back.length == cents.length &&
+      back.zip(cents).forall { case (a, b) =>
+        a.length == b.length && a.zip(b).forall(p => p._1.sameElements(p._2)) },
+      "codebooks did not roundtrip exactly")
+  }
+
+  test("emb10 stale codebooks (trained on epoch 0 only) still hold the recall floor") {
+    // the PQ incremental story: later epochs encode against the ORIGINAL
+    // codebooks — approximation degrades recall only, never scores
+    val root = java.nio.file.Files.createTempDirectory("graft-emb10-stale").toString
+    import org.apache.spark.sql.functions._
+    val e = spark.read.parquet(s"$dir/embeddings.parquet").select("vec_id", "embedding")
+    val epoch0 = e.where(pmod(col("vec_id"), lit(2)) === 0)
+    graft.operators.SimilarityOps.writePqCodebooks(
+      spark, graft.operators.SimilarityOps.pqTrain(epoch0), root)
+    val cents = graft.operators.SimilarityOps.readPqCodebooks(spark, root)
+    graft.operators.SimilarityOps.writePqCodes(epoch0, root, 0, cents)
+    graft.operators.SimilarityOps.writePqCodes(
+      e.where(pmod(col("vec_id"), lit(2)) === 1), root, 1, cents)
+    val got = graft.operators.SimilarityOps
+      .annPqTopKFromStore(spark, dir, root, uptoEpoch = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = graft.operators.SimilarityOps.bruteCosineTopK(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = brute.count(got.contains).toDouble / brute.size
+    assert(recall >= 0.6, s"stale-codebook PQ recall $recall < 0.6")
+  }
+
   test("emb03 id-only candidate plan == direct vector-carrying form (golden)") {
     import org.apache.spark.sql.functions._
     val got = graft.operators.SimilarityOps.nearDupCosine(spark, dir, nBits = 6)
