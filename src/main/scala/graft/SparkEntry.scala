@@ -266,6 +266,9 @@ object SparkEntry {
     // c41: FULL-language robots matching (RFC 9309 wildcards/anchors) —
     // both engines' verdicts side by side; spec pins kernel==column==REP
     "c41_robots_wildcard" -> ((s, _) => operators.RobotsWildcardOps.wildcardVerdicts(s)),
+    // c42: redirect-chain resolution — bounded-hop alias walk with loop
+    // verdict; Spark iterates joins, DuckDB oracles via recursive CTE
+    "c42_redirect_resolve" -> ((s, d) => operators.RedirectOps.resolveRedirects(s, d)),
     "t04_neardup_simhash" -> ((s, d) => TextOps.nearDupSimhash(s, d)),
     "emb01_cosine_topk" -> ((s, d) => SimilarityOps.bruteCosineTopK(s, d)),
     "emb02_ann_lsh" -> ((s, d) => SimilarityOps.annLshTopK(s, d)),
@@ -882,6 +885,31 @@ object SparkEntry {
     // components -> t08 keep-list (drops), then t01's quality gate and
     // t18's repetition gate over the kept docs, then t17's packing of
     // the survivors. The compare gates the composition end to end.
+    // c42: the oracle walks the same formula-derived successor graph by
+    // recursive CTE (each node has ONE successor, so the walk per id is a
+    // single path); the max-hops row per id is the resolution state.
+    "c42_redirect_resolve" ->
+      """WITH RECURSIVE edges AS (
+        |  SELECT src, dst FROM (
+        |    SELECT doc_id AS src,
+        |           CASE WHEN doc_id % 5 <> 0 THEN doc_id - 1
+        |                WHEN (doc_id // 5) % 10 = 9 THEN doc_id + 4 END AS dst
+        |    FROM documents)
+        |  WHERE dst IS NOT NULL
+        |), walk(id, cur, hops) AS (
+        |  SELECT doc_id, doc_id, 0 FROM documents
+        |  UNION ALL
+        |  SELECT w.id, e.dst, w.hops + 1
+        |  FROM walk w JOIN edges e ON e.src = w.cur
+        |  WHERE w.hops < 8
+        |), last AS (
+        |  SELECT id, cur, hops,
+        |         row_number() OVER (PARTITION BY id ORDER BY hops DESC) AS rn
+        |  FROM walk
+        |)
+        |SELECT id, cur AS final_id, CAST(hops AS INT) AS n_hops,
+        |       hops >= 8 AS exceeded
+        |FROM last WHERE rn = 1""".stripMargin,
     // q48: identical ANSI recursive-CTE text runs on both engines; the
     // formula edge set bounds the expansion (out-degree 2, depth < 7)
     // despite cycles, and min-hop-per-node is order-independent.
