@@ -269,6 +269,9 @@ object SparkEntry {
     // c42: redirect-chain resolution — bounded-hop alias walk with loop
     // verdict; Spark iterates joins, DuckDB oracles via recursive CTE
     "c42_redirect_resolve" -> ((s, d) => operators.RedirectOps.resolveRedirects(s, d)),
+    // c43: video scene-change detection — consecutive-frame phash deltas
+    // over tau mark shot cuts; MediaOpsSpec pins cuts == planted bounds
+    "c43_scene_changes" -> ((s, _) => operators.MediaOps.sceneChangeDemo(s)),
     "t04_neardup_simhash" -> ((s, d) => TextOps.nearDupSimhash(s, d)),
     "emb01_cosine_topk" -> ((s, d) => SimilarityOps.bruteCosineTopK(s, d)),
     "emb02_ann_lsh" -> ((s, d) => SimilarityOps.annLshTopK(s, d)),

@@ -37,6 +37,19 @@ object MediaKit {
     bb.array()
   }
 
+  /** Encode explicit per-frame pixel planes (c43 scene fixtures: the
+    * caller controls which frames are identical and where cuts land).
+    */
+  def encodeVideoFromPixels(frames: Array[Array[Int]], w: Int, h: Int): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(16 + frames.length * w * h)
+    bb.putInt(VideoMagic); bb.putInt(frames.length); bb.putInt(w); bb.putInt(h)
+    frames.foreach { px =>
+      var i = 0
+      while (i < px.length) { bb.put((px(i) & 0xff).toByte); i += 1 }
+    }
+    bb.array()
+  }
+
   /** (nFrames, w, h) from the container header. */
   def videoHeader(bytes: Array[Byte]): (Int, Int, Int) = {
     val bb = java.nio.ByteBuffer.wrap(bytes)

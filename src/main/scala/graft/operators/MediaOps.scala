@@ -47,6 +47,42 @@ object MediaOps {
     }
   }
 
+  /** c43 — video SCENE-CHANGE detection (shot segmentation, the classic
+    * hash-delta method — e.g. Zhang/Kankanhalli/Smoliar, Multimedia
+    * Systems '93 pairwise-difference shot detection, here on perceptual
+    * hashes): a cut is a consecutive-frame pair whose phash Hamming
+    * distance exceeds `tau`; frames inside a shot track each other (the
+    * fixture makes them identical), a cut jumps ~half the hash bits. The
+    * downstream uses are the crawl's video semantics: one representative
+    * frame per SHOT (instead of every-Nth blind sampling) for the
+    * cross-modal screen (c15), and shot counts as video metadata.
+    *
+    * Plan shape: runs on the frame FEATURE table (media_id, frame_idx,
+    * phash — 20 bytes/frame; the decoded pixels never leave frameSample's
+    * partition), one window shuffle on media_id, bit_count/lag codegen
+    * builtins — no UDF.
+    */
+  def sceneChanges(frames: Dataset[FrameFeature], tau: Int = 10): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("media_id").orderBy("frame_idx")
+    frames.toDF()
+      .select("media_id", "frame_idx", "phash")
+      .withColumn("prev", lag("phash", 1).over(w))
+      .where(col("prev").isNotNull)
+      .withColumn("hamming",
+        bit_count(col("phash").bitwiseXOR(col("prev"))).cast("int"))
+      .where(col("hamming") > tau)
+      .select(col("media_id"), col("frame_idx").as("cut_frame"), col("hamming"))
+  }
+
+  /** c43 demo: every frame of the scene fixtures (everyNth=1 — shot
+    * detection needs adjacent pairs), cuts at tau=10.
+    */
+  def sceneChangeDemo(spark: SparkSession, n: Int = 40): org.apache.spark.sql.DataFrame =
+    sceneChanges(frameSample(graft.sources.Gen.sceneMedia(spark, n), everyNth = 1))
+      .orderBy("media_id", "cut_frame")
+
   /** Cross-modal near-dup: sampled video frames whose perceptual hash is
     * within `maxHamming` bits of any image-table phash — the "this video
     * contains our image" screen, joining the two modalities on the shared

@@ -128,6 +128,34 @@ object Gen {
 
   def mediaLocal(n: Int): IndexedSeq[MediaRow] = (0L until n.toLong).map(mediaOf)
 
+  /** c43 scene fixture: a 24-frame GFV1 video of static SHOTS — frames
+    * within a scene are pixel-identical (phash delta 0), each boundary
+    * jumps to a fresh seed (delta ~half the hash bits). The boundary set
+    * is a pure function of i, so tests recompute the expected cuts.
+    */
+  def sceneBoundariesOf(i: Long): Seq[Int] =
+    Seq(0, 6 + (i % 4).toInt, 13, 19 + (i % 2).toInt)
+
+  def sceneMediaOf(i: Long): MediaRow = {
+    val seed = mix(GenSeed + 43, i)
+    val bounds = sceneBoundariesOf(i)
+    val nFrames = 24
+    val frames = Array.tabulate(nFrames) { f =>
+      val scene = bounds.lastIndexWhere(_ <= f)
+      graft.functions.ImageKit.genPixels(mix(seed, scene.toLong), 0, 32, 24)
+    }
+    MediaRow(s"scene-$i", "video",
+      MediaKit.encodeVideoFromPixels(frames, 32, 24),
+      duration_ms = nFrames * 1000L / 8, fps = 8, sample_rate = 0,
+      n_frames = nFrames)
+  }
+
+  def sceneMedia(spark: SparkSession, n: Long, partitions: Int = 0): Dataset[MediaRow] = {
+    import spark.implicits._
+    val parts = if (partitions > 0) partitions else spark.sparkContext.defaultParallelism
+    spark.range(0L, n, 1L, parts).mapPartitions(_.map(i => sceneMediaOf(i)))
+  }
+
   def media(spark: SparkSession, n: Long, partitions: Int = 0): Dataset[MediaRow] = {
     import spark.implicits._
     val parts = if (partitions > 0) partitions else spark.sparkContext.defaultParallelism

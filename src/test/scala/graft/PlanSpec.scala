@@ -461,4 +461,27 @@ class PlanSpec extends AnyFunSuite {
       assert(!l.contains("bytes"), s"audio payload on a vote exchange: $l")
     }
   }
+
+  test("t23 TF-IDF: df table broadcasts back; tf agg is partial+final; no text on exchanges") {
+    val p = finalPlan(graft.operators.TextOps.tfidfTopTerms(
+      spark, "/root/testdata/sf0.001"))
+    assert(p.contains("BroadcastHashJoin"), s"df join does not broadcast:\n$p")
+    // map-side combine: the (doc_id, term) count must be a two-phase
+    // HashAggregate so the token exchange carries distinct per-doc terms
+    assert("HashAggregate.*partial_count".r.findFirstIn(p.toLowerCase)
+      .isDefined || p.contains("partial_count") || p.contains("partial count") ||
+      "HashAggregate\\(keys=\\[doc_id".r.findFirstIn(p).isDefined,
+      s"tf aggregate shape unexpected:\n$p")
+    p.linesIterator.filter(_.contains("Exchange hashpartitioning")).foreach { l =>
+      assert(!l.contains("text#"), s"document text on a tf/df exchange: $l")
+    }
+  }
+
+  test("c43 scene detection: one window exchange on media_id, no frame pixels beyond the sampler") {
+    val p = finalPlan(graft.operators.MediaOps.sceneChangeDemo(spark, n = 12))
+    p.linesIterator.filter(_.contains("Exchange")).foreach { l =>
+      assert(!l.contains("bytes"), s"video payload on an exchange: $l")
+    }
+    assert(p.contains("Window"), s"no window operator in the plan:\n$p")
+  }
 }

@@ -114,4 +114,36 @@ class MediaOpsSpec extends AnyFunSuite {
         ImageKit.genPixels(7L, f, 8, 6).map(_ & 0xff)))
     }
   }
+
+  test("c43 scene changes: cuts == planted boundaries exactly; == lag mirror") {
+    val n = 24
+    val got = MediaOps.sceneChangeDemo(spark, n).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getInt(2)))
+    // expected cuts: the planted boundary frames (excluding frame 0 — a
+    // scene START is a cut only when it has a predecessor)
+    val wantCuts = (0L until n.toLong).flatMap { i =>
+      Gen.sceneBoundariesOf(i).filter(_ > 0).map(f => (s"scene-$i", f))
+    }.toSet
+    assert(got.map(t => (t._1, t._2)).toSet == wantCuts,
+      "cut set != planted scene boundaries")
+    // sequential mirror straight off the decoded frames: hamming of
+    // consecutive phashes, threshold 10 — and within-shot deltas are 0
+    (0L until n.toLong).foreach { i =>
+      val m = Gen.sceneMediaOf(i)
+      val (nf, w, h) = MediaKit.videoHeader(m.bytes)
+      val hashes = (0 until nf).map(f =>
+        ImageKit.phashOfPixels(MediaKit.decodeFrame(m.bytes, f), w, h))
+      val mirror = (1 until nf).flatMap { f =>
+        val d = java.lang.Long.bitCount(hashes(f) ^ hashes(f - 1))
+        if (d > 10) Some((s"scene-$i", f, d)) else None
+      }
+      assert(got.filter(_._1 == s"scene-$i").sortBy(_._2).toList == mirror.toList,
+        s"scene-$i diverged from the sequential mirror")
+      val bounds = Gen.sceneBoundariesOf(i).toSet
+      (1 until nf).foreach { f =>
+        if (!bounds.contains(f))
+          assert(hashes(f) == hashes(f - 1), s"within-shot delta at scene-$i frame $f")
+      }
+    }
+  }
 }
