@@ -218,6 +218,9 @@ object SparkEntry {
     // t20: BPE tokenizer-training kernel — corpus-wide adjacent-pair
     // counts (the per-round argmax input; multi-round trainer in BpeSpec)
     "t20_bpe_pairs" -> ((s, d) => TextOps.bpePairCounts(s, d)),
+    // t24: BPE tokenizer APPLICATION — learned merges folded in rank
+    // order, zero-exchange encode; parts-sum conservation pinned in spec
+    "t24_bpe_encode" -> ((s, d) => TextOps.bpeEncodedCorpus(s, d)),
     // t21: DSIR importance weights — hashed-unigram importance ratios in
     // integer fixed-point (engine-exact, no rounding), top-quartile select
     "t21_dsir_select" -> ((s, d) => TextOps.dsirWeights(s, d)),
@@ -272,6 +275,9 @@ object SparkEntry {
     // c43: video scene-change detection — consecutive-frame phash deltas
     // over tau mark shot cuts; MediaOpsSpec pins cuts == planted bounds
     "c43_scene_changes" -> ((s, _) => operators.MediaOps.sceneChangeDemo(s)),
+    // c44: frontier priority AGING — budget losers re-enter boosted, so
+    // no URL starves; AgingSpec pins the starvation contrast vs control
+    "c44_priority_aging" -> ((s, _) => operators.CrawlPipeline.agingDemo(s)),
     "t04_neardup_simhash" -> ((s, d) => TextOps.nearDupSimhash(s, d)),
     "emb01_cosine_topk" -> ((s, d) => SimilarityOps.bruteCosineTopK(s, d)),
     "emb02_ann_lsh" -> ((s, d) => SimilarityOps.annLshTopK(s, d)),

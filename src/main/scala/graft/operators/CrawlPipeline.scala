@@ -127,6 +127,31 @@ object CrawlPipeline {
     * the crawl a real host graph (and g02 rank-ordered crawling something
     * to rank). Off by default: the base goldens stay byte-identical.
     */
+  /** c44 demo: tight-budget epochs with priority aging on (boost 2.0 —
+    * above the whole fresh-priority range, so one carryover round outranks
+    * every new discovery); one row per scheduled URL with its
+    * first-scheduled epoch and whether it arrived via an aged carryover.
+    * AgingSpec contrasts this against an aging-off control, where URLs
+    * below the outlink priority floor starve behind fresh discoveries.
+    */
+  def agingDemo(spark: SparkSession, epochs: Int = 3, seedsPerEpoch: Int = 400,
+                budget: Int = 100): org.apache.spark.sql.DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft-c44").toString
+    run(spark, root, untilEpoch = epochs, seedsPerEpoch = seedsPerEpoch,
+      cfg0 = FrontierJob.Config(epoch = 0, globalBudget = budget),
+      aging = true, agingBoost = 2.0)
+    val sched = (0 to epochs).map(e =>
+      spark.read.parquet(s"$root/scheduled/epoch=$e")
+        .select(col("url_hash"), col("host"), col("priority"))
+        .withColumn("epoch", lit(e)))
+      .reduce(_ unionByName _)
+    sched.groupBy("url_hash", "host")
+      .agg(min("epoch").as("first_epoch"), max("priority").as("max_priority"))
+      .select(col("url_hash"), col("host"), col("first_epoch").cast("int").as("first_epoch"),
+        (col("max_priority") >= 2.0).as("was_aged"))
+      .orderBy("url_hash")
+  }
+
   def outlinks(scheduled: Dataset[Scheduled], fanout: Int,
                crossHost: Boolean = false): Dataset[Seed] = {
     import scheduled.sparkSession.implicits._
@@ -205,7 +230,9 @@ object CrawlPipeline {
       recrawl: Boolean = false,
       rankOrdered: Boolean = false,
       sitemaps: Boolean = false,
-      adaptivePacing: Boolean = false): Seq[EpochSummary] = {
+      adaptivePacing: Boolean = false,
+      aging: Boolean = false,
+      agingBoost: Double = 0.25): Seq[EpochSummary] = {
     require(sidecar == "bloom" || sidecar == "cuckoo", s"unknown sidecar kind: $sidecar")
     import spark.implicits._
     val start = Snapshots.latestCommittedEpoch(root) + 1
@@ -221,8 +248,24 @@ object CrawlPipeline {
         if (sitemaps && epoch == 0)
           SitemapOps.asSeeds(SitemapOps.sitemapEntries(spark))
         else spark.emptyDataset[Seed]
+      // c44 wired end-to-end: URLs that were eligible last epoch but lost
+      // the budget race re-enter with their priority AGED upward, so a
+      // low-priority URL cannot starve behind an endless stream of
+      // higher-priority discoveries — after ceil((p_max - p)/agingBoost)
+      // epochs it outranks every fresh seed (priorities are bounded).
+      // Carryover duplicates of still-live seeds are harmless: the
+      // canonicalize dedupe keeps max(priority), so the BOOSTED copy wins.
+      // Off by default: the base goldens stay byte-identical.
+      val agedCarryover =
+        if (!aging || epoch == 0) spark.emptyDataset[Seed]
+        else {
+          val p = s"$root/carryover/epoch=${epoch - 1}"
+          if (!new java.io.File(p).exists()) spark.emptyDataset[Seed]
+          else spark.read.parquet(p).as[Seed]
+        }
       val seeds = Gen.seeds(spark, seedsPerEpoch.toLong)
         .unionByName(sitemapSeeds)
+        .unionByName(agedCarryover)
         .unionByName(
           if (epoch == 0) spark.emptyDataset[Seed]
           else {
@@ -315,6 +358,18 @@ object CrawlPipeline {
         .applyGlobalBudget(FrontierJob.schedule(allowed, cfg), cfg)
         .persist()
       scheduled.write.mode("overwrite").parquet(s"$root/scheduled/epoch=$epoch")
+      // c44: persist the budget-losers with aged priority BEFORE the
+      // manifest commit (sibling-state discipline: a crash re-runs the
+      // epoch and overwrites idempotently). The carryover is at most the
+      // eligible-minus-budget fraction of the epoch — frontier-sized worst
+      // case, epoch-budget-sized typically — and carries (url, priority)
+      // only.
+      if (aging) {
+        allowed.join(scheduled.toDF().select("url_hash"), Seq("url_hash"), "left_anti")
+          .select(col("url_canon").as("url"),
+            (col("priority") + lit(agingBoost)).as("priority"))
+          .write.mode("overwrite").parquet(s"$root/carryover/epoch=$epoch")
+      }
       frontier.unpersist()
       deduped.unpersist()
       // fetch + snapshot data write (NOT yet committed — the manifest goes

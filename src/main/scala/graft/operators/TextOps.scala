@@ -889,6 +889,38 @@ object TextOps {
     out.toSeq
   }
 
+  /** t24 — BPE tokenizer APPLICATION (the encode half of Sennrich
+    * ACL'16; t20 trains the merges, this runs them over a corpus — the
+    * step every pretraining pipeline executes on 100 TB while training
+    * touched only a sample): encoding = the learned merges folded in RANK
+    * ORDER over the token stream, each round the same zero-exchange
+    * aggregate-HOF rewrite the trainer used (BPE's defining property:
+    * rank-ordered re-application reproduces the trainer's segmentation).
+    * So the whole encode is ONE codegen'd map pass per merge with no
+    * shuffle at all — merges are plan-time constants (vocab-sized,
+    * driver-held), never a join side.
+    */
+  def bpeEncode(toks: DataFrame, merges: Seq[(String, String)]): DataFrame =
+    merges.foldLeft(toks) { case (t, (l, r)) => applyMerge(t, l, r) }
+
+  /** t24 query: per-doc token accounting under the learned tokenizer.
+    * `n_raw` is recovered IN-ROW from the merged symbols (each carries
+    * its parts space-joined, so parts-sum == original token count — a
+    * conservation invariant BpeSpec pins), keeping the whole query a
+    * single pass with zero exchanges after the trainer's bounded rounds.
+    */
+  def bpeEncodedCorpus(spark: SparkSession, dir: String, rounds: Int = 3): DataFrame = {
+    val corpus = docs(spark, dir).select("doc_id", "text")
+    val merges = bpeTrain(spark, corpus, rounds).map(m => (m._2, m._3))
+    bpeEncode(tokensOf(corpus), merges)
+      .select(col("doc_id"),
+        aggregate(transform(col("t"), x => size(split(x, " "))),
+          lit(0), (a, x) => a + x).as("n_raw"),
+        size(col("t")).as("n_bpe"))
+      .withColumn("n_merged", col("n_raw") - col("n_bpe"))
+      .orderBy("doc_id")
+  }
+
   /** t21 — DSIR-style importance weighting (Xie et al., NeurIPS 2023:
     * select raw-corpus documents whose hashed-n-gram distribution looks
     * like a trusted TARGET corpus). Target here = the 'en' slice; features

@@ -58,4 +58,45 @@ class BpeSpec extends AnyFunSuite {
       s"counts increased across rounds: $counts")
     assert(counts.head > 1L, "top pair occurs once — fixture vacuous")
   }
+
+  test("t24 encode == sequential rank-order mirror (incl. merge-chains and overlap)") {
+    import spark.implicits._
+    // merge 2 consumes merge 1's output token — the chain case; doc 3 is
+    // the overlap case ("a a a" must merge once, left-to-right)
+    val merges = Seq(("a", "b"), ("a b", "c"))
+    val docsFx = Seq(
+      (1L, Seq("a", "b", "c", "d")),
+      (2L, Seq("x", "a", "b", "a", "b", "c")),
+      (3L, Seq("a", "a", "a")),
+      (4L, Seq("c", "a", "b")),
+      (5L, Seq("q")))
+    val got = TextOps.bpeEncode(
+        spark.createDataset(docsFx).toDF("doc_id", "t"), merges)
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toList).toMap
+    def localEncode(t: Seq[String]): List[String] =
+      merges.foldLeft(t.toArray) { case (a, (l, r)) => mergeOnce(a, l, r) }.toList
+    docsFx.foreach { case (id, t) =>
+      assert(got(id) == localEncode(t), s"doc $id")
+    }
+    assert(got(1L) == List("a b c", "d"), "merge chain did not fire")
+    // overlap: a pair consumes its left token — "a a a" merges ONCE
+    val overlap = TextOps.bpeEncode(
+        spark.createDataset(Seq((3L, Seq("a", "a", "a")))).toDF("doc_id", "t"),
+        Seq(("a", "a")))
+      .collect().map(_.getSeq[String](1).toList).head
+    assert(overlap == List("a a", "a"), "overlap merged twice")
+  }
+
+  test("t24 corpus accounting: parts-sum conservation + real compression") {
+    val rows = TextOps.bpeEncodedCorpus(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3)))
+    val rawCounts = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).trim.split("\\s+").length).toMap
+    rows.foreach { case (id, nRaw, nBpe, nMerged) =>
+      assert(nRaw == rawCounts(id), s"parts-sum conservation broken for doc $id")
+      assert(nMerged == nRaw - nBpe && nBpe <= nRaw)
+    }
+    assert(rows.exists(_._4 > 0), "no doc compressed — learned merges never fired")
+  }
 }
