@@ -221,6 +221,10 @@ object SparkEntry {
     // t24: BPE tokenizer APPLICATION — learned merges folded in rank
     // order, zero-exchange encode; parts-sum conservation pinned in spec
     "t24_bpe_encode" -> ((s, d) => TextOps.bpeEncodedCorpus(s, d)),
+    // t25: paragraph-level exact dedup (CCNet §3.1) — keep the first
+    // corpus-wide occurrence of every paragraph; strips the planted
+    // cookie/newsletter boilerplate doc-level dedup can never see
+    "t25_paragraph_dedup" -> ((s, d) => TextOps.paragraphDedup(s, d)),
     // t21: DSIR importance weights — hashed-unigram importance ratios in
     // integer fixed-point (engine-exact, no rounding), top-quartile select
     "t21_dsir_select" -> ((s, d) => TextOps.dsirWeights(s, d)),
@@ -245,6 +249,10 @@ object SparkEntry {
     // c33: robots-cache TTL — stale hosts' pages held back, one
     // top-priority robots fetch scheduled instead (rows-only gate)
     "c33_robots_ttl" -> ((s, _) => operators.RobotsTtlOps.ttlReport(s)),
+    // c45: change-rate-adaptive recrawl scheduling (Cho & Garcia-Molina)
+    // — revisit interval inverse in observed change count, engine-exact
+    // integer estimator (monotone stand-in for the TOIT'03 MLE)
+    "c45_recrawl_schedule" -> ((s, d) => operators.RecrawlOps.recrawlSchedule(s, d)),
     // c35: rendezvous-hash crawler shard assignment — minimal-movement
     // host ownership across fleet resizes (argmin folds in-row, no
     // per-(host,shard) exchange)
@@ -278,6 +286,10 @@ object SparkEntry {
     // c44: frontier priority AGING — budget losers re-enter boosted, so
     // no URL starves; AgingSpec pins the starvation contrast vs control
     "c44_priority_aging" -> ((s, _) => operators.CrawlPipeline.agingDemo(s)),
+    // c46: crop-resistant image copy detection via TILED phashes — a
+    // crop matches its source REGION's tile where whole-hash dedup is
+    // blind; CropMatchSpec pins mirror equality + the blindness contrast
+    "c46_crop_copydetect" -> ((s, _) => operators.ImageOps.cropDetectDemo(s)),
     "t04_neardup_simhash" -> ((s, d) => TextOps.nearDupSimhash(s, d)),
     "emb01_cosine_topk" -> ((s, d) => SimilarityOps.bruteCosineTopK(s, d)),
     "emb02_ann_lsh" -> ((s, d) => SimilarityOps.annLshTopK(s, d)),
@@ -1398,6 +1410,28 @@ object SparkEntry {
     // percentile_disc == DuckDB quantile_disc, q23 parity), and the
     // integer clamp mirrored exactly.
     "c30_adaptive_pacing" -> PacingSql,
+    // c45: identical md5 change draws (('0x'||hex)::BIGINT == Spark's
+    // conv(...,16,10) — the t21 parity), identical integer estimator.
+    "c45_recrawl_schedule" ->
+      """WITH hist AS (
+        |  SELECT doc_id AS page_id,
+        |    unnest(generate_series(1, 16)) AS epoch
+        |  FROM documents
+        |), flagged AS (
+        |  SELECT page_id,
+        |    CASE WHEN ('0x' || substr(md5(CAST(page_id AS VARCHAR) || ':' ||
+        |      CAST(epoch AS VARCHAR)), 1, 6))::BIGINT % 8 < page_id % 8
+        |      THEN 1 ELSE 0 END AS changed
+        |  FROM hist
+        |), est AS (
+        |  SELECT page_id, CAST(count(*) AS BIGINT) AS n_obs,
+        |    CAST(sum(changed) AS BIGINT) AS n_changes
+        |  FROM flagged GROUP BY page_id
+        |)
+        |SELECT page_id, n_obs, n_changes,
+        |  greatest(1, n_obs // (n_changes + 1)) AS revisit_interval,
+        |  16 + greatest(1, n_obs // (n_changes + 1)) AS next_due
+        |FROM est ORDER BY page_id""".stripMargin,
     // c32: streaming pacing must converge to the same delay table, so it
     // shares c30's oracle verbatim
     "c32_stream_pacing" -> PacingSql,
@@ -1561,6 +1595,41 @@ object SparkEntry {
         |SELECT tok_l, tok_r, CAST(count(*) AS BIGINT) AS cnt
         |FROM p GROUP BY 1, 2
         |ORDER BY cnt DESC, tok_l, tok_r LIMIT 5""".stripMargin,
+    // t25: identical paragraph construction (20-word chunks + the two
+    // planted boilerplate families); first-occurrence = min (doc_id,
+    // para_idx) per exact paragraph text — a fully ordered row_number, so
+    // both engines decide identically; string_agg ORDER BY para_idx ==
+    // Spark's array_sort(struct(para_idx, para)) reassembly.
+    "t25_paragraph_dedup" ->
+      """WITH base AS (SELECT doc_id, text FROM documents),
+        |wv AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM base),
+        |nat AS (
+        |  SELECT doc_id,
+        |    CAST(unnest(generate_series(0, (len(w)-1)//20)) AS INT) AS para_idx,
+        |    w FROM wv
+        |),
+        |natp AS (
+        |  SELECT doc_id, para_idx,
+        |    array_to_string(w[para_idx*20+1 : para_idx*20+20], ' ') AS para
+        |  FROM nat
+        |),
+        |p AS (
+        |  SELECT * FROM natp
+        |  UNION ALL SELECT doc_id, -1 AS para_idx,
+        |    'we use cookies to improve your experience accept to continue' AS para
+        |    FROM base WHERE doc_id % 7 = 3
+        |  UNION ALL SELECT doc_id, 999 AS para_idx,
+        |    'subscribe to our newsletter for daily updates and offers' AS para
+        |    FROM base WHERE doc_id % 5 = 1
+        |),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY md5(para)
+        |  ORDER BY doc_id, para_idx) AS rn FROM p)
+        |SELECT doc_id,
+        |  CAST(count(*) AS BIGINT) AS n_paras,
+        |  CAST(count(*) FILTER (rn = 1) AS BIGINT) AS n_kept,
+        |  CAST(count(*) FILTER (rn > 1) AS BIGINT) AS n_dropped,
+        |  coalesce(string_agg(para, ' ' ORDER BY para_idx) FILTER (rn = 1), '') AS text_deduped
+        |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // t19: identical planted corpus; Java regex and RE2 agree on these
     // ASCII patterns; DuckDB regexp_replace needs the explicit 'g' flag
     // (Spark's is global by default).

@@ -235,4 +235,104 @@ object ImageOps {
           col("contrast") >= minContrast).cast("int"))
       .orderBy("image_id")
   }
+
+  /** The 5 tile regions of a w x h image: tile 0 = whole, 1-4 = the four
+    * quadrants (tl, tr, bl, br). Shared by the operator and its mirror.
+    */
+  private[operators] def tileRegions(w: Int, h: Int): Seq[(Int, Int, Int, Int, Int)] =
+    Seq((0, 0, 0, w, h),
+      (1, 0, 0, w / 2, h / 2), (2, w / 2, 0, w - w / 2, h / 2),
+      (3, 0, h / 2, w / 2, h - h / 2), (4, w / 2, h / 2, w - w / 2, h - h / 2))
+
+  /** Tile hashes of one decoded image — [[tileRegions]] each phashed
+    * independently. Exposed so the spec's mirror reuses the exact kernel.
+    */
+  private[operators] def tileHashesOf(bytes: Array[Byte]): Seq[(Int, Long)] = {
+    val (px, w, h) = ImageKit.decodeGray(bytes)
+    if (w < 2 || h < 2) Seq.empty
+    else tileRegions(w, h).map { case (t, x0, y0, tw, th) =>
+      val sub = new Array[Int](tw * th)
+      var y = 0
+      while (y < th) {
+        var x = 0
+        while (x < tw) { sub(y * tw + x) = px((y0 + y) * w + (x0 + x)); x += 1 }
+        y += 1
+      }
+      (t, ImageKit.phashOfPixels(sub, tw, th))
+    }
+  }
+
+  /** c46 — TILED perceptual hashes (the crop-resistant hashing idea of
+    * Steinebach et al., ARES'14 segment hashing): a crop's WHOLE-image
+    * phash shares nothing with its source's (the DCT sees a different
+    * framing), so whole-hash dedup (c17) is blind to crops — but a crop
+    * that covers a source REGION matches that region's tile hash. One
+    * decode per image (mapPartitions), bytes never shuffle; output is
+    * narrow (image_id, tile, thash) rows.
+    */
+  def tiledPhash(images: DataFrame): DataFrame = {
+    import images.sparkSession.implicits._
+    images.select("image_id", "bytes").as[(String, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        tileHashesOf(bytes).map { case (t, hsh) => (id, t, hsh) }
+      })
+      .toDF("image_id", "tile", "thash")
+  }
+
+  /** c46 matcher — crop-resistant copy detection: candidate join on the
+    * 4x16-bit blocks of EVERY tile hash (certain recall for Hamming <= 3
+    * per tile — the c15/c17 pigeonhole), exact bit_count verify; a pair
+    * matches when ANY tile of A is within tau of ANY tile of B. The
+    * exchange carries (ids, tile, 64-bit hash) only — never pixels.
+    */
+  def cropMatches(images: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val tiles = tiledPhash(images)
+      .withColumn("img_hash", xxhash64(col("image_id")))
+    val blocked = tiles.select(col("image_id"), col("img_hash"), col("tile"),
+      col("thash"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("blk"),
+          shiftrightunsigned(col("thash"), b * 16)
+            .bitwiseAND(lit(0xffffL)).as("key"))): _*)).as("bk"))
+      .select(col("image_id"), col("img_hash"), col("tile"), col("thash"),
+        col("bk.blk").as("blk"), col("bk.key").as("key"))
+    blocked.as("a").join(blocked.as("b"),
+        col("a.blk") === col("b.blk") && col("a.key") === col("b.key") &&
+          col("a.img_hash") < col("b.img_hash"))
+      .select(col("a.image_id").as("image_a"), col("b.image_id").as("image_b"),
+        col("a.tile").as("tile_a"), col("b.tile").as("tile_b"),
+        bit_count(col("a.thash").bitwiseXOR(col("b.thash")))
+          .cast("int").as("hamming"))
+      .where(col("hamming") <= maxHamming)
+      .dropDuplicates("image_a", "image_b", "tile_a", "tile_b")
+  }
+
+  /** c46 fixture: n base images (png, so crop pixels round-trip exactly)
+    * plus planted crops — every 4th image contributes its top-left
+    * quadrant, every 4th+1 its bottom-right, re-encoded as standalone
+    * images. Returns (image_id, bytes).
+    */
+  def cropCorpus(spark: org.apache.spark.sql.SparkSession, n: Int = 48): DataFrame = {
+    import spark.implicits._
+    val rows = (0 until n).flatMap { i =>
+      val s = graft.sources.Gen.snapshotRow(s"img-$i", 0, 0, "png", 0)
+      val base = Seq((s.image_id, s.bytes))
+      val (px, w, h) = ImageKit.decodeGray(s.bytes)
+      def enc(tile: Int, tag: String) = {
+        val (_, x0, y0, tw, th) = tileRegions(w, h)(tile)
+        val sub = Array.tabulate(tw * th)(k =>
+          px((y0 + k / tw) * w + (x0 + k % tw)))
+        (s"img-$i?crop=$tag", ImageKit.encode(sub, tw, th, "png"))
+      }
+      base ++ (if (i % 4 == 0) Seq(enc(1, "tl"))
+               else if (i % 4 == 1) Seq(enc(4, "br"))
+               else Nil)
+    }
+    spark.createDataset(rows).toDF("image_id", "bytes")
+  }
+
+  /** c46 demo: matches over the crop corpus, deterministic order. */
+  def cropDetectDemo(spark: org.apache.spark.sql.SparkSession): DataFrame =
+    cropMatches(cropCorpus(spark))
+      .orderBy("image_a", "image_b", "tile_a", "tile_b")
 }

@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** c45 — change-rate-adaptive RECRAWL scheduling (Cho & Garcia-Molina,
+  * "Effective Page Refresh Policies for Web Crawlers" TODS'03 and
+  * "Estimating Frequency of Change" TOIT'03): pages change at wildly
+  * different rates, and a crawler that revisits uniformly wastes budget
+  * re-fetching static pages while hot pages rot stale. Estimate each
+  * page's change rate from its observation history (did fetch e return a
+  * different content hash than fetch e-1?) and set the revisit interval
+  * inversely — the freshness counterpart of c30's latency-adaptive
+  * politeness (how OFTEN to come back vs how FAST to go).
+  *
+  * DELIBERATE deviation (the t21/t15 fixed-point lesson): TOIT'03's MLE
+  * is lambda_hat = -ln((n - X + 0.5)/(n + 0.5)), but ln() is not
+  * bit-identical across engines, and for fixed n the MLE is strictly
+  * monotone in X — so `interval = max(1, n div (X + 1))` induces exactly
+  * the ordering the estimator would, in engine-exact BIGINT arithmetic
+  * with no rounding tolerance anywhere.
+  *
+  * Scale shape: the history is (page, epoch) rows — the change flag is a
+  * codegen'd per-row md5 expression fused into the scan, the estimate is
+  * one map-side-combined groupBy(page), the schedule a pure projection.
+  * One exchange total, carrying (page_id, two longs). At 100 TB the
+  * history table is the crawl's own fetch log; here it is synthesized
+  * deterministically (md5 draw per (page, epoch) against a per-page
+  * latent propensity — the established md5-threshold discipline).
+  */
+object RecrawlOps {
+
+  /** Observation epochs per page (the estimator's n). */
+  val ObsEpochs = 16
+
+  /** Deterministic per-(page, epoch) change observations: page's latent
+    * propensity rho = page_id % 8 out of 8; epoch e observed a change iff
+    * the md5 draw for (page, e) lands below rho/8. rho=0 pages never
+    * change; rho=7 pages change ~7/8 of the time.
+    */
+  def changeHistory(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id").as("page_id"))
+      .select(col("page_id"),
+        explode(sequence(lit(1), lit(ObsEpochs))).as("epoch"))
+      .withColumn("changed",
+        conv(substring(md5(concat(col("page_id").cast("string"), lit(":"),
+          col("epoch").cast("string"))), 1, 6), 16, 10).cast("long") % 8 <
+          col("page_id") % 8)
+
+  /** The c45 schedule: per page, observed changes over [[ObsEpochs]]
+    * epochs, the integer revisit interval, and the next-due epoch
+    * (observation window ends at epoch [[ObsEpochs]]).
+    */
+  def recrawlSchedule(spark: SparkSession, dir: String): DataFrame =
+    changeHistory(spark, dir)
+      .groupBy("page_id")
+      .agg(count(lit(1)).cast("long").as("n_obs"),
+        sum(when(col("changed"), 1L).otherwise(0L)).as("n_changes"))
+      .withColumn("revisit_interval",
+        greatest(lit(1L), expr("n_obs div (n_changes + 1)")))
+      .withColumn("next_due", lit(ObsEpochs.toLong) + col("revisit_interval"))
+      .orderBy("page_id")
+}

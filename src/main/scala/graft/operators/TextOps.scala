@@ -921,6 +921,69 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Boilerplate paragraphs planted by [[paragraphTable]] — shared literals
+    * so their cross-doc copies are exact (the thing paragraph dedup fires
+    * on). Exposed for the spec's contrast assertions.
+    */
+  private[operators] val CookiePara =
+    "we use cookies to improve your experience accept to continue"
+  private[operators] val NewsletterPara =
+    "subscribe to our newsletter for daily updates and offers"
+
+  /** t25 fixture: the documents table re-cut into PARAGRAPHS (20-word
+    * chunks — the corpus has no newlines, so the chunking is the
+    * deterministic stand-in for paragraph breaks; swapping in a real
+    * split(text,'\n\n') changes ONE expression, not the plan), with two
+    * planted boilerplate families: a cookie-notice HEADER (para_idx -1,
+    * docs ≡3 mod 7) and a newsletter FOOTER (para_idx 999, docs ≡1 mod 5)
+    * — the exact shape (nav chrome, consent banners) CCNet's paragraph
+    * dedup exists to strip.
+    */
+  def paragraphTable(spark: SparkSession, dir: String): DataFrame = {
+    val base = docs(spark, dir).select("doc_id", "text")
+    val nat = base
+      .selectExpr("doc_id", "split(trim(text), '\\\\s+') AS w")
+      .selectExpr("doc_id",
+        "posexplode(transform(sequence(0, (size(w)-1) div 20), " +
+          "i -> array_join(slice(w, i*20+1, 20), ' '))) AS (para_idx, para)")
+    val header = base.where("doc_id % 7 = 3")
+      .selectExpr("doc_id", "-1 AS para_idx", s"'$CookiePara' AS para")
+    val footer = base.where("doc_id % 5 = 1")
+      .selectExpr("doc_id", "999 AS para_idx", s"'$NewsletterPara' AS para")
+    nat.unionByName(header).unionByName(footer)
+  }
+
+  /** t25 — PARAGRAPH-level exact dedup (CCNet, Wenzek et al. LREC'20 §3.1:
+    * hash every paragraph, keep only the first occurrence corpus-wide —
+    * the pass that strips boilerplate/nav/consent chrome which doc-level
+    * dedup can never see because the surrounding document is unique).
+    * First occurrence = min (doc_id, para_idx) instance per exact
+    * paragraph text, decided by row_number over md5(para) — fully ordered,
+    * so deterministic at any parallelism. Scale shape: the dedup decision
+    * is one hash-partitioned exchange (paragraph text crosses ONCE —
+    * inherent, the decision is on content; CCNet shards exactly this way)
+    * and reassembly is one doc_id exchange of the kept paragraphs;
+    * map-side combine doesn't apply (keys are near-distinct), no
+    * all-pairs anything.
+    */
+  def paragraphDedup(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(md5(col("para"))).orderBy(col("doc_id"), col("para_idx"))
+    paragraphTable(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).cast("long").as("n_paras"),
+        sum(when(col("rn") === 1, 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("rn") > 1, 1L).otherwise(0L)).as("n_dropped"),
+        array_join(
+          transform(
+            array_sort(collect_list(when(col("rn") === 1,
+              struct(col("para_idx"), col("para"))))),
+            x => x.getField("para")), " ").as("text_deduped"))
+      .orderBy("doc_id")
+  }
+
   /** t21 — DSIR-style importance weighting (Xie et al., NeurIPS 2023:
     * select raw-corpus documents whose hashed-n-gram distribution looks
     * like a trusted TARGET corpus). Target here = the 'en' slice; features
