@@ -484,4 +484,40 @@ class PlanSpec extends AnyFunSuite {
     }
     assert(p.contains("Window"), s"no window operator in the plan:\n$p")
   }
+
+  test("c45 recrawl estimate: change flag is a codegen expression, one agg exchange, no UDF") {
+    val p = finalPlan(graft.operators.RecrawlOps.recrawlSchedule(
+      spark, "/root/testdata/sf0.001"))
+    assert(!p.contains("BatchEvalPython") && !p.toLowerCase.contains("scalaudf"),
+      "change draw fell back to a UDF")
+    // one hash-partitioned exchange for the per-page agg (plus the
+    // global orderBy's range exchange) — the history rows never shuffle
+    // wider than (page_id, changed); count only the EXECUTED plan, not
+    // the "== Initial Plan ==" section AQE appends to the string
+    val executed = p.split("== Initial Plan ==").head
+    val hashEx = executed.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(hashEx <= 1, s"extra exchanges in the estimate:\n$p")
+  }
+
+  test("c46 tiled phash: no image bytes on any exchange; candidate join carries ids+hashes") {
+    val p = finalPlan(graft.operators.ImageOps.cropDetectDemo(spark))
+    p.linesIterator.filter(_.contains("Exchange")).foreach { l =>
+      assert(!l.contains("bytes"), s"image payload on an exchange: $l")
+    }
+    assert(p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin") ||
+      p.contains("ShuffledHashJoin"), s"no equi-join in the match plan:\n$p")
+  }
+
+  test("t25 paragraph dedup: text crosses the dedup exchange ONCE; decision is a window, no UDF") {
+    val p = finalPlan(graft.operators.TextOps.paragraphDedup(
+      spark, "/root/testdata/sf0.001"))
+    assert(!p.toLowerCase.contains("scalaudf"), "paragraph kernel fell back to a UDF")
+    // the full document text column must never reach an exchange — only
+    // paragraphs (post-chunking) may; the md5 partition key is computed
+    // pre-exchange
+    p.linesIterator.filter(_.contains("Exchange")).foreach { l =>
+      assert(!l.contains("text#"), s"whole-document text on an exchange: $l")
+    }
+    assert(p.contains("Window"), s"first-occurrence decision lost its window:\n$p")
+  }
 }
