@@ -302,6 +302,10 @@ object SparkEntry {
     // emb08: persisted SQ8 code store — two epoch appends + a cumulative
     // probe; must return emb07's exact rows (same oracle)
     "emb08_ann_sq8_store" -> ((s, d) => SimilarityOps.annSqStoreDemo(s, d)),
+    // emb11: predicate-FILTERED similarity search (hybrid vector +
+    // metadata) — PRE-filter semantics: the predicate cuts the corpus
+    // before ranking, so k true in-predicate neighbors always return
+    "emb11_filtered_ann" -> ((s, d) => SimilarityOps.filteredCosineTopK(s, d)),
     // emb09: SemDeDup — k-means cluster-scoped semantic near-dup pairs
     // resolved to components; survivor = component-min (Abbas et al. '23)
     "emb09_semdedup" -> ((s, d) => SimilarityOps.semDedup(s, d)),
@@ -1453,6 +1457,28 @@ object SparkEntry {
         |         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))) AS cos
         |  FROM embeddings e, q
         |  WHERE e.vec_id <> q.query_id
+        |)
+        |SELECT query_id, vec_id, round(cos, 4) AS cos, rank FROM (
+        |  SELECT query_id, vec_id, cos,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rank
+        |  FROM scored
+        |) WHERE rank <= 5""".stripMargin,
+    // emb11: emb01's brute SQL with the metadata predicate on the corpus
+    // side — pre-filter semantics are exactly expressible, so the hybrid
+    // search contract sits in the hard gate.
+    "emb11_filtered_ann" ->
+      """WITH q AS (
+        |  SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 3
+        |), scored AS (
+        |  SELECT q.query_id, e.vec_id,
+        |    list_aggregate(list_transform(generate_series(1, len(e.embedding)),
+        |      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qvec[i] AS DOUBLE)), 'sum')
+        |    / (sqrt(list_aggregate(list_transform(e.embedding,
+        |         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
+        |     * sqrt(list_aggregate(list_transform(q.qvec,
+        |         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))) AS cos
+        |  FROM embeddings e, q
+        |  WHERE e.vec_id <> q.query_id AND e.vec_id % 3 = 0
         |)
         |SELECT query_id, vec_id, round(cos, 4) AS cos, rank FROM (
         |  SELECT query_id, vec_id, cos,

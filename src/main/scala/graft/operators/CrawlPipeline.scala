@@ -228,12 +228,15 @@ object CrawlPipeline {
       sidecarPerBucket: Long = 0L,
       compactSeenEvery: Int = 8,
       recrawl: Boolean = false,
+      recrawlPolicy: String = "staleness",
       rankOrdered: Boolean = false,
       sitemaps: Boolean = false,
       adaptivePacing: Boolean = false,
       aging: Boolean = false,
       agingBoost: Double = 0.25): Seq[EpochSummary] = {
     require(sidecar == "bloom" || sidecar == "cuckoo", s"unknown sidecar kind: $sidecar")
+    require(recrawlPolicy == "staleness" || recrawlPolicy == "changerate",
+      s"unknown recrawl policy: $recrawlPolicy")
     import spark.implicits._
     val start = Snapshots.latestCommittedEpoch(root) + 1
     (start to untilEpoch).map { epoch =>
@@ -346,11 +349,20 @@ object CrawlPipeline {
           val dirs = (0 until epoch).map(e => s"$root/revisions/epoch=$e")
             .filter(p => new java.io.File(p).exists())
           if (dirs.isEmpty) None
-          else Some(FrontierJob.canonicalizeFrontier(
-            DiffJob.recrawlSchedule(spark.read.parquet(dirs: _*), atEpoch = epoch)
-              .where(col("due"))
-              .select(col("image_id").as("url"), col("priority"))
-              .as[Seed]))
+          else {
+            // policy switch (c25 staleness backoff vs c45 change-rate
+            // estimator) — both emit the same (image_id, due, priority)
+            // contract, so everything downstream is policy-blind
+            val revs = spark.read.parquet(dirs: _*)
+            val sched =
+              if (recrawlPolicy == "changerate")
+                DiffJob.recrawlScheduleChangeRate(revs, atEpoch = epoch)
+              else DiffJob.recrawlSchedule(revs, atEpoch = epoch)
+            Some(FrontierJob.canonicalizeFrontier(
+              sched.where(col("due"))
+                .select(col("image_id").as("url"), col("priority"))
+                .as[Seed]))
+          }
         }
       val toRobots = recrawlFrontier.fold(deduped)(deduped.unionByName(_))
       val allowed = FrontierJob.applyRobots(toRobots, robots, cfg)

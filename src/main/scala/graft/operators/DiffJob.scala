@@ -131,6 +131,35 @@ object DiffJob {
       .withColumn("priority", round(lit(1.0) / col("interval"), 4))
       .select("image_id", "last_fetch", "last_change", "interval", "due", "priority")
 
+  /** CHANGE-RATE recrawl scheduling (c45 wired to the real revision
+    * history — Cho & Garcia-Molina TOIT'03 beside c25's staleness
+    * backoff): interval from the page's whole observed change FREQUENCY,
+    * max(1, n_obs div (n_changes + 1)), the engine-exact integer form of
+    * the monotone MLE (RecrawlOps doc). The two policies genuinely
+    * disagree: a page that changed once EARLY then went quiet backs off
+    * fast under staleness (only the recency of change matters) but keeps
+    * a moderate rate-based interval here (one change in n observations is
+    * still a rate); a page changing every other epoch gets interval 1
+    * from staleness whenever its last fetch changed, interval 2 here.
+    * Same output shape as [[recrawlSchedule]] so the pipeline swaps
+    * policies behind one column contract.
+    */
+  def recrawlScheduleChangeRate(revisions: DataFrame, atEpoch: Int,
+                                maxInterval: Int = 8): DataFrame =
+    revisions
+      .groupBy("image_id")
+      .agg(max("epoch").as("last_fetch"),
+        count(lit(1)).cast("int").as("n_obs"),
+        sum(when(col("change") =!= "unchanged", 1).otherwise(0))
+          .cast("int").as("n_changes"))
+      .withColumn("interval",
+        least(lit(maxInterval),
+          greatest(lit(1), expr("n_obs div (n_changes + 1)"))).cast("int"))
+      .withColumn("due", (lit(atEpoch) - col("last_fetch")) >= col("interval"))
+      .withColumn("priority", round(lit(1.0) / col("interval"), 4))
+      .select("image_id", "last_fetch", "n_obs", "n_changes", "interval",
+        "due", "priority")
+
   def levenshteinLocal(a: String, b: String): Int = {
     val prev = new Array[Int](b.length + 1)
     val cur = new Array[Int](b.length + 1)

@@ -742,4 +742,45 @@ object SimilarityOps {
       .where(col("rank") <= k)
       .select(col("query_id"), col("vec_id"), round(col("cos"), 4).as("cos"), col("rank"))
   }
+
+  /** emb11 — PREDICATE-FILTERED similarity search (hybrid vector+metadata
+    * search — the "filtered ANN" every production vector store exposes;
+    * Wang et al. SIGMOD'21 Milvus discuss exactly this composition): top-k
+    * among only the vectors satisfying a metadata predicate. Semantics
+    * implemented are PRE-filter: the predicate cuts the corpus BEFORE
+    * ranking, so the engine always returns k true neighbors-within-the-
+    * predicate (post-filtering an unfiltered top-k returns fewer — or
+    * none — whenever the geometric neighborhood is dominated by
+    * non-matching rows; FilteredAnnSpec pins that contrast). The predicate
+    * here is a deterministic stand-in (vec_id % 3 = 0); a real attribute
+    * column swaps ONE expression. Scale: the filter is a scan-fused
+    * predicate (pushdown-eligible), queries broadcast, and the same
+    * pre-cut composes with the quantized scans (emb07/emb08 codes,
+    * emb05/emb10 ADC) because the predicate keys on metadata, not
+    * geometry.
+    */
+  def filteredCosineTopK(spark: SparkSession, dir: String,
+                         nQueries: Int = 3, k: Int = 5): DataFrame = {
+    val e = emb(spark, dir).where(pmod(col("vec_id"), lit(3)) === 0)
+    val queries = emb(spark, dir).where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val scored = e.join(broadcast(queries), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        cosineCol(col("embedding"), col("qvec")).as("cos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("cos").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("vec_id"), round(col("cos"), 4).as("cos"),
+        col("rank").cast("long").as("rank"))
+  }
+
+  /** The lossy alternative emb11 exists to avoid, exposed for the spec's
+    * contrast: unfiltered top-k, THEN the predicate — returns <= k rows
+    * and silently loses every neighbor the unfiltered ranking crowded out.
+    */
+  private[operators] def postFilteredTopK(spark: SparkSession, dir: String,
+                                          nQueries: Int = 3, k: Int = 5): DataFrame =
+    bruteCosineTopK(spark, dir, nQueries, k)
+      .where(pmod(col("vec_id"), lit(3)) === 0)
 }

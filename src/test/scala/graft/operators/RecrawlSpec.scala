@@ -59,4 +59,61 @@ class RecrawlSpec extends AnyFunSuite {
     assert(byX.size >= 4, s"only ${byX.size} tiers realized")
     assert(rows.exists(_._3 == 1L), "no page reached the every-epoch tier")
   }
+
+  test("change-rate schedule over revision history: hand cases + policy divergence") {
+    import spark.implicits._
+    val revs = Seq(
+      // changed once EARLY then quiet: staleness backs off to interval 3,
+      // change-rate keeps n/(X+1) = 3/2 -> 1 (one change in 3 obs is a rate)
+      ("imgE", 0, "new"), ("imgE", 1, "unchanged"), ("imgE", 2, "unchanged"),
+      // changes EVERY fetch: both policies say interval 1
+      ("imgH", 0, "new"), ("imgH", 1, "revised_pixels"), ("imgH", 2, "revised_pixels"),
+      // never observed changing at all (no 'new' row): rate 0 -> interval
+      // = n_obs, the full observed window
+      ("imgQ", 1, "unchanged"), ("imgQ", 2, "unchanged"))
+      .toDF("image_id", "epoch", "change")
+    val cr = DiffJob.recrawlScheduleChangeRate(revs, atEpoch = 3).collect()
+      .map(r => r.getString(0) -> ((r.getInt(1), r.getInt(2), r.getInt(3),
+        r.getInt(4), r.getBoolean(5)))).toMap
+    // imgE: n=3, X=1 -> 3 div 2 = 1, due (3-2 >= 1)
+    assert(cr("imgE") == ((2, 3, 1, 1, true)), s"imgE: ${cr("imgE")}")
+    // imgH: n=3, X=3 -> interval 1, due
+    assert(cr("imgH") == ((2, 3, 3, 1, true)), s"imgH: ${cr("imgH")}")
+    // imgQ: n=2, X=0 -> interval 2, not due at 3 (3-2 < 2)
+    assert(cr("imgQ") == ((2, 2, 0, 2, false)), s"imgQ: ${cr("imgQ")}")
+    // divergence pinned: staleness says imgE is NOT due (interval 3)
+    val st = DiffJob.recrawlSchedule(revs, atEpoch = 3).collect()
+      .map(r => r.getString(0) -> r.getBoolean(4)).toMap
+    assert(!st("imgE") && cr("imgE")._5,
+      "policies agree on imgE — divergence fixture vacuous")
+  }
+
+  test("pipeline recrawlPolicy=changerate: re-scheduled URLs within the policy's due set") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-recrawl-cr").toString
+    CrawlPipeline.run(spark, root, untilEpoch = 2, seedsPerEpoch = 300,
+      cfg0 = FrontierJob.Config(epoch = 0, globalBudget = 100000),
+      recrawl = true, recrawlPolicy = "changerate")
+    def sched(e: Int): Set[String] =
+      spark.read.parquet(s"$root/scheduled/epoch=$e")
+        .select("url_canon").as[String].collect().toSet
+    for (e <- 1 to 2) {
+      val revs = (0 until e).flatMap(d =>
+        spark.read.parquet(s"$root/revisions/epoch=$d")
+          .select("image_id", "epoch", "change")
+          .as[(String, Int, String)].collect())
+      val dueMirror = revs.groupBy(_._1).collect {
+        case (id, rs) =>
+          val n = rs.size; val x = rs.count(_._3 != "unchanged")
+          val interval = math.min(8, math.max(1, n / (x + 1)))
+          (id, e - rs.map(_._2).max >= interval)
+      }.collect { case (id, true) => id }.toSet
+      val prev = (0 until e).flatMap(sched).toSet
+      val rescheduled = sched(e) intersect prev
+      assert((rescheduled -- dueMirror).isEmpty,
+        s"epoch $e re-scheduled outside the change-rate due set")
+      if (e == 1) assert(rescheduled.nonEmpty,
+        "no recrawl happened at epoch 1 — fixture vacuous")
+    }
+  }
 }
