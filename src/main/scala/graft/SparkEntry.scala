@@ -115,6 +115,9 @@ object SparkEntry {
     // q48: RECURSIVE CTE multi-hop reachability (UnionLoop) — BFS min-hop
     // crawl depth from a seed host as ONE declarative plan
     "q48_recursive_cte" -> ((s, d) => Relational.recursiveReachability(s, d)),
+    // q49: version-chain retention thinning (the c48 kernel over orders —
+    // window/first/boundary/stride survivors) in the HARD oracle gate
+    "q49_retention_thinning" -> ((s, d) => operators.RetentionOps.ordersRetention(s, d)),
     // t23: TF-IDF top terms per doc — integer fixed-point idf so the
     // score/rank table is engine-exact (t21 discipline)
     "t23_tfidf_topterms" -> ((s, d) => TextOps.tfidfTopTerms(s, d)),
@@ -290,6 +293,15 @@ object SparkEntry {
     // crop matches its source REGION's tile where whole-hash dedup is
     // blind; CropMatchSpec pins mirror equality + the blindness contrast
     "c46_crop_copydetect" -> ((s, _) => operators.ImageOps.cropDetectDemo(s)),
+    // c47: caption-divergence mining — phash clusters whose members carry
+    // DIFFERENT normalized captions (silent caption edits / syndicated
+    // copies with divergent words); CaptionDivergenceSpec pins mirror
+    // equality + the normalization contract
+    "c47_caption_divergence" -> ((s, _) => operators.ImageOps.captionDivergenceDemo(s)),
+    // c48: version-chain retention thinning — bounded history per page
+    // (window/first/boundary/stride survivors); RetentionSpec pins mirror
+    // equality + first/latest/window invariants; q49 is the oracled twin
+    "c48_version_retention" -> ((s, _) => operators.RetentionOps.retentionDemo(s)),
     "t04_neardup_simhash" -> ((s, d) => TextOps.nearDupSimhash(s, d)),
     "emb01_cosine_topk" -> ((s, d) => SimilarityOps.bruteCosineTopK(s, d)),
     "emb02_ann_lsh" -> ((s, d) => SimilarityOps.annLshTopK(s, d)),
@@ -958,6 +970,31 @@ object SparkEntry {
         |FROM hops h
         |JOIN nation n ON n.n_nationkey = h.node
         |GROUP BY h.node, n.n_name""".stripMargin,
+    // q49: retention thinning — reason priority window > first > boundary
+    // > stride; old rows rank 1..n_old because they sort before the
+    // boundary; both engines emit (id, seq, reason) BIGINT/BIGINT/VARCHAR.
+    "q49_retention_thinning" ->
+      """WITH v AS (
+        |  SELECT DISTINCT CAST(o_custkey AS BIGINT) AS id,
+        |    CAST(date_diff('day', DATE '1992-01-01', o_orderdate) AS BIGINT) AS seq
+        |  FROM orders
+        |), f AS (
+        |  SELECT id, seq,
+        |    CAST(row_number() OVER (PARTITION BY id ORDER BY seq) AS BIGINT) AS rk,
+        |    CAST(count(CASE WHEN seq < 2001 THEN 1 END)
+        |         OVER (PARTITION BY id) AS BIGINT) AS n_old
+        |  FROM v
+        |)
+        |SELECT id, seq,
+        |  CASE WHEN seq >= 2001 THEN 'window'
+        |       WHEN rk = 1 THEN 'first'
+        |       WHEN rk = n_old THEN 'boundary'
+        |       WHEN (rk - 1) % 5 = 0 THEN 'stride' END AS reason
+        |FROM f
+        |WHERE (CASE WHEN seq >= 2001 THEN 'window'
+        |            WHEN rk = 1 THEN 'first'
+        |            WHEN rk = n_old THEN 'boundary'
+        |            WHEN (rk - 1) % 5 = 0 THEN 'stride' END) IS NOT NULL""".stripMargin,
     // t23: TF-IDF — tokenization mirrors t14 (lower/trim + \s+ split),
     // idf in BIGINT fixed-point ((N*1e6) // df) so score/rank carry no
     // float anywhere; ties break on term text in both engines.

@@ -190,6 +190,7 @@ object UrlKit {
         else portDone = true
       } else portDone = true
     }
+    authority = toAsciiHost(authority)
     // 4-6. path + query
     val qIdx = pathAndQuery.indexOf('?')
     val rawPath = if (qIdx >= 0) pathAndQuery.substring(0, qIdx) else pathAndQuery
@@ -204,6 +205,33 @@ object UrlKit {
     // the next pass would trim — recurse to the (strictly shrinking)
     // fixpoint so canonicalize is idempotent on garbage too (fuzz-caught)
     if (out != out.trim) canonicalize(out.trim) else out
+  }
+
+  /** IDN host -> punycode ACE (RFC 3490 ToASCII via java.net.IDN), so
+    * `http://例え.jp/` and `http://xn--r8jz45g.jp/` canonicalize to the SAME
+    * seen-set key — without this, every internationalized domain is crawled
+    * twice (once per spelling). ASCII authorities (the overwhelmingly common
+    * case, and every fast-path survivor) return the input reference
+    * untouched; a host java.net.IDN rejects (stray bidi marks, overlong
+    * labels) falls back to the lowercased original rather than failing the
+    * whole canonicalization. Port suffix (already non-default here) is
+    * preserved verbatim. Idempotent: the output is pure ASCII, so a second
+    * pass takes the fast return.
+    */
+  private def toAsciiHost(auth: String): String = {
+    var i = 0
+    var ascii = true
+    while (ascii && i < auth.length) { if (auth.charAt(i) >= 0x80) ascii = false; i += 1 }
+    if (ascii) return auth
+    val colonIdx = auth.lastIndexOf(':')
+    val hasPort = colonIdx >= 0 && colonIdx < auth.length - 1 &&
+      auth.substring(colonIdx + 1).forall(_.isDigit)
+    val host = if (hasPort) auth.substring(0, colonIdx) else auth
+    val port = if (hasPort) auth.substring(colonIdx) else ""
+    val ace =
+      try java.net.IDN.toASCII(host, java.net.IDN.ALLOW_UNASSIGNED).toLowerCase
+      catch { case _: IllegalArgumentException => host }
+    ace + port
   }
 
   /** RFC 3986 §5.2.4 remove_dot_segments + duplicate-slash collapse. */

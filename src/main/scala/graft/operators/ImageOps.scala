@@ -335,4 +335,66 @@ object ImageOps {
   def cropDetectDemo(spark: org.apache.spark.sql.SparkSession): DataFrame =
     cropMatches(cropCorpus(spark))
       .orderBy("image_a", "image_b", "tile_a", "tile_b")
+
+  // ---- c47: corpus-wide caption-divergence mining --------------------
+
+  /** c47 — clusters of near-identical pixels carrying DIFFERENT captions:
+    * the corpus-scale generalization of news-diff's per-URL caption-revision
+    * check. A phash cluster (hamming <= maxHamming; certain recall for <= 3
+    * via the 4x16 block index — pigeonhole over 4 blocks) whose members
+    * disagree on the normalized caption is either a silent caption edit
+    * (same outlet re-publishing the image under new words) or syndicated
+    * copies with divergent captions across outlets — both are exactly the
+    * rows an image+caption training-data curator must adjudicate before
+    * trusting the pair (the pixels cannot attest which caption is true).
+    *
+    * Scale shape: pair discovery and the CC fixpoint move ONLY
+    * (img_hash, phash) — captions enter once, at the final per-component
+    * aggregate, keyed by the already-clustered hash; no collect_set of
+    * unbounded caption lists (exact countDistinct + min/max extremes), no
+    * all-pairs join, singleton images never leave the block index.
+    */
+  def captionDivergence(images: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val pairs = nearDupPhash(images.select("image_id", "phash"), maxHamming)
+    val labels = DedupResolve.connectedComponents(pairs, "img_a", "img_b")
+    val normCap = lower(trim(regexp_replace(col("caption"), "\\s+", " ")))
+    images.select(col("caption"), xxhash64(col("image_id")).as("img_hash"))
+      .join(labels, col("img_hash") === col("id"))
+      .select(col("comp"), normCap.as("cap"))
+      .groupBy("comp")
+      .agg(count(lit(1)).as("n_members"),
+        countDistinct(col("cap")).as("n_captions"),
+        min(col("cap")).as("caption_lo"),
+        max(col("cap")).as("caption_hi"))
+      .where(col("n_captions") >= 2)
+      .orderBy("comp")
+  }
+
+  /** c47 demo corpus: deterministic groups of syndicated copies. Group g has
+    * 1 + g%3 members; members share basePhash(g) with member m's phash
+    * differing in m low bits (hamming m <= 2 from the base, <= 3 pairwise
+    * within certain-recall range). Odd-numbered multi-member groups plant a
+    * caption edit on their last member; the rest get only whitespace/case
+    * noise — normalization must NOT count those as divergent.
+    */
+  def captionCorpus(spark: org.apache.spark.sql.SparkSession,
+                    groups: Int = 60): DataFrame = {
+    import spark.implicits._
+    val rows = (0 until groups).flatMap { g =>
+      val base = ImageKit.mix64(0xCAB7L * (g + 1))
+      val k = 1 + g % 3
+      (0 until k).map { m =>
+        val phash = base ^ ((1L << m) - 1) // m low bits flipped
+        val caption =
+          if (g % 2 == 1 && k > 1 && m == k - 1) s"caption $g (edited)"
+          else if (m % 2 == 1) s"  Caption   $g " // normalization noise only
+          else s"caption $g"
+        (s"http://h${g % 7}.example/art-$g-m$m", phash, caption)
+      }
+    }
+    spark.createDataset(rows).toDF("image_id", "phash", "caption")
+  }
+
+  def captionDivergenceDemo(spark: org.apache.spark.sql.SparkSession): DataFrame =
+    captionDivergence(captionCorpus(spark))
 }

@@ -520,4 +520,22 @@ class PlanSpec extends AnyFunSuite {
     }
     assert(p.contains("Window"), s"first-occurrence decision lost its window:\n$p")
   }
+
+  test("c47 caption divergence: captions never reach a pair/CC exchange, no UDF") {
+    val p = finalPlan(graft.operators.ImageOps.captionDivergenceDemo(spark))
+    assert(!p.toLowerCase.contains("scalaudf"), "divergence path fell back to a UDF")
+    // captions may cross ONLY the final per-component aggregate exchange
+    // (keyed by comp); the pair join and the CC fixpoint move ids+hashes.
+    // The agg exchange partitions by comp#, so any exchange line whose
+    // PARTITION KEY mentions cap/caption while not being the comp agg is
+    // a leak; simpler robust pin: caption bytes never appear on an
+    // exchange hash-partitioned by blk/key (the candidate join).
+    p.linesIterator.filter(l =>
+        l.contains("Exchange hashpartitioning") &&
+        (l.contains("blk#") || l.contains("key#"))).foreach { l =>
+      assert(!l.contains("cap"), s"caption on a candidate-join exchange: $l")
+    }
+    assert(p.contains("HashAggregate") || p.contains("SortAggregate") ||
+      p.contains("ObjectHashAggregate"), s"no aggregate in the plan:\n$p")
+  }
 }

@@ -22,6 +22,21 @@ class UrlKitSpec extends AnyFunSuite {
     }
   }
 
+  test("canonicalize: IDN hosts map to the punycode ACE spelling (one seen-set key)") {
+    // unicode and ACE spellings of the same host MUST collide in the seen set
+    assert(UrlKit.canonicalize("http://例え.jp/a") == "http://xn--r8jz45g.jp/a")
+    assert(UrlKit.canonicalize("http://xn--r8jz45g.jp/a") == "http://xn--r8jz45g.jp/a")
+    assert(UrlKit.canonicalize("http://例え.jp/a") ==
+      UrlKit.canonicalize("http://XN--R8JZ45G.jp/a"))
+    // mixed-case unicode, non-default port preserved, idempotent output
+    val c = UrlKit.canonicalize("http://BÜcher.example:8080/x")
+    assert(c == "http://xn--bcher-kva.example:8080/x")
+    assert(UrlKit.canonicalize(c) == c)
+    // a host IDN rejects falls back to lowercase-as-is, never throws
+    val weird = UrlKit.canonicalize("http://" + ("ü" * 70) + ".com/x")
+    assert(UrlKit.canonicalize(weird) == weird)
+  }
+
   // exhaustive dirty-URL cross-product (1120 combos, deterministic)
   private val dirtyUrls: Seq[String] = for {
     scheme <- Seq("http", "HTTP", "https", "")
