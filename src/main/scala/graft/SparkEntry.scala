@@ -118,6 +118,9 @@ object SparkEntry {
     // q49: version-chain retention thinning (the c48 kernel over orders —
     // window/first/boundary/stride survivors) in the HARD oracle gate
     "q49_retention_thinning" -> ((s, d) => operators.RetentionOps.ordersRetention(s, d)),
+    // q50: generic AS-OF join (tag-union + running last-ignoreNulls window,
+    // one exchange, no range explosion) vs DuckDB's NATIVE ASOF JOIN
+    "q50_asof_join" -> ((s, d) => Relational.asofAttribution(s, d)),
     // t23: TF-IDF top terms per doc — integer fixed-point idf so the
     // score/rank table is engine-exact (t21 discipline)
     "t23_tfidf_topterms" -> ((s, d) => TextOps.tfidfTopTerms(s, d)),
@@ -995,6 +998,24 @@ object SparkEntry {
         |            WHEN rk = 1 THEN 'first'
         |            WHEN rk = n_old THEN 'boundary'
         |            WHEN (rk - 1) % 5 = 0 THEN 'stride' END) IS NOT NULL""".stripMargin,
+    // q50: DuckDB's native ASOF LEFT JOIN against our tag-union window
+    // form; right side pre-deduped per (user, ts) so the match is unique;
+    // gap in exact microseconds (ts is us-precision — 'second' granularity
+    // would count boundary crossings, not elapsed time).
+    "q50_asof_join" ->
+      """WITH su AS (
+        |  SELECT user_id, ts, CAST(max(event_id) AS BIGINT) AS signup_event
+        |  FROM events WHERE event_type = 'signup' GROUP BY 1, 2
+        |), pu AS (
+        |  SELECT user_id, ts, event_id
+        |  FROM events WHERE event_type = 'purchase'
+        |)
+        |SELECT CAST(p.event_id AS BIGINT) AS purchase_event,
+        |  CAST(p.user_id AS BIGINT) AS user_id,
+        |  s.signup_event,
+        |  CAST(date_diff('microsecond', s.ts, p.ts) AS BIGINT) AS gap_us
+        |FROM pu p ASOF LEFT JOIN su s
+        |  ON p.user_id = s.user_id AND p.ts >= s.ts""".stripMargin,
     // t23: TF-IDF — tokenization mirrors t14 (lower/trim + \s+ split),
     // idf in BIGINT fixed-point ((N*1e6) // df) so score/rank carry no
     // float anywhere; ties break on term text in both engines.

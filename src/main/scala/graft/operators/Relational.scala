@@ -651,4 +651,43 @@ object Relational {
           .as("n_total"))
       .orderBy("o_custkey")
   }
+
+  /** q50 — generic AS-OF join (J4's snapshot form generalized to any
+    * event stream, in the HARD oracle gate against DuckDB's native ASOF
+    * JOIN): each purchase matches the LATEST signup of the same user with
+    * signup.ts <= purchase.ts. Spark has no native as-of operator; the
+    * scalable shape is tag-union + one running last(ignoreNulls) window —
+    * ONE exchange on the key, no range-join row explosion, no per-row
+    * subquery. Right rows are pre-deduped to one per (user, ts) (max
+    * event_id) so the match is deterministic in both engines; equal
+    * timestamps match (side 0 sorts before side 1 == ASOF's >=); the gap
+    * is exact BIGINT microseconds (ts is stored at us precision — second-
+    * level date_diff would count boundary crossings, not elapsed time).
+    */
+  def asofAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+    val su = ev.where(col("event_type") === "signup")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max("event_id").as("signup_event"))
+    val pu = ev.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    val tagged = su
+      .select(col("user_id"), col("ts"), lit(0).as("side"),
+        col("signup_event"), lit(null).cast("long").as("event_id"))
+      .unionByName(pu.select(col("user_id"), col("ts"), lit(1).as("side"),
+        lit(null).cast("long").as("signup_event"), col("event_id")))
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tagged
+      .withColumn("matched_signup", last(col("signup_event"), ignoreNulls = true).over(w))
+      .withColumn("matched_ts",
+        last(when(col("side") === 0, col("ts")), ignoreNulls = true).over(w))
+      .where(col("side") === 1)
+      .select(col("event_id").cast("long").as("purchase_event"),
+        col("user_id").cast("long").as("user_id"),
+        col("matched_signup").cast("long").as("signup_event"),
+        (unix_micros(col("ts").cast("timestamp")) -
+          unix_micros(col("matched_ts").cast("timestamp"))).as("gap_us"))
+      .orderBy("purchase_event")
+  }
 }

@@ -521,6 +521,20 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("Window"), s"first-occurrence decision lost its window:\n$p")
   }
 
+  test("q50 as-of join: tag-union form shuffles ONCE on the key, no join node at all") {
+    val p = finalPlan(graft.operators.Relational.asofAttribution(
+      spark, "/root/testdata/sf0.001"))
+    // the whole as-of resolves as union + window — there must be NO join
+    // operator (a range/theta join here would row-explode at scale); hash
+    // exchanges: one for the right-side (user, ts) dedup agg + one for the
+    // window key, nothing else; count the executed plan only
+    val executed = p.split("== Initial Plan ==").head
+    assert(!executed.contains("Join"), s"as-of fell back to a join:\n$p")
+    val hashEx = executed.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(hashEx <= 2, s"extra exchanges in the as-of plan:\n$p")
+    assert(executed.contains("Window"), s"running-last window missing:\n$p")
+  }
+
   test("c47 caption divergence: captions never reach a pair/CC exchange, no UDF") {
     val p = finalPlan(graft.operators.ImageOps.captionDivergenceDemo(spark))
     assert(!p.toLowerCase.contains("scalaudf"), "divergence path fell back to a UDF")
