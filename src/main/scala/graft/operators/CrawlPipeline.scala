@@ -227,6 +227,9 @@ object CrawlPipeline {
       sidecar: String = "bloom",
       sidecarPerBucket: Long = 0L,
       compactSeenEvery: Int = 8,
+      retainEvery: Int = 0,
+      retainWindow: Long = 4L,
+      retainStride: Int = 3,
       recrawl: Boolean = false,
       recrawlPolicy: String = "staleness",
       rankOrdered: Boolean = false,
@@ -511,6 +514,10 @@ object CrawlPipeline {
       // next load falls back to the previous compact + a longer tail)
       if (compactSeenEvery > 0 && (epoch + 1) % compactSeenEvery == 0)
         SeenStore.compact(spark, root, epoch)
+      // periodic version-chain retention (c48) under the same post-commit
+      // discipline; off by default so the base goldens stay byte-identical
+      if (retainEvery > 0 && (epoch + 1) % retainEvery == 0)
+        RetentionOps.retainHistory(spark, root, epoch, retainWindow, retainStride)
       EpochSummary(epoch, nScheduled, nScheduled, nRevised)
     }
   }

@@ -39,8 +39,10 @@ object RetentionOps {
     require(keepWindow >= 1, "keepWindow must be >= 1")
     require(thinStride >= 1, "thinStride must be >= 1")
     val boundary = atSeq - keepWindow + 1
+    // id keeps its source type (string image_ids in the pipeline, int64
+    // custkeys in q49); only the sequence must be numeric
     val v = versions
-      .select(col(idCol).cast("long").as("id"), col(seqCol).cast("long").as("seq"))
+      .select(col(idCol).as("id"), col(seqCol).cast("long").as("seq"))
       .distinct()
     val byId = Window.partitionBy("id")
     // old rows sort before the boundary, so among old rows rk = 1..n_old
@@ -67,7 +69,7 @@ object RetentionOps {
       seqCol: String): DataFrame =
     history.join(
       keys.select(col("id").as(s"__r_id"), col("seq").as(s"__r_seq")),
-      col(idCol).cast("long") === col("__r_id") &&
+      col(idCol) === col("__r_id") &&
         col(seqCol).cast("long") === col("__r_seq"),
       "left_semi")
 
@@ -107,4 +109,61 @@ object RetentionOps {
     retentionKeys(demoVersions(spark), "image_id", "epoch",
       atSeq = 11L, keepWindow = 3L, thinStride = 3)
       .orderBy("id", "seq")
+
+  // ---- pipeline wiring (CrawlPipeline.run(retainEvery > 0)) -----------
+
+  /** Compute + persist the retained key set over the committed snapshot
+    * history as `retained_keys/epoch=N`. Runs AFTER the manifest commit
+    * (sibling-state discipline: a crash mid-write leaves no _SUCCESS and
+    * readers fall back to the previous table; a resume overwrites
+    * idempotently). Reads only the (image_id, epoch) projection — parquet
+    * column pruning makes this a skinny scan of the archive; image bytes
+    * never move.
+    */
+  def retainHistory(
+      spark: org.apache.spark.sql.SparkSession,
+      root: String,
+      epoch: Int,
+      keepWindow: Long,
+      thinStride: Int): Unit =
+    retentionKeys(
+      graft.sources.Snapshots.readUpTo(spark, root, epoch)
+        .select("image_id", "epoch"),
+      "image_id", "epoch", epoch.toLong, keepWindow, thinStride)
+      .write.mode("overwrite").parquet(s"$root/retained_keys/epoch=$epoch")
+
+  /** Newest committed retained-keys epoch <= maxEpoch, or -1. Gated on the
+    * _SUCCESS marker (crash-truncated writes are invisible).
+    */
+  def latestRetainedEpoch(root: String, maxEpoch: Int): Int = {
+    val dir = new java.io.File(s"$root/retained_keys")
+    if (!dir.isDirectory) return -1
+    dir.listFiles().toSeq
+      .filter(f => f.isDirectory && f.getName.startsWith("epoch=") &&
+        new java.io.File(f, "_SUCCESS").exists())
+      .map(_.getName.stripPrefix("epoch=").toInt)
+      .filter(_ <= maxEpoch)
+      .sorted.lastOption.getOrElse(-1)
+  }
+
+  /** The thinned archive view as of `epoch`: epochs the newest retained-keys
+    * table has judged are semi-joined down to their survivors; epochs after
+    * it (not yet judged) pass through in full. With no committed table this
+    * is exactly the full history.
+    */
+  def readRetainedHistory(
+      spark: org.apache.spark.sql.SparkSession,
+      root: String,
+      epoch: Int): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val full = graft.sources.Snapshots.readUpTo(spark, root, epoch)
+    val rk = latestRetainedEpoch(root, epoch)
+    if (rk < 0) full
+    else {
+      val keys = spark.read.parquet(s"$root/retained_keys/epoch=$rk")
+      full.where(col("epoch") > rk)
+        .unionByName(
+          applyRetention(full.where(col("epoch") <= rk), keys, "image_id", "epoch"))
+    }
+  }
 }
