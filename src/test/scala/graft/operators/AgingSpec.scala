@@ -97,4 +97,14 @@ class AgingSpec extends AnyFunSuite {
       if (e == 1) assert(boosted.nonEmpty, "no aged schedule at epoch 1 — vacuous")
     }
   }
+
+  test("c44 bench demo (trimmed defaults) still surfaces every row class") {
+    val rows = CrawlPipeline.agingDemo(spark).collect()
+      .map(r => (r.getInt(r.fieldIndex("first_epoch")),
+        r.getBoolean(r.fieldIndex("was_aged"))))
+    assert(rows.nonEmpty)
+    assert(rows.exists(_._2), "demo produced no aged (was_aged) schedule")
+    assert(rows.exists(!_._2), "demo produced no un-aged schedule")
+    assert(rows.map(_._1).distinct.length >= 2, "demo scheduled in only one epoch")
+  }
 }
