@@ -305,6 +305,10 @@ object SparkEntry {
     // (window/first/boundary/stride survivors); RetentionSpec pins mirror
     // equality + first/latest/window invariants; q49 is the oracled twin
     "c48_version_retention" -> ((s, _) => operators.RetentionOps.retentionDemo(s)),
+    // c49: word-level caption diff SCRIPTS (news-diff's user-facing diff
+    // rendering as an operator); CaptionDiffSpec pins reconstruction +
+    // LCS minimality (vs an independent DP) + mirror equality
+    "c49_caption_diff" -> ((s, _) => operators.DiffJob.captionDiffDemo(s)),
     "t04_neardup_simhash" -> ((s, d) => TextOps.nearDupSimhash(s, d)),
     "emb01_cosine_topk" -> ((s, d) => SimilarityOps.bruteCosineTopK(s, d)),
     "emb02_ann_lsh" -> ((s, d) => SimilarityOps.annLshTopK(s, d)),

@@ -251,6 +251,56 @@ object TextKit {
   }
 
   /** Tiny n-gram language-ID heuristic over a fixed marker table. */
+  /** Word-level minimal edit script between two strings — the engine's
+    * analog of news-diff's user-facing version diff rendering (the one
+    * surface feature not otherwise represented as an operator). Tokens are
+    * [[tokenize]]'s lowercased \W+ words (diffing is over CONTENT words,
+    * same normalization as every other text operator here); the script is
+    * a minimal LCS edit sequence (Wagner-Fischer DP) with a deterministic
+    * backtrack tie-break (keep > del > ins), adjacent same-op tokens
+    * merged into space-joined spans.
+    *
+    * Invariants (property-tested in CaptionDiffSpec):
+    *   keep+del spans spell `from`'s tokens in order;
+    *   keep+ins spans spell `to`'s tokens in order;
+    *   kept token count == LCS length (minimality);
+    *   no two adjacent spans share an op (maximal merge).
+    */
+  def wordDiff(from: String, to: String): Seq[(String, String)] = {
+    val a = tokenize(if (from == null) "" else from)
+    val b = tokenize(if (to == null) "" else to)
+    val n = a.length; val m = b.length
+    // dp(i)(j) = LCS length of a(i..) vs b(j..)
+    val dp = Array.ofDim[Int](n + 1, m + 1)
+    var i = n - 1
+    while (i >= 0) {
+      var j = m - 1
+      while (j >= 0) {
+        dp(i)(j) =
+          if (a(i) == b(j)) dp(i + 1)(j + 1) + 1
+          else math.max(dp(i + 1)(j), dp(i)(j + 1))
+        j -= 1
+      }
+      i -= 1
+    }
+    val ops = scala.collection.mutable.ArrayBuffer[(String, String)]()
+    var x = 0; var y = 0
+    while (x < n || y < m) {
+      if (x < n && y < m && a(x) == b(y)) { ops += (("keep", a(x))); x += 1; y += 1 }
+      else if (y == m || (x < n && dp(x + 1)(y) >= dp(x)(y + 1))) {
+        ops += (("del", a(x))); x += 1
+      } else { ops += (("ins", b(y))); y += 1 }
+    }
+    // merge adjacent same-op tokens into spans
+    val out = scala.collection.mutable.ArrayBuffer[(String, String)]()
+    ops.foreach { case (op, tok) =>
+      if (out.nonEmpty && out.last._1 == op)
+        out(out.length - 1) = (op, out.last._2 + " " + tok)
+      else out += ((op, tok))
+    }
+    out.toSeq
+  }
+
   def langId(text: String): String = {
     val toks = tokenize(text).take(400)
     if (toks.isEmpty) return "und"

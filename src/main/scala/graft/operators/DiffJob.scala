@@ -3,7 +3,7 @@ package graft.operators
 import graft.model.{Revision, Snapshot}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 
 /** E2 — revision detection (SURVEY.md §3 E2; north_rule: "detects revised
   * pages via phash/caption comparison against prior snapshots, preserving
@@ -81,6 +81,71 @@ object DiffJob {
         col("change"), col("phash_dist").cast("int"),
         col("caption_dist").cast("int"))
       .as[Revision]
+  }
+
+  /** c49 — word-level diff SCRIPTS for this epoch's caption revisions:
+    * the relational form of news-diff's user-facing version diff (the
+    * rendered old/new word spans), kept out of the engine until now as
+    * "presentation". One row per span: (image_id, seq, op in
+    * {keep,del,ins}, span), minimal LCS script via TextKit.wordDiff.
+    *
+    * Scale shape: the quadratic kernel runs ONLY on pairs the (cheap,
+    * codegen) classifier already marked caption-revised — a small fraction
+    * of an epoch — and captions are short; prev captions come from the
+    * maintained latest table (same join as revisionsFromLatest, one
+    * broadcast-or-shuffle on image_id), never from a history scan.
+    */
+  def captionDiffs(
+      current: DataFrame,
+      latestPrev: DataFrame,
+      epoch: Int): DataFrame = {
+    import current.sparkSession.implicits._
+    val cur = current.select("image_id", "epoch", "caption")
+      .where(col("epoch") === epoch)
+    val prev = latestPrev.select(
+      col("image_id"), col("caption").as("prev_caption"))
+    val changed = cur.join(prev, Seq("image_id"))
+      .where(col("caption") =!= col("prev_caption"))
+      .select("image_id", "prev_caption", "caption")
+      .as[(String, String, String)]
+    changed.flatMap { case (id, from, to) =>
+      graft.functions.TextKit.wordDiff(from, to).zipWithIndex.map {
+        case ((op, span), k) => (id, k, op, span)
+      }
+    }.toDF("image_id", "seq", "op", "span")
+      .orderBy("image_id", "seq")
+  }
+
+  /** c49 demo corpus: 40 caption pairs exercising every edit family —
+    * i%4==0 replaces a middle word, 1 deletes two words, 2 inserts a
+    * phrase, 3 swaps the tail words (which LCS must render as del+ins).
+    */
+  def captionDiffCorpus(spark: SparkSession, n: Int = 40): (DataFrame, DataFrame) = {
+    import spark.implicits._
+    val base = (0 until n).map { i =>
+      (s"http://h${i % 5}.example/art-$i",
+        s"mayor opens the new $i bridge over the east river")
+    }
+    val edited = base.zipWithIndex.map { case ((id, cap), i) =>
+      val ws = cap.split(" ")
+      val out = (i % 4) match {
+        case 0 => (ws.take(2) ++ Array("reopens") ++ ws.drop(3)).mkString(" ")
+        case 1 => (ws.take(4) ++ ws.drop(6)).mkString(" ")
+        case 2 => ((ws.take(5) :+ "after repairs") ++ ws.drop(5)).mkString(" ")
+        case _ => (ws.dropRight(2) ++ ws.takeRight(2).reverse).mkString(" ")
+      }
+      (id, out)
+    }
+    val prev = base.toDF("image_id", "caption")
+    val cur = edited.toDF("image_id", "caption")
+      .withColumn("epoch", lit(1))
+    (cur, prev)
+  }
+
+  /** c49 demo: diff scripts over the demo corpus. */
+  def captionDiffDemo(spark: SparkSession): DataFrame = {
+    val (cur, prev) = captionDiffCorpus(spark)
+    captionDiffs(cur, prev, epoch = 1)
   }
 
   /** Local mirror for golden tests: classify one (current, prev) pair. */
