@@ -309,6 +309,10 @@ object SparkEntry {
     // rendering as an operator); CaptionDiffSpec pins reconstruction +
     // LCS minimality (vs an independent DP) + mirror equality
     "c49_caption_diff" -> ((s, _) => operators.DiffJob.captionDiffDemo(s)),
+    // c50: failure-aware AIMD host backoff (integer basis points; wired
+    // into CrawlPipeline as `backoff`); BackoffSpec pins the hand-computed
+    // chain, mirror state, control-contrast shrink, recovery, resume
+    "c50_host_backoff" -> ((s, _) => operators.BackoffOps.backoffDemo(s)),
     "t04_neardup_simhash" -> ((s, d) => TextOps.nearDupSimhash(s, d)),
     "emb01_cosine_topk" -> ((s, d) => SimilarityOps.bruteCosineTopK(s, d)),
     "emb02_ann_lsh" -> ((s, d) => SimilarityOps.annLshTopK(s, d)),

@@ -236,6 +236,8 @@ object CrawlPipeline {
       retainEvery: Int = 0,
       retainWindow: Long = 4L,
       retainStride: Int = 3,
+      backoff: Boolean = false,
+      backoffThresholdBp: Int = 1500,
       recrawl: Boolean = false,
       recrawlPolicy: String = "staleness",
       rankOrdered: Boolean = false,
@@ -374,7 +376,17 @@ object CrawlPipeline {
           }
         }
       val toRobots = recrawlFrontier.fold(deduped)(deduped.unionByName(_))
-      val allowed = FrontierJob.applyRobots(toRobots, robots, cfg)
+      val allowed0 = FrontierJob.applyRobots(toRobots, robots, cfg)
+      // c50 wired end-to-end: budgets of hosts that failed above threshold
+      // last epoch shrink by the committed AIMD multiplier (floor 1 — a
+      // sick host is slowed, never starved; clean epochs regrow it). The
+      // multiplier only shrinks budgets, so the politeness top-K bound
+      // (maxHostBudget) needs no re-sizing. Off by default: base goldens
+      // stay byte-identical.
+      val allowed =
+        if (!backoff || epoch == 0) allowed0
+        else BackoffOps.loadState(spark, root, epoch - 1)
+          .fold(allowed0)(BackoffOps.applyBackoff(allowed0, _))
       val scheduled = FrontierJob
         .applyGlobalBudget(FrontierJob.schedule(allowed, cfg), cfg)
         .persist()
@@ -400,6 +412,13 @@ object CrawlPipeline {
       // let a crash produce a committed epoch whose URLs re-schedule)
       val fetched = fetchInstrumented(scheduled, epoch, fetchPartitions)
       val summary = Snapshots.writeEpochFetched(fetched, root, epoch, dedupeCounts)
+      // c50: persist this epoch's AIMD backoff state from the at-rest fetch
+      // log BEFORE the manifest commit (sibling-state discipline — resume
+      // recomputes it idempotently from the same committed rows)
+      if (backoff)
+        BackoffOps.writeState(spark, root, epoch,
+          Snapshots.readRaw(spark, root, epoch).select("image_id", "status"),
+          backoffThresholdBp)
       // adaptive pacing: persist this epoch's latency histogram partial
       // BEFORE the manifest commit (sibling-state discipline — a crash
       // re-runs the epoch and overwrites it idempotently); the kernel is
