@@ -121,6 +121,21 @@ object SparkEntry {
     // q50: generic AS-OF join (tag-union + running last-ignoreNulls window,
     // one exchange, no range explosion) vs DuckDB's NATIVE ASOF JOIN
     "q50_asof_join" -> ((s, d) => Relational.asofAttribution(s, d)),
+    // q51: statistical / regression aggregates (corr, covar, regr_* fit)
+    // in one fused hash-agg pass
+    "q51_stats_agg" -> ((s, d) => Relational.statsAgg(s, d)),
+    // q52: fixed-width histogram via width_bucket; DuckDB oracle spells
+    // out the identical double arithmetic
+    "q52_histogram" -> ((s, d) => Relational.histogramBuckets(s, d)),
+    // q53: mirror-host detection — content-hash overlap >=90% of the
+    // smaller host's distinct pages (hosts + 16-byte hashes on exchanges)
+    "q53_mirror_hosts" -> ((s, d) => Relational.mirrorHosts(s, d)),
+    // t26: asymmetric CONTAINMENT near-dup (quote/excerpt pairs Jaccard
+    // can't see) — same inverted-index discipline as t05
+    "t26_containment" -> ((s, d) => TextOps.containmentNearDup(s, d)),
+    // q54: Spark-4 VARIANT semi-structured path (parse_json once ->
+    // typed variant_get) vs q10's per-access string parsing
+    "q54_variant" -> ((s, d) => Relational.variantExtract(s, d)),
     // t23: TF-IDF top terms per doc — integer fixed-point idf so the
     // score/rank table is engine-exact (t21 discipline)
     "t23_tfidf_topterms" -> ((s, d) => TextOps.tfidfTopTerms(s, d)),
@@ -313,6 +328,15 @@ object SparkEntry {
     // into CrawlPipeline as `backoff`); BackoffSpec pins the hand-computed
     // chain, mirror state, control-contrast shrink, recovery, resume
     "c50_host_backoff" -> ((s, _) => operators.BackoffOps.backoffDemo(s)),
+    // c51: HTTP revalidation for recrawls (conditional GET / 304) — due
+    // pages with an unchanged validator skip the fetch wave entirely;
+    // wired into CrawlPipeline as `revalidate`; RevalidationSpec pins
+    // zero-unchanged-fetches + no-lost-revisions vs the control run
+    "c51_revalidation" -> ((s, _) => operators.RevalidationOps.revalidationDemo(s)),
+    // c52: flip-invariant image near-dup — canonical phash
+    // min(phash, phash of mirror) catches mirrored reposts whole-hash
+    // dedup (c17) is blind to; same block-index scale shape as c17
+    "c52_flip_dedup" -> ((s, _) => operators.ImageOps.flipDetectDemo(s)),
     "t04_neardup_simhash" -> ((s, d) => TextOps.nearDupSimhash(s, d)),
     "emb01_cosine_topk" -> ((s, d) => SimilarityOps.bruteCosineTopK(s, d)),
     "emb02_ann_lsh" -> ((s, d) => SimilarityOps.annLshTopK(s, d)),
@@ -329,6 +353,10 @@ object SparkEntry {
     // metadata) — PRE-filter semantics: the predicate cuts the corpus
     // before ranking, so k true in-predicate neighbors always return
     "emb11_filtered_ann" -> ((s, d) => SimilarityOps.filteredCosineTopK(s, d)),
+    // emb12: two-stage prefix-dimension retrieval — coarse rank on the
+    // first 24 of 64 components (the only full-corpus pass; column-pruned
+    // at scale), exact full-dim rerank over the overfetched candidates
+    "emb12_prefix_rerank" -> ((s, d) => SimilarityOps.annPrefixRerankTopK(s, d)),
     // emb09: SemDeDup — k-means cluster-scoped semantic near-dup pairs
     // resolved to components; survivor = component-min (Abbas et al. '23)
     "emb09_semdedup" -> ((s, d) => SimilarityOps.semDedup(s, d)),
@@ -1024,6 +1052,104 @@ object SparkEntry {
         |  CAST(date_diff('microsecond', s.ts, p.ts) AS BIGINT) AS gap_us
         |FROM pu p ASOF LEFT JOIN su s
         |  ON p.user_id = s.user_id AND p.ts >= s.ts""".stripMargin,
+    // q51: identical aggregate definitions in both engines (corr /
+    // covar_samp / covar_pop / regr_slope / regr_intercept / regr_r2 /
+    // var_samp / stddev_pop); 4dp rounding absorbs summation-order noise.
+    "q51_stats_agg" ->
+      """SELECT l_returnflag,
+        |  round(corr(l_quantity, l_extendedprice), 4) AS corr_qp,
+        |  round(covar_samp(l_quantity, l_extendedprice), 4) AS covs_qp,
+        |  round(covar_pop(l_quantity, l_extendedprice), 4) AS covp_qp,
+        |  round(regr_slope(l_extendedprice, l_quantity), 4) AS slope_pq,
+        |  round(regr_intercept(l_extendedprice, l_quantity), 4) AS icept_pq,
+        |  round(regr_r2(l_extendedprice, l_quantity), 4) AS r2_pq,
+        |  round(var_samp(l_discount), 4) AS var_disc,
+        |  round(stddev_pop(l_tax), 4) AS sdp_tax,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY 1""".stripMargin,
+    // q52: DuckDB has no width_bucket — the CASE spells out Spark's exact
+    // double arithmetic ((n*(v-lo))/(hi-lo) truncated; <lo -> 0,
+    // >=hi -> n+1). floor() before the cast because DuckDB's
+    // double->BIGINT cast ROUNDS where Spark's .toLong truncates.
+    "q52_histogram" ->
+      """SELECT bucket, count(*) AS n FROM (
+        |  SELECT CASE
+        |    WHEN l_extendedprice < 900.0 THEN 0
+        |    WHEN l_extendedprice >= 105000.0 THEN 17
+        |    ELSE CAST(floor(16.0 * (l_extendedprice - 900.0)
+        |                    / (105000.0 - 900.0)) AS BIGINT) + 1 END AS bucket
+        |  FROM lineitem)
+        |GROUP BY 1""".stripMargin,
+    // q53: mirror-host detection — planted '-m' hosts serve every third
+    // page; flag pairs whose content-hash overlap covers >=90% of the
+    // smaller host (integer compare, no floats).
+    "q53_mirror_hosts" ->
+      """WITH idx0 AS (
+        |  SELECT DISTINCT host, ch FROM (
+        |    SELECT source AS host, md5(text) AS ch FROM documents
+        |    UNION ALL
+        |    SELECT source || '-m' AS host, md5(text) AS ch
+        |    FROM documents WHERE doc_id % 3 = 0)
+        |), idx AS (
+        |  SELECT host, ch FROM idx0
+        |  WHERE ch NOT IN (SELECT ch FROM idx0 GROUP BY ch HAVING count(*) > 32)
+        |), sizes AS (
+        |  SELECT host, count(*) AS sz FROM idx GROUP BY 1
+        |), pairs AS (
+        |  SELECT a.host AS host_a, b.host AS host_b, count(*) AS n_inter
+        |  FROM idx a JOIN idx b ON a.ch = b.ch AND a.host < b.host
+        |  GROUP BY 1, 2
+        |)
+        |SELECT host_a, host_b, n_inter, sa.sz AS sz_a, sb.sz AS sz_b
+        |FROM pairs
+        |JOIN sizes sa ON host_a = sa.host
+        |JOIN sizes sb ON host_b = sb.host
+        |WHERE n_inter * 10 >= least(sa.sz, sb.sz) * 9""".stripMargin,
+    // t26: containment near-dup over the excerpt corpus — t05's shingle
+    // construction verbatim, asymmetric gate (>=50% of the smaller side)
+    // minus the pairs Jaccard would already catch.
+    "t26_containment" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 2000000 AS doc_id,
+        |    array_to_string(t[1:greatest(len(t)//2, 5)], ' ')
+        |      || ' excerpt quote trailer' AS text
+        |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        |        FROM documents)
+        |  WHERE doc_id % 17 = 0
+        |), toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM corpus
+        |), shingles AS (
+        |  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
+        |  FROM (SELECT doc_id, t, unnest(generate_series(1, greatest(len(t)-2, 0))) AS i FROM toks)
+        |), sizes AS (
+        |  SELECT doc_id, count(*) AS sz FROM shingles GROUP BY doc_id
+        |), idx AS (
+        |  SELECT doc_id, sh FROM shingles
+        |  WHERE sh NOT IN (SELECT sh FROM shingles GROUP BY sh HAVING count(*) > 64)
+        |), pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+        |  FROM idx a JOIN idx b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |)
+        |SELECT doc_a, doc_b, n_inter, least(sa.sz, sb.sz) AS sz_min
+        |FROM pairs
+        |JOIN sizes sa ON doc_a = sa.doc_id
+        |JOIN sizes sb ON doc_b = sb.doc_id
+        |WHERE n_inter * 2 >= least(sa.sz, sb.sz)
+        |  AND n_inter * 2 < sa.sz + sb.sz - n_inter""".stripMargin,
+    // q54: DuckDB extracts the same typed value via JSON path functions
+    // (no VARIANT there) — values must agree across representations.
+    "q54_variant" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(k) AS BIGINT) AS sum_k,
+        |  CAST(min(k) AS BIGINT) AS min_k,
+        |  CAST(max(k) AS BIGINT) AS max_k
+        |FROM (SELECT event_type,
+        |        CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+        |      FROM events)
+        |GROUP BY 1""".stripMargin,
     // t23: TF-IDF — tokenization mirrors t14 (lower/trim + \s+ split),
     // idf in BIGINT fixed-point ((N*1e6) // df) so score/rank carry no
     // float anywhere; ties break on term text in both engines.

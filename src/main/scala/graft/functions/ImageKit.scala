@@ -233,6 +233,39 @@ object ImageKit {
 
   def hamming64(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
 
+  /** Horizontal mirror of a row-major pixel array (pure). */
+  def flipHorizontal(px: Array[Int], w: Int, h: Int): Array[Int] = {
+    val out = new Array[Int](px.length)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { out(y * w + x) = px(y * w + (w - 1 - x)); x += 1 }
+      y += 1
+    }
+    out
+  }
+
+  /** phash of the horizontally MIRRORED image. Total like [[phash64]]. */
+  def phashFlip64(bytes: Array[Byte]): Long = {
+    if (bytes == null || bytes.isEmpty) return 0L
+    val (px, w, h) = decodeGray(bytes)
+    if (w == 0 || h == 0) return 0L
+    phashOfPixels(flipHorizontal(px, w, h), w, h)
+  }
+
+  /** Flip-INVARIANT canonical phash: the unsigned-min of the two
+    * orientations' hashes. An image and its mirror canonicalize to the
+    * SAME value (the pair {phash(I), phash(flip I)} is orientation-
+    * independent), so whole-hash dedup over this column catches mirrored
+    * copies that plain phash is blind to (the DCT's odd horizontal
+    * coefficients negate under mirroring, flipping ~half the sign bits).
+    */
+  def canonPhash64(bytes: Array[Byte]): Long = {
+    val a = phash64(bytes)
+    val b = phashFlip64(bytes)
+    if (java.lang.Long.compareUnsigned(a, b) <= 0) a else b
+  }
+
   /** splitmix64 finalizer — the deterministic mixer used across the engine. */
   def mix64(z0: Long): Long = {
     var z = z0 + 0x9e3779b97f4a7c15L

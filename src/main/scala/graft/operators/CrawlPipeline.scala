@@ -240,6 +240,7 @@ object CrawlPipeline {
       backoffThresholdBp: Int = 1500,
       recrawl: Boolean = false,
       recrawlPolicy: String = "staleness",
+      revalidate: Boolean = false,
       rankOrdered: Boolean = false,
       sitemaps: Boolean = false,
       adaptivePacing: Boolean = false,
@@ -369,9 +370,20 @@ object CrawlPipeline {
               if (recrawlPolicy == "changerate")
                 DiffJob.recrawlScheduleChangeRate(revs, atEpoch = epoch)
               else DiffJob.recrawlSchedule(revs, atEpoch = epoch)
+            // c51 wired end-to-end: due pages whose validator (ETag analog
+            // — the content/caption variant pair of the last fetch) still
+            // matches the server's are 304s — dropped here, BEFORE robots/
+            // politeness, so their budget goes to pages that changed. The
+            // validator changes exactly when content does, so no revision
+            // is ever lost (RevalidationSpec). Off by default: the base
+            // recrawl goldens stay byte-identical.
+            val due0 = sched.where(col("due"))
+            val due =
+              if (!revalidate) due0
+              else RevalidationOps.withRevalidation(due0, epoch)
+                .where(!col("not_modified"))
             Some(FrontierJob.canonicalizeFrontier(
-              sched.where(col("due"))
-                .select(col("image_id").as("url"), col("priority"))
+              due.select(col("image_id").as("url"), col("priority"))
                 .as[Seed]))
           }
         }

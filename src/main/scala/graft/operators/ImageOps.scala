@@ -336,6 +336,73 @@ object ImageOps {
     cropMatches(cropCorpus(spark))
       .orderBy("image_a", "image_b", "tile_a", "tile_b")
 
+  // ---- c52: flip-invariant image near-dup ------------------------------
+
+  /** c52 — FLIP-invariant near-dup (mirrored reposts are the most common
+    * trivially-transformed image duplicate; Ke et al., CIVR'04 treat
+    * mirroring as a first-class copy attack): each image gets the
+    * canonical phash min(phash(I), phash(flip I)) — ImageKit.canonPhash64
+    * — computed in the SAME single decode pass that would produce the
+    * plain phash (the mirror reuses the decoded pixels; one extra
+    * 32x32-resample+DCT, no second decode). Downstream is exactly the c17
+    * machinery over the canonical column: 4x16-bit block index, ids+hash
+    * exchanges, exact bit_count verify — so everything already proven
+    * about c17's scale shape (certain recall <= 3 bits, no payload on
+    * exchanges, CC/keep-list composition) holds verbatim.
+    */
+  def canonicalPhash(images: DataFrame): DataFrame = {
+    import images.sparkSession.implicits._
+    images.select("image_id", "bytes").as[(String, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        (id, ImageKit.canonPhash64(bytes))
+      })
+      .toDF("image_id", "phash")
+  }
+
+  /** Flip-invariant near-dup pairs: c17's blocked matcher over the
+    * canonical hashes. `whole_hash_missed` marks pairs plain-phash
+    * blocking could never pair (no shared 16-bit block — the c46-style
+    * blindness contrast, observable per row).
+    */
+  def flipMatches(images: DataFrame, maxHamming: Int = 3): DataFrame = {
+    import images.sparkSession.implicits._
+    val plain = images.select("image_id", "bytes").as[(String, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) => (id, ImageKit.phash64(bytes)) })
+      .toDF("image_id", "plain_phash")
+    nearDupPhash(canonicalPhash(images), maxHamming)
+      .join(plain.select(col("image_id").as("image_a"),
+        col("plain_phash").as("pa")), "image_a")
+      .join(plain.select(col("image_id").as("image_b"),
+        col("plain_phash").as("pb")), "image_b")
+      .withColumn("whole_hash_missed",
+        bit_count(col("pa").bitwiseXOR(col("pb"))) > maxHamming)
+      .select("image_a", "image_b", "hamming", "whole_hash_missed")
+  }
+
+  /** c52 fixture: n base images (png — mirrored pixels round-trip
+    * exactly) plus a horizontally-flipped repost of every 3rd. Returns
+    * (image_id, bytes).
+    */
+  def flipCorpus(spark: org.apache.spark.sql.SparkSession, n: Int = 48): DataFrame = {
+    import spark.implicits._
+    val rows = (0 until n).flatMap { i =>
+      val s = graft.sources.Gen.snapshotRow(s"img-$i", 0, 0, "png", 0)
+      val base = Seq((s.image_id, s.bytes))
+      if (i % 3 != 0) base
+      else {
+        val (px, w, h) = ImageKit.decodeGray(s.bytes)
+        base :+ (s"img-$i?flip=h",
+          ImageKit.encode(ImageKit.flipHorizontal(px, w, h), w, h, "png"))
+      }
+    }
+    spark.createDataset(rows).toDF("image_id", "bytes")
+  }
+
+  /** c52 demo: flip-invariant matches over the flip corpus. */
+  def flipDetectDemo(spark: org.apache.spark.sql.SparkSession): DataFrame =
+    flipMatches(flipCorpus(spark))
+      .orderBy("image_a", "image_b")
+
   // ---- c47: corpus-wide caption-divergence mining --------------------
 
   /** c47 — clusters of near-identical pixels carrying DIFFERENT captions:

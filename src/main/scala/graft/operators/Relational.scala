@@ -652,6 +652,95 @@ object Relational {
       .orderBy("o_custkey")
   }
 
+  /** q51 — statistical / linear-regression aggregates (the "does caption
+    * length track image size" family of corpus diagnostics): corr, both
+    * covariance forms, and the regr_* fit per group, all in one hash-agg
+    * pass (Spark fuses the shared moment sums; one exchange on the group
+    * key). Doubles rounded 4dp on both sides — Spark and DuckDB use
+    * different update orders, agreeing to ~1e-12 relative.
+    */
+  def statsAgg(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("corr_qp"),
+        round(covar_samp(col("l_quantity"), col("l_extendedprice")), 4).as("covs_qp"),
+        round(covar_pop(col("l_quantity"), col("l_extendedprice")), 4).as("covp_qp"),
+        round(regr_slope(col("l_extendedprice"), col("l_quantity")), 4).as("slope_pq"),
+        round(regr_intercept(col("l_extendedprice"), col("l_quantity")), 4).as("icept_pq"),
+        round(regr_r2(col("l_extendedprice"), col("l_quantity")), 4).as("r2_pq"),
+        round(var_samp(col("l_discount")), 4).as("var_disc"),
+        round(stddev_pop(col("l_tax")), 4).as("sdp_tax"),
+        count(lit(1)).as("n"))
+
+  /** q52 — fixed-width histogram via `width_bucket` (the latency/size
+    * distribution primitive behind the pacing histograms, here in the
+    * HARD oracle gate): bucket ids are computed per row (codegen'd, no
+    * shuffle) and counted in one hash agg. DuckDB has no width_bucket;
+    * the oracle spells out the same double arithmetic
+    * (floor(n*(v-lo)/(hi-lo))+1, clamped to 0 / n+1 outside [lo,hi)).
+    */
+  def histogramBuckets(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .select(width_bucket(col("l_extendedprice"),
+        lit(900.0), lit(105000.0), lit(16)).as("bucket"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"))
+
+  /** q53 — mirror-host detection (the crawl-side dual of DUST path-rule
+    * mining: hosts serving the SAME content under different names —
+    * www/non-www, CDN aliases, literal mirrors). Kernel: distinct
+    * (host, content_hash) -> inverted index on the hash, df-capped so a
+    * boilerplate page shared by every host can't quadratically explode
+    * the self-join -> host-pair overlap counts -> flag pairs whose
+    * overlap covers >=90% of the smaller host's distinct content.
+    * Exchanges carry (host, 16-byte md5) only — page bodies never
+    * shuffle. Demo input: documents.source as host, with planted mirror
+    * hosts serving every third page (DuckDB-expressible construction).
+    */
+  def mirrorHosts(spark: SparkSession, dir: String): DataFrame = {
+    val base = t(spark, dir, "documents")
+      .select(col("source").as("host"), md5(col("text")).as("ch"))
+    val mirrors = t(spark, dir, "documents")
+      .where(pmod(col("doc_id"), lit(3)) === 0)
+      .select(concat(col("source"), lit("-m")).as("host"), md5(col("text")).as("ch"))
+    val idx0 = base.unionByName(mirrors).distinct()
+    val hot = idx0.groupBy("ch").agg(count(lit(1)).as("df"))
+      .where(col("df") > 32).select("ch")
+    val idx = idx0.join(hot, Seq("ch"), "left_anti")
+    val sizes = idx.groupBy("host").agg(count(lit(1)).as("sz"))
+    val pairs = idx.as("a")
+      .join(idx.as("b"), col("a.ch") === col("b.ch") && col("a.host") < col("b.host"))
+      .groupBy(col("a.host").as("host_a"), col("b.host").as("host_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    pairs
+      .join(sizes.select(col("host").as("host_a"), col("sz").as("sz_a")), "host_a")
+      .join(sizes.select(col("host").as("host_b"), col("sz").as("sz_b")), "host_b")
+      .where(col("n_inter") * 10 >= least(col("sz_a"), col("sz_b")) * 9)
+      .select("host_a", "host_b", "n_inter", "sz_a", "sz_b")
+      .orderBy("host_a", "host_b")
+  }
+
+  /** q54 — semi-structured props through Spark 4's VARIANT type:
+    * parse_json -> binary variant -> typed variant_get, the parse-once
+    * path that replaces q10's per-access string parsing (GetJsonObject
+    * re-tokenizes the JSON text on every extraction; a variant column is
+    * parsed once — at 100 TB you store the variant and every downstream
+    * extraction is a binary field lookup). DuckDB has no VARIANT; the
+    * oracle extracts the same typed value via its JSON path functions —
+    * the VALUES must agree even though the engines' representations
+    * differ.
+    */
+  def variantExtract(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .select(col("event_type"),
+        expr("variant_get(parse_json(props), '$.k', 'int')").as("k"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum("k").cast("long").as("sum_k"),
+        min("k").cast("long").as("min_k"),
+        max("k").cast("long").as("max_k"))
+
   /** q50 — generic AS-OF join (J4's snapshot form generalized to any
     * event stream, in the HARD oracle gate against DuckDB's native ASOF
     * JOIN): each purchase matches the LATEST signup of the same user with

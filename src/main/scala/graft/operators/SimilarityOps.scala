@@ -783,4 +783,49 @@ object SimilarityOps {
                                           nQueries: Int = 3, k: Int = 5): DataFrame =
     bruteCosineTopK(spark, dir, nQueries, k)
       .where(pmod(col("vec_id"), lit(3)) === 0)
+
+  /** emb12 — two-stage PREFIX-DIMENSION retrieval (Matryoshka-style;
+    * Kusupati et al., NeurIPS'22: nested representations make a vector
+    * PREFIX a usable coarse scorer). Stage 1 is the only full-corpus
+    * pass and touches just the first `prefixDims` components — stored as
+    * its own narrow parquet column at production scale, so the coarse
+    * scan reads prefixDims/d of the vector bytes and column-prunes the
+    * rest — keeping `overfetch*k` candidate ids per query (ids only on
+    * the ranking exchange). Stage 2 reranks ONLY the candidates with
+    * exact full-dim cosine: the candidate set joins back via a broadcast
+    * hash join (~nQueries*overfetch*k ids), so full vectors are read for
+    * a vanishing fraction of the corpus and never shuffle. Unlike the
+    * quantized scans (emb05/07), the coarse stage here is EXACT over a
+    * sub-space — no codebook training, trivially incremental (new epochs
+    * need no retrain), at the cost of recall depending on how much mass
+    * the embedding packs into its prefix.
+    */
+  def annPrefixRerankTopK(spark: SparkSession, dir: String,
+                          nQueries: Int = 8, k: Int = 5,
+                          prefixDims: Int = 24, overfetch: Int = 12): DataFrame = {
+    val e = emb(spark, dir)
+    val queries = e.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val qPre = broadcast(queries.select(col("query_id"),
+      slice(col("qvec"), 1, prefixDims).as("qpre")))
+    val coarse = e.select(col("vec_id"), slice(col("embedding"), 1, prefixDims).as("pre"))
+      .join(qPre, col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        cosineCol(col("pre"), col("qpre")).as("ccos"))
+    val wc = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("ccos").desc, col("vec_id").asc)
+    val cand = coarse.withColumn("crank", row_number().over(wc))
+      .where(col("crank") <= k * overfetch)
+      .select("query_id", "vec_id")
+    val rer = e.join(broadcast(cand), Seq("vec_id"))
+      .join(broadcast(queries), Seq("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        cosineCol(col("embedding"), col("qvec")).as("cos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("cos").desc, col("vec_id").asc)
+    rer.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("vec_id"), round(col("cos"), 4).as("cos"),
+        col("rank").cast("long").as("rank"))
+  }
 }

@@ -237,6 +237,61 @@ object TextOps {
     base.unionByName(planted)
   }
 
+  /** t26 demo corpus: every 17th base doc gets a planted EXCERPT doc
+    * (id + 2e6) quoting its first half (>=5 tokens) plus a short novel
+    * trailer — the "article quoting another article" case where Jaccard
+    * stays low (sizes differ) but containment in the smaller doc is high.
+    * DuckDB-expressible construction (list slice + array_to_string).
+    */
+  def excerptCorpus(spark: SparkSession, dir: String): DataFrame = {
+    val base = docs(spark, dir).select("doc_id", "text")
+    val excerpts = base
+      .where(pmod(col("doc_id"), lit(17)) === 0)
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("t"))
+      .select((col("doc_id") + 2000000L).as("doc_id"),
+        concat(
+          array_join(slice(col("t"), lit(1),
+            greatest((size(col("t")) / 2).cast("int"), lit(5))), " "),
+          lit(" excerpt quote trailer")).as("text"))
+    base.unionByName(excerpts)
+  }
+
+  /** Containment near-dup pairs — the ASYMMETRIC companion of t05's
+    * Jaccard (Broder, SEQUENCES'97 distinguishes resemblance from
+    * containment): gate on |sh(a) ∩ sh(b)| / min(|sh(a)|, |sh(b)|), which
+    * catches a short doc quoted inside a long one where Jaccard dilutes
+    * below any usable threshold. Same scale discipline as
+    * ngramJaccardPairs — one shingle index (hashed 3-grams, df-capped),
+    * exchanges carry (doc_id, long) only, integer threshold compare.
+    */
+  def containmentPairs(corpus: DataFrame, maxDf: Int = 64): DataFrame = {
+    val shingles = wordShingles(corpus)
+    val sizes = shingles.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val hot = shingles.groupBy("sh").agg(count(lit(1)).as("df"))
+      .where(col("df") > maxDf).select("sh")
+    val idx = shingles.join(hot, Seq("sh"), "left_anti")
+    val pairs = idx.as("a")
+      .join(idx.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    pairs
+      .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sz_a")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("sz_b")), "doc_b")
+      // containment >= 0.5 of the smaller side, exact integer compare —
+      // AND not already a Jaccard-level near-dup (2*inter < union), so the
+      // result is precisely the pairs t05 CANNOT see
+      .withColumn("sz_min", least(col("sz_a"), col("sz_b")))
+      .where(col("n_inter") * 2 >= col("sz_min") &&
+        col("n_inter") * 2 < col("sz_a") + col("sz_b") - col("n_inter"))
+      .select("doc_a", "doc_b", "n_inter", "sz_min")
+  }
+
+  /** t26 — containment near-dup over the excerpt demo corpus (oracled). */
+  def containmentNearDup(spark: SparkSession, dir: String, maxDf: Int = 64): DataFrame =
+    containmentPairs(excerptCorpus(spark, dir), maxDf)
+      .orderBy("doc_a", "doc_b")
+
   /** Distinct hashed word-3-gram shingles of a (doc_id, text) frame —
     * the unit of the t05 inverted index and the persisted SimIndex tables
     * (the two MUST share this kernel so a persisted index built here is

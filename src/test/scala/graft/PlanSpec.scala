@@ -552,4 +552,43 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("HashAggregate") || p.contains("SortAggregate") ||
       p.contains("ObjectHashAggregate"), s"no aggregate in the plan:\n$p")
   }
+
+  test("q53 mirror hosts / t26 containment: page text never rides an exchange") {
+    val dir = "/root/testdata/sf0.001"
+    Seq(
+      graft.operators.Relational.mirrorHosts(spark, dir),
+      graft.operators.TextOps.containmentNearDup(spark, dir)
+    ).foreach { df =>
+      val p = finalPlan(df)
+      // both kernels hash the payload at the scan (md5 / xxhash64 shingle)
+      // so every exchange moves (key, hash) rows only — a text# attribute
+      // on any hash-partitioned exchange is the quadratic payload-shuffle
+      // bug the inverted-index shape exists to avoid
+      p.linesIterator.filter(_.contains("Exchange hashpartitioning")).foreach { l =>
+        assert(!l.contains("text#"), s"document text on an exchange: $l")
+      }
+    }
+  }
+
+  test("emb12 prefix rerank: full vectors never on a ranking exchange; queries broadcast") {
+    val p = finalPlan(graft.operators.SimilarityOps
+      .annPrefixRerankTopK(spark, "/root/testdata/sf0.001"))
+    // the coarse top-overfetch*k and the exact rerank both rank via a
+    // window partitioned by query_id — those exchanges must carry scores
+    // and ids, never the 64-dim vectors (the whole point of the two-stage
+    // split: vectors are read, reduced to a score, and dropped pre-shuffle)
+    p.linesIterator.filter(_.contains("Exchange hashpartitioning")).foreach { l =>
+      assert(!l.contains("embedding#") && !l.contains("qvec#") && !l.contains("pre#"),
+        s"vector column on a ranking exchange: $l")
+    }
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastQueryStage"),
+      s"candidate/query sides did not broadcast:\n$p")
+  }
+
+  test("c52 flip dedup: image bytes stop at the decode pass, never an exchange") {
+    val p = finalPlan(graft.operators.ImageOps.flipDetectDemo(spark))
+    p.linesIterator.filter(_.contains("Exchange")).foreach { l =>
+      assert(!l.contains("bytes#"), s"image bytes on an exchange: $l")
+    }
+  }
 }
