@@ -212,6 +212,10 @@ object SparkEntry {
     // the gate proves store == from-scratch
     "g08_incremental_cc" -> ((s, d) => operators.DedupResolve.resolveNgramDupsIncremental(s, d)),
     "t08_dedup_corpus" -> ((s, d) => operators.DedupResolve.dedupedCorpus(s, d)),
+    // t27: POLICY-parameterized survivor — keep-LONGEST (Lee et al.
+    // ACL'22) instead of t08's min-id; argmax(score) per component via
+    // one window over the label table, min-id tie-break
+    "t27_survivor_policy" -> ((s, d) => operators.DedupResolve.longestSurvivorCorpus(s, d)),
     "t09_corpus_curation" -> ((s, d) => TextOps.curatedCorpus(s, d)),
     "t10_span_clip" -> ((s, d) => TextOps.spanClippedCorpus(s, d)),
     "t11_multimodal_dedup" -> ((s, d) =>
@@ -337,6 +341,10 @@ object SparkEntry {
     // min(phash, phash of mirror) catches mirrored reposts whole-hash
     // dedup (c17) is blind to; same block-index scale shape as c17
     "c52_flip_dedup" -> ((s, _) => operators.ImageOps.flipDetectDemo(s)),
+    // c53: crawl-root vacuum (Iceberg remove-orphans/expire analog) —
+    // deletes uncommitted epoch dirs, marker-less half-writes, manifest
+    // temps; VacuumSpec pins exact-orphan removal + resume==control
+    "c53_vacuum" -> ((s, _) => operators.RetentionOps.vacuumDemo(s)),
     "t04_neardup_simhash" -> ((s, d) => TextOps.nearDupSimhash(s, d)),
     "emb01_cosine_topk" -> ((s, d) => SimilarityOps.bruteCosineTopK(s, d)),
     "emb02_ann_lsh" -> ((s, d) => SimilarityOps.annLshTopK(s, d)),
@@ -1257,6 +1265,32 @@ object SparkEntry {
           |  WHERE id <> comp
           |)
           |SELECT doc_id FROM corpus WHERE doc_id NOT IN (SELECT id FROM drops)"""
+          .stripMargin),
+    // t27: t08's reachability components, survivor = argmax(length) with
+    // min-id tie-break (keep-longest policy) — same recursive CTE, one
+    // extra window over the component table.
+    "t27_survivor_policy" ->
+      (ngramPairSql +
+        """, edges AS (
+          |  SELECT doc_a AS src, doc_b AS dst FROM dup_pairs
+          |  UNION
+          |  SELECT doc_b AS src, doc_a AS dst FROM dup_pairs
+          |), reach AS (
+          |  SELECT src AS id, src AS node FROM edges
+          |  UNION
+          |  SELECT r.id, e.dst AS node FROM reach r JOIN edges e ON r.node = e.src
+          |), comps AS (
+          |  SELECT id, min(node) AS comp FROM reach GROUP BY id
+          |), ranked AS (
+          |  SELECT c.id,
+          |    row_number() OVER (PARTITION BY c.comp
+          |      ORDER BY length(k.text) DESC, c.id ASC) AS rk
+          |  FROM comps c JOIN corpus k ON c.id = k.doc_id
+          |), drops AS (
+          |  SELECT id FROM ranked WHERE rk <> 1
+          |)
+          |SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars
+          |FROM corpus WHERE doc_id NOT IN (SELECT id FROM drops)"""
           .stripMargin),
     // t11: components over the UNION of caption near-dup edges (t05
     // kernel) and exact-image star edges (member -> group-min; same

@@ -241,4 +241,45 @@ object DedupResolve {
       .select(col("doc_id").cast("long").as("doc_id"))
       .orderBy("doc_id")
   }
+
+  /** POLICY-parameterized survivor selection — t07/t08's survivor is the
+    * component-min id (keep the FIRST-crawled copy); production dedup
+    * often wants a QUALITY policy instead (Lee et al., ACL'22 keep the
+    * longest member; a curation pipeline might keep the highest quality
+    * score). Survivor = argmax(score) per component, deterministic min-id
+    * tie-break, as ONE row_number window over the (label ⋈ score) table —
+    * label-table-sized work (a dup-rate fraction of the corpus), the
+    * corpus itself only pays the same keep-list anti-join as t08.
+    */
+  def resolveByScore(pairs: DataFrame, aCol: String, bCol: String,
+                     scores: DataFrame, idCol: String,
+                     scoreCol: String): DataFrame = {
+    val labels = connectedComponents(pairs, aCol, bCol)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("comp").orderBy(col(scoreCol).desc, col("id").asc)
+    labels
+      .join(scores.select(col(idCol).cast("long").as("id"), col(scoreCol)), "id")
+      .withColumn("rk", row_number().over(w))
+      .select(col("id").as("doc_id"), col("comp").as("component"),
+        (col("rk") === 1).as("is_survivor"))
+  }
+
+  /** t27 — keep-LONGEST dedup over the planted corpus (oracled). The two
+    * policies genuinely disagree here: every planted revision is longer
+    * than its base (appended marker tokens), so keep-longest retains the
+    * revision where t08's min-id retains the base.
+    */
+  def longestSurvivorCorpus(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = TextOps.plantedCorpus(spark, dir)
+      .withColumn("n_chars", length(col("text")))
+    val resolved = resolveByScore(
+      TextOps.nearDupNgramJaccard(spark, dir), "doc_a", "doc_b",
+      corpus.select("doc_id", "n_chars"), "doc_id", "n_chars")
+    val drops = resolved.where(!col("is_survivor"))
+      .select(col("doc_id").as("__drop_id"))
+    corpus.join(drops, col("doc_id") === col("__drop_id"), "left_anti")
+      .select(col("doc_id").cast("long").as("doc_id"),
+        col("n_chars").cast("long").as("n_chars"))
+      .orderBy("doc_id")
+  }
 }

@@ -166,4 +166,34 @@ object RetentionOps {
           applyRetention(full.where(col("epoch") <= rk), keys, "image_id", "epoch"))
     }
   }
+
+  /** c53 demo — crawl-root VACUUM (Snapshots.vacuum, the Iceberg
+    * remove-orphans/expire analog): a short crawl, three planted orphans
+    * (uncommitted future epoch, marker-less half-written compact, crashed
+    * manifest temp), one vacuum, one idempotence re-run; VacuumSpec pins
+    * exact-orphan removal + resume-equals-control on top of this shape.
+    */
+  def vacuumDemo(spark: org.apache.spark.sql.SparkSession): DataFrame = {
+    import spark.implicits._
+    import java.nio.file.{Files, Paths}
+    val root = Files.createTempDirectory("graft-c53").toString
+    CrawlPipeline.run(spark, root, untilEpoch = 1, seedsPerEpoch = 120,
+      cfg0 = FrontierJob.Config(epoch = 0, globalBudget = 2000))
+    val junk = Paths.get(s"$root/scheduled/epoch=9")
+    Files.createDirectories(junk)
+    Files.writeString(junk.resolve("part-junk.parquet"), "x")
+    val half = Paths.get(s"$root/url_seen_compact/epoch=1")
+    Files.createDirectories(half)
+    Files.writeString(half.resolve("part-00000.parquet"), "x")
+    Files.writeString(Paths.get(s"$root/_manifests/.epoch-9.json.tmp"), "{}")
+    val removed = graft.sources.Snapshots.vacuum(root)
+    val again = graft.sources.Snapshots.vacuum(root)
+    Seq(
+      ("orphans_planted", 3L),
+      ("removed", removed),
+      ("removed_on_rerun", again),
+      ("committed_epoch",
+        graft.sources.Snapshots.latestCommittedEpoch(root).toLong))
+      .toDF("phase", "n")
+  }
 }

@@ -196,6 +196,63 @@ object Snapshots {
       .write.mode("overwrite").parquet(s"$root/latest/epoch=$epoch")
   }
 
+  /** S3c — crawl-root VACUUM (the remove-orphan-files/expire maintenance
+    * an Iceberg deployment runs as a table procedure): deletes sibling
+    * state that can never be read —
+    *   - `epoch=N` dirs with N above the last committed manifest (crash
+    *     leftovers; resume overwrites them anyway, but a crash LOOP would
+    *     otherwise accumulate orphan files without bound),
+    *   - epoch dirs missing their `_SUCCESS` marker (half-written output
+    *     of a crashed job — every reader here is already marker-gated or
+    *     overwrite-idempotent, so these are pure dead bytes),
+    *   - stray manifest `.tmp` files (a crash between write and atomic
+    *     move).
+    * Committed state is never touched: the manifest IS the commit point,
+    * so `epoch > latestCommitted || !_SUCCESS` is exactly the orphan
+    * predicate. Offline maintenance — do not run concurrently with a
+    * crawl epoch (the epoch in flight is, by definition, uncommitted).
+    * Returns the number of directories/files removed.
+    */
+  def vacuum(root: String): Long = {
+    val committed = latestCommittedEpoch(root)
+    val rootDir = Paths.get(root)
+    if (!Files.isDirectory(rootDir)) return 0L
+    var removed = 0L
+    def rmTree(p: java.nio.file.Path): Unit = {
+      import scala.jdk.CollectionConverters._
+      val all = Files.walk(p)
+      try all.sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(Files.delete)
+      finally all.close()
+    }
+    import scala.jdk.CollectionConverters._
+    val families = Files.list(rootDir)
+    try families.iterator().asScala
+      .filter(f => Files.isDirectory(f) && f.getFileName.toString != "_manifests")
+      .foreach { fam =>
+        val epochRe = "epoch=(\\d+)".r
+        val kids = Files.list(fam)
+        try kids.iterator().asScala.foreach { kid =>
+          epochRe.findFirstMatchIn(kid.getFileName.toString).foreach { m =>
+            val e = m.group(1).toInt
+            val orphan = e > committed ||
+              (Files.isDirectory(kid) && !Files.exists(kid.resolve("_SUCCESS")))
+            if (orphan) { rmTree(kid); removed += 1 }
+          }
+        } finally kids.close()
+      }
+    finally families.close()
+    val manifests = Paths.get(s"$root/_manifests")
+    if (Files.isDirectory(manifests)) {
+      val tmps = Files.list(manifests)
+      try tmps.iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".tmp"))
+        .foreach { p => Files.delete(p); removed += 1 }
+      finally tmps.close()
+    }
+    removed
+  }
+
   /** Highest committed epoch, or -1 (E3 resume entry point). */
   def latestCommittedEpoch(root: String): Int = {
     val dir = Paths.get(s"$root/_manifests")

@@ -126,4 +126,34 @@ class DedupResolveSpec extends AnyFunSuite {
     assert(imgOnlyMerge, "no image-only merge — image modality inert in the plant")
     assert(capOnlyMerge, "no caption-only merge — caption modality inert in the plant")
   }
+
+  test("t27 survivor policy: keep-longest retains the planted revision, min-id the base") {
+    val dir = "/root/testdata/sf0.001"
+    val byLen = DedupResolve.longestSurvivorCorpus(spark, dir).collect()
+      .map(_.getLong(0)).toSet
+    val byMin = DedupResolve.dedupedCorpus(spark, dir).collect()
+      .map(_.getLong(0)).toSet
+    // every planted pair (base, base+1e6) is a component: keep-longest
+    // must pick the revision (longer — appended tokens), min-id the base
+    val planted = spark.read.parquet(s"$dir/documents.parquet")
+      .where(org.apache.spark.sql.functions.expr("doc_id % 20 = 0"))
+      .select("doc_id").collect().map(_.getLong(0))
+    assert(planted.nonEmpty)
+    planted.foreach { base =>
+      val rev = base + 1000000L
+      // only assert on pairs that resolved as a 2-member component in BOTH
+      // policies (a base coincidentally near-dup with another doc may sit
+      // in a larger component where lengths decide differently)
+      if (byMin.contains(base) && !byMin.contains(rev) &&
+          (byLen.contains(rev) ^ byLen.contains(base))) {
+        assert(byLen.contains(rev),
+          s"keep-longest kept base $base over its longer revision $rev")
+      }
+    }
+    // and the policies disagree somewhere (the contrast is non-vacuous)
+    assert(byLen != byMin, "keep-longest == min-id on the planted corpus")
+    // conservation: same number of survivors under both policies (same
+    // components, one survivor each)
+    assert(byLen.size == byMin.size)
+  }
 }

@@ -52,4 +52,24 @@ class FlipMatchSpec extends AnyFunSuite {
       s"plain phash missed only $missedByPlain/${planted.size} planted pairs — " +
         "the flip-invariance contrast is vacuous on this corpus")
   }
+
+  test("composition: canonical hashes feed the persisted index — cross-epoch mirrored reposts found incrementally") {
+    import org.apache.spark.sql.functions.col
+    import graft.SparkTestBase.spark
+    val root = java.nio.file.Files.createTempDirectory("graft-c52-idx").toString
+    // epoch 0: originals only; epoch 1: mirrored reposts of every 3rd —
+    // the flipped copy arrives LATER and must pair against the corpus-so-
+    // far through the persisted index (no re-hash of epoch 0)
+    val all = ImageOps.flipCorpus(spark)
+    val e0 = all.where(!col("image_id").contains("?flip"))
+    val e1 = all.where(col("image_id").contains("?flip"))
+    SimIndex.writePhashIndex(ImageOps.canonicalPhash(e0), root, 0)
+    SimIndex.writePhashIndex(ImageOps.canonicalPhash(e1), root, 1)
+    val got = SimIndex.crossEpochNearDupPhash(spark, root, 1).collect()
+      .map(r => Set(r.getString(0), r.getString(1))).toSet
+    val want = (0 until 48).filter(_ % 3 == 0)
+      .map(i => Set(s"img-$i", s"img-$i?flip=h")).toSet
+    assert(want.subsetOf(got),
+      s"missing cross-epoch mirrored pairs: ${want -- got}")
+  }
 }
