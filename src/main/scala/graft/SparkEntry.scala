@@ -216,6 +216,10 @@ object SparkEntry {
     // ACL'22) instead of t08's min-id; argmax(score) per component via
     // one window over the label table, min-id tie-break
     "t27_survivor_policy" -> ((s, d) => operators.DedupResolve.longestSurvivorCorpus(s, d)),
+    // t28: n-gram novelty scoring — per-doc fraction of corpus-unique
+    // shingles, integer basis points (the "adds unseen content" selection
+    // signal beside t21's "looks like the target")
+    "t28_novelty" -> ((s, d) => TextOps.noveltyReport(s, d)),
     "t09_corpus_curation" -> ((s, d) => TextOps.curatedCorpus(s, d)),
     "t10_span_clip" -> ((s, d) => TextOps.spanClippedCorpus(s, d)),
     "t11_multimodal_dedup" -> ((s, d) =>
@@ -345,6 +349,10 @@ object SparkEntry {
     // deletes uncommitted epoch dirs, marker-less half-writes, manifest
     // temps; VacuumSpec pins exact-orphan removal + resume==control
     "c53_vacuum" -> ((s, _) => operators.RetentionOps.vacuumDemo(s)),
+    // c54: bandwidth-aware host budgets — request budgets shrink to fit a
+    // per-host byte allowance using mean page sizes learned from the
+    // committed fetch history; wired as CrawlPipeline byteBudgetPerHost
+    "c54_byte_budget" -> ((s, _) => operators.BandwidthOps.bandwidthDemo(s)),
     "t04_neardup_simhash" -> ((s, d) => TextOps.nearDupSimhash(s, d)),
     "emb01_cosine_topk" -> ((s, d) => SimilarityOps.bruteCosineTopK(s, d)),
     "emb02_ann_lsh" -> ((s, d) => SimilarityOps.annLshTopK(s, d)),
@@ -1158,6 +1166,24 @@ object SparkEntry {
         |        CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
         |      FROM events)
         |GROUP BY 1""".stripMargin,
+    // t28: the t05 shingle construction over the RAW documents (no
+    // plants), df==1 novelty in integer basis points.
+    "t28_novelty" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents
+        |), shingles AS (
+        |  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
+        |  FROM (SELECT doc_id, t, unnest(generate_series(1, greatest(len(t)-2, 0))) AS i FROM toks)
+        |), dfs AS (
+        |  SELECT sh, count(*) AS df FROM shingles GROUP BY sh
+        |)
+        |SELECT s.doc_id,
+        |  CAST(count(*) AS BIGINT) AS n_shingles,
+        |  CAST(sum(CASE WHEN d.df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+        |  CAST(sum(CASE WHEN d.df = 1 THEN 1 ELSE 0 END) * 10000
+        |       // count(*) AS BIGINT) AS novelty_bp
+        |FROM shingles s JOIN dfs d ON s.sh = d.sh
+        |GROUP BY s.doc_id""".stripMargin,
     // t23: TF-IDF — tokenization mirrors t14 (lower/trim + \s+ split),
     // idf in BIGINT fixed-point ((N*1e6) // df) so score/rank carry no
     // float anywhere; ties break on term text in both engines.

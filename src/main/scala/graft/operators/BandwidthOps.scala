@@ -1,0 +1,74 @@
+package graft.operators
+
+import graft.functions.GraftFunctions
+import graft.sources.Snapshots
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** c54 — BANDWIDTH-aware host budgets. A crawl budget is ultimately bytes
+  * transferred and stored, not request count: at equal request budgets a
+  * host serving 4 MB pages costs ~40x one serving 100 KB pages (the
+  * budget-enforcement theme of IRLbot, Lee et al. TWEB'09 — there for
+  * spam, here for bandwidth). Per-host mean page size is learned from the
+  * COMMITTED fetch history (octet_length over at-rest snapshot rows;
+  * integer DIV end to end — engine-exact, resume recomputes identically),
+  * and a per-host byte allowance converts to a request budget:
+  * clamp(allowance DIV est_bytes, 1, host_budget). Applied exactly like
+  * c50's backoff — post-robots, SHRINK-only (the politeness top-K bound
+  * never re-sizes), broadcast host-sized state; hosts with no history
+  * keep their request budget (first contact must be allowed to measure).
+  */
+object BandwidthOps {
+
+  /** (host, est_bytes): integer mean page bytes per host over committed
+    * epochs <= `upToEpoch` (parsed rows only — failures carry no bytes).
+    */
+  def hostByteStats(spark: SparkSession, root: String, upToEpoch: Int): DataFrame = {
+    GraftFunctions.ensureRegistered(spark)
+    Snapshots.readUpTo(spark, root, upToEpoch)
+      .select(GraftFunctions.hostOf(col("image_id")).as("host"),
+        octet_length(col("bytes")).cast("long").as("nbytes"))
+      .groupBy("host")
+      .agg(expr("sum(nbytes) div count(1)").as("est_bytes"))
+  }
+
+  /** Shrink post-robots request budgets to fit `bytesPerHost`. */
+  def applyByteBudget(allowed: DataFrame, stats: DataFrame,
+                      bytesPerHost: Long): DataFrame =
+    allowed.join(broadcast(stats), Seq("host"), "left")
+      .withColumn("host_budget",
+        when(col("est_bytes").isNull, col("host_budget"))
+          .otherwise(greatest(lit(1L),
+            least(col("host_budget").cast("long"),
+              expr(s"$bytesPerHost div est_bytes"))).cast("int")))
+      .drop("est_bytes")
+
+  /** Local mirror of the budget formula (specs compare against it). */
+  def budgetLocal(hostBudget: Int, estBytes: Option[Long],
+                  bytesPerHost: Long): Int =
+    estBytes.fold(hostBudget)(e =>
+      math.max(1L, math.min(hostBudget.toLong, bytesPerHost / e)).toInt)
+
+  /** c54 demo: one byte-budgeted crawl; final epoch summarized per host —
+    * learned mean page size, the implied request budget, and what
+    * actually scheduled. BandwidthSpec pins stats==mirror, budget
+    * enforcement, and the shrink-vs-control contrast on its own runs.
+    */
+  def bandwidthDemo(spark: SparkSession, epochs: Int = 2,
+                    seedsPerEpoch: Int = 200,
+                    bytesPerHost: Long = 24000L): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft-c54").toString
+    CrawlPipeline.run(spark, root, untilEpoch = epochs, seedsPerEpoch = seedsPerEpoch,
+      cfg0 = FrontierJob.Config(epoch = 0, globalBudget = 4000),
+      byteBudgetPerHost = bytesPerHost)
+    val stats = hostByteStats(spark, root, epochs - 1)
+    val sched = spark.read.parquet(s"$root/scheduled/epoch=$epochs")
+      .groupBy("host").agg(count(lit(1)).cast("long").as("n_scheduled"))
+    stats.join(sched, Seq("host"), "full_outer")
+      .na.fill(0L, Seq("n_scheduled"))
+      .withColumn("implied_budget",
+        greatest(lit(1L), expr(s"$bytesPerHost div est_bytes")))
+      .select("host", "est_bytes", "implied_budget", "n_scheduled")
+      .orderBy("host")
+  }
+}

@@ -238,6 +238,7 @@ object CrawlPipeline {
       retainStride: Int = 3,
       backoff: Boolean = false,
       backoffThresholdBp: Int = 1500,
+      byteBudgetPerHost: Long = 0L,
       recrawl: Boolean = false,
       recrawlPolicy: String = "staleness",
       revalidate: Boolean = false,
@@ -395,10 +396,19 @@ object CrawlPipeline {
       // multiplier only shrinks budgets, so the politeness top-K bound
       // (maxHostBudget) needs no re-sizing. Off by default: base goldens
       // stay byte-identical.
-      val allowed =
+      val allowed1 =
         if (!backoff || epoch == 0) allowed0
         else BackoffOps.loadState(spark, root, epoch - 1)
           .fold(allowed0)(BackoffOps.applyBackoff(allowed0, _))
+      // c54 wired end-to-end: per-host request budgets shrink to fit a
+      // byte allowance using mean page sizes learned from committed
+      // epochs (shrink-only, like backoff — the top-K bound stands; hosts
+      // with no history keep their budget so first contact can measure).
+      // Off by default: the base goldens stay byte-identical.
+      val allowed =
+        if (byteBudgetPerHost <= 0L || epoch == 0) allowed1
+        else BandwidthOps.applyByteBudget(allowed1,
+          BandwidthOps.hostByteStats(spark, root, epoch - 1), byteBudgetPerHost)
       val scheduled = FrontierJob
         .applyGlobalBudget(FrontierJob.schedule(allowed, cfg), cfg)
         .persist()

@@ -292,6 +292,28 @@ object TextOps {
     containmentPairs(excerptCorpus(spark, dir), maxDf)
       .orderBy("doc_a", "doc_b")
 
+  /** t28 — n-gram NOVELTY scoring (data-selection signal complementary to
+    * t21's distribution matching: DSIR scores "looks like the target",
+    * novelty scores "adds content the corpus doesn't already have" — the
+    * side RHO-1/DoReMi-style selection mixes in): per doc, the fraction of
+    * its distinct 3-gram shingles that are corpus-UNIQUE (df == 1), in
+    * integer basis points (t21/t23 fixed-point discipline — engine-exact,
+    * no float anywhere). Plan: the t05 shingle index feeds a df count and
+    * joins back on the 8-byte hash; both exchanges carry (doc_id, long)
+    * only, and the df table is shingle-sized, never corpus-text-sized.
+    */
+  def noveltyReport(spark: SparkSession, dir: String): DataFrame = {
+    val shingles = wordShingles(docs(spark, dir).select("doc_id", "text"))
+    val dfCounts = shingles.groupBy("sh").agg(count(lit(1)).as("df"))
+    shingles.join(dfCounts, "sh")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_novel"))
+      .withColumn("novelty_bp", expr("n_novel * 10000 DIV n_shingles"))
+      .select("doc_id", "n_shingles", "n_novel", "novelty_bp")
+      .orderBy("doc_id")
+  }
+
   /** Distinct hashed word-3-gram shingles of a (doc_id, text) frame —
     * the unit of the t05 inverted index and the persisted SimIndex tables
     * (the two MUST share this kernel so a persisted index built here is
