@@ -203,6 +203,21 @@ object PlanAudit {
         "projection of integer arithmetic",
       fmt(TextOps.sequencePack(spark, sfDir))))
 
+    sections += (("q53 mirror-host detection",
+      "payload hashed at the scan (md5 fused into the projection); the " +
+        "inverted-index self-join and every aggregate exchange move " +
+        "(host, 16-byte hash) rows only — page text never shuffles; " +
+        "df-cap anti-join prunes boilerplate before the quadratic join",
+      fmt(Relational.mirrorHosts(spark, sfDir))))
+
+    sections += (("emb12 prefix-dimension rerank",
+      "coarse stage ranks on a 24-element slice (at production scale its " +
+        "own parquet column — the scan prunes the other 5/8 of vector " +
+        "bytes); ranking exchanges carry (query_id, vec_id, score) only; " +
+        "the candidate set and queries broadcast back for the exact " +
+        "full-dim rerank — full vectors never shuffle",
+      fmt(SimilarityOps.annPrefixRerankTopK(spark, sfDir))))
+
     val md = new StringBuilder
     md.append("# BENCH/PLANS — flagship physical plans (explain formatted)\n\n")
     md.append("Generated by `graft.PlanAudit` (re-run after plan-shaping changes).\n")
