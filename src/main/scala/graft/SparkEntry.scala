@@ -220,6 +220,13 @@ object SparkEntry {
     // shingles, integer basis points (the "adds unseen content" selection
     // signal beside t21's "looks like the target")
     "t28_novelty" -> ((s, d) => TextOps.noveltyReport(s, d)),
+    // t29: EXACT duplicated length-64 windows via prefix-doubling suffix
+    // ranks (hash-composed ids, content-verified) — oracle brute-forces
+    // every window with generate_series+substr
+    "t29_exact_dupwindows" -> ((s, d) => operators.SuffixOps.dupWindowReport(s, d)),
+    // t30: the exact-clip corpus action (non-survivor duplicated runs
+    // removed); clipped text golden-gated vs the mirror in SuffixSpec
+    "t30_exact_clip" -> ((s, d) => operators.SuffixOps.exactClipReport(s, d)),
     "t09_corpus_curation" -> ((s, d) => TextOps.curatedCorpus(s, d)),
     "t10_span_clip" -> ((s, d) => TextOps.spanClippedCorpus(s, d)),
     "t11_multimodal_dedup" -> ((s, d) =>
@@ -1184,6 +1191,31 @@ object SparkEntry {
         |       // count(*) AS BIGINT) AS novelty_bp
         |FROM shingles s JOIN dfs d ON s.sh = d.sh
         |GROUP BY s.doc_id""".stripMargin,
+    // t29: exact duplicated 64-char windows over the t10 planted
+    // partial-copy corpus — the oracle materializes EVERY window (the
+    // O(n*L) shape the prefix-doubling plan avoids) and groups by content.
+    "t29_exact_dupwindows" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 2000000,
+        |    'entirely fresh lead-in for copy ' || CAST(doc_id AS VARCHAR)
+        |      || ' :: ' || substr(text, 1, 300)
+        |      || ' :: and an unrelated tail section'
+        |  FROM documents WHERE doc_id % 25 = 0
+        |), w AS (
+        |  SELECT c.doc_id, g.pos, substr(c.text, g.pos + 1, 64) AS win
+        |  FROM corpus c, LATERAL (SELECT unnest(
+        |    generate_series(0, length(c.text) - 64)) AS pos) g
+        |  WHERE length(c.text) >= 64
+        |), d AS (
+        |  SELECT win FROM w GROUP BY win HAVING count(*) > 1
+        |)
+        |SELECT w.doc_id, CAST(count(*) AS BIGINT) AS n_dup,
+        |  CAST(min(w.pos) AS BIGINT) AS first_pos,
+        |  CAST(max(w.pos) AS BIGINT) AS last_pos
+        |FROM w JOIN d USING (win)
+        |GROUP BY w.doc_id""".stripMargin,
     // t23: TF-IDF — tokenization mirrors t14 (lower/trim + \s+ split),
     // idf in BIGINT fixed-point ((N*1e6) // df) so score/rank carry no
     // float anywhere; ties break on term text in both engines.

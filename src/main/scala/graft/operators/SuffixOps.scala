@@ -1,0 +1,220 @@
+package graft.operators
+
+import graft.functions.TextKit
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** EXACT substring-level duplicate detection via distributed prefix-doubling
+  * suffix ranks — the exact-match complement to the winnowed-anchor SCREEN
+  * (TextOps.repeatedSpans samples anchors and can miss short overlaps; this
+  * operator finds EVERY duplicated window of length >= L, the guarantee the
+  * "exact substring dedup" pass of large-LM corpus pipelines is defined by;
+  * cf. Lee et al., "Deduplicating Training Data Makes Language Models
+  * Better", ACL 2022 — their suffix-array formulation; prefix doubling is
+  * Karp-Miller-Rosenberg 1972 / Manber-Myers 1990).
+  *
+  * Why not materialize every length-L window and group by content? That
+  * shuffles O(corpus_bytes * L) — at L=64 a 64x write amplification of a
+  * 100 TB corpus. Prefix doubling instead seeds an 8-byte window identity
+  * per position (hashed in the SCAN stage, before any exchange — the text
+  * column never shuffles) and composes identities by doubling:
+  * id_{2w}(pos) = hash(id_w(pos), id_w(pos+w)). Each round is ONE
+  * sort-merge self-join of an (doc_id:long, pos:int, r:long) table on
+  * (doc_id, pos+w) — int/long-only exchanges, log2(L/8) rounds. A window of
+  * arbitrary L (not a power of two) is finished Manber-Myers-style with one
+  * overlapping compose: id_L(pos) = hash(id_w(pos), id_w(pos+L-w)) for the
+  * largest power-of-two w <= L (overlap is harmless for identity).
+  *
+  * Hash composition is injective only w.h.p., so a verify stage restores
+  * exactness (the t05 discipline): positions whose composed key collides
+  * with another position are re-joined to the payload ONCE (dup-rate-sized
+  * candidate set), the actual L-char window is extracted and grouped BY
+  * CONTENT — false candidates die, true duplicates are never missed (equal
+  * text implies equal key). Every claim downstream is content-exact.
+  *
+  * Downstream actions mirror the winnowed family's shape: maximal dup RUNS
+  * per doc (adjacent duplicated positions merged), a per-window survivor
+  * (global min (doc_id, pos) occurrence keeps its copy), and a span-CLIPPED
+  * corpus through the same TextKit.clipSpans kernel t10 uses (offsets are
+  * char offsets == byte offsets on the ASCII test corpus; the kernel clips
+  * byte ranges).
+  */
+object SuffixOps {
+
+  /** Seed window width: one 64-bit identity per position for the first 8
+    * chars, computed from a fused substring+xxhash64 projection in the scan
+    * stage (text never reaches an exchange).
+    */
+  private val SeedW = 8
+
+  private def seedRanks(corpus: DataFrame, w: Int): DataFrame =
+    corpus
+      .where(length(col("text")) >= w)
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(0), length(col("text")) - w)).as("pos"))
+      .select(col("doc_id"), col("pos"),
+        xxhash64(expr(s"substring(text, pos + 1, $w)")).as("r"))
+
+  /** (doc_id, pos, k): k identifies the length-L window at pos (hash
+    * identity; see verify stage for exactness). Positions carry every pos
+    * with a full window: pos <= len(text) - L, maintained implicitly by
+    * the inner compose joins.
+    */
+  def windowKeys(corpus: DataFrame, L: Int): DataFrame = {
+    require(L >= 1, "window length must be positive")
+    if (L <= SeedW) return seedRanks(corpus, L).withColumnRenamed("r", "k")
+    var width = SeedW
+    var r = seedRanks(corpus, SeedW)
+    while (width * 2 <= L) {
+      val shifted = r.select(col("doc_id"), (col("pos") - width).as("pos"),
+        col("r").as("r2"))
+      r = r.join(shifted, Seq("doc_id", "pos"))
+        .select(col("doc_id"), col("pos"), xxhash64(col("r"), col("r2")).as("r"))
+      width *= 2
+    }
+    if (width == L) r.withColumnRenamed("r", "k")
+    else {
+      // Manber-Myers overlapping finish: compose with the rank L-width to
+      // the right; the two windows cover [pos, pos+L) exactly.
+      val off = L - width
+      val shifted = r.select(col("doc_id"), (col("pos") - off).as("pos"),
+        col("r").as("r2"))
+      r.join(shifted, Seq("doc_id", "pos"))
+        .select(col("doc_id"), col("pos"), xxhash64(col("r"), col("r2")).as("k"))
+    }
+  }
+
+  /** Content-EXACT duplicated-window positions: every (doc_id, pos) whose
+    * length-L window occurs more than once in the corpus, with the
+    * occurrence count and whether this position is the content group's
+    * survivor (global min (doc_id, pos)). Key-collision candidates are
+    * verified against the actual window text (candidate set only — the
+    * payload joins once on doc_id and is never shuffled by window content
+    * except for the dup-rate-sized candidates).
+    */
+  def dupWindowPositions(corpus: DataFrame, L: Int): DataFrame = {
+    val keys = windowKeys(corpus, L)
+    val hot = keys.groupBy("k").agg(count(lit(1)).as("c"))
+      .where(col("c") > 1).select("k")
+    val cand = keys.join(hot, Seq("k"), "left_semi")
+    val wins = cand.join(corpus.select("doc_id", "text"), Seq("doc_id"))
+      .select(col("doc_id"), col("pos"),
+        expr(s"substring(text, pos + 1, $L)").as("win"))
+    val groups = wins.groupBy("win")
+      .agg(count(lit(1)).as("n_occ"),
+        min(struct(col("doc_id"), col("pos"))).as("surv"))
+      .where(col("n_occ") > 1)
+    wins.join(groups, Seq("win"))
+      .select(col("doc_id"), col("pos"), col("n_occ"),
+        (col("surv.doc_id") === col("doc_id") &&
+          col("surv.pos") === col("pos")).as("is_survivor"))
+  }
+
+  /** t29 — DuckDB-oracleable aggregate over the planted partial-copy
+    * corpus (TextOps.spanCorpus): per doc, how many positions start an
+    * exactly-duplicated length-L window, and the first/last such position.
+    * The oracle brute-forces every window with generate_series+substr —
+    * the O(n*L) shape this operator exists to avoid, affordable at sf0.01.
+    */
+  def dupWindowReport(spark: SparkSession, dir: String, L: Int = 64): DataFrame =
+    dupWindowPositions(TextOps.spanCorpus(spark, dir), L)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("long").as("n_dup"),
+        min("pos").cast("long").as("first_pos"),
+        max("pos").cast("long").as("last_pos"))
+      .orderBy("doc_id")
+
+  /** Maximal duplicated RUNS: adjacent (pos step <= 1) non-survivor
+    * duplicated positions merged per doc into [from_pos, to_excl) char
+    * extents (to_excl = last window start + L). Survivor positions are
+    * exempt — each duplicated content keeps exactly its min-(doc_id,pos)
+    * occurrence, the Lee-et-al "remove all but one copy" action.
+    */
+  def dupSpans(corpus: DataFrame, L: Int): DataFrame = {
+    val wdoc = Window.partitionBy("doc_id").orderBy("pos")
+    dupWindowPositions(corpus, L)
+      .where(!col("is_survivor"))
+      .withColumn("brk",
+        when(col("pos") - lag("pos", 1).over(wdoc) <= lit(1), 0).otherwise(1))
+      .withColumn("run", sum("brk").over(wdoc))
+      .groupBy("doc_id", "run")
+      .agg(min("pos").as("from_pos"), (max("pos") + L).as("to_excl"),
+        count(lit(1)).cast("long").as("n_windows"))
+      .select("doc_id", "from_pos", "to_excl", "n_windows")
+  }
+
+  /** The corpus ACTION: every non-survivor duplicated run clipped out,
+    * text outside preserved — same extents-aggregate + payload-join-once +
+    * when() fast-path shape as t10, same TextKit.clipSpans kernel (k=0:
+    * extents are already exclusive-end char ranges).
+    */
+  def exactClippedCorpus(corpus: DataFrame, L: Int): DataFrame = {
+    val extents = dupSpans(corpus, L)
+      .groupBy("doc_id")
+      .agg(collect_list(struct(col("from_pos").cast("int").as("f"),
+        col("to_excl").cast("int").as("t"))).as("extents"))
+    val clip = udf { (text: String, ext: Seq[org.apache.spark.sql.Row]) =>
+      TextKit.clipSpans(text, ext.map(r => (r.getInt(0), r.getInt(1))), 0)
+    }
+    corpus.join(extents, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("extents").isNull, col("text"))
+          .otherwise(clip(col("text"), col("extents"))).as("text"))
+  }
+
+  /** t30 — driver-facing rows for the exact-clip action (clipped text
+    * itself is golden-gated vs the single-threaded mirror in SuffixSpec).
+    */
+  def exactClipReport(spark: SparkSession, dir: String, L: Int = 64): DataFrame =
+    exactClippedCorpus(TextOps.spanCorpus(spark, dir), L)
+      .select(col("doc_id"), length(col("text")).cast("long").as("n_chars"),
+        xxhash64(col("text")).as("clip_hash"))
+      .orderBy("doc_id")
+
+  // ---- single-threaded mirror (shared by SuffixSpec goldens) ------------
+
+  /** Brute-force mirror: every window materialized and grouped by content.
+    * Returns (doc_id, pos) -> (n_occ, is_survivor).
+    */
+  private[operators] def mirrorDupPositions(
+      docs: Seq[(Long, String)], L: Int): Map[(Long, Int), (Long, Boolean)] = {
+    val byWin = scala.collection.mutable.HashMap
+      .empty[String, scala.collection.mutable.ArrayBuffer[(Long, Int)]]
+    docs.foreach { case (id, text) =>
+      var p = 0
+      while (p + L <= text.length) {
+        byWin.getOrElseUpdate(text.substring(p, p + L),
+          scala.collection.mutable.ArrayBuffer.empty) += ((id, p))
+        p += 1
+      }
+    }
+    byWin.valuesIterator.filter(_.length > 1).flatMap { occ =>
+      val surv = occ.minBy(identity)
+      occ.iterator.map(o => o -> (occ.length.toLong, o == surv))
+    }.toMap
+  }
+
+  /** Mirror of dupSpans + exactClippedCorpus via the same clip kernel. */
+  private[operators] def mirrorClipped(
+      docs: Seq[(Long, String)], L: Int): Map[Long, String] = {
+    val dup = mirrorDupPositions(docs, L)
+    val extentsByDoc = dup.iterator
+      .collect { case ((id, p), (_, false)) => (id, p) }
+      .toSeq.groupBy(_._1)
+      .map { case (id, ps) =>
+        val sorted = ps.map(_._2).sorted
+        val runs = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+        sorted.foreach { p =>
+          if (runs.nonEmpty && p - (runs.last._2 - L) <= 1) {
+            val (f, _) = runs.last
+            runs(runs.length - 1) = (f, p + L)
+          } else runs += ((p, p + L))
+        }
+        id -> runs.toSeq
+      }
+    docs.map { case (id, text) =>
+      id -> TextKit.clipSpans(text, extentsByDoc.getOrElse(id, Nil), 0)
+    }.toMap
+  }
+}
