@@ -136,6 +136,10 @@ object SparkEntry {
     // q54: Spark-4 VARIANT semi-structured path (parse_json once ->
     // typed variant_get) vs q10's per-access string parsing
     "q54_variant" -> ((s, d) => Relational.variantExtract(s, d)),
+    // q55: registrable-domain (eTLD+1) rollup — pure-Column longest
+    // public-suffix match (UrlKit snapshot), oracle re-derives it in
+    // DuckDB CASE/list SQL independently
+    "q55_domain_rollup" -> ((s, d) => operators.DomainOps.domainRollup(s, d)),
     // t23: TF-IDF top terms per doc — integer fixed-point idf so the
     // score/rank table is engine-exact (t21 discipline)
     "t23_tfidf_topterms" -> ((s, d) => TextOps.tfidfTopTerms(s, d)),
@@ -360,6 +364,10 @@ object SparkEntry {
     // per-host byte allowance using mean page sizes learned from the
     // committed fetch history; wired as CrawlPipeline byteBudgetPerHost
     "c54_byte_budget" -> ((s, _) => operators.BandwidthOps.bandwidthDemo(s)),
+    // c55: fetched-payload validation — magic-number sniff + container
+    // trailer audit on the binary column, fused into the scan (no decode,
+    // no payload shuffle); planted truncations/mislabels, mirror-golden
+    "c55_fetch_validation" -> ((s, _) => operators.FetchAudit.validationReport(s)),
     "t04_neardup_simhash" -> ((s, d) => TextOps.nearDupSimhash(s, d)),
     "emb01_cosine_topk" -> ((s, d) => SimilarityOps.bruteCosineTopK(s, d)),
     "emb02_ann_lsh" -> ((s, d) => SimilarityOps.annLshTopK(s, d)),
@@ -1173,6 +1181,43 @@ object SparkEntry {
         |        CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
         |      FROM events)
         |GROUP BY 1""".stripMargin,
+    // q55: identical host synthesis, then an INDEPENDENT longest-suffix
+    // formulation: only multi-label public suffixes need cases — known
+    // single-label TLDs and the unknown-TLD fallback both take 2 labels.
+    "q55_domain_rollup" ->
+      """WITH hosts AS (
+        |  SELECT (CASE doc_id % 4 WHEN 0 THEN 'www.' WHEN 1 THEN 'img.'
+        |            ELSE '' END)
+        |    || 'site' || CAST(doc_id % 97 AS VARCHAR) || '.'
+        |    || (CASE doc_id % 7 WHEN 0 THEN 'com' WHEN 1 THEN 'org'
+        |          WHEN 2 THEN 'net' WHEN 3 THEN 'co.uk' WHEN 4 THEN 'com.au'
+        |          WHEN 5 THEN 'co.jp' ELSE 'weird.zz' END) AS host
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT 'co.uk' FROM documents WHERE doc_id % 50 = 0
+        |), dom AS (
+        |  SELECT host,
+        |    CASE WHEN host = 'co.uk' OR host LIKE '%.co.uk'
+        |           OR host = 'org.uk' OR host LIKE '%.org.uk'
+        |           OR host = 'ac.uk' OR host LIKE '%.ac.uk'
+        |           OR host = 'gov.uk' OR host LIKE '%.gov.uk'
+        |           OR host = 'com.au' OR host LIKE '%.com.au'
+        |           OR host = 'net.au' OR host LIKE '%.net.au'
+        |           OR host = 'org.au' OR host LIKE '%.org.au'
+        |           OR host = 'co.jp' OR host LIKE '%.co.jp'
+        |           OR host = 'ne.jp' OR host LIKE '%.ne.jp'
+        |           OR host = 'or.jp' OR host LIKE '%.or.jp'
+        |           OR host = 'com.br' OR host LIKE '%.com.br'
+        |           OR host = 'com.mx' OR host LIKE '%.com.mx'
+        |         THEN 2 ELSE 1 END AS nsuf,
+        |    string_split(host, '.') AS parts
+        |  FROM hosts
+        |)
+        |SELECT array_to_string(parts[greatest(1, len(parts) - nsuf):], '.')
+        |    AS domain,
+        |  CAST(count(*) AS BIGINT) AS n_urls,
+        |  CAST(count(DISTINCT host) AS BIGINT) AS n_hosts
+        |FROM dom GROUP BY 1""".stripMargin,
     // t28: the t05 shingle construction over the RAW documents (no
     // plants), df==1 novelty in integer basis points.
     "t28_novelty" ->

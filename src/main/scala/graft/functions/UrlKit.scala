@@ -300,6 +300,37 @@ object UrlKit {
     rest.substring(0, j)
   }
 
+  /** Embedded public-suffix snapshot (a deterministic SUBSET of the public
+    * PSL — publicsuffix.org; multi-label entries that matter for politeness
+    * grouping plus the generic single-label TLDs the synthetic hosts use).
+    * Longest-match-first order is established by the lookup, not the list.
+    */
+  val PublicSuffixes: Seq[String] = Seq(
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "com.au", "net.au", "org.au",
+    "co.jp", "ne.jp", "or.jp", "com.br", "com.mx",
+    "com", "org", "net", "io", "dev", "info", "uk", "au", "jp", "br", "mx")
+
+  /** Registrable domain (eTLD+1) of a host: the longest matching public
+    * suffix from the snapshot plus one label. Unknown TLDs fall back to
+    * "last label is the suffix" (PSL's prevailing-star rule collapsed to
+    * its default); a host that IS a public suffix has no registrable
+    * domain and returns itself. Politeness and budget policy at crawl
+    * scale group on THIS, not raw host — every subdomain of a news CDN
+    * shares one budget.
+    */
+  def registrableDomain(host: String): String = {
+    if (host == null || host.isEmpty) return host
+    val best = PublicSuffixes.foldLeft("") { (acc, s) =>
+      val hit = host == s || host.endsWith("." + s)
+      if (hit && s.length > acc.length) s else acc
+    }
+    val sufLabels =
+      if (best.isEmpty) 1 else best.count(_ == '.') + 1
+    val labels = host.split('.')
+    val take = math.min(labels.length, sufLabels + 1)
+    labels.takeRight(take).mkString(".")
+  }
+
   /** Path (incl. leading '/') of an ALREADY-canonical URL, sans query. */
   def pathOf(canon: String): String = {
     if (canon == null) return null

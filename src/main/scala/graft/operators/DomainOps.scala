@@ -1,0 +1,74 @@
+package graft.operators
+
+import graft.functions.UrlKit
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+
+/** Registrable-domain (eTLD+1) extraction and the per-domain crawl rollup.
+  *
+  * Production politeness/budget policy groups by REGISTRABLE domain, not raw
+  * host — `img.cdn.news-site.co.uk` and `www.news-site.co.uk` share one
+  * crawl budget (publicsuffix.org semantics; the embedded snapshot subset
+  * lives in UrlKit.PublicSuffixes). The extraction is a pure Column
+  * composition (a when() longest-suffix chain + split/slice label
+  * arithmetic) — whole-stage-codegen'd, no UDF, so the frontier can group
+  * on it at scan speed; the JVM kernel (UrlKit.registrableDomain) is the
+  * mirror the column is golden-gated against, and the q55 oracle
+  * re-implements the longest-match in DuckDB CASE/list SQL independently.
+  */
+object DomainOps {
+
+  /** eTLD+1 as a pure Column over a host column. */
+  def registrableDomainCol(host: Column): Column = {
+    // longest-match: all multi-label suffixes are longer strings than any
+    // single-label entry in the snapshot, so a fold ordered multi-label
+    // first with coalesce() realizes longest-match-first
+    val ordered = UrlKit.PublicSuffixes.sortBy(s => (-s.count(_ == '.'), -s.length))
+    val suffix = ordered.foldLeft(lit(null).cast("string")) { (acc, s) =>
+      coalesce(acc, when(host === s || host.endsWith("." + s), lit(s)))
+    }
+    val labels = split(host, "\\.")
+    val nSuf = when(suffix.isNull, lit(1))
+      .otherwise(size(split(suffix, "\\.")))
+    val take = least(size(labels), nSuf + 1)
+    when(host.isNull || host === "", host)
+      .otherwise(concat_ws(".", slice(labels, -take, take)))
+  }
+
+  /** Deterministic host synthesis from doc_id (the c27 URL-synthesis
+    * discipline — both engines rebuild the identical host set from the
+    * documents table): subdomain x name x suffix, plus a bare-public-suffix
+    * edge row per 50th doc and an unknown-TLD family at doc_id%7==6.
+    */
+  private[operators] def syntheticHosts(spark: SparkSession, dir: String): DataFrame = {
+    val docs = spark.read.parquet(s"$dir/documents.parquet").select("doc_id")
+    val sub = when(col("doc_id") % 4 === 0, lit("www."))
+      .when(col("doc_id") % 4 === 1, lit("img."))
+      .otherwise(lit(""))
+    val suffix = when(col("doc_id") % 7 === 0, lit("com"))
+      .when(col("doc_id") % 7 === 1, lit("org"))
+      .when(col("doc_id") % 7 === 2, lit("net"))
+      .when(col("doc_id") % 7 === 3, lit("co.uk"))
+      .when(col("doc_id") % 7 === 4, lit("com.au"))
+      .when(col("doc_id") % 7 === 5, lit("co.jp"))
+      .otherwise(lit("weird.zz"))
+    val base = docs.select(col("doc_id"),
+      concat(sub, lit("site"), col("doc_id") % 97, lit("."), suffix).as("host"))
+    val bare = docs.where(col("doc_id") % 50 === 0)
+      .select(col("doc_id"), lit("co.uk").as("host"))
+    base.unionByName(bare)
+  }
+
+  /** q55 — per-registrable-domain crawl rollup: URL count and distinct
+    * hosts (the shape a per-domain budget allocator consumes; swap
+    * FrontierJob's politeness group key to this column and the rest of the
+    * pipeline composes unchanged).
+    */
+  def domainRollup(spark: SparkSession, dir: String): DataFrame =
+    syntheticHosts(spark, dir)
+      .select(col("host"), registrableDomainCol(col("host")).as("domain"))
+      .groupBy("domain")
+      .agg(count(lit(1)).as("n_urls"),
+        countDistinct(col("host")).as("n_hosts"))
+      .orderBy("domain")
+}
