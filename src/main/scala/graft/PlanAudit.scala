@@ -210,6 +210,16 @@ object PlanAudit {
         "df-cap anti-join prunes boilerplate before the quadratic join",
       fmt(Relational.mirrorHosts(spark, sfDir))))
 
+    sections += (("t29 exact substring dedup (prefix-doubling suffix ranks)",
+      "seed 8-char window identities are substring+xxhash64 FUSED into the " +
+        "scan-side explode projection (text is consumed and dropped before " +
+        "any exchange); each doubling round is one sort-merge self-join on " +
+        "(doc_id, pos+w) over (doc_id:long, pos:int, r:long) rows — " +
+        "log2(L/8) int/long-only shuffles total; the content-verify stage " +
+        "re-joins the payload once on doc_id for the dup-rate-sized " +
+        "candidate set only",
+      fmt(operators.SuffixOps.dupWindowReport(spark, sfDir))))
+
     sections += (("emb12 prefix-dimension rerank",
       "coarse stage ranks on a 24-element slice (at production scale its " +
         "own parquet column — the scan prunes the other 5/8 of vector " +

@@ -591,4 +591,17 @@ class PlanSpec extends AnyFunSuite {
       assert(!l.contains("bytes#"), s"image bytes on an exchange: $l")
     }
   }
+
+  test("t29 suffix ranks: document text never rides an exchange; doubling joins are int/long-only") {
+    val p = finalPlan(graft.operators.SuffixOps
+      .dupWindowReport(spark, "/root/testdata/sf0.001"))
+    // seed identities are hashed in the scan stage (substring+xxhash64
+    // fused into the explode projection); every doubling self-join and the
+    // hot-key group move (doc_id, pos, long) rows; only the dup-rate-sized
+    // verify stage may put the 64-char `win` slice on an exchange — full
+    // document text on ANY exchange is the O(corpus*L) shape t29 avoids
+    p.linesIterator.filter(_.contains("Exchange hashpartitioning")).foreach { l =>
+      assert(!l.contains("text#"), s"document text on an exchange: $l")
+    }
+  }
 }
