@@ -3,7 +3,7 @@ package graft
 import graft.model.Snapshot
 import graft.operators._
 import graft.sources.Gen
-import org.apache.spark.sql.functions.{col, concat, lit, pmod, round, xxhash64}
+import org.apache.spark.sql.functions.{col, concat, count, lit, max, min, pmod, round, xxhash64}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -519,6 +519,25 @@ object SparkEntry {
       operators.SimIndex.writeShingleIndex(e0, root, 0)
       operators.SimIndex.writeShingleIndex(e1, root, 1)
       operators.SimIndex.crossEpochNearDups(s, root, 1).orderBy("doc_a", "doc_b")
+    }),
+    "c56_incremental_exact_dup" -> ((s, d) => {
+      // persisted exact-substring index (SimIndex.suffix_keys): epoch-1
+      // docs (the t10 planted partial copies) probe epoch 0's PERSISTED
+      // window keys — cross-epoch exact-copy gate at window granularity,
+      // no re-hashing of epoch 0; incremental == full recompute is pinned
+      // in SuffixSpec
+      val root = java.nio.file.Files.createTempDirectory("graft-c56").toString
+      val corpus = TextOps.spanCorpus(s, d)
+      val e0 = corpus.where(col("doc_id") < 2000000L)
+      val e1 = corpus.where(col("doc_id") >= 2000000L)
+      operators.SimIndex.writeSuffixIndex(e0, root, 0)
+      operators.SimIndex.writeSuffixIndex(e1, root, 1)
+      operators.SimIndex.crossEpochDupWindows(s, root, 1, corpus)
+        .groupBy("doc_id")
+        .agg(count(lit(1)).cast("long").as("n_dup"),
+          min("pos").cast("long").as("first_pos"),
+          max("pos").cast("long").as("last_pos"))
+        .orderBy("doc_id")
     }),
     "c17_image_dedup" -> ((s, _) => {
       // image-payload corpus dedup end to end: planted exact/near copies

@@ -431,4 +431,57 @@ object SimIndex {
       .where(col("rank") <= k)
       .select(col("query_id"), col("vec_id"), round(col("cos"), 4).as("cos"), col("rank"))
   }
+
+  // ------------------------------------------- exact-substring (suffix) index
+
+  /** Persist T29's composed window keys for ONE epoch's new documents:
+    * `suffix_keys/epoch=N` holds (doc_id, pos, k) — the corpus's exact
+    * length-L window identities. New epochs PROBE this instead of
+    * re-running the prefix-doubling rounds over earlier epochs (the D10
+    * incremental discipline applied to the exact-substring family).
+    */
+  def writeSuffixIndex(docs: DataFrame, root: String, epoch: Int, L: Int = 64): Unit =
+    SuffixOps.windowKeys(docs.select("doc_id", "text"), L)
+      .write.mode("overwrite").parquet(s"$root/suffix_keys/epoch=$epoch")
+
+  /** Cross-epoch EXACT duplicated windows: epoch-`epoch` positions whose
+    * length-L window content occurs more than once in the corpus as of
+    * `epoch` (any epoch, any doc — the "is this an exact copy of earlier
+    * content" gate, at window granularity). Content-verified like
+    * SuffixOps.dupWindowPositions: the hot-key set is first restricted
+    * (losslessly — all occurrences of one content share one key) to keys
+    * present in the new epoch, candidates re-extract their actual window
+    * from `docsUpTo` via ONE doc_id join, and grouping is by content, so
+    * hash collisions cannot create false positives. No earlier epoch is
+    * ever re-hashed; `docsUpTo` payload is touched only for the
+    * dup-rate-sized candidate set.
+    */
+  def crossEpochDupWindows(
+      spark: SparkSession,
+      root: String,
+      epoch: Int,
+      docsUpTo: DataFrame,
+      L: Int = 64): DataFrame = {
+    val keys = spark.read.parquet(s"$root/suffix_keys")
+      .where(col("epoch") <= epoch)
+    val newKeys = keys.where(col("epoch") === epoch)
+      .select("doc_id", "pos", "k")
+    val hot = keys.join(newKeys.select("k").distinct(), Seq("k"), "left_semi")
+      .groupBy("k").agg(count(lit(1)).as("c"))
+      .where(col("c") > 1).select("k")
+    val cand = keys.select("doc_id", "pos", "k")
+      .join(hot, Seq("k"), "left_semi")
+    val wins = cand.join(docsUpTo.select("doc_id", "text"), Seq("doc_id"))
+      .select(col("doc_id"), col("pos"),
+        expr(s"substring(text, pos + 1, $L)").as("win"))
+    val groups = wins.groupBy("win")
+      .agg(count(lit(1)).as("n_occ"),
+        min(struct(col("doc_id"), col("pos"))).as("surv"))
+      .where(col("n_occ") > 1)
+    wins.join(groups, Seq("win"))
+      .join(newKeys.select("doc_id", "pos"), Seq("doc_id", "pos"), "left_semi")
+      .select(col("doc_id"), col("pos"), col("n_occ"),
+        (col("surv.doc_id") === col("doc_id") &&
+          col("surv.pos") === col("pos")).as("is_survivor"))
+  }
 }

@@ -96,6 +96,42 @@ class SuffixSpec extends AnyFunSuite {
     }
   }
 
+  test("persisted suffix index: cross-epoch probe == full recompute restricted to the new epoch") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val corpus = TextOps.spanCorpus(spark, dir)
+    val all = corpus.collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val root = java.nio.file.Files.createTempDirectory("graft-suffixidx").toString
+    val e0 = corpus.where(col("doc_id") < 2000000L)
+    val e1 = corpus.where(col("doc_id") >= 2000000L)
+    SimIndex.writeSuffixIndex(e0, root, 0)
+    SimIndex.writeSuffixIndex(e1, root, 1)
+    val inc = SimIndex.crossEpochDupWindows(spark, root, 1, corpus)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> ((r.getLong(2), r.getBoolean(3))))
+      .toMap
+    // full recompute over the union, restricted to epoch-1 (plant) docs
+    val full = SuffixOps.mirrorDupPositions(all, 64)
+      .filter(_._1._1 >= 2000000L)
+    assert(inc == full, s"incremental probe != full recompute " +
+      s"(inc=${inc.size}, full=${full.size})")
+    assert(inc.nonEmpty, "planted cross-epoch copies not detected")
+    // the planted slice interiors pair against epoch 0, where the source
+    // doc (min id) wins survivorship — those positions must be
+    // non-survivors (windows duplicated ONLY among plants may legitimately
+    // keep a plant as survivor, so the assertion is per-content, not
+    // corpus-wide: at least the slice-covered positions lose)
+    assert(inc.exists(!_._2._2), "no plant position lost survivorship to epoch 0")
+    // epoch 0 probed at epoch 0 sees only its own internal duplicates
+    val e0Probe = SimIndex.crossEpochDupWindows(spark, root, 0, e0)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> ((r.getLong(2), r.getBoolean(3))))
+      .toMap
+    val e0Full = SuffixOps.mirrorDupPositions(
+      all.filter(_._1 < 2000000L), 64)
+    assert(e0Probe == e0Full)
+  }
+
   test("dupSpans extents are sane and cover non-survivor positions") {
     import spark.implicits._
     val docs = Seq(
