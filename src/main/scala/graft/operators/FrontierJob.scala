@@ -360,6 +360,27 @@ object FrontierJob {
       .withColumn("epoch", lit(cfg.epoch))
   }
 
+  /** Optional per-REGISTRABLE-DOMAIN cap on top of the per-host schedule:
+    * production politeness treats `img.cdn.site.co.uk` and
+    * `www.site.co.uk` as ONE crawl target (publicsuffix.org semantics —
+    * DomainOps), so a domain fanning out over many hosts must not multiply
+    * its budget by its host count. Applied AFTER [[schedule]]: the input
+    * is already bounded to hosts x host_budget rows, so the domain window
+    * ranks a schedule-sized table, never the frontier; order (priority
+    * desc, url_hash asc) keeps the cut deterministic at any parallelism.
+    * SHRINK-only (the c50/c54 discipline): per-host budgets and slot
+    * assignments stand, rows beyond the domain cap drop.
+    */
+  def applyDomainBudget(scheduled: DataFrame, domainBudget: Int): DataFrame = {
+    val w = Window.partitionBy("domain")
+      .orderBy(col("priority").desc, col("url_hash").asc)
+    scheduled
+      .withColumn("domain", DomainOps.registrableDomainCol(col("host")))
+      .withColumn("domain_rank", row_number().over(w))
+      .where(col("domain_rank") <= domainBudget)
+      .drop("domain", "domain_rank")
+  }
+
   /** Deterministic global epoch budget + total output order
     * (scheduled_at asc, priority desc, url_hash asc) — matches the oracle's
     * sequence; TakeOrderedAndProject when budget < Int.MaxValue.

@@ -44,6 +44,34 @@ class DomainFetchSpec extends AnyFunSuite {
     assert(rows.exists(_._2 == "weird.zz"))
   }
 
+  test("per-domain budget cap == kernel mirror; per-host schedule untouched below cap") {
+    import org.apache.spark.sql.functions.{col, concat_ws, lit, pmod, xxhash64}
+    // schedule-shaped rows: hosts spread over shared registrable domains
+    val sched = spark.range(0, 3000)
+      .select(
+        xxhash64(col("id")).as("url_hash"),
+        concat_ws(".",
+          concat_ws("", lit("h"), pmod(col("id"), lit(40))),
+          concat_ws("", lit("site"), pmod(col("id"), lit(7))),
+          lit("co.uk")).as("host"),
+        (pmod(xxhash64(col("id") + 1), lit(1000)) / lit(100.0)).as("priority"))
+    val budget = 25
+    val capped = FrontierJob.applyDomainBudget(sched, budget)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    // mirror: group by kernel domain, sort (priority desc, hash asc), take N
+    val all = sched.collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    val want = all.groupBy(t => UrlKit.registrableDomain(t._2))
+      .valuesIterator
+      .flatMap(rows => rows.sortBy(t => (-t._3, t._1)).take(budget))
+      .toSet
+    assert(capped.toSet == want)
+    assert(capped.length == want.size)
+    // the cap binds: 7 domains x 25 < 3000 input rows
+    assert(capped.length == 7 * budget)
+    // untouched columns survive the pass
+    assert(capped.forall(t => t._2.endsWith(".co.uk")))
+  }
+
   test("fetch validation column verdicts == JVM mirror; plants detected") {
     val n = 77
     val fetches = FetchAudit.plantedFetches(spark, n)
