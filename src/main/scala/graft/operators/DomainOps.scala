@@ -18,21 +18,27 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
   */
 object DomainOps {
 
-  /** eTLD+1 as a pure Column over a host column. */
+  /** eTLD+1 as a pure Column over a host column.
+    *
+    * One end-anchored regex realizes longest-suffix-match: a match must
+    * consume the ENTIRE remainder `label.suffix$`, so the leftmost (=
+    * most-label) position where any snapshot suffix completes the host
+    * wins — exactly the kernel's longest-match (a bare 2-label suffix
+    * like `co.uk` self-matches as `co`+`.uk`, which equals the kernel's
+    * return-itself rule). Unknown TLDs fall back to the last-2-label
+    * regex; single-label hosts fall through to the host itself. A compact
+    * 2-regex expression instead of a 23-deep when()/coalesce chain — the
+    * chain's generated code blew past JIT-friendly size and cost ~20s of
+    * codegen/interpretation in the bench (measured; see BENCH notes).
+    */
   def registrableDomainCol(host: Column): Column = {
-    // longest-match: all multi-label suffixes are longer strings than any
-    // single-label entry in the snapshot, so a fold ordered multi-label
-    // first with coalesce() realizes longest-match-first
-    val ordered = UrlKit.PublicSuffixes.sortBy(s => (-s.count(_ == '.'), -s.length))
-    val suffix = ordered.foldLeft(lit(null).cast("string")) { (acc, s) =>
-      coalesce(acc, when(host === s || host.endsWith("." + s), lit(s)))
-    }
-    val labels = split(host, "\\.")
-    val nSuf = when(suffix.isNull, lit(1))
-      .otherwise(size(split(suffix, "\\.")))
-    val take = least(size(labels), nSuf + 1)
-    when(host.isNull || host === "", host)
-      .otherwise(concat_ws(".", slice(labels, -take, take)))
+    val alts = UrlKit.PublicSuffixes
+      .sortBy(s => (-s.count(_ == '.'), -s.length))
+      .map(_.replace(".", "\\."))
+      .mkString("|")
+    val psl = regexp_extract(host, s"(?:^|\\.)([^.]+\\.(?:$alts))$$", 1)
+    val last2 = regexp_extract(host, "([^.]+\\.[^.]+)$", 1)
+    coalesce(nullif(psl, lit("")), nullif(last2, lit("")), host)
   }
 
   /** Deterministic host synthesis from doc_id (the c27 URL-synthesis

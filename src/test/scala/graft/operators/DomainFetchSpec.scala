@@ -27,6 +27,15 @@ class DomainFetchSpec extends AnyFunSuite {
       assert(UrlKit.registrableDomain(host) == want, s"kernel($host)")
     }
     assert(UrlKit.registrableDomain(null) == null)
+    // the regex Column path must agree on every edge case too
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val viaCol = cases.map(_._1).toDF("host")
+      .select(col("host"), DomainOps.registrableDomainCol(col("host")).as("dom"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    cases.foreach { case (host, want) =>
+      assert(viaCol(host) == want, s"column($host)")
+    }
   }
 
   test("registrable domain column == kernel on the synthetic host set") {
