@@ -368,6 +368,10 @@ object SparkEntry {
     // trailer audit on the binary column, fused into the scan (no decode,
     // no payload shuffle); planted truncations/mislabels, mirror-golden
     "c55_fetch_validation" -> ((s, _) => operators.FetchAudit.validationReport(s)),
+    // c57: no-reference blur audit — integer variance-of-Laplacian per
+    // image, one decode pass emitting (id, long); planted blurred twins
+    // must fail the gate (BlurSpec mirror-exact)
+    "c57_blur_audit" -> ((s, _) => ImageOps.blurAuditDemo(s)),
     "t04_neardup_simhash" -> ((s, d) => TextOps.nearDupSimhash(s, d)),
     "emb01_cosine_topk" -> ((s, d) => SimilarityOps.bruteCosineTopK(s, d)),
     "emb02_ann_lsh" -> ((s, d) => SimilarityOps.annLshTopK(s, d)),

@@ -273,4 +273,61 @@ object ImageKit {
     z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
     z ^ (z >>> 31)
   }
+
+  /** Variance of the 4-neighbor Laplacian over interior pixels, in integer
+    * fixed point (x100, floor DIV) — the standard no-reference blur/focus
+    * measure (variance-of-Laplacian, Pech-Pacheco et al. ICPR'00): blur
+    * attenuates high frequencies, collapsing the Laplacian's spread.
+    * All-integer (sum / sum-of-squares over int Laplacians), so the score
+    * is bit-identical at any parallelism and between the distributed
+    * operator and its mirror. Returns 0 for images with no interior.
+    */
+  def lapVarQ100(px: Array[Int], w: Int, h: Int): Long = {
+    if (w < 3 || h < 3) return 0L
+    var sum = 0L; var sumSq = 0L
+    var y = 1
+    while (y < h - 1) {
+      var x = 1
+      while (x < w - 1) {
+        val i = y * w + x
+        val lap = 4 * px(i) - px(i - 1) - px(i + 1) - px(i - w) - px(i + w)
+        sum += lap; sumSq += lap.toLong * lap
+        x += 1
+      }
+      y += 1
+    }
+    val n = (w - 2).toLong * (h - 2)
+    // var = E[l^2] - E[l]^2, scaled x100 with integer floor division
+    (sumSq * 100L) / n - (sum * sum * 100L) / (n * n)
+  }
+
+  /** 3x3 box blur with edge clamp (integer mean, floor DIV) — the
+    * deterministic low-pass used to plant blurred twins in tests/demos.
+    */
+  def boxBlur3(px: Array[Int], w: Int, h: Int): Array[Int] = {
+    val out = new Array[Int](px.length)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        var s = 0; var n = 0
+        var dy = -1
+        while (dy <= 1) {
+          var dx = -1
+          while (dx <= 1) {
+            val yy = y + dy; val xx = x + dx
+            if (yy >= 0 && yy < h && xx >= 0 && xx < w) {
+              s += px(yy * w + xx); n += 1
+            }
+            dx += 1
+          }
+          dy += 1
+        }
+        out(y * w + x) = s / n
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
 }

@@ -464,4 +464,49 @@ object ImageOps {
 
   def captionDivergenceDemo(spark: org.apache.spark.sql.SparkSession): DataFrame =
     captionDivergence(captionCorpus(spark))
+
+  /** Blur-plant corpus for c57: n sharp base images; every 5th also ships
+    * a 3x3-box-blurred twin (`<id>-blur`, same dims/format — only the
+    * pixel spectrum changes). Deterministic, so the spec's mirror replants
+    * identically.
+    */
+  def blurCorpus(spark: org.apache.spark.sql.SparkSession, n: Int = 60): DataFrame = {
+    import spark.implicits._
+    val rows = (0 until n).flatMap { i =>
+      val w = 48; val h = 32
+      val fmt = if (i % 2 == 0) "png" else "jpeg"
+      val px = ImageKit.genPixels(ImageKit.mix64(i * 7919L + 5L), 0, w, h)
+      val sharp = (s"img-$i", ImageKit.encode(px, w, h, fmt), fmt)
+      if (i % 5 == 0) {
+        // two box passes ~ a 5x5 low-pass: separates cleanly from the
+        // already-smooth synthetic pixel field (one pass overlaps the
+        // sharp distribution — measured via graft.tools.BlurProbe)
+        val blurred = ImageKit.boxBlur3(ImageKit.boxBlur3(px, w, h), w, h)
+        Seq(sharp, (s"img-$i-blur", ImageKit.encode(blurred, w, h, fmt), fmt))
+      } else Seq(sharp)
+    }
+    rows.toDF("image_id", "bytes", "fmt")
+  }
+
+  /** c57 — no-reference blur/quality audit: variance-of-Laplacian
+    * (Pech-Pacheco ICPR'00, the standard focus measure every image-corpus
+    * curation stack runs alongside c36's gates) in integer fixed point.
+    * Scale shape matches the c36 decode pass: ONE decode per image
+    * emitting (image_id, long) — bytes never shuffle; the verdict is a
+    * codegen comparison on the slim columns.
+    */
+  def blurAudit(images: DataFrame, minVarQ100: Long = 3000L): DataFrame = {
+    import images.sparkSession.implicits._
+    val scored = images.select("image_id", "bytes")
+      .as[(String, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        val (px, w, h) = ImageKit.decodeGray(bytes)
+        (id, ImageKit.lapVarQ100(px, w, h))
+      })
+      .toDF("image_id", "lap_var_q100")
+    scored.withColumn("is_sharp", col("lap_var_q100") >= minVarQ100)
+  }
+
+  def blurAuditDemo(spark: org.apache.spark.sql.SparkSession): DataFrame =
+    blurAudit(blurCorpus(spark)).orderBy("image_id")
 }
