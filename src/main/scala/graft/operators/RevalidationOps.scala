@@ -52,7 +52,7 @@ object RevalidationOps {
     * revision lost) is pinned by RevalidationSpec on its own two runs —
     * the bench row only needs the wired path, not a second full crawl.
     */
-  def revalidationDemo(spark: SparkSession, epochs: Int = 3,
+  def revalidationDemo(spark: SparkSession, epochs: Int = 2,
                        seedsPerEpoch: Int = 200, budget: Int = 4000): DataFrame = {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft-c51").toString
