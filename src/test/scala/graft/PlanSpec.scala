@@ -604,4 +604,23 @@ class PlanSpec extends AnyFunSuite {
       assert(!l.contains("text#"), s"document text on an exchange: $l")
     }
   }
+
+  test("c56 suffix-index probe: persisted keys probe without text on exchanges") {
+    val dir = "/root/testdata/sf0.001"
+    val root = java.nio.file.Files.createTempDirectory("planspec-c56").toString
+    val corpus = graft.operators.TextOps.spanCorpus(spark, dir)
+    import org.apache.spark.sql.functions.col
+    graft.operators.SimIndex.writeSuffixIndex(
+      corpus.where(col("doc_id") < 2000000L), root, 0)
+    graft.operators.SimIndex.writeSuffixIndex(
+      corpus.where(col("doc_id") >= 2000000L), root, 1)
+    val p = finalPlan(graft.operators.SimIndex
+      .crossEpochDupWindows(spark, root, 1, corpus))
+    // the index side is (doc_id, pos, k) parquet; the payload joins once
+    // on doc_id for the candidate set — text on a hash exchange would mean
+    // the probe re-shuffles the corpus it exists to avoid re-reading
+    p.linesIterator.filter(_.contains("Exchange hashpartitioning")).foreach { l =>
+      assert(!l.contains("text#"), s"document text on an exchange: $l")
+    }
+  }
 }
