@@ -524,6 +524,11 @@ object SparkEntry {
       operators.SimIndex.writeShingleIndex(e1, root, 1)
       operators.SimIndex.crossEpochNearDups(s, root, 1).orderBy("doc_a", "doc_b")
     }),
+    // c58: streaming EXACT copy-detection — each micro-batch appends a
+    // suffix-key mini-epoch and probes the corpus-so-far (c18's sibling at
+    // window granularity); stream == full recompute pinned in StreamingSpec
+    "c58_stream_exactcopy" -> ((s, d) =>
+      graft.streaming.StreamingJobs.exactCopyDetectDemo(s, d)),
     "c56_incremental_exact_dup" -> ((s, d) => {
       // persisted exact-substring index (SimIndex.suffix_keys): epoch-1
       // docs (the t10 planted partial copies) probe epoch 0's PERSISTED

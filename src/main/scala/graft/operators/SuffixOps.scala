@@ -177,7 +177,7 @@ object SuffixOps {
   /** Brute-force mirror: every window materialized and grouped by content.
     * Returns (doc_id, pos) -> (n_occ, is_survivor).
     */
-  private[operators] def mirrorDupPositions(
+  private[graft] def mirrorDupPositions(
       docs: Seq[(Long, String)], L: Int): Map[(Long, Int), (Long, Boolean)] = {
     val byWin = scala.collection.mutable.HashMap
       .empty[String, scala.collection.mutable.ArrayBuffer[(Long, Int)]]

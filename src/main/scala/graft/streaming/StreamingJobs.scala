@@ -408,6 +408,74 @@ object StreamingJobs {
       }
       .start()
 
+  /** Streaming EXACT copy-detection through the persisted suffix index —
+    * [[streamingCopyDetect]]'s window-granular sibling (that one flags
+    * near-dups via shingle Jaccard; this one flags EXACT duplicated
+    * length-L windows, the t29 semantic, online): each micro-batch commits
+    * its docs (`root/docs/epoch=N`) and suffix keys (SimIndex
+    * .writeSuffixIndex) as a mini-epoch, then probes the corpus-so-far
+    * (SimIndex.crossEpochDupWindows — content-verified, no re-hash of
+    * earlier epochs); per-batch duplicated positions land under
+    * `root/exact_copy/epoch=N`.
+    */
+  def streamingExactCopyDetect(
+      docs: Dataset[(Long, String)],
+      root: String,
+      startEpoch: Int): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.toDF("doc_id", "text").writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", ckptDir(s"exactcopy_$startEpoch"))
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val epoch = startEpoch + batchId.toInt
+        batch.write.mode("overwrite").parquet(s"$root/docs/epoch=$epoch")
+        val committed = spark.read.parquet(s"$root/docs/epoch=$epoch")
+        graft.operators.SimIndex.writeSuffixIndex(committed, root, epoch)
+        val docsUpTo = spark.read.parquet(s"$root/docs")
+          .where(col("epoch") <= epoch).select("doc_id", "text")
+        graft.operators.SimIndex.crossEpochDupWindows(spark, root, epoch, docsUpTo)
+          .write.mode("overwrite").parquet(s"$root/exact_copy/epoch=$epoch")
+      }
+      .start()
+
+  /** Driver-contract demo (c58): epoch 0 = the spanCorpus base docs,
+    * indexed batch-side; the stream delivers fresh docs then the planted
+    * partial copies — whose slice windows the probe must flag on arrival.
+    * Golden equality per batch vs full every-window recompute is pinned in
+    * StreamingSpec.
+    */
+  def exactCopyDetectDemo(spark: SparkSession, dir: String): DataFrame =
+    withFewStatePartitions(spark) { exactCopyDetectDemoImpl(spark, dir) }
+
+  private def exactCopyDetectDemoImpl(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft-c58").toString
+    val corpus = graft.operators.TextOps.spanCorpus(spark, dir)
+    val base = corpus.where(col("doc_id") < 2000000L)
+    val e0 = base.where(pmod(col("doc_id"), lit(2)) === 0)
+    e0.write.mode("overwrite").parquet(s"$root/docs/epoch=0")
+    graft.operators.SimIndex.writeSuffixIndex(
+      spark.read.parquet(s"$root/docs/epoch=0"), root, 0)
+    val fresh = base.where(pmod(col("doc_id"), lit(2)) === 1)
+      .as[(Long, String)].collect()
+    val plants = corpus.where(col("doc_id") >= 2000000L)
+      .as[(Long, String)].collect()
+    val stream = MemoryStream[(Long, String)]
+    val q = streamingExactCopyDetect(stream.toDS(), root, startEpoch = 1)
+    try {
+      stream.addData(fresh.toIndexedSeq)
+      q.processAllAvailable()
+      stream.addData(plants.toIndexedSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    spark.read.parquet(s"$root/exact_copy")
+      .groupBy(col("doc_id"), col("epoch").as("found_in_batch"))
+      .agg(count(lit(1)).cast("long").as("n_dup"),
+        min("pos").cast("long").as("first_pos"))
+      .orderBy("doc_id", "found_in_batch")
+  }
+
   /** Streaming IMAGE copy-detection — [[streamingCopyDetect]]'s twin on
     * the payload the north_rule is about: each micro-batch of
     * (image_id, phash) rows appends to the persisted phash block index as

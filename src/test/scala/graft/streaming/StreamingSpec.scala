@@ -157,6 +157,45 @@ class StreamingSpec extends AnyFunSuite {
     assert(out.exists(_._5 == 2), "planted copies not flagged in their arrival batch")
   }
 
+  test("streaming exact copy-detection == full every-window recompute, per arrival batch") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    // identical construction to exactCopyDetectDemo, but against a KNOWN
+    // root so the POSITION-level epochs are readable (the demo aggregates)
+    val corpus = graft.operators.TextOps.spanCorpus(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val e0 = corpus.filter(t => t._1 < 2000000L && t._1 % 2 == 0)
+    val e1 = corpus.filter(t => t._1 < 2000000L && t._1 % 2 != 0)
+    val e2 = corpus.filter(_._1 >= 2000000L)
+    // independent streaming run against a KNOWN root via the raw job
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val root = graft.SparkTestBase.tempDir("graft-c58-golden")
+    e0.toDF("doc_id", "text").write.mode("overwrite").parquet(s"$root/docs/epoch=0")
+    graft.operators.SimIndex.writeSuffixIndex(
+      spark.read.parquet(s"$root/docs/epoch=0"), root, 0)
+    val stream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val q = graft.streaming.StreamingJobs.streamingExactCopyDetect(stream.toDS(), root, 1)
+    try {
+      stream.addData(e1.toIndexedSeq)
+      q.processAllAvailable()
+      stream.addData(e2.toIndexedSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.read.parquet(s"$root/exact_copy")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getBoolean(3),
+        r.getAs[Int]("epoch"))).toSet
+    val expected = Seq((1, e0 ++ e1, e1), (2, e0 ++ e1 ++ e2, e2)).flatMap {
+      case (e, soFar, newDocs) =>
+        val ids = newDocs.map(_._1).toSet
+        graft.operators.SuffixOps.mirrorDupPositions(soFar, 64)
+          .collect { case ((id, p), (n, surv)) if ids(id) => (id, p, n, surv, e) }
+    }.toSet
+    assert(out == expected,
+      s"stream exact-dup positions diverged (out=${out.size}, exp=${expected.size})")
+    assert(out.exists(_._5 == 2), "planted copies not flagged in their arrival batch")
+  }
+
   test("streaming image copy-detection == full phash recompute, per arrival batch") {
     import org.apache.spark.sql.functions._
     import graft.SparkTestBase.spark
