@@ -231,6 +231,10 @@ object SparkEntry {
     // t30: the exact-clip corpus action (non-survivor duplicated runs
     // removed); clipped text golden-gated vs the mirror in SuffixSpec
     "t30_exact_clip" -> ((s, d) => operators.SuffixOps.exactClipReport(s, d)),
+    // t31: EXACT-substring benchmark decontamination (char-window form of
+    // t13) — corpus keys semi-join the benchmark's, content join broadcast
+    "t31_exact_decontaminate" -> ((s, d) =>
+      operators.SuffixOps.exactContaminationReport(s, d)),
     "t09_corpus_curation" -> ((s, d) => TextOps.curatedCorpus(s, d)),
     "t10_span_clip" -> ((s, d) => TextOps.spanClippedCorpus(s, d)),
     "t11_multimodal_dedup" -> ((s, d) =>
@@ -1289,6 +1293,34 @@ object SparkEntry {
         |  CAST(max(w.pos) AS BIGINT) AS last_pos
         |FROM w JOIN d USING (win)
         |GROUP BY w.doc_id""".stripMargin,
+    // t31: t13's leaked-corpus/benchmark fixtures, char-window exact
+    // overlap — oracle brute-forces both sides' windows.
+    "t31_exact_decontaminate" ->
+      """WITH bench AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 23 = 0
+        |), corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 2000000 AS doc_id,
+        |    array_to_string(list_slice(regexp_split_to_array(trim(text), '\s+'), 1, 20), ' ')
+        |      || ' then entirely novel commentary continues past the quotation' AS text
+        |  FROM documents WHERE doc_id % 23 = 0
+        |), bw AS (
+        |  SELECT DISTINCT substr(b.text, g.pos + 1, 64) AS win
+        |  FROM bench b, LATERAL (SELECT unnest(
+        |    generate_series(0, length(b.text) - 64)) AS pos) g
+        |  WHERE length(b.text) >= 64
+        |), cw AS (
+        |  SELECT c.doc_id, g.pos, substr(c.text, g.pos + 1, 64) AS win
+        |  FROM corpus c, LATERAL (SELECT unnest(
+        |    generate_series(0, length(c.text) - 64)) AS pos) g
+        |  WHERE length(c.text) >= 64
+        |)
+        |SELECT cw.doc_id, CAST(count(*) AS BIGINT) AS n_contaminated,
+        |  CAST(min(cw.pos) AS BIGINT) AS first_pos,
+        |  CAST(max(cw.pos) AS BIGINT) AS last_pos
+        |FROM cw JOIN bw USING (win)
+        |GROUP BY cw.doc_id""".stripMargin,
     // t23: TF-IDF — tokenization mirrors t14 (lower/trim + \s+ split),
     // idf in BIGINT fixed-point ((N*1e6) // df) so score/rank carry no
     // float anywhere; ties break on term text in both engines.

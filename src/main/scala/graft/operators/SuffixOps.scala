@@ -172,6 +172,53 @@ object SuffixOps {
         xxhash64(col("text")).as("clip_hash"))
       .orderBy("doc_id")
 
+  /** All length-L windows WITH text of a (doc_id, text) frame — the
+    * O(n*L) materialization; reserved for SMALL sides (benchmark suites)
+    * and oracles.
+    */
+  private def windowsWithText(df: DataFrame, L: Int): DataFrame =
+    df.where(length(col("text")) >= L)
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(0), length(col("text")) - L)).as("pos"))
+      .select(col("doc_id"), col("pos"),
+        expr(s"substring(text, pos + 1, $L)").as("win"))
+
+  /** t31 — EXACT-substring benchmark decontamination (the verbatim-overlap
+    * gate of published LM evals — GPT-3 App. C / PaLM use 8-13-gram or
+    * char-window exact collision against the eval set; t13 is the word
+    * n-gram form, this is the character form with t29's machinery): every
+    * corpus position whose length-L window appears VERBATIM in the
+    * benchmark, aggregated per doc.
+    *
+    * Scale shape: the benchmark side is eval-suite-sized, so its window
+    * SET (content) broadcasts; the corpus side never materializes windows
+    * — its hashed keys (scan-fused, text never shuffled) are semi-joined
+    * against the benchmark's keys first, and only the collision-rate-sized
+    * candidate set extracts text for the exact content join.
+    */
+  def exactContamination(corpus: DataFrame, bench: DataFrame, L: Int): DataFrame = {
+    val benchKeys = windowKeys(bench, L).select("k").distinct()
+    val cand = windowKeys(corpus, L).join(benchKeys, Seq("k"), "left_semi")
+    val candWins = cand.join(corpus.select("doc_id", "text"), Seq("doc_id"))
+      .select(col("doc_id"), col("pos"),
+        expr(s"substring(text, pos + 1, $L)").as("win"))
+    val benchWins = windowsWithText(bench, L).select("win").distinct()
+    candWins.join(broadcast(benchWins), Seq("win"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("long").as("n_contaminated"),
+        min("pos").cast("long").as("first_pos"),
+        max("pos").cast("long").as("last_pos"))
+      .orderBy("doc_id")
+  }
+
+  /** Driver-facing t31 over the t13 fixtures: leaked corpus (quote docs
+    * copy each benchmark doc's first 20 tokens verbatim) vs the benchmark
+    * slice, L=64.
+    */
+  def exactContaminationReport(spark: SparkSession, dir: String, L: Int = 64): DataFrame =
+    exactContamination(TextOps.leakedCorpus(spark, dir),
+      TextOps.benchmarkDocs(spark, dir), L)
+
   // ---- single-threaded mirror (shared by SuffixSpec goldens) ------------
 
   /** Brute-force mirror: every window materialized and grouped by content.
@@ -192,6 +239,20 @@ object SuffixOps {
     byWin.valuesIterator.filter(_.length > 1).flatMap { occ =>
       val surv = occ.minBy(identity)
       occ.iterator.map(o => o -> (occ.length.toLong, o == surv))
+    }.toMap
+  }
+
+  /** Brute-force mirror of exactContamination. */
+  private[graft] def mirrorContamination(
+      corpus: Seq[(Long, String)], bench: Seq[(Long, String)],
+      L: Int): Map[Long, (Long, Long, Long)] = {
+    val benchWins = bench.iterator.flatMap { case (_, t) =>
+      (0 to t.length - L).iterator.map(p => t.substring(p, p + L))
+    }.toSet
+    corpus.flatMap { case (id, t) =>
+      val hits = (0 to t.length - L).filter(p => benchWins(t.substring(p, p + L)))
+      if (hits.isEmpty) None
+      else Some(id -> ((hits.length.toLong, hits.min.toLong, hits.max.toLong)))
     }.toMap
   }
 

@@ -132,6 +132,35 @@ class SuffixSpec extends AnyFunSuite {
     assert(e0Probe == e0Full)
   }
 
+  test("t31 exact contamination == brute mirror; quote plants flagged") {
+    val corpus = TextOps.leakedCorpus(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val bench = TextOps.benchmarkDocs(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val dist = SuffixOps.exactContaminationReport(spark, dir)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    val mir = SuffixOps.mirrorContamination(corpus, bench, 64)
+    assert(dist == mir, s"contamination mismatch (dist=${dist.size}, mir=${mir.size})")
+    // benchmark docs self-flag; every quote plant with a >=64-char prefix
+    // copy is flagged at position 0
+    bench.foreach { case (id, text) =>
+      if (text.length >= 64) assert(mir.contains(id), s"bench $id unflagged")
+    }
+    val plants = corpus.filter(_._1 >= 2000000L)
+    assert(plants.nonEmpty)
+    var verbatimPlants = 0
+    plants.foreach { case (id, text) =>
+      val src = bench.find(_._1 == id - 2000000L).get._2
+      if (src.length >= 64 && text.startsWith(src.substring(0, 64))) {
+        verbatimPlants += 1
+        assert(mir.get(id).exists(_._2 == 0L), s"quote plant $id not flagged at pos 0")
+      }
+    }
+    assert(verbatimPlants > 0, "no plant actually carries a 64-char verbatim prefix")
+  }
+
   test("dupSpans extents are sane and cover non-survivor positions") {
     import spark.implicits._
     val docs = Seq(
