@@ -528,6 +528,10 @@ object SparkEntry {
       operators.SimIndex.writeShingleIndex(e1, root, 1)
       operators.SimIndex.crossEpochNearDups(s, root, 1).orderBy("doc_a", "doc_b")
     }),
+    // c59: robots-policy diff across cache generations + re-enqueue of
+    // newly-allowed held-back URLs (both verdicts are P4's pure column;
+    // RobotsDiffSpec mirrors via the crawl oracle's kernel)
+    "c59_robots_diff" -> ((s, _) => operators.RobotsDiffOps.robotsDiffDemo(s)),
     // c58: streaming EXACT copy-detection — each micro-batch appends a
     // suffix-key mini-epoch and probes the corpus-so-far (c18's sibling at
     // window granularity); stream == full recompute pinned in StreamingSpec

@@ -1,0 +1,60 @@
+package graft.operators
+
+import graft.SparkTestBase.spark
+import graft.sources.Gen
+import org.scalatest.funsuite.AnyFunSuite
+
+/** c59 robots-policy diff + re-enqueue: distributed results must equal the
+  * single-threaded mirrors built on the SAME kernels the crawl oracle uses
+  * (CrawlOracle.robotsAllowed), and both flip directions must behave.
+  */
+class RobotsDiffSpec extends AnyFunSuite {
+
+  test("policy diff == local rule-set diff; both flip directions present") {
+    val oldR = Gen.robotsLocal().map(r => r.host -> r).toMap
+    val newR = RobotsDiffOps.mutatedRobotsLocal().map(r => r.host -> r).toMap
+    val dist = RobotsDiffOps.robotsPolicyDiff(
+        Gen.robots(spark).toDF(), RobotsDiffOps.mutatedRobots(spark).toDF())
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val want = oldR.keys.flatMap { h =>
+      val o = oldR(h).rules.toSet
+      val n = newR(h).rules.toSet
+      val added = (n -- o).size.toLong
+      val removed = (o -- n).size.toLong
+      if (added > 0 || removed > 0) Some(h -> ((added, removed))) else None
+    }.toMap
+    assert(dist == want)
+    assert(want.values.exists(_._1 > 0), "no tightened host in the mutation")
+    assert(want.values.exists(_._2 > 0), "no opened host in the mutation")
+  }
+
+  test("newly-allowed == kernel mirror; opened hosts re-enqueue, tightened don't") {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    val oldDf = Gen.robots(spark).toDF()
+    val newDf = RobotsDiffOps.mutatedRobots(spark).toDF()
+    val frontier = FrontierJob.canonicalizeFrontier(Gen.seeds(spark, 20000L, 8))
+    val held = frontier
+      .join(broadcast(oldDf.select(col("host"), col("rules"))), Seq("host"))
+      .where(!FrontierJob.robotsAllowedCol(col("rules"), col("path")))
+      .select("url_hash", "host", "path", "priority")
+    val heldRows = held.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    assert(heldRows.nonEmpty, "no held-back URLs under the old policy")
+    val dist = RobotsDiffOps.newlyAllowed(held, oldDf, newDf)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    val oldR = Gen.robotsLocal().map(r => r.host -> r.rules).toMap
+    val newR = RobotsDiffOps.mutatedRobotsLocal().map(r => r.host -> r.rules).toMap
+    val want = heldRows.filter { case (_, host, path) =>
+      !CrawlOracle.robotsAllowed(oldR(host), path) &&
+        CrawlOracle.robotsAllowed(newR(host), path)
+    }.toSet
+    assert(dist == want, s"re-enqueue set diverged (dist=${dist.size}, want=${want.size})")
+    assert(dist.nonEmpty, "opened policies re-enqueued nothing")
+    // every re-enqueued path was opened by the politics-rule drop; hosts
+    // that only TIGHTENED contribute none
+    val openedHosts = oldR.keys.filter(h => oldR(h) != newR(h) &&
+      oldR(h).exists(r => !r.allow && r.prefix == "/news/politics")).toSet
+    assert(dist.forall(t => openedHosts(t._2)))
+    assert(dist.forall(_._3.startsWith("/news/politics")))
+  }
+}
