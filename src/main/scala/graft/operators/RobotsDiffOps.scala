@@ -75,6 +75,21 @@ object RobotsDiffOps {
         FrontierJob.robotsAllowedCol(col("rules_new"), col("path")))
       .select("url_hash", "host", "path", "priority")
 
+  /** The opposite flip: rows ALREADY FETCHED whose path the new generation
+    * disallows — the compliance purge/stop-recrawl list (RFC 9309 has no
+    * retroactive clause, but production archives honor policy tightening
+    * at their next retention pass; news-diff's user-facing deletes behave
+    * the same way). Same broadcast-catalog shape as [[newlyAllowed]].
+    */
+  def newlyDisallowed(fetched: DataFrame, oldR: DataFrame, newR: DataFrame): DataFrame =
+    fetched.join(
+        broadcast(oldR.select(col("host"), col("rules").as("rules_old"))
+          .join(newR.select(col("host"), col("rules").as("rules_new")), Seq("host"))),
+        Seq("host"))
+      .where(FrontierJob.robotsAllowedCol(col("rules_old"), col("path")) &&
+        !FrontierJob.robotsAllowedCol(col("rules_new"), col("path")))
+      .select("url_hash", "host", "path", "priority")
+
   /** c59 — per-host policy-change report over a synthetic two-generation
     * cache: rule delta + how many held-back URLs re-enqueue. The held set
     * is exactly the frontier rows the OLD policy rejected (the complement
@@ -84,15 +99,20 @@ object RobotsDiffOps {
     val oldR = Gen.robots(spark).toDF()
     val newR = mutatedRobots(spark).toDF()
     val frontier = FrontierJob.canonicalizeFrontier(Gen.seeds(spark, nSeeds, 16))
-    val held = frontier
+    val gated = frontier
       .join(broadcast(oldR.select(col("host"), col("rules"))), Seq("host"))
-      .where(!FrontierJob.robotsAllowedCol(col("rules"), col("path")))
-      .select("url_hash", "host", "path", "priority")
+      .withColumn("ok", FrontierJob.robotsAllowedCol(col("rules"), col("path")))
+      .select("url_hash", "host", "path", "priority", "ok")
+    val held = gated.where(!col("ok")).drop("ok")
+    val fetched = gated.where(col("ok")).drop("ok")
     val re = newlyAllowed(held, oldR, newR)
       .groupBy("host").agg(count(lit(1)).cast("long").as("n_reenqueued"))
+    val purge = newlyDisallowed(fetched, oldR, newR)
+      .groupBy("host").agg(count(lit(1)).cast("long").as("n_purged"))
     robotsPolicyDiff(oldR, newR)
       .join(re, Seq("host"), "left")
-      .na.fill(0L, Seq("n_reenqueued"))
+      .join(purge, Seq("host"), "left")
+      .na.fill(0L, Seq("n_reenqueued", "n_purged"))
       .orderBy("host")
   }
 }

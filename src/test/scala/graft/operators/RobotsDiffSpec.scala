@@ -56,5 +56,22 @@ class RobotsDiffSpec extends AnyFunSuite {
       oldR(h).exists(r => !r.allow && r.prefix == "/news/politics")).toSet
     assert(dist.forall(t => openedHosts(t._2)))
     assert(dist.forall(_._3.startsWith("/news/politics")))
+    // the opposite flip: already-fetched rows newly disallowed == mirror;
+    // only TIGHTENED hosts contribute, on the new /news/sports rule
+    val fetched = frontier
+      .join(broadcast(oldDf.select(col("host"), col("rules"))), Seq("host"))
+      .where(FrontierJob.robotsAllowedCol(col("rules"), col("path")))
+      .select("url_hash", "host", "path", "priority")
+    val purged = RobotsDiffOps.newlyDisallowed(fetched, oldDf, newDf)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    val wantPurged = fetched.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .filter { case (_, host, path) =>
+        CrawlOracle.robotsAllowed(oldR(host), path) &&
+          !CrawlOracle.robotsAllowed(newR(host), path)
+      }.toSet
+    assert(purged == wantPurged)
+    assert(purged.nonEmpty, "tightened policies purged nothing")
+    assert(purged.forall(_._3.startsWith("/news/sports")))
   }
 }
