@@ -528,6 +528,13 @@ object SparkEntry {
       operators.SimIndex.writeShingleIndex(e1, root, 1)
       operators.SimIndex.crossEpochNearDups(s, root, 1).orderBy("doc_a", "doc_b")
     }),
+    // c60: sitemap-lastmod-driven recrawl — the PUSH change signal (c45
+    // learns rates, c51 revalidates; lastmod is told): per-host
+    // new/stale/fresh verdicts, kernel-mirror golden in SitemapSpec
+    "c60_lastmod_recrawl" -> ((s, _) => operators.SitemapOps.lastmodRecrawlDemo(s)),
+    // c61: the per-domain budget cap in action (P6b wiring): before/after
+    // counts per registrable domain; every domain lands at min(before, budget)
+    "c61_domain_politeness" -> ((s, _) => operators.DomainOps.domainBudgetDemo(s)),
     // c59: robots-policy diff across cache generations + re-enqueue of
     // newly-allowed held-back URLs (both verdicts are P4's pure column;
     // RobotsDiffSpec mirrors via the crawl oracle's kernel)

@@ -77,4 +77,27 @@ object DomainOps {
       .agg(count(lit(1)).as("n_urls"),
         countDistinct(col("host")).as("n_hosts"))
       .orderBy("domain")
+
+  /** c61 — the per-domain cap in action (FrontierJob.applyDomainBudget,
+    * mirror-golden in DomainFetchSpec): a 40-host/7-domain schedule-shaped
+    * table, before/after row counts per domain — every domain lands
+    * exactly at min(before, budget).
+    */
+  def domainBudgetDemo(spark: SparkSession, n: Long = 30000L,
+                       budget: Int = 25): DataFrame = {
+    val sched = spark.range(0, n).select(
+      xxhash64(col("id")).as("url_hash"),
+      concat_ws(".",
+        concat(lit("h"), pmod(col("id"), lit(40)).cast("string")),
+        concat(lit("site"), pmod(col("id"), lit(7)).cast("string")),
+        lit("co.uk")).as("host"),
+      (pmod(xxhash64(col("id") + 1), lit(1000)) / lit(100.0)).as("priority"))
+    val domain = registrableDomainCol(col("host")).as("domain")
+    sched.groupBy(domain).agg(count(lit(1)).cast("long").as("n_before"))
+      .join(
+        FrontierJob.applyDomainBudget(sched, budget)
+          .groupBy(domain).agg(count(lit(1)).cast("long").as("n_capped")),
+        Seq("domain"))
+      .orderBy("domain")
+  }
 }

@@ -143,4 +143,50 @@ object SitemapOps {
       advertised.join(syntheticSitemaps(spark, nHosts), Seq("host")))
       .orderBy("host", "url")
   }
+
+  // ---- c60: lastmod-driven recrawl -------------------------------------
+
+  /** Synthetic last-fetch ledger over the sitemap URL space: ~2/3 of
+    * entries were fetched, on a day xxhash64-jittered +-3 around their
+    * lastmod — so "fetched after lastmod" (fresh), "fetched before"
+    * (stale) and "never fetched" (new) all occur. Deterministic; the
+    * spec's mirror recomputes it from CrawlOracle.xxhash64.
+    */
+  def syntheticLastFetch(entries: DataFrame): DataFrame =
+    entries
+      .where(pmod(xxhash64(col("url")), lit(3)) =!= 0)
+      .select(col("url"),
+        date_add(col("lastmod"),
+          (pmod(xxhash64(concat(lit("f:"), col("url"))), lit(7)) - 3).cast("int"))
+          .as("fetched_on"))
+
+  /** c60 — lastmod-driven recrawl verdicts: the sitemaps.org PUSH signal
+    * (c45 learns change rates from observed flips, c51 revalidates with
+    * conditional GETs — lastmod is the third leg: the host TELLS us what
+    * changed). status = new (never fetched) | stale (lastmod newer than
+    * our fetch -> due) | fresh. Scale shape: the sitemap table is slim
+    * (url, date, double) and joins the fetch ledger once on url
+    * (sort-merge on the key both sides are naturally stored by); verdicts
+    * are a codegen CASE — no payload, no second pass.
+    */
+  def lastmodRecrawl(entries: DataFrame, lastFetch: DataFrame): DataFrame =
+    entries.join(lastFetch, Seq("url"), "left")
+      .withColumn("status",
+        when(col("fetched_on").isNull, "new")
+          .when(col("fetched_on") < col("lastmod"), "stale")
+          .otherwise("fresh"))
+
+  /** Driver-facing c60 rows: per-host status counts over the discovered
+    * (robots-advertised) sitemap entries.
+    */
+  def lastmodRecrawlDemo(spark: SparkSession): DataFrame = {
+    val entries = discoveredEntries(spark)
+    lastmodRecrawl(entries, syntheticLastFetch(entries))
+      .groupBy("host")
+      .agg(count(lit(1)).cast("long").as("n_entries"),
+        sum(when(col("status") === "new", 1L).otherwise(0L)).as("n_new"),
+        sum(when(col("status") === "stale", 1L).otherwise(0L)).as("n_stale"),
+        sum(when(col("status") === "fresh", 1L).otherwise(0L)).as("n_fresh"))
+      .orderBy("host")
+  }
 }

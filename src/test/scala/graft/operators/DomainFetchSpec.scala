@@ -79,6 +79,13 @@ class DomainFetchSpec extends AnyFunSuite {
     assert(capped.length == 7 * budget)
     // untouched columns survive the pass
     assert(capped.forall(t => t._2.endsWith(".co.uk")))
+    // the c61 demo reports exactly min(before, budget) per domain
+    val demo = DomainOps.domainBudgetDemo(spark, n = 3000L, budget = budget)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(demo.length == 7)
+    demo.foreach { case (d, before, after) =>
+      assert(after == math.min(before, budget.toLong), s"cap($d)")
+    }
   }
 
   test("fetch validation column verdicts == JVM mirror; plants detected") {

@@ -105,4 +105,36 @@ class SitemapSpec extends AnyFunSuite {
     assert((0 until Gen.NumHosts).exists(_ % 11 == 3))
     assert((0 until Gen.NumHosts).exists(i => i % 11 != 3 && i % 17 != 13))
   }
+
+  test("c60 lastmod recrawl verdicts == per-row kernel mirror; all three statuses occur") {
+    val entries = SitemapOps.discoveredEntries(spark)
+    val verdicts = SitemapOps
+      .lastmodRecrawl(entries, SitemapOps.syntheticLastFetch(entries))
+      .select("url", "lastmod", "fetched_on", "status")
+      .collect()
+    assert(verdicts.nonEmpty)
+    def pmodL(x: Long, m: Long): Long = ((x % m) + m) % m
+    verdicts.foreach { r =>
+      val url = r.getString(0)
+      val lastmod = r.getDate(1).toLocalDate
+      val fetchedOn = Option(r.getDate(2)).map(_.toLocalDate)
+      // ledger membership + jitter mirror CrawlOracle.xxhash64 exactly
+      val inLedger = pmodL(CrawlOracle.xxhash64(url), 3L) != 0L
+      assert(fetchedOn.isDefined == inLedger, s"ledger($url)")
+      fetchedOn.foreach { f =>
+        val jitter = pmodL(CrawlOracle.xxhash64("f:" + url), 7L) - 3L
+        assert(f == lastmod.plusDays(jitter), s"fetched_on($url)")
+      }
+      val want = fetchedOn match {
+        case None => "new"
+        case Some(f) if f.isBefore(lastmod) => "stale"
+        case _ => "fresh"
+      }
+      assert(r.getString(3) == want, s"status($url)")
+    }
+    val byStatus = verdicts.groupBy(_.getString(3)).view.mapValues(_.length).toMap
+    Seq("new", "stale", "fresh").foreach { s =>
+      assert(byStatus.getOrElse(s, 0) > 0, s"status $s never occurs")
+    }
+  }
 }
