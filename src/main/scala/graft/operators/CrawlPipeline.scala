@@ -246,7 +246,8 @@ object CrawlPipeline {
       sitemaps: Boolean = false,
       adaptivePacing: Boolean = false,
       aging: Boolean = false,
-      agingBoost: Double = 0.25): Seq[EpochSummary] = {
+      agingBoost: Double = 0.25,
+      robotsFlipEpoch: Int = -1): Seq[EpochSummary] = {
     require(sidecar == "bloom" || sidecar == "cuckoo", s"unknown sidecar kind: $sidecar")
     require(recrawlPolicy == "staleness" || recrawlPolicy == "changerate",
       s"unknown recrawl policy: $recrawlPolicy")
@@ -320,7 +321,13 @@ object CrawlPipeline {
       // robots' Crawl-delay stays the floor. Off by default: the base
       // goldens stay byte-identical.
       val robots = {
-        val base = Gen.robots(spark)
+        // c59 wired: at robotsFlipEpoch the cache refreshes to the mutated
+        // generation (policies open AND tighten); off by default so the
+        // base goldens stay byte-identical
+        val base =
+          if (robotsFlipEpoch >= 0 && epoch >= robotsFlipEpoch)
+            RobotsDiffOps.mutatedRobots(spark)
+          else Gen.robots(spark)
         if (!adaptivePacing || epoch == 0) base
         else PacingOps.withAdaptiveDelays(base,
           PacingOps.adaptiveDelaysFrom(spark, root, epoch - 1))
@@ -388,7 +395,38 @@ object CrawlPipeline {
                 .as[Seed]))
           }
         }
-      val toRobots = recrawlFrontier.fold(deduped)(deduped.unionByName(_))
+      val toRobots0 = recrawlFrontier.fold(deduped)(deduped.unionByName(_))
+      // c59 wired end-to-end: exactly at the flip epoch, URLs held back
+      // under the OLD policy in earlier epochs re-enter the frontier if
+      // the NEW policy allows them (once — later epochs hold nothing under
+      // the old generation). Re-enqueues are anti-joined against this
+      // epoch's natural frontier so a re-seeded URL is not doubled; they
+      // were never scheduled, so they cannot be in the seen store.
+      val toRobots =
+        if (robotsFlipEpoch < 0 || epoch != robotsFlipEpoch) toRobots0
+        else {
+          val dirs = (0 until epoch).map(e => s"$root/robots_held/epoch=$e")
+            .filter(p => new java.io.File(p).exists())
+          if (dirs.isEmpty) toRobots0
+          else {
+            val re = RobotsDiffOps.newlyAllowed(
+                spark.read.parquet(dirs: _*),
+                Gen.robots(spark).toDF(),
+                RobotsDiffOps.mutatedRobots(spark).toDF())
+              .join(toRobots0.select("url_hash"), Seq("url_hash"), "left_anti")
+            toRobots0.unionByName(re)
+          }
+        }
+      // persist this epoch's robots-rejected rows (sibling-state: written
+      // before the manifest commit, overwrite-idempotent) so a future flip
+      // can re-gate them; only when the feature is on
+      if (robotsFlipEpoch >= 0) {
+        toRobots
+          .join(broadcast(robots.toDF().select(col("host"), col("rules"))), Seq("host"))
+          .where(!FrontierJob.robotsAllowedCol(col("rules"), col("path")))
+          .select("url_canon", "url_hash", "host", "path", "priority")
+          .write.mode("overwrite").parquet(s"$root/robots_held/epoch=$epoch")
+      }
       val allowed0 = FrontierJob.applyRobots(toRobots, robots, cfg)
       // c50 wired end-to-end: budgets of hosts that failed above threshold
       // last epoch shrink by the committed AIMD multiplier (floor 1 — a

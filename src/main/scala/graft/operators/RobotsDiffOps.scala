@@ -73,7 +73,7 @@ object RobotsDiffOps {
         Seq("host"))
       .where(!FrontierJob.robotsAllowedCol(col("rules_old"), col("path")) &&
         FrontierJob.robotsAllowedCol(col("rules_new"), col("path")))
-      .select("url_hash", "host", "path", "priority")
+      .select(held.columns.map(col): _*) // verdict columns drop; schema = held's
 
   /** The opposite flip: rows ALREADY FETCHED whose path the new generation
     * disallows — the compliance purge/stop-recrawl list (RFC 9309 has no
@@ -88,7 +88,7 @@ object RobotsDiffOps {
         Seq("host"))
       .where(FrontierJob.robotsAllowedCol(col("rules_old"), col("path")) &&
         !FrontierJob.robotsAllowedCol(col("rules_new"), col("path")))
-      .select("url_hash", "host", "path", "priority")
+      .select(fetched.columns.map(col): _*)
 
   /** c59 — per-host policy-change report over a synthetic two-generation
     * cache: rule delta + how many held-back URLs re-enqueue. The held set
