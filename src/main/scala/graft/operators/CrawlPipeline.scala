@@ -587,7 +587,24 @@ object CrawlPipeline {
         Snapshots.readLatest(spark, root, epoch - 1),
         epoch, cfg.phashTau)
       revs.write.mode("overwrite").parquet(s"$root/revisions/epoch=$epoch")
-      Snapshots.writeLatest(spark, root, epoch)
+      // c59 wired (the tightening direction): at the flip epoch, rows
+      // fetched under the OLD policy whose path the NEW generation
+      // disallows purge from the maintained latest table — news-diff's
+      // user-facing delete / stop-serving action. The purge list persists
+      // FIRST and the exclusion reads it back from rest, so a crash
+      // anywhere re-runs idempotently (purge list is a pure function of
+      // committed latest(e-1) + the two static generations). Later epochs
+      // need no re-purge: readLatest chains from the purged table, and the
+      // new policy gates any refetch.
+      if (robotsFlipEpoch >= 0 && epoch == robotsFlipEpoch) {
+        RobotsDiffOps.purgeList(
+            Snapshots.readLatest(spark, root, epoch - 1),
+            Gen.robots(spark).toDF(),
+            RobotsDiffOps.mutatedRobots(spark).toDF())
+          .write.mode("overwrite").parquet(s"$root/robots_purged/epoch=$epoch")
+        Snapshots.writeLatest(spark, root, epoch,
+          Some(spark.read.parquet(s"$root/robots_purged/epoch=$epoch")))
+      } else Snapshots.writeLatest(spark, root, epoch)
       val nRevised = spark.read.parquet(s"$root/revisions/epoch=$epoch")
         .where(col("change").startsWith("revised")).count()
       val nScheduled = scheduled.count()

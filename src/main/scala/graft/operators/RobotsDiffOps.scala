@@ -90,6 +90,22 @@ object RobotsDiffOps {
         !FrontierJob.robotsAllowedCol(col("rules_new"), col("path")))
       .select(fetched.columns.map(col): _*)
 
+  /** The compliance-purge list for a maintained latest table at a policy
+    * flip: rows carried in `latest` (image_id == canonical URL — a
+    * canonicalization fixed point) whose path the OLD generation allowed
+    * and the NEW disallows. host/path derive from the id via the codegen
+    * UrlKit expressions, so this is one scan of the payload-free latest
+    * table against the broadcast two-generation catalog.
+    */
+  def purgeList(latest: DataFrame, oldR: DataFrame, newR: DataFrame): DataFrame = {
+    import graft.functions.GraftFunctions
+    GraftFunctions.ensureRegistered(latest.sparkSession)
+    val withHp = latest
+      .withColumn("host", GraftFunctions.hostOf(col("image_id")))
+      .withColumn("path", GraftFunctions.pathOf(col("image_id")))
+    newlyDisallowed(withHp, oldR, newR).select("image_id", "host", "path")
+  }
+
   /** c59 — per-host policy-change report over a synthetic two-generation
     * cache: rule delta + how many held-back URLs re-enqueue. The held set
     * is exactly the frontier rows the OLD policy rejected (the complement

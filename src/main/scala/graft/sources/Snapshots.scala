@@ -184,9 +184,16 @@ object Snapshots {
     * Per-epoch overwrite of `latest/epoch=e` — idempotent under re-runs;
     * prior-epoch dirs are retained so resume reads a consistent version.
     */
-  def writeLatest(spark: SparkSession, root: String, epoch: Int): Unit = {
+  def writeLatest(spark: SparkSession, root: String, epoch: Int,
+      exclude: Option[DataFrame] = None): Unit = {
     val cur = read(spark, root, epoch).select(LatestCols.map(col): _*)
-    val prev = readLatest(spark, root, epoch - 1)
+    val prev0 = readLatest(spark, root, epoch - 1)
+    // compliance exclusion (robots-policy tightening, c59): carried-forward
+    // rows on the at-rest purge list drop here, in the same single write —
+    // no read-back rewrite of the dir. Applies to PREV only: a row in the
+    // CURRENT epoch was fetched under the new policy and stays by right.
+    val prev = exclude.fold(prev0)(ex =>
+      prev0.join(ex.select("image_id"), Seq("image_id"), "left_anti"))
     val merged = prev
       .join(cur.select("image_id"), Seq("image_id"), "left_anti")
       .unionByName(cur)

@@ -111,4 +111,40 @@ class RobotsDiffSpec extends AnyFunSuite {
     // policy — those are fine; at least one comes from the held set)
     assert(flipped.intersect(held0).nonEmpty)
   }
+
+  test("pipeline robotsFlipEpoch: newly-disallowed rows purge from latest == kernel mirror; control keeps them") {
+    import org.apache.spark.sql.functions.col
+    import graft.functions.UrlKit
+    import graft.sources.Snapshots
+    val on = graft.SparkTestBase.tempDir("graft-purge-on")
+    val off = graft.SparkTestBase.tempDir("graft-purge-off")
+    val cfg = FrontierJob.Config(epoch = 0, globalBudget = 100000)
+    CrawlPipeline.run(spark, on, untilEpoch = 1, seedsPerEpoch = 400,
+      cfg0 = cfg, robotsFlipEpoch = 1)
+    CrawlPipeline.run(spark, off, untilEpoch = 1, seedsPerEpoch = 400,
+      cfg0 = cfg)
+    def ids(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.select("image_id").collect().map(_.getString(0)).toSet
+    // kernel mirror of the purge list over the shared epoch-0 latest table
+    // (flip at epoch 1 leaves epoch 0 byte-identical across runs)
+    val latest0 = ids(Snapshots.readLatest(spark, on, 0))
+    val oldRules = Gen.robotsLocal().map(r => r.host -> r.rules).toMap
+    val newRules = RobotsDiffOps.mutatedRobotsLocal().map(r => r.host -> r.rules).toMap
+    val expected = latest0.filter { id =>
+      val h = UrlKit.hostOf(id); val p = UrlKit.pathOf(id)
+      oldRules.get(h).exists(rs => CrawlOracle.robotsAllowed(rs, p)) &&
+        newRules.get(h).exists(rs => !CrawlOracle.robotsAllowed(rs, p))
+    }
+    assert(expected.nonEmpty, "no newly-disallowed fetched row planted")
+    // persisted purge list == mirror, and it is the tighten mutation
+    val purged = spark.read.parquet(s"$on/robots_purged/epoch=1")
+    assert(ids(purged) == expected)
+    assert(purged.select("path").collect()
+      .forall(_.getString(0).startsWith("/news/sports")))
+    // purged latest == (prev latest minus purge) ∪ current epoch, exactly
+    val cur1 = ids(Snapshots.read(spark, on, 1))
+    assert(ids(Snapshots.readLatest(spark, on, 1)) == (latest0 -- expected) ++ cur1)
+    // the control run carries every purged row forward
+    assert(expected.subsetOf(ids(Snapshots.readLatest(spark, off, 1))))
+  }
 }
