@@ -396,6 +396,9 @@ object SparkEntry {
     // first 24 of 64 components (the only full-corpus pass; column-pruned
     // at scale), exact full-dim rerank over the overfetched candidates
     "emb12_prefix_rerank" -> ((s, d) => SimilarityOps.annPrefixRerankTopK(s, d)),
+    // emb13: 1-bit sign-quantized Hamming ANN — 16-byte bitmaps, XOR +
+    // popcount coarse scan, exact cosine rerank of the candidates
+    "emb13_ann_binary" -> ((s, d) => SimilarityOps.annBinaryTopK(s, d)),
     // emb09: SemDeDup — k-means cluster-scoped semantic near-dup pairs
     // resolved to components; survivor = component-min (Abbas et al. '23)
     "emb09_semdedup" -> ((s, d) => SimilarityOps.semDedup(s, d)),
@@ -1879,6 +1882,53 @@ object SparkEntry {
         |         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))) AS cos
         |  FROM embeddings e, q
         |  WHERE e.vec_id <> q.query_id AND e.vec_id % 3 = 0
+        |)
+        |SELECT query_id, vec_id, round(cos, 4) AS cos, rank FROM (
+        |  SELECT query_id, vec_id, cos,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rank
+        |  FROM scored
+        |) WHERE rank <= 5""".stripMargin,
+    // emb13: sign-bit packing is exactly expressible — two 32-bit words
+    // (1<<63 range-errors in DuckDB; the two-word form is engine-safe),
+    // integer Hamming rank with vec_id tie-break, then emb01's exact
+    // cosine over the candidate set. First Hamming-ANN query in the hard
+    // gate.
+    "emb13_ann_binary" ->
+      """WITH b AS (
+        |  SELECT vec_id,
+        |    CAST(list_aggregate(list_transform(generate_series(1, 32),
+        |      i -> CASE WHEN CAST(embedding[i] AS DOUBLE) > 0
+        |        THEN (CAST(1 AS BIGINT) << (i-1)) ELSE CAST(0 AS BIGINT) END), 'sum')
+        |      AS BIGINT) AS w0,
+        |    CAST(list_aggregate(list_transform(generate_series(1, 32),
+        |      i -> CASE WHEN CAST(embedding[i+32] AS DOUBLE) > 0
+        |        THEN (CAST(1 AS BIGINT) << (i-1)) ELSE CAST(0 AS BIGINT) END), 'sum')
+        |      AS BIGINT) AS w1
+        |  FROM embeddings
+        |), q0 AS (
+        |  SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 3
+        |), qb AS (
+        |  SELECT q0.query_id, b.w0 AS qw0, b.w1 AS qw1
+        |  FROM q0 JOIN b ON b.vec_id = q0.query_id
+        |), cand AS (
+        |  SELECT query_id, vec_id FROM (
+        |    SELECT qb.query_id, b.vec_id,
+        |      row_number() OVER (PARTITION BY qb.query_id
+        |        ORDER BY bit_count(xor(b.w0, qb.qw0)) + bit_count(xor(b.w1, qb.qw1)) ASC,
+        |          b.vec_id ASC) AS crank
+        |    FROM b, qb WHERE b.vec_id <> qb.query_id
+        |  ) WHERE crank <= 60
+        |), scored AS (
+        |  SELECT c.query_id, c.vec_id,
+        |    list_aggregate(list_transform(generate_series(1, len(e.embedding)),
+        |      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qvec[i] AS DOUBLE)), 'sum')
+        |    / (sqrt(list_aggregate(list_transform(e.embedding,
+        |         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
+        |     * sqrt(list_aggregate(list_transform(q.qvec,
+        |         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))) AS cos
+        |  FROM cand c
+        |  JOIN embeddings e ON e.vec_id = c.vec_id
+        |  JOIN q0 q ON q.query_id = c.query_id
         |)
         |SELECT query_id, vec_id, round(cos, 4) AS cos, rank FROM (
         |  SELECT query_id, vec_id, cos,

@@ -828,4 +828,63 @@ object SimilarityOps {
       .select(col("query_id"), col("vec_id"), round(col("cos"), 4).as("cos"),
         col("rank").cast("long").as("rank"))
   }
+
+  /** Sign bits of 32 consecutive embedding dims packed into one long
+    * (word w = dims 32w+1..32w+32 -> bits 0..31; strict > 0). Two words
+    * cover the 64-dim corpus. 32-bit shifts deliberately: a single 64-bit
+    * word needs `1 << 63`, which DuckDB range-errors on and Java silently
+    * wraps — the two-word form is bit-identical in any engine.
+    */
+  def signWordCol(v: Column, word: Int): Column =
+    aggregate(
+      transform(slice(v, word * 32 + 1, 32), (x, i) =>
+        when(x.cast("double") > lit(0.0),
+          call_function("shiftleft", lit(1L), i)).otherwise(lit(0L))),
+      lit(0L), (acc, x) => acc + x)
+
+  /** emb13 — 1-bit SIGN-quantized Hamming ANN (binary embeddings —
+    * Charikar STOC'02's hyperplane sketch with the identity basis; the
+    * 32x-compression retrieval mode production vector stores expose as
+    * "binary quantization"): the coarse pass ranks the corpus by Hamming
+    * distance between sign bitmaps — 16 bytes and two XOR+popcounts per
+    * vector, the cheapest possible full scan — keeps overfetch*k
+    * candidate ids per query, and reranks candidates alone with emb01's
+    * exact cosine (the emb12 two-stage discipline: lossy ONLY in the
+    * candidate stage; candidate-complete it degrades to exact brute
+    * force). Scale shape: the scan reads two long columns (the float
+    * vectors are column-pruned away), candidates broadcast as id pairs,
+    * and full vectors are touched for a vanishing corpus fraction and
+    * never shuffle. vs emb05/07's codebooks: no training at all, so new
+    * epochs append with zero retrain risk.
+    */
+  def annBinaryTopK(spark: SparkSession, dir: String,
+                    nQueries: Int = 3, k: Int = 5, overfetch: Int = 12): DataFrame = {
+    val e = emb(spark, dir)
+    val words = e.select(col("vec_id"),
+      signWordCol(col("embedding"), 0).as("w0"),
+      signWordCol(col("embedding"), 1).as("w1"))
+    val queries = e.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val qWords = broadcast(words.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("w0").as("qw0"), col("w1").as("qw1")))
+    val coarse = words.join(qWords, col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        (bit_count(col("w0").bitwiseXOR(col("qw0"))) +
+          bit_count(col("w1").bitwiseXOR(col("qw1")))).as("ham"))
+    val wc = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("ham").asc, col("vec_id").asc)
+    val cand = coarse.withColumn("crank", row_number().over(wc))
+      .where(col("crank") <= k * overfetch)
+      .select("query_id", "vec_id")
+    val rer = e.join(broadcast(cand), Seq("vec_id"))
+      .join(broadcast(queries), Seq("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        cosineCol(col("embedding"), col("qvec")).as("cos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("cos").desc, col("vec_id").asc)
+    rer.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("vec_id"), round(col("cos"), 4).as("cos"),
+        col("rank").cast("long").as("rank"))
+  }
 }
