@@ -542,6 +542,11 @@ object SparkEntry {
     // newly-allowed held-back URLs (both verdicts are P4's pure column;
     // RobotsDiffSpec mirrors via the crawl oracle's kernel)
     "c59_robots_diff" -> ((s, _) => operators.RobotsDiffOps.robotsDiffDemo(s)),
+    // c62: RFC 9309 robots UNAVAILABILITY semantics — 4xx = allow all,
+    // fresh 5xx = complete disallow, stale 5xx = cached copy; per-host
+    // effective-vs-parsed admission counts (mirror-golden)
+    "c62_robots_availability" ->
+      ((s, _) => operators.RobotsAvailabilityOps.availabilityReport(s)),
     // c58: streaming EXACT copy-detection — each micro-batch appends a
     // suffix-key mini-epoch and probes the corpus-so-far (c18's sibling at
     // window granularity); stream == full recompute pinned in StreamingSpec
