@@ -247,7 +247,8 @@ object CrawlPipeline {
       adaptivePacing: Boolean = false,
       aging: Boolean = false,
       agingBoost: Double = 0.25,
-      robotsFlipEpoch: Int = -1): Seq[EpochSummary] = {
+      robotsFlipEpoch: Int = -1,
+      robotsAvailability: Boolean = false): Seq[EpochSummary] = {
     require(sidecar == "bloom" || sidecar == "cuckoo", s"unknown sidecar kind: $sidecar")
     require(recrawlPolicy == "staleness" || recrawlPolicy == "changerate",
       s"unknown recrawl policy: $recrawlPolicy")
@@ -328,9 +329,24 @@ object CrawlPipeline {
           if (robotsFlipEpoch >= 0 && epoch >= robotsFlipEpoch)
             RobotsDiffOps.mutatedRobots(spark)
           else Gen.robots(spark)
-        if (!adaptivePacing || epoch == 0) base
-        else PacingOps.withAdaptiveDelays(base,
-          PacingOps.adaptiveDelaysFrom(spark, root, epoch - 1))
+        val base2 =
+          if (!adaptivePacing || epoch == 0) base
+          else PacingOps.withAdaptiveDelays(base,
+            PacingOps.adaptiveDelaysFrom(spark, root, epoch - 1))
+        // c62 wired: this epoch's robots-fetch outcome overrides the rules
+        // per RFC 9309 — 4xx hosts open fully, freshly-5xx hosts park,
+        // chronically-5xx hosts serve the cached copy. Pure column over
+        // the host catalog; everything downstream (applyRobots, schedule)
+        // is availability-blind. Off by default: base goldens stay
+        // byte-identical.
+        if (!robotsAvailability) base2
+        else {
+          import spark.implicits._
+          base2.toDF().withColumn("rules",
+            RobotsAvailabilityOps.effectiveRulesCol(col("rules"),
+              RobotsAvailabilityOps.policyCol(col("host"), epoch, staleEpochs = 1)))
+            .as[graft.model.RobotsEntry]
+        }
       }
       // E1 staged explicitly (vs runEpoch) so the dedupe boundary is
       // observable for the lineage manifest: n_deduped = raw candidates

@@ -85,4 +85,35 @@ class RobotsAvailabilitySpec extends AnyFunSuite {
       assert(RobotsAvailabilityOps.policyLocal(h, 5, 1) == "cached_stale_error")
     }
   }
+
+  test("pipeline robotsAvailability: fresh-5xx hosts park, 4xx hosts open, others schedule identically to control") {
+    val on = graft.SparkTestBase.tempDir("graft-avail-on")
+    val off = graft.SparkTestBase.tempDir("graft-avail-off")
+    val cfg = FrontierJob.Config(epoch = 0, globalBudget = 100000)
+    CrawlPipeline.run(spark, on, untilEpoch = 0, seedsPerEpoch = 2000,
+      cfg0 = cfg, robotsAvailability = true)
+    CrawlPipeline.run(spark, off, untilEpoch = 0, seedsPerEpoch = 2000, cfg0 = cfg)
+    val cls = Gen.robotsLocal()
+      .map(r => r.host -> RobotsAvailabilityOps.hostClassLocal(r.host)).toMap
+    def sched(root: String): Array[(String, Long, String)] =
+      spark.read.parquet(s"$root/scheduled/epoch=0")
+        .select("host", "url_hash", "path").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    val onRows = sched(on)
+    val offRows = sched(off)
+    // epoch 0 is even and has no error streak behind it: transient (class
+    // 2) hosts are freshly unreachable — complete disallow, nothing lands
+    assert(onRows.forall(r => cls(r._1) != 2L))
+    assert(offRows.exists(r => cls(r._1) == 2L), "control never exercised a transient host")
+    // a 4xx host schedules at least one path its PARSED rules disallow
+    val parsed = Gen.robotsLocal().map(r => r.host -> r.rules).toMap
+    assert(onRows.exists(r => cls(r._1) == 1L &&
+      !CrawlOracle.robotsAllowed(parsed(r._1), r._3)))
+    assert(offRows.forall(r => CrawlOracle.robotsAllowed(parsed(r._1), r._3)))
+    // healthy and chronic (cached-copy) hosts schedule the exact same URLs
+    def byHost(rows: Array[(String, Long, String)]): Map[String, Set[Long]] =
+      rows.filter(r => cls(r._1) != 1L && cls(r._1) != 2L)
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(byHost(onRows) == byHost(offRows))
+  }
 }
