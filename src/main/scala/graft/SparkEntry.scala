@@ -235,6 +235,12 @@ object SparkEntry {
     // t13) — corpus keys semi-join the benchmark's, content join broadcast
     "t31_exact_decontaminate" -> ((s, d) =>
       operators.SuffixOps.exactContaminationReport(s, d)),
+    // t32: C4-style line/document cleaning (Raffel et al. JMLR'20 §2.2) —
+    // terminal-punct / >=5-word / no-"javascript" line rule + the
+    // lorem-ipsum / curly-brace / <3-lines document drops, all one
+    // codegen projection (zero exchanges); corpus planted line-by-line
+    // from the docs' own words so DuckDB reconstructs it exactly
+    "t32_c4_filter" -> ((s, d) => TextOps.c4Report(s, d)),
     "t09_corpus_curation" -> ((s, d) => TextOps.curatedCorpus(s, d)),
     "t10_span_clip" -> ((s, d) => TextOps.spanClippedCorpus(s, d)),
     "t11_multimodal_dedup" -> ((s, d) =>
@@ -376,6 +382,12 @@ object SparkEntry {
     // image, one decode pass emitting (id, long); planted blurred twins
     // must fail the gate (BlurSpec mirror-exact)
     "c57_blur_audit" -> ((s, _) => ImageOps.blurAuditDemo(s)),
+    // c63: header-dimension audit — width/height sniffed from the PNG
+    // IHDR / JPEG SOFn header via the codegen HeaderDims64 expression,
+    // compared to the catalog's declared dims; planted half-size and
+    // truncated payloads must fail (HeaderDimsSpec: kernel == full
+    // ImageIO decode dims, audit == mirror)
+    "c63_dims_audit" -> ((s, _) => ImageOps.dimsAuditDemo(s)),
     "t04_neardup_simhash" -> ((s, d) => TextOps.nearDupSimhash(s, d)),
     "emb01_cosine_topk" -> ((s, d) => SimilarityOps.bruteCosineTopK(s, d)),
     "emb02_ann_lsh" -> ((s, d) => SimilarityOps.annLshTopK(s, d)),
@@ -2129,6 +2141,44 @@ object SparkEntry {
         |  regexp_replace(regexp_replace(text,
         |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
         |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS text_scrubbed
-        |FROM corpus ORDER BY doc_id""".stripMargin
+        |FROM corpus ORDER BY doc_id""".stripMargin,
+    // t32: identical line-planted corpus (1-based inclusive list slices ==
+    // Spark's slice(arr, from, n)); the line rule is a list_filter lambda,
+    // the document rule plain contains() — no engine-specific behavior
+    // (verified: sf corpus has no newlines/tabs/double spaces, no natural
+    // 'javascript'/'lorem ipsum'/'{' occurrences, >=10 words per doc).
+    "t32_c4_filter" ->
+      """WITH wv AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |), built AS (
+        |  SELECT doc_id,
+        |    array_to_string(w[1:8], ' ') || '.' AS l1,
+        |    array_to_string(w[1:3], ' ') AS l2,
+        |    CASE WHEN doc_id % 7 = 0
+        |      THEN array_to_string(w[4:12], ' ') || ' javascript needed?'
+        |      ELSE array_to_string(w[4:12], ' ') || '?' END AS l3,
+        |    array_to_string(w[2:9], ' ') || '!' AS l4,
+        |    CASE WHEN doc_id % 11 = 0 THEN 'lorem ipsum dolor sit amet.'
+        |         WHEN doc_id % 13 = 0 THEN 'var f = function() { return; }'
+        |         ELSE array_to_string(w[3:10], ' ') || ' extra words here too.'
+        |    END AS l5
+        |  FROM wv
+        |), page AS (
+        |  SELECT doc_id, [l1, l2, l3, l4, l5] AS ls,
+        |    concat_ws(chr(10), l1, l2, l3, l4, l5) AS txt FROM built
+        |), flt AS (
+        |  SELECT doc_id, ls, txt,
+        |    list_filter(ls, l -> regexp_matches(l, '[.!?"]$')
+        |      AND len(regexp_split_to_array(trim(l), '\s+')) >= 5
+        |      AND NOT contains(l, 'javascript')) AS kl
+        |  FROM page
+        |)
+        |SELECT doc_id,
+        |  CAST(len(ls) AS BIGINT) AS n_lines,
+        |  CAST(len(kl) AS BIGINT) AS n_kept,
+        |  array_to_string(kl, ' | ') AS text_clean,
+        |  CAST(CASE WHEN len(kl) >= 3 AND NOT contains(txt, 'lorem ipsum')
+        |            AND NOT contains(txt, '{') THEN 1 ELSE 0 END AS INT) AS kept
+        |FROM flt ORDER BY doc_id""".stripMargin
   )
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.functions.call_function
-import org.apache.spark.sql.types.{DataType, LongType, StringType}
+import org.apache.spark.sql.types.{DataType, IntegerType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native Catalyst expressions for the two hot-path custom scalars
@@ -232,6 +232,64 @@ case class LangId(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Header-only image dimensions packed (w << 32) | h, -1 on unknown /
+  * truncated containers (ImageKit.headerDims64: PNG IHDR fixed offsets,
+  * JPEG exact SOFn marker walk). Codegen'd so the fetch-validation
+  * projection (c55/c63) stays one whole-stage pass over <=~1 KB header
+  * prefixes — the payload is never decoded.
+  */
+case class HeaderDims64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "header_dims64"
+
+  override def nullSafeEval(input: Any): Any =
+    ImageKit.headerDims64(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ImageKit.headerDims64($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): HeaderDims64 =
+    copy(child = newChild)
+}
+
+/** EXIF orientation tag (1..8; 0 = absent/unparseable) from a JPEG's
+  * APP1 segment — exact marker + TIFF/IFD walk over the header bytes
+  * (ImageKit.exifOrientation), nothing decoded. Codegen'd so the c64
+  * orientation audit stays one whole-stage pass.
+  */
+case class ExifOrientationExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "exif_orientation"
+
+  override def nullSafeEval(input: Any): Any =
+    ImageKit.exifOrientation(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ImageKit.exifOrientation($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): ExifOrientationExpr =
+    copy(child = newChild)
+}
+
+/** Orientation-normalized perceptual hash: decode + EXIF display
+  * transform + DCT hash of the DISPLAYED grid (ImageKit.orientedPhash64)
+  * — the hash two stores of one photo share regardless of camera
+  * rotation. One decode per row, fused into the scan projection.
+  */
+case class OrientedPhash64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "oriented_phash64"
+
+  override def nullSafeEval(input: Any): Any =
+    ImageKit.orientedPhash64(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ImageKit.orientedPhash64($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): OrientedPhash64 =
+    copy(child = newChild)
+}
+
 /** Registration + Column-facing API. Uses the public FunctionRegistry +
   * `call_function` so no private Column<->Expression bridge is needed.
   */
@@ -261,7 +319,10 @@ object GraftFunctions {
     "rolling_fingerprint" -> ((exprs: Seq[Expression]) => RollingFingerprint(exprs.head)),
     "bpe_token_count" -> ((exprs: Seq[Expression]) => BpeTokenCount(exprs.head)),
     "host_of" -> ((exprs: Seq[Expression]) => HostOf(exprs.head)),
-    "path_of" -> ((exprs: Seq[Expression]) => PathOf(exprs.head)))
+    "path_of" -> ((exprs: Seq[Expression]) => PathOf(exprs.head)),
+    "header_dims64" -> ((exprs: Seq[Expression]) => HeaderDims64(exprs.head)),
+    "exif_orientation" -> ((exprs: Seq[Expression]) => ExifOrientationExpr(exprs.head)),
+    "oriented_phash64" -> ((exprs: Seq[Expression]) => OrientedPhash64(exprs.head)))
 
   def ensureRegistered(spark: SparkSession): Unit = {
     synchronized {
@@ -371,6 +432,9 @@ object GraftFunctions {
   def rollingFingerprint(c: Column): Column = call_function("rolling_fingerprint", c)
   def bpeTokenCount(c: Column): Column = call_function("bpe_token_count", c)
   def phash64(c: Column): Column = call_function("phash64", c)
+  def headerDims64(c: Column): Column = call_function("header_dims64", c)
+  def exifOrientation(c: Column): Column = call_function("exif_orientation", c)
+  def orientedPhash64(c: Column): Column = call_function("oriented_phash64", c)
   def simhash64(c: Column): Column = call_function("simhash64", c)
   def minhashBands(c: Column): Column = call_function("minhash_bands", c)
   def qualityScore(c: Column): Column = call_function("quality_score", c)

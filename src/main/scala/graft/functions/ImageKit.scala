@@ -330,4 +330,238 @@ object ImageKit {
     }
     out
   }
+
+  /** Header-only image dimensions, packed (w << 32) | h, or -1 when the
+    * container is unknown/truncated — the "read 30 bytes, not 3 MB" probe
+    * a fetch pipeline runs on every payload BEFORE admitting it to the
+    * decode path (c57/c09 run ImageIO on admitted rows only).
+    *
+    * PNG: the IHDR chunk MUST be first (RFC 2083 §4.1.1 / ISO 15948), so
+    * width/height are big-endian u32 at fixed byte offsets 16/20 after the
+    * 8-byte signature + 8-byte chunk header. JPEG: dimensions live in the
+    * frame header (SOFn, ITU T.81 §B.2.2) at a VARIABLE offset — an exact
+    * marker-segment walk: skip fill bytes, standalone markers carry no
+    * length field, every other segment advances by its big-endian length,
+    * stop at SOS/EOI. SOFn excludes DHT (C4), JPG (C8) and DAC (CC),
+    * which share the C-row but are not frame headers.
+    */
+  def headerDims64(bytes: Array[Byte]): Long = {
+    if (bytes == null) return -1L
+    def u8(i: Int): Int = bytes(i) & 0xff
+    def be16(i: Int): Int = (u8(i) << 8) | u8(i + 1)
+    def be32(i: Int): Long =
+      (u8(i).toLong << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)
+    val isPng = bytes.length >= 24 &&
+      u8(0) == 0x89 && u8(1) == 0x50 && u8(2) == 0x4e && u8(3) == 0x47 &&
+      u8(4) == 0x0d && u8(5) == 0x0a && u8(6) == 0x1a && u8(7) == 0x0a
+    if (isPng) {
+      // bytes 8..15 are the IHDR length+type; trust but verify the type
+      if (!(u8(12) == 'I' && u8(13) == 'H' && u8(14) == 'D' && u8(15) == 'R'))
+        return -1L
+      return (be32(16) << 32) | be32(20)
+    }
+    val isJpeg = bytes.length >= 4 && u8(0) == 0xff && u8(1) == 0xd8
+    if (!isJpeg) return -1L
+    var i = 2
+    while (i + 3 < bytes.length) {
+      if (u8(i) != 0xff) return -1L // desynced: not a marker boundary
+      var j = i
+      while (j + 1 < bytes.length && u8(j + 1) == 0xff) j += 1 // fill bytes
+      if (j + 1 >= bytes.length) return -1L
+      val marker = u8(j + 1)
+      if (marker == 0xd8 || marker == 0x01 || (marker >= 0xd0 && marker <= 0xd7)) {
+        i = j + 2 // standalone marker: no length field
+      } else if (marker == 0xd9 || marker == 0xda) {
+        return -1L // EOI / SOS reached without a frame header
+      } else if (j + 3 >= bytes.length) {
+        return -1L
+      } else {
+        val segLen = be16(j + 2)
+        if (segLen < 2) return -1L
+        val isSof = marker >= 0xc0 && marker <= 0xcf &&
+          marker != 0xc4 && marker != 0xc8 && marker != 0xcc
+        if (isSof) {
+          if (j + 8 >= bytes.length) return -1L
+          val h = be16(j + 5)
+          val w = be16(j + 7)
+          return (w.toLong << 32) | h.toLong
+        }
+        i = j + 2 + segLen
+      }
+    }
+    -1L
+  }
+
+  def dimsW(packed: Long): Int = if (packed < 0) -1 else (packed >>> 32).toInt
+  def dimsH(packed: Long): Int = if (packed < 0) -1 else (packed & 0xffffffffL).toInt
+
+  // ---- EXIF orientation (c64) ------------------------------------------
+  //
+  // A crawled JPEG frequently stores its pixels sideways and declares the
+  // display transform in the EXIF orientation tag (TIFF tag 0x0112 inside
+  // the APP1 segment — CIPA DC-008 / TIFF 6.0 §IFD). Two stores of the
+  // same photo, one upright and one camera-rotated, have DIFFERENT pixel
+  // grids and therefore different phashes until the tag is applied — so
+  // copy detection over a crawl MUST normalize orientation first.
+
+  /** Orientation tag value (1..8) from a JPEG's APP1/EXIF segment, or 0
+    * when absent/unparseable — total, never throws. Exact walk: JPEG
+    * marker segments to APP1 (same discipline as headerDims64), then the
+    * TIFF structure inside: "Exif\0\0", byte-order marker (II little /
+    * MM big endian, TIFF 6.0 §2), u32 offset to IFD0, IFD0's u16 entry
+    * count, 12-byte entries (tag, type, count, value) — tag 0x0112 type
+    * SHORT carries the orientation in the first two value bytes.
+    */
+  def exifOrientation(bytes: Array[Byte]): Int = {
+    if (bytes == null || bytes.length < 4) return 0
+    def u8(i: Int): Int = bytes(i) & 0xff
+    if (u8(0) != 0xff || u8(1) != 0xd8) return 0
+    var i = 2
+    while (i + 3 < bytes.length) {
+      if (u8(i) != 0xff) return 0
+      var j = i
+      while (j + 1 < bytes.length && u8(j + 1) == 0xff) j += 1
+      if (j + 3 >= bytes.length) return 0
+      val marker = u8(j + 1)
+      if (marker == 0xd8 || marker == 0x01 || (marker >= 0xd0 && marker <= 0xd7)) {
+        i = j + 2
+      } else if (marker == 0xd9 || marker == 0xda) {
+        return 0 // image data reached without an EXIF segment
+      } else {
+        val segLen = ((u8(j + 2) << 8) | u8(j + 3))
+        if (segLen < 2 || j + 2 + segLen > bytes.length) return 0
+        if (marker == 0xe1 && segLen >= 2 + 6 + 8 + 2 &&
+          u8(j + 4) == 'E' && u8(j + 5) == 'x' && u8(j + 6) == 'i' &&
+          u8(j + 7) == 'f' && u8(j + 8) == 0 && u8(j + 9) == 0) {
+          val t = j + 10 // TIFF header origin — all EXIF offsets are from here
+          val end = j + 2 + segLen
+          val little =
+            if (u8(t) == 'I' && u8(t + 1) == 'I') true
+            else if (u8(t) == 'M' && u8(t + 1) == 'M') false
+            else return 0
+          def u16(p: Int): Int =
+            if (little) u8(p) | (u8(p + 1) << 8) else (u8(p) << 8) | u8(p + 1)
+          def u32(p: Int): Long =
+            if (little)
+              u8(p).toLong | (u8(p + 1).toLong << 8) |
+                (u8(p + 2).toLong << 16) | (u8(p + 3).toLong << 24)
+            else
+              (u8(p).toLong << 24) | (u8(p + 1).toLong << 16) |
+                (u8(p + 2).toLong << 8) | u8(p + 3).toLong
+          if (u16(t + 2) != 42) return 0
+          val ifd0 = u32(t + 4)
+          if (ifd0 < 8 || t + ifd0 + 2 > end) return 0
+          val d = (t + ifd0).toInt
+          val n = u16(d)
+          var e = 0
+          while (e < n && d + 2 + 12 * (e + 1) <= end) {
+            val p = d + 2 + 12 * e
+            if (u16(p) == 0x0112 && u16(p + 2) == 3 && u32(p + 4) == 1L) {
+              val o = u16(p + 8)
+              return if (o >= 1 && o <= 8) o else 0
+            }
+            e += 1
+          }
+          return 0
+        }
+        i = j + 2 + segLen
+      }
+    }
+    0
+  }
+
+  /** Splice a minimal APP1/EXIF segment carrying ONLY the orientation tag
+    * right after SOI (where EXIF belongs). Deterministic test/corpus
+    * synthesis only — ImageIO ignores APP1 on decode, and headerDims64's
+    * marker walk skips it like any other segment.
+    */
+  def spliceExifJpeg(jpeg: Array[Byte], orientation: Int,
+                     bigEndian: Boolean): Array[Byte] = {
+    require(jpeg.length >= 2 && (jpeg(0) & 0xff) == 0xff &&
+      (jpeg(1) & 0xff) == 0xd8, "not a JPEG")
+    require(orientation >= 1 && orientation <= 8, s"orientation=$orientation")
+    val tiff = new Array[Byte](26)
+    def put16(p: Int, v: Int): Unit =
+      if (bigEndian) { tiff(p) = (v >>> 8).toByte; tiff(p + 1) = v.toByte }
+      else { tiff(p) = v.toByte; tiff(p + 1) = (v >>> 8).toByte }
+    def put32(p: Int, v: Int): Unit =
+      if (bigEndian) {
+        tiff(p) = (v >>> 24).toByte; tiff(p + 1) = (v >>> 16).toByte
+        tiff(p + 2) = (v >>> 8).toByte; tiff(p + 3) = v.toByte
+      } else {
+        tiff(p) = v.toByte; tiff(p + 1) = (v >>> 8).toByte
+        tiff(p + 2) = (v >>> 16).toByte; tiff(p + 3) = (v >>> 24).toByte
+      }
+    val bom = if (bigEndian) 'M' else 'I'
+    tiff(0) = bom.toByte; tiff(1) = bom.toByte
+    put16(2, 42); put32(4, 8) // IFD0 directly after the 8-byte header
+    put16(8, 1) // one entry
+    put16(10, 0x0112); put16(12, 3); put32(14, 1); put16(18, orientation)
+    // bytes 20/21 (value padding) and 22..25 (next-IFD offset) stay 0
+    val payload = "Exif".getBytes ++ Array[Byte](0, 0) ++ tiff
+    val segLen = payload.length + 2
+    val seg = Array[Byte](0xff.toByte, 0xe1.toByte,
+      (segLen >>> 8).toByte, segLen.toByte) ++ payload
+    jpeg.take(2) ++ seg ++ jpeg.drop(2)
+  }
+
+  /** Apply the EXIF display transform to a stored pixel grid, returning
+    * (pixels, w, h) as they should be DISPLAYED (CIPA DC-008 Table 5:
+    * 1 upright, 2 flip-H, 3 rot180, 4 flip-V, 5 transpose, 6 rot90 CW,
+    * 7 transverse, 8 rot270 CW). 0/absent is treated as upright.
+    */
+  def applyOrientation(px: Array[Int], w: Int, h: Int,
+                       o: Int): (Array[Int], Int, Int) = {
+    if (o <= 1 || o > 8 || px.isEmpty) return (px, w, h)
+    val swap = o >= 5
+    val ow = if (swap) h else w
+    val oh = if (swap) w else h
+    val out = new Array[Int](px.length)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val v = px(y * w + x)
+        // (dx, dy): where stored (x, y) lands in the displayed grid
+        val (dx, dy) = o match {
+          case 2 => (w - 1 - x, y)
+          case 3 => (w - 1 - x, h - 1 - y)
+          case 4 => (x, h - 1 - y)
+          case 5 => (y, x)
+          case 6 => (h - 1 - y, x)
+          case 7 => (h - 1 - y, w - 1 - x)
+          case 8 => (y, w - 1 - x)
+          case _ => (x, y)
+        }
+        out(dy * ow + dx) = v
+        x += 1
+      }
+      y += 1
+    }
+    (out, ow, oh)
+  }
+
+  /** Inverse of applyOrientation: given the upright pixels, produce the
+    * stored grid a camera with this orientation tag would have written —
+    * the corpus-plant synthesizer (applyOrientation(storedOf(px, o)) == px).
+    */
+  def storeWithOrientation(px: Array[Int], w: Int, h: Int,
+                           o: Int): (Array[Int], Int, Int) = {
+    if (o <= 1 || o > 8 || px.isEmpty) return (px, w, h)
+    // 2,3,4,5,7 are involutions; 6 and 8 invert each other
+    val inv = o match { case 6 => 8; case 8 => 6; case other => other }
+    applyOrientation(px, w, h, inv)
+  }
+
+  /** Orientation-normalized perceptual hash: decode, apply the EXIF
+    * transform, hash the DISPLAYED grid — the hash two stores of one
+    * photo share regardless of how the camera held its sensor.
+    */
+  def orientedPhash64(bytes: Array[Byte]): Long = {
+    if (bytes == null || bytes.isEmpty) return 0L
+    val (px, w, h) = decodeGray(bytes)
+    if (w == 0 || h == 0) return 0L
+    val (dpx, dw, dh) = applyOrientation(px, w, h, exifOrientation(bytes))
+    phashOfPixels(dpx, dw, dh)
+  }
 }

@@ -509,4 +509,138 @@ object ImageOps {
 
   def blurAuditDemo(spark: org.apache.spark.sql.SparkSession): DataFrame =
     blurAudit(blurCorpus(spark)).orderBy("image_id")
+
+  /** Dims-plant corpus for c63: n images whose catalog row declares
+    * 48x32, with every 5th actually ENCODED at half size (a resized-in-
+    * flight/CDN-thumbnail substitution the catalog never learned about)
+    * and every 7th (not also 5th) truncated mid-stream (header gone for
+    * JPEG-before-SOF, IHDR intact for PNG — both shapes occur).
+    * Deterministic, so the spec's mirror replants identically.
+    */
+  def dimsCorpus(spark: org.apache.spark.sql.SparkSession, n: Int = 70): DataFrame = {
+    import spark.implicits._
+    val rows = (0 until n).map { i =>
+      val declaredW = 48; val declaredH = 32
+      val fmt = if (i % 2 == 0) "png" else "jpeg"
+      val (w, h) = if (i % 5 == 0) (declaredW / 2, declaredH / 2)
+                   else (declaredW, declaredH)
+      val px = ImageKit.genPixels(ImageKit.mix64(i * 6037L + 11L), 0, w, h)
+      val full = ImageKit.encode(px, w, h, fmt)
+      val bytes =
+        if (i % 5 != 0 && i % 7 == 0) full.take(12) // pre-SOF / pre-IHDR cut
+        else full
+      (s"img-$i", bytes, fmt, declaredW, declaredH)
+    }
+    rows.toDF("image_id", "bytes", "fmt", "w", "h")
+  }
+
+  /** c63 — header-dimension audit: sniff width/height straight from the
+    * container header (PNG IHDR at fixed offsets; JPEG exact SOFn marker
+    * walk — ImageKit.headerDims64) and compare against the catalog's
+    * declared dims. The whole verdict is ONE codegen projection fused
+    * into the scan: the custom HeaderDims64 expression reads only the
+    * header prefix of the binary column, nothing is decoded, shuffled, or
+    * collected — the pre-decode gate that keeps mis-sized/truncated
+    * payloads out of c36's ImageIO pass.
+    */
+  def dimsAudit(images: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(images.sparkSession)
+    val packed = graft.functions.GraftFunctions.headerDims64(col("bytes"))
+    images.select(col("image_id"), col("fmt"), col("w"), col("h"),
+        packed.as("packed"))
+      .withColumn("sniffed_w",
+        when(col("packed") < 0, lit(-1))
+          .otherwise(shiftrightunsigned(col("packed"), 32).cast("int")))
+      .withColumn("sniffed_h",
+        when(col("packed") < 0, lit(-1))
+          .otherwise(col("packed").bitwiseAND(lit(0xffffffffL)).cast("int")))
+      .withColumn("dims_ok",
+        col("sniffed_w") === col("w") && col("sniffed_h") === col("h"))
+      .drop("packed")
+  }
+
+  def dimsAuditDemo(spark: org.apache.spark.sql.SparkSession): DataFrame =
+    dimsAudit(dimsCorpus(spark)).orderBy("image_id")
+
+  // ---- c64: EXIF orientation audit + orientation-normalized near-dup --
+
+  /** c64 corpus: n upright base images plus, for every 3rd, a
+    * camera-rotated jpeg repost of the same photo — the upright pixels
+    * passed through ImageKit.storeWithOrientation(o) (o cycles over all
+    * seven non-trivial EXIF transforms), jpeg-encoded, and tagged with a
+    * spliced APP1/EXIF orientation segment (endianness alternates so both
+    * II and MM TIFF layouts occur in one corpus). Applying the tag
+    * recovers the upright grid, so the twins are near-dups ONLY in
+    * oriented-phash space. Every 5th base also carries an explicit
+    * upright tag (o=1) — tagged-but-trivial must behave like untagged.
+    */
+  def orientationCorpus(spark: org.apache.spark.sql.SparkSession,
+                        n: Int = 42): DataFrame = {
+    import spark.implicits._
+    val rows = (0 until n).flatMap { i =>
+      val s = graft.sources.Gen.snapshotRow(s"img-$i", 0, 0, "png", 0)
+      val (px, w, h) = ImageKit.decodeGray(s.bytes)
+      val base =
+        if (i % 5 == 0) {
+          val tagged = ImageKit.spliceExifJpeg(
+            ImageKit.encode(px, w, h, "jpeg"), 1, bigEndian = i % 2 == 0)
+          Seq((s.image_id, tagged))
+        } else Seq((s.image_id, s.bytes))
+      if (i % 3 != 0) base
+      else {
+        val o = 2 + i % 7 // cycles 2..8
+        val (spx, sw, sh) = ImageKit.storeWithOrientation(px, w, h, o)
+        val stored = ImageKit.spliceExifJpeg(
+          ImageKit.encode(spx, sw, sh, "jpeg"), o, bigEndian = i % 2 == 1)
+        base :+ (s"img-$i?exif=$o", stored)
+      }
+    }
+    spark.createDataset(rows).toDF("image_id", "bytes")
+  }
+
+  /** Per-image orientation audit: the EXIF tag plus BOTH hashes — the
+    * stored grid's plain phash and the display-normalized oriented phash
+    * — from ONE decode pass per row (the tag walk reads only header
+    * bytes; the normalize is an index remap of the already-decoded
+    * pixels, no second decode).
+    */
+  def orientationAudit(images: DataFrame): DataFrame = {
+    import images.sparkSession.implicits._
+    images.select("image_id", "bytes").as[(String, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        val o = ImageKit.exifOrientation(bytes)
+        val (px, w, h) = ImageKit.decodeGray(bytes)
+        val plain = if (w == 0) 0L else ImageKit.phashOfPixels(px, w, h)
+        val (dpx, dw, dh) = ImageKit.applyOrientation(px, w, h, o)
+        val oriented = if (w == 0) 0L else ImageKit.phashOfPixels(dpx, dw, dh)
+        (id, o, plain, oriented)
+      })
+      .toDF("image_id", "orientation", "plain_phash", "oriented_phash")
+  }
+
+  /** c64 — orientation-invariant near-dup pairs: c17's blocked matcher
+    * over the oriented column (ids+hashes on the exchanges, bytes never
+    * leave the decode pass), with the c52-style `whole_hash_missed`
+    * contrast showing which pairs plain-phash blocking is BLIND to —
+    * for 90-degree family tags that is essentially all of them, which is
+    * why copy detection without orientation normalization undercounts.
+    */
+  def orientationMatches(images: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val audit = orientationAudit(images).cache()
+    nearDupPhash(
+      audit.select(col("image_id"), col("oriented_phash").as("phash")),
+      maxHamming)
+      .join(audit.select(col("image_id").as("image_a"),
+        col("plain_phash").as("pa")), "image_a")
+      .join(audit.select(col("image_id").as("image_b"),
+        col("orientation").as("pb_orient"), col("plain_phash").as("pb")),
+        "image_b")
+      .withColumn("whole_hash_missed",
+        bit_count(col("pa").bitwiseXOR(col("pb"))) > maxHamming)
+      .select("image_a", "image_b", "hamming", "pb_orient", "whole_hash_missed")
+  }
+
+  def orientationDemo(spark: org.apache.spark.sql.SparkSession): DataFrame =
+    orientationMatches(orientationCorpus(spark))
+      .orderBy("image_a", "image_b")
 }

@@ -882,6 +882,66 @@ object TextOps {
         Ipv4Re, "<IP>").as("text_scrubbed"))
       .orderBy("doc_id")
 
+  // ---- t32: C4-style line/document filters (Raffel et al., JMLR 2020) --
+
+  /** t32 corpus: line-structured pages built deterministically from each
+    * doc's words (the natural corpus is single-line, so the line
+    * discipline C4 filters on is planted — and SQL-reconstructible, the
+    * t18/t19 oracle pattern). Per doc: a good 8-word sentence; a 3-word
+    * fragment (too short); a 9-word question that every 7th doc taints
+    * with "javascript"; an 8-word exclamation; and a tail line that every
+    * 11th doc replaces with a lorem-ipsum plant and every 13th (not also
+    * 11th) with a curly-brace code plant — C4's two whole-document drops.
+    */
+  def c4Corpus(spark: SparkSession, dir: String): DataFrame = {
+    val w = split(col("text"), " ")
+    def seg(from: Int, n: Int): Column =
+      array_join(slice(w, from, n), " ")
+    val l1 = concat(seg(1, 8), lit("."))
+    val l2 = seg(1, 3)
+    val l3 = when(pmod(col("doc_id"), lit(7)) === 0,
+        concat(seg(4, 9), lit(" javascript needed?")))
+      .otherwise(concat(seg(4, 9), lit("?")))
+    val l4 = concat(seg(2, 8), lit("!"))
+    val l5 = when(pmod(col("doc_id"), lit(11)) === 0,
+        lit("lorem ipsum dolor sit amet."))
+      .when(pmod(col("doc_id"), lit(13)) === 0,
+        lit("var f = function() { return; }"))
+      .otherwise(concat(seg(3, 8), lit(" extra words here too.")))
+    docs(spark, dir).select(col("doc_id"),
+      concat_ws("\n", l1, l2, l3, l4, l5).as("text"))
+  }
+
+  /** t32 — the C4 cleaning pass (Raffel et al. JMLR'20 §2.2, the most-run
+    * heuristic filter in LLM data work): LINE rule — keep only lines that
+    * end in terminal punctuation, have >= 5 words, and don't mention
+    * javascript; DOCUMENT rule — drop pages with < 3 retained lines, any
+    * "lorem ipsum", or a curly brace. Everything is one codegen'd
+    * projection (split + filter/size HOFs + rlike), ZERO exchanges — at
+    * 100 TB this is a scan-speed pass fused into the ingest scan.
+    */
+  def c4Filter(corpus: DataFrame): DataFrame = {
+    val lines = split(col("text"), "\n")
+    val keptLines = filter(lines, l =>
+      l.rlike("[.!?\"]$") &&
+        size(split(trim(l), "\\s+")) >= 5 &&
+        !l.contains("javascript"))
+    corpus.select(col("doc_id"),
+        size(lines).as("n_lines"),
+        size(keptLines).cast("long").as("n_kept"),
+        array_join(keptLines, " | ").as("text_clean"),
+        (!col("text").contains("lorem ipsum") &&
+          !col("text").contains("{")).as("doc_ok"))
+      .withColumn("kept",
+        (col("n_kept") >= 3 && col("doc_ok")).cast("int"))
+      .drop("doc_ok")
+      .withColumn("n_lines", col("n_lines").cast("long"))
+      .orderBy("doc_id")
+  }
+
+  def c4Report(spark: SparkSession, dir: String): DataFrame =
+    c4Filter(c4Corpus(spark, dir))
+
   // ---- t20: BPE merge mining (Sennrich et al., ACL 2016) --------------
   //
   // Tokenizer training is a corpus-scale job: each round counts ADJACENT
