@@ -388,6 +388,13 @@ object SparkEntry {
     // truncated payloads must fail (HeaderDimsSpec: kernel == full
     // ImageIO decode dims, audit == mirror)
     "c63_dims_audit" -> ((s, _) => ImageOps.dimsAuditDemo(s)),
+    // c64: EXIF-orientation-normalized copy detection — the orientation
+    // tag (APP1/TIFF IFD walk, header bytes only) applied to the decoded
+    // grid before hashing, so camera-rotated reposts of one photo pair up;
+    // whole_hash_missed shows plain-phash blocking is blind to them
+    // (ExifSpec: tag round-trip both endiannesses, transform laws,
+    // matches == brute oriented-kernel mirror)
+    "c64_exif_orientation" -> ((s, _) => ImageOps.orientationDemo(s)),
     "t04_neardup_simhash" -> ((s, d) => TextOps.nearDupSimhash(s, d)),
     "emb01_cosine_topk" -> ((s, d) => SimilarityOps.bruteCosineTopK(s, d)),
     "emb02_ann_lsh" -> ((s, d) => SimilarityOps.annLshTopK(s, d)),

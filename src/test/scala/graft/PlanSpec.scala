@@ -592,6 +592,30 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("c63 dims audit: one codegen projection, no hash exchange, no UDF") {
+    // parquet-backed (a LocalRelation corpus constant-folds the whole
+    // projection away at plan time — nothing left to pin)
+    val dir = java.nio.file.Files.createTempDirectory("graft-c63-plan").toString
+    graft.operators.ImageOps.dimsCorpus(spark).write
+      .mode("overwrite").parquet(dir)
+    val df = graft.operators.ImageOps.dimsAudit(spark.read.parquet(dir))
+    val p = plan(df)
+    assert(p.contains("header_dims64"), s"HeaderDims64 not in the plan:\n$p")
+    assert(!p.contains("hashpartitioning"),
+      s"c63 must not shuffle — the verdict is per-row:\n$p")
+    assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"),
+      "c63 must stay a native expression")
+    assert(p.contains("*(1) Project"),
+      s"c63 projection should be inside one whole-stage codegen span:\n$p")
+  }
+
+  test("c64 orientation matches: image bytes stop at the decode pass, never an exchange") {
+    val p = finalPlan(graft.operators.ImageOps.orientationDemo(spark))
+    p.linesIterator.filter(_.contains("Exchange")).foreach { l =>
+      assert(!l.contains("bytes#"), s"image bytes on an exchange: $l")
+    }
+  }
+
   test("t29 suffix ranks: document text never rides an exchange; doubling joins are int/long-only") {
     val p = finalPlan(graft.operators.SuffixOps
       .dupWindowReport(spark, "/root/testdata/sf0.001"))
