@@ -80,6 +80,9 @@ object SparkEntry {
     "q19_setops2" -> ((s, d) => Relational.setOpsUnionIntersect(s, d)),
     "q20_theta_join" -> ((s, d) => Relational.thetaJoin(s, d)),
     "q21_cube" -> ((s, d) => Relational.cubeOrders(s, d)),
+    // q56: GROUPING SETS proper — a multi-group shape rollup/cube can't
+    // express (two independent one-column groupings, no grand total)
+    "q56_grouping_sets" -> ((s, d) => Relational.groupingSetsOrders(s, d)),
     "q22_levenshtein" -> ((s, d) => Relational.levenshteinDocs(s, d)),
     "q23_percentile" -> ((s, d) => Relational.percentiles(s, d)),
     "q24_window_misc" -> ((s, d) => Relational.windowMisc(s, d)),
@@ -618,6 +621,27 @@ object SparkEntry {
       operators.SimIndex.crossEpochNearDupPhash(s, root, 1)
         .orderBy("image_a", "image_b")
     }),
+    "c65_image_decontaminate" -> ((s, _) => {
+      // eval-set image decontamination through the persisted phash index:
+      // a small benchmark set (re-keyed copies of every 6th corpus image
+      // + disjoint never-matching entries) broadcasts against the
+      // corpus-so-far's block table; flagged corpus images must be held
+      // out of training (brute-mirror golden in SimIndexSpec)
+      val root = java.nio.file.Files.createTempDirectory("graft-c65").toString
+      val base = diffHistory(s, 60).where(col("epoch") === 2)
+        .select("image_id", "phash")
+      val e0 = base.where(pmod(xxhash64(col("image_id")), lit(2)) === 0)
+      val e1 = base.where(pmod(xxhash64(col("image_id")), lit(2)) === 1)
+      operators.SimIndex.writePhashIndex(e0, root, 0)
+      operators.SimIndex.writePhashIndex(e1, root, 1)
+      val evalSet = base.where(pmod(xxhash64(col("image_id")), lit(6)) === 0)
+        .select(concat(lit("eval:"), col("image_id")).as("image_id"), col("phash"))
+        .unionByName(s.range(8).select(
+          concat(lit("eval:fresh-"), col("id")).as("image_id"),
+          xxhash64(col("id") + 71L).as("phash")))
+      operators.SimIndex.decontaminateImages(s, root, 1, evalSet)
+        .orderBy("image_id")
+    }),
     "c20_incremental_image_dedup" -> ((s, _) => {
       // incremental admission of a new image epoch against the corpus-so-far
       // through the persisted phash index: dups of EXISTING content drop
@@ -879,6 +903,10 @@ object SparkEntry {
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
         |round(sum(o_totalprice),2) AS total FROM orders
         |GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""".stripMargin,
+    "q56_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        |round(sum(o_totalprice),2) AS total FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))""".stripMargin,
     "q09_setops" ->
       """SELECT c_nationkey AS nationkey FROM customer
         |EXCEPT SELECT s_nationkey AS nationkey FROM supplier""".stripMargin,

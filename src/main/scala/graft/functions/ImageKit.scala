@@ -79,6 +79,8 @@ object ImageKit {
     val bos = new ByteArrayOutputStream()
     fmt match {
       case "png" => ImageIO.write(img, "png", bos)
+      case "gif" => ImageIO.write(img, "gif", bos)
+      case "bmp" => ImageIO.write(img, "bmp", bos)
       case "jpeg" =>
         val writer = ImageIO.getImageWritersByFormatName("jpeg").next()
         val param = writer.getDefaultWriteParam
@@ -343,7 +345,11 @@ object ImageKit {
     * marker-segment walk: skip fill bytes, standalone markers carry no
     * length field, every other segment advances by its big-endian length,
     * stop at SOS/EOI. SOFn excludes DHT (C4), JPG (C8) and DAC (CC),
-    * which share the C-row but are not frame headers.
+    * which share the C-row but are not frame headers. GIF: logical-screen
+    * width/height as little-endian u16 at bytes 6/8 after the GIF87a /
+    * GIF89a signature (GIF89a spec §18). BMP: BITMAPINFOHEADER width at
+    * byte 18 / height at 22, little-endian i32 after the 14-byte file
+    * header (height may be negative for top-down rows — magnitude).
     */
   def headerDims64(bytes: Array[Byte]): Long = {
     if (bytes == null) return -1L
@@ -359,6 +365,23 @@ object ImageKit {
       if (!(u8(12) == 'I' && u8(13) == 'H' && u8(14) == 'D' && u8(15) == 'R'))
         return -1L
       return (be32(16) << 32) | be32(20)
+    }
+    val isGif = bytes.length >= 10 &&
+      u8(0) == 'G' && u8(1) == 'I' && u8(2) == 'F' && u8(3) == '8' &&
+      (u8(4) == '7' || u8(4) == '9') && u8(5) == 'a'
+    if (isGif) {
+      val w = u8(6) | (u8(7) << 8)
+      val h = u8(8) | (u8(9) << 8)
+      return (w.toLong << 32) | h.toLong
+    }
+    val isBmp = bytes.length >= 26 && u8(0) == 'B' && u8(1) == 'M'
+    if (isBmp) {
+      def le32(i: Int): Int =
+        u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) | (u8(i + 3) << 24)
+      val w = le32(18)
+      val h = le32(22)
+      if (w <= 0 || h == 0) return -1L
+      return (w.toLong << 32) | math.abs(h.toLong)
     }
     val isJpeg = bytes.length >= 4 && u8(0) == 0xff && u8(1) == 0xd8
     if (!isJpeg) return -1L

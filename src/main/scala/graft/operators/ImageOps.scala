@@ -510,24 +510,29 @@ object ImageOps {
   def blurAuditDemo(spark: org.apache.spark.sql.SparkSession): DataFrame =
     blurAudit(blurCorpus(spark)).orderBy("image_id")
 
-  /** Dims-plant corpus for c63: n images whose catalog row declares
-    * 48x32, with every 5th actually ENCODED at half size (a resized-in-
-    * flight/CDN-thumbnail substitution the catalog never learned about)
-    * and every 7th (not also 5th) truncated mid-stream (header gone for
-    * JPEG-before-SOF, IHDR intact for PNG — both shapes occur).
-    * Deterministic, so the spec's mirror replants identically.
+  /** Dims-plant corpus for c63: n images (fmt cycles png/jpeg/gif/bmp)
+    * whose catalog row declares 48x32, with every 5th actually ENCODED at
+    * half size (a resized-in-flight/CDN-thumbnail substitution the
+    * catalog never learned about) and every 7th (not also 5th) truncated
+    * before its container's dimension field. Deterministic, so the
+    * spec's mirror replants identically.
     */
   def dimsCorpus(spark: org.apache.spark.sql.SparkSession, n: Int = 70): DataFrame = {
     import spark.implicits._
     val rows = (0 until n).map { i =>
       val declaredW = 48; val declaredH = 32
-      val fmt = if (i % 2 == 0) "png" else "jpeg"
+      val fmt = Seq("png", "jpeg", "gif", "bmp")(i % 4)
       val (w, h) = if (i % 5 == 0) (declaredW / 2, declaredH / 2)
                    else (declaredW, declaredH)
       val px = ImageKit.genPixels(ImageKit.mix64(i * 6037L + 11L), 0, w, h)
       val full = ImageKit.encode(px, w, h, fmt)
+      // cut point lands BEFORE each container's dimension field: pre-IHDR
+      // (png), pre-SOF (jpeg), mid-signature (gif), mid-file-header (bmp)
+      val cut = fmt match {
+        case "gif" => 5; case "bmp" => 13; case _ => 12
+      }
       val bytes =
-        if (i % 5 != 0 && i % 7 == 0) full.take(12) // pre-SOF / pre-IHDR cut
+        if (i % 5 != 0 && i % 7 == 0) full.take(cut)
         else full
       (s"img-$i", bytes, fmt, declaredW, declaredH)
     }

@@ -199,6 +199,18 @@ object Relational {
       .cube("o_orderstatus", "o_orderpriority")
       .agg(count(lit(1)).as("n"))
 
+  /** GROUPING SETS with a shape neither ROLLUP nor CUBE can express:
+    * two independent single-column groupings, no pair level and no grand
+    * total (q56) — Spark 4's Dataset.groupingSets API, one Expand +
+    * one aggregate exchange like any multi-group plan.
+    */
+  def groupingSetsOrders(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .groupingSets(
+        Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority"))),
+        col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+
   /** Edit-distance scalar (the caption-diff magnitude function of the
     * revision engine) under the SQL oracle via documents text slices.
     */

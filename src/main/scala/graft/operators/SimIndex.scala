@@ -350,6 +350,45 @@ object SimIndex {
       .where(col("hamming") <= maxHamming)
   }
 
+  /** c65 — eval-set image DECONTAMINATION through the persisted phash
+    * index (the image analog of t13/t31's benchmark decontamination:
+    * DataComp/LAION-style releases hold a training image OUT if it
+    * near-dups a benchmark image): the tiny eval set is blocked in-call
+    * and BROADCAST against the corpus-so-far's persisted block table —
+    * the corpus is never re-hashed or re-blocked, the probe moves index
+    * rows only (ids + the 8-byte phash, which doubles as the exact
+    * verifier), and each contaminated corpus image reports its BEST eval
+    * match under the total (hamming, eval_hash) order — deterministic at
+    * any parallelism. Certain recall for maxHamming <= 3 (4x16-bit
+    * blocks, pigeonhole). Output: (image_id, hamming, eval_id,
+    * n_eval_matches), one row per contaminated corpus image.
+    */
+  def decontaminateImages(
+      spark: SparkSession,
+      root: String,
+      upToEpoch: Int,
+      evalImages: DataFrame,
+      maxHamming: Int = 3): DataFrame = {
+    val corpus = phashBlocksUpTo(spark, root, upToEpoch)
+      .select(col("image_id"), col("phash"), col("blk"), col("key"))
+    val evalB = broadcast(ImageOps.phashBlocks(evalImages)
+      .select(col("image_id").as("eval_id"), col("phash").as("eval_phash"),
+        col("img_hash").as("eval_hash"), col("blk"), col("key")))
+    // a (corpus, eval) pair surfaces once per shared block with the SAME
+    // hamming — min(struct) and countDistinct(eval_hash) are both
+    // duplicate-insensitive, so no dropDuplicates pass is needed
+    corpus.join(evalB, Seq("blk", "key"))
+      .select(col("image_id"),
+        bit_count(col("phash").bitwiseXOR(col("eval_phash"))).as("hamming"),
+        col("eval_id"), col("eval_hash"))
+      .where(col("hamming") <= maxHamming)
+      .groupBy("image_id")
+      .agg(min(struct(col("hamming"), col("eval_hash"), col("eval_id"))).as("best"),
+        countDistinct(col("eval_hash")).as("n_eval_matches"))
+      .select(col("image_id"), col("best.hamming").as("hamming"),
+        col("best.eval_id").as("eval_id"), col("n_eval_matches"))
+  }
+
   /** Persist IVF centroids + list assignments. Centroids are (re)trained on
     * the full corpus up to `epoch` (centroid drift across epochs would
     * silently skew list occupancy); assignments cover the same corpus.

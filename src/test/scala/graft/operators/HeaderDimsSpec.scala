@@ -18,7 +18,7 @@ class HeaderDimsSpec extends AnyFunSuite {
 
   test("headerDims64 == full ImageIO decode dims for both formats across sizes") {
     val sizes = Seq((48, 32), (47, 31), (1, 1), (2, 3), (129, 65), (320, 200))
-    for ((w, h) <- sizes; fmt <- Seq("png", "jpeg")) {
+    for ((w, h) <- sizes; fmt <- Seq("png", "jpeg", "gif", "bmp")) {
       val px = ImageKit.genPixels(ImageKit.mix64(w * 1009L + h), 0, w, h)
       val bytes = ImageKit.encode(px, w, h, fmt)
       val img = ImageIO.read(new ByteArrayInputStream(bytes))
@@ -34,14 +34,17 @@ class HeaderDimsSpec extends AnyFunSuite {
     assert(ImageKit.headerDims64("not an image at all".getBytes) == -1L)
     val png = ImageKit.encode(ImageKit.genPixels(1L, 0, 8, 8), 8, 8, "png")
     val jpg = ImageKit.encode(ImageKit.genPixels(2L, 0, 8, 8), 8, 8, "jpeg")
+    val gif = ImageKit.encode(ImageKit.genPixels(3L, 0, 8, 8), 8, 8, "gif")
+    val bmp = ImageKit.encode(ImageKit.genPixels(4L, 0, 8, 8), 8, 8, "bmp")
     // every truncation point up to the full header region parses or -1s
-    for (k <- 0 until 32) {
-      ImageKit.headerDims64(png.take(k))
-      ImageKit.headerDims64(jpg.take(k))
+    for (k <- 0 until 32; b <- Seq(png, jpg, gif, bmp)) {
+      ImageKit.headerDims64(b.take(k))
     }
-    // pre-IHDR / pre-SOF cuts specifically must refuse
+    // cuts before each container's dimension field specifically must refuse
     assert(ImageKit.headerDims64(png.take(12)) == -1L)
     assert(ImageKit.headerDims64(jpg.take(12)) == -1L)
+    assert(ImageKit.headerDims64(gif.take(5)) == -1L)
+    assert(ImageKit.headerDims64(bmp.take(13)) == -1L)
   }
 
   test("pure-column PNG IHDR parse == HeaderDims64 expression") {

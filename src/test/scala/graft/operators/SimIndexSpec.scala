@@ -159,6 +159,58 @@ class SimIndexSpec extends AnyFunSuite {
       s"compacted probe diverged (compact=${after.size}, tail=${before2.size})")
   }
 
+  test("c65 eval-set decontamination == brute mirror; every planted eval twin flagged, broadcast pinned") {
+    val root = tempDir("graft-decontam")
+    import spark.implicits._
+    def img(i: Int): (String, Long) =
+      (s"http://h${i % 7}.example/img-$i",
+        graft.functions.ImageKit.mix64(i.toLong * 2654435761L + 13L))
+    val e0 = spark.createDataset((0 until 60).map(img)).toDF("image_id", "phash")
+    val e1 = spark.createDataset((60 until 100).map(img)).toDF("image_id", "phash")
+    SimIndex.writePhashIndex(e0, root, 0)
+    SimIndex.writePhashIndex(e1, root, 1)
+    // eval set: exact twins of every 6th corpus image (a benchmark that
+    // leaked into the crawl), 1-bit-noised twins of every 10th-not-6th
+    // (near-dup leakage), plus never-matching fresh entries
+    val corpus = (0 until 100).map(img)
+    val evals =
+      corpus.zipWithIndex.collect {
+        case ((id, ph), i) if i % 6 == 0 => (s"eval:$id", ph)
+        case ((id, ph), i) if i % 10 == 0 => (s"eval~$id", ph ^ (1L << (i % 64)))
+      } ++ (0 until 8).map(k =>
+        (s"eval:fresh-$k", graft.functions.ImageKit.mix64(k * 104729L + 7L)))
+    val evalDf = spark.createDataset(evals).toDF("image_id", "phash")
+    val got = SimIndex.decontaminateImages(spark, root, 1, evalDf).collect()
+      .map(r => r.getString(0) -> ((r.getInt(1), r.getString(2), r.getLong(3))))
+      .toMap
+    // brute mirror: all corpus x eval pairs, best = min (hamming, xxhash)
+    val mirror = corpus.flatMap { case (cid, cph) =>
+      val hits = evals.map { case (eid, eph) =>
+        (java.lang.Long.bitCount(cph ^ eph), CrawlOracle.xxhash64(eid), eid)
+      }.filter(_._1 <= 3)
+      if (hits.isEmpty) None
+      else Some(cid -> ((hits.min._1, hits.min._3,
+        hits.map(_._2).distinct.size.toLong)))
+    }.toMap
+    assert(got == mirror, s"decontamination != brute mirror " +
+      s"(got=${got.size}, mirror=${mirror.size})")
+    // plant accounting: every 6th exact-flagged at 0, every 10th-not-6th
+    // near-flagged at 1, fresh evals match nothing
+    corpus.zipWithIndex.foreach { case ((id, _), i) =>
+      if (i % 6 == 0) assert(got(id)._1 == 0, s"exact leak $id missed")
+      else if (i % 10 == 0) assert(got(id)._1 == 1, s"near leak $id missed")
+      else assert(!got.contains(id), s"clean image $id falsely flagged")
+    }
+    // scale-shape pin: the eval side broadcasts; the corpus index is read
+    // from parquet, never re-blocked
+    val p = SimIndex.decontaminateImages(spark, root, 1, evalDf)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastQueryStage"),
+      s"eval side did not broadcast:\n$p")
+    assert(p.contains("FileScan parquet") || p.contains("Scan parquet"),
+      s"corpus side must come from the persisted index:\n$p")
+  }
+
   test("persisted IVF index probe equals the in-memory IVF ANN") {
     val root = tempDir("graft-ivfindex")
     val e = spark.read.parquet(s"$dir/embeddings.parquet")
