@@ -244,6 +244,10 @@ object SparkEntry {
     // codegen projection (zero exchanges); corpus planted line-by-line
     // from the docs' own words so DuckDB reconstructs it exactly
     "t32_c4_filter" -> ((s, d) => TextOps.c4Report(s, d)),
+    // t33: aspect-ratio bucket packing (SDXL-style fixed-shape batches
+    // over a variable-aspect image catalog) — integer argmin bucket
+    // assignment + one windowed pack per bucket, ragged tail marked
+    "t33_aspect_buckets" -> ((s, d) => ImageOps.aspectBucketReport(s, d)),
     "t09_corpus_curation" -> ((s, d) => TextOps.curatedCorpus(s, d)),
     "t10_span_clip" -> ((s, d) => TextOps.spanClippedCorpus(s, d)),
     "t11_multimodal_dedup" -> ((s, d) =>
@@ -398,6 +402,12 @@ object SparkEntry {
     // (ExifSpec: tag round-trip both endiannesses, transform laws,
     // matches == brute oriented-kernel mirror)
     "c64_exif_orientation" -> ((s, _) => ImageOps.orientationDemo(s)),
+    // c66: JPEG encode-quality audit — IJG quality inverted from the
+    // luminance DQT (header bytes only, codegen expression); planted
+    // low-quality re-encodes must flag LOW, png rows report -1
+    // (JpegQualitySpec: estimate within +-1 of the actual encode quality
+    // across 20..95, monotone, audit == kernel mirror)
+    "c66_jpeg_quality" -> ((s, _) => ImageOps.qualityAuditDemo(s)),
     "t04_neardup_simhash" -> ((s, d) => TextOps.nearDupSimhash(s, d)),
     "emb01_cosine_topk" -> ((s, d) => SimilarityOps.bruteCosineTopK(s, d)),
     "emb02_ann_lsh" -> ((s, d) => SimilarityOps.annLshTopK(s, d)),
@@ -910,6 +920,31 @@ object SparkEntry {
     "q09_setops" ->
       """SELECT c_nationkey AS nationkey FROM customer
         |EXCEPT SELECT s_nationkey AS nationkey FROM supplier""".stripMargin,
+    // t33: identical dims synthesis from p_partkey; bucket argmin is the
+    // same integer (cost, b) total order (rank over a cross join here);
+    // batch/slot arithmetic is integer division on a 0-based row_number
+    "t33_aspect_buckets" ->
+      """WITH dims AS (
+        |  SELECT p_partkey, CAST(32 + p_partkey % 97 AS INT) AS w,
+        |         CAST(32 + (p_partkey * 7) % 61 AS INT) AS h FROM part
+        |), c AS (
+        |  SELECT d.*, b.b AS bucket_ar, abs(100*d.w - b.b*d.h) AS cost
+        |  FROM dims d CROSS JOIN (VALUES (50),(75),(100),(133),(200)) b(b)
+        |), a AS (
+        |  SELECT *, row_number() OVER (PARTITION BY p_partkey
+        |    ORDER BY cost, bucket_ar) AS rnb FROM c
+        |), asg AS (
+        |  SELECT p_partkey, w, h, bucket_ar FROM a WHERE rnb = 1
+        |), r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY bucket_ar
+        |      ORDER BY p_partkey) - 1 AS rn,
+        |    count(*) OVER (PARTITION BY bucket_ar) AS nb FROM asg
+        |)
+        |SELECT p_partkey, w, h, bucket_ar,
+        |  CAST(rn // 8 AS BIGINT) AS batch_id,
+        |  CAST(rn % 8 AS INT) AS slot,
+        |  (rn // 8 < nb // 8) AS full_batch
+        |FROM r ORDER BY p_partkey""".stripMargin,
     "q10_json" ->
       """SELECT event_type, count(*) AS n,
         |CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,

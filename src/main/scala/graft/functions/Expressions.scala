@@ -271,6 +271,26 @@ case class ExifOrientationExpr(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Estimated IJG encode quality (1..100; -1 total) from a JPEG's
+  * luminance DQT segment — header bytes only, nothing decoded
+  * (ImageKit.jpegQualityEstimate). The standard "re-compressed to
+  * death" curation signal, codegen'd so the c66 audit is one
+  * whole-stage pass.
+  */
+case class JpegQualityExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "jpeg_quality"
+
+  override def nullSafeEval(input: Any): Any =
+    ImageKit.jpegQualityEstimate(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ImageKit.jpegQualityEstimate($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): JpegQualityExpr =
+    copy(child = newChild)
+}
+
 /** Orientation-normalized perceptual hash: decode + EXIF display
   * transform + DCT hash of the DISPLAYED grid (ImageKit.orientedPhash64)
   * — the hash two stores of one photo share regardless of camera
@@ -322,6 +342,7 @@ object GraftFunctions {
     "path_of" -> ((exprs: Seq[Expression]) => PathOf(exprs.head)),
     "header_dims64" -> ((exprs: Seq[Expression]) => HeaderDims64(exprs.head)),
     "exif_orientation" -> ((exprs: Seq[Expression]) => ExifOrientationExpr(exprs.head)),
+    "jpeg_quality" -> ((exprs: Seq[Expression]) => JpegQualityExpr(exprs.head)),
     "oriented_phash64" -> ((exprs: Seq[Expression]) => OrientedPhash64(exprs.head)))
 
   def ensureRegistered(spark: SparkSession): Unit = {
@@ -434,6 +455,7 @@ object GraftFunctions {
   def phash64(c: Column): Column = call_function("phash64", c)
   def headerDims64(c: Column): Column = call_function("header_dims64", c)
   def exifOrientation(c: Column): Column = call_function("exif_orientation", c)
+  def jpegQuality(c: Column): Column = call_function("jpeg_quality", c)
   def orientedPhash64(c: Column): Column = call_function("oriented_phash64", c)
   def simhash64(c: Column): Column = call_function("simhash64", c)
   def minhashBands(c: Column): Column = call_function("minhash_bands", c)

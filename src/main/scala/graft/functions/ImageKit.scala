@@ -576,6 +576,109 @@ object ImageKit {
     applyOrientation(px, w, h, inv)
   }
 
+  // ---- JPEG quality estimation (c66) -----------------------------------
+
+  /** ITU T.81 Annex K.1 example luminance quantization table (the IJG
+    * base table every libjpeg-derived encoder — including the JDK's —
+    * scales by quality), in zig-zag order as stored in the DQT segment.
+    */
+  private val StdLumaQuantZigzag: Array[Int] = {
+    val natural = Array(
+      16, 11, 10, 16, 24, 40, 51, 61,
+      12, 12, 14, 19, 26, 58, 60, 55,
+      14, 13, 16, 24, 40, 57, 69, 56,
+      14, 17, 22, 29, 51, 87, 80, 62,
+      18, 22, 37, 56, 68, 109, 103, 77,
+      24, 35, 55, 64, 81, 104, 113, 92,
+      49, 64, 78, 87, 103, 121, 120, 101,
+      72, 92, 95, 98, 112, 100, 103, 99)
+    val zz = Array(
+      0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+      12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+      35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+      58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63)
+    zz.map(natural)
+  }
+
+  /** Estimated IJG quality (1..100) of a JPEG from its luminance DQT, or
+    * -1 when not a JPEG / no parseable 8-bit luma table — total. Inverts
+    * the libjpeg scaling q[i] = clamp((std[i]*S + 50)/100) where
+    * S = 5000/Q below 50 and 200 - 2Q at or above (jcparam.c, public IJG
+    * code): S is recovered as the mean ratio over the 64 coefficients,
+    * then mapped back to Q. Every libjpeg-family encoder (the JDK writer
+    * included) uses these tables, so the estimate is exact to +-1 on
+    * them — and a LOW estimate on a crawled payload is the standard
+    * "re-compressed to death" curation signal regardless of encoder.
+    */
+  def jpegQualityEstimate(bytes: Array[Byte]): Int = {
+    if (bytes == null || bytes.length < 4) return -1
+    def u8(i: Int): Int = bytes(i) & 0xff
+    if (u8(0) != 0xff || u8(1) != 0xd8) return -1
+    var i = 2
+    while (i + 3 < bytes.length) {
+      if (u8(i) != 0xff) return -1
+      var j = i
+      while (j + 1 < bytes.length && u8(j + 1) == 0xff) j += 1
+      if (j + 3 >= bytes.length) return -1
+      val marker = u8(j + 1)
+      if (marker == 0xd8 || marker == 0x01 || (marker >= 0xd0 && marker <= 0xd7)) {
+        i = j + 2
+      } else if (marker == 0xd9 || marker == 0xda) {
+        return -1 // image data without a DQT: not a baseline/progressive JPEG
+      } else {
+        val segLen = (u8(j + 2) << 8) | u8(j + 3)
+        if (segLen < 2 || j + 2 + segLen > bytes.length) return -1
+        if (marker == 0xdb) {
+          // DQT: one or more (PqTq, 64 or 128 bytes) tables in one segment
+          var p = j + 4
+          val end = j + 2 + segLen
+          while (p < end) {
+            val pq = u8(p) >> 4
+            val tq = u8(p) & 0x0f
+            val n = if (pq == 0) 64 else 128
+            if (p + 1 + n > end) return -1
+            if (tq == 0 && pq == 0) {
+              // luminance, 8-bit: invert the IJG scaling
+              var sum = 0.0
+              var k = 0
+              while (k < 64) {
+                val v = u8(p + 1 + k)
+                sum += (100.0 * v - 50.0) / StdLumaQuantZigzag(k)
+                k += 1
+              }
+              val s = sum / 64.0
+              val q =
+                if (s <= 0) 100
+                else if (s <= 100.0) (200.0 - s) / 2.0
+                else 5000.0 / s
+              return math.max(1, math.min(100, math.round(q).toInt))
+            }
+            p += 1 + n
+          }
+        }
+        i = j + 2 + segLen
+      }
+    }
+    -1
+  }
+
+  /** Re-encode at an explicit IJG quality (test/corpus synthesis: the
+    * "CDN re-compressed the image" plant).
+    */
+  def encodeJpegQuality(pixels: Array[Int], w: Int, h: Int, q: Float): Array[Byte] = {
+    val img = toImage(pixels, w, h)
+    val bos = new ByteArrayOutputStream()
+    val writer = ImageIO.getImageWritersByFormatName("jpeg").next()
+    val param = writer.getDefaultWriteParam
+    param.setCompressionMode(ImageWriteParam.MODE_EXPLICIT)
+    param.setCompressionQuality(q)
+    val ios = new MemoryCacheImageOutputStream(bos)
+    writer.setOutput(ios)
+    writer.write(null, new IIOImage(img, null, null), param)
+    ios.flush(); writer.dispose()
+    bos.toByteArray
+  }
+
   /** Orientation-normalized perceptual hash: decode, apply the EXIF
     * transform, hash the DISPLAYED grid — the hash two stores of one
     * photo share regardless of how the camera held its sensor.

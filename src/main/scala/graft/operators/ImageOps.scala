@@ -648,4 +648,89 @@ object ImageOps {
   def orientationDemo(spark: org.apache.spark.sql.SparkSession): DataFrame =
     orientationMatches(orientationCorpus(spark))
       .orderBy("image_a", "image_b")
+
+  // ---- c66: JPEG encode-quality audit ----------------------------------
+
+  /** c66 corpus: n jpegs at high encode quality, with every 4th replaced
+    * by a re-compressed copy at a LOW quality that cycles 20/35/50 (the
+    * CDN/thumbnail-proxy re-encode a crawl constantly receives) and
+    * every 9th (not also 4th) stored as png (quality not applicable —
+    * estimate must be -1, not a throw).
+    */
+  def qualityCorpus(spark: org.apache.spark.sql.SparkSession,
+                    n: Int = 72): DataFrame = {
+    import spark.implicits._
+    val rows = (0 until n).map { i =>
+      val px = ImageKit.genPixels(ImageKit.mix64(i * 9001L + 5L), 0, 48, 32)
+      val bytes =
+        if (i % 4 == 0) ImageKit.encodeJpegQuality(px, 48, 32, Seq(0.20f, 0.35f, 0.50f)(i / 4 % 3))
+        else if (i % 9 == 0) ImageKit.encode(px, 48, 32, "png")
+        else ImageKit.encodeJpegQuality(px, 48, 32, 0.92f)
+      (s"img-$i", bytes)
+    }
+    rows.toDF("image_id", "bytes")
+  }
+
+  /** c66 — encode-quality audit: the IJG quality estimate inverted from
+    * the luminance DQT (header bytes only, nothing decoded — the
+    * JpegQuality codegen expression) plus the curation verdict LOW
+    * (estimate in 1..minQuality-1). Non-JPEG rows report -1 and are not
+    * LOW — format applicability is c55's job, this gate only flags
+    * provably re-compressed payloads. One whole-stage projection.
+    */
+  def qualityAudit(images: DataFrame, minQuality: Int = 60): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(images.sparkSession)
+    images.select(col("image_id"),
+        graft.functions.GraftFunctions.jpegQuality(col("bytes")).as("quality_est"))
+      .withColumn("low_quality",
+        col("quality_est") >= 1 && col("quality_est") < minQuality)
+  }
+
+  def qualityAuditDemo(spark: org.apache.spark.sql.SparkSession): DataFrame =
+    qualityAudit(qualityCorpus(spark)).orderBy("image_id")
+
+  // ---- t33: aspect-ratio bucket packing --------------------------------
+
+  /** t33 corpus: deterministic (w, h) dims synthesized from p_partkey
+    * (the c27/q55 discipline — DuckDB reconstructs the table
+    * byte-identically), standing in for the image catalog's dims column.
+    */
+  def aspectBucketCorpus(spark: org.apache.spark.sql.SparkSession,
+                         dir: String): DataFrame =
+    spark.read.parquet(s"$dir/part.parquet").select(col("p_partkey"),
+      (lit(32) + pmod(col("p_partkey"), lit(97))).cast("int").as("w"),
+      (lit(32) + pmod(col("p_partkey") * 7, lit(61))).cast("int").as("h"))
+
+  /** t33 — aspect-ratio BUCKET PACKING (the SDXL-style batch discipline:
+    * variable-aspect images train in fixed-shape batches, so each image
+    * joins the bucket whose aspect is nearest and batches form within a
+    * bucket; the image sibling of t17's sequence packing): bucket
+    * assignment is a pure INTEGER argmin — least() over (|100*w - b*h|,
+    * b) structs, engine-exact with no float aspect math — and packing is
+    * one window per bucket (row_number by the key), batch = rn/B,
+    * slot = rn%B, with the ragged tail batch marked not-full (training
+    * drops it). One Expand-free projection + ONE hash exchange on
+    * bucket_ar for both windows.
+    */
+  def aspectBucketPack(images: DataFrame, batchSize: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val buckets = Seq(50, 75, 100, 133, 200)
+    val best = least(buckets.map(b =>
+      struct((abs(lit(100) * col("w") - lit(b) * col("h"))).cast("long").as("cost"),
+        lit(b).as("b"))).toIndexedSeq: _*)
+    val ordered = Window.partitionBy("bucket_ar").orderBy("p_partkey")
+    val bucketAll = Window.partitionBy("bucket_ar")
+    images.withColumn("bucket_ar", best.getField("b"))
+      .withColumn("rn", row_number().over(ordered).cast("long") - 1)
+      .withColumn("nb", count(lit(1)).over(bucketAll))
+      .select(col("p_partkey"), col("w"), col("h"), col("bucket_ar"),
+        floor(col("rn") / batchSize).as("batch_id"),
+        pmod(col("rn"), lit(batchSize)).cast("int").as("slot"),
+        (floor(col("rn") / batchSize) < floor(col("nb") / batchSize))
+          .as("full_batch"))
+  }
+
+  def aspectBucketReport(spark: org.apache.spark.sql.SparkSession,
+                         dir: String): DataFrame =
+    aspectBucketPack(aspectBucketCorpus(spark, dir)).orderBy("p_partkey")
 }
