@@ -228,6 +228,33 @@ object PlanAudit {
         "full-dim rerank — full vectors never shuffle",
       fmt(SimilarityOps.annPrefixRerankTopK(spark, sfDir))))
 
+    // c63 header-dims audit — parquet-backed so the projection survives
+    // to the physical plan (a LocalRelation corpus constant-folds away)
+    {
+      val dir = Files.createTempDirectory("graft-planaudit-c63").toString
+      graft.operators.ImageOps.dimsCorpus(spark).write.mode("overwrite").parquet(dir)
+      sections += (("c63 header-dims audit (pre-decode gate)",
+        "ONE whole-stage-codegen Project directly over the parquet scan — " +
+          "header_dims64 reads <=~30 header bytes per row, nothing decoded, " +
+          "no exchange, no UDF node",
+        fmt(graft.operators.ImageOps.dimsAudit(spark.read.parquet(dir)))))
+    }
+
+    // t33 aspect bucket packing
+    sections += (("t33 aspect-ratio bucket packing",
+      "bucket argmin is a least() over (cost, b) structs inside the scan " +
+        "projection (no Expand, no join); ONE hash exchange on bucket_ar " +
+        "serves the row_number window AND the bucket count window",
+      fmt(graft.operators.ImageOps.aspectBucketPack(
+        graft.operators.ImageOps.aspectBucketCorpus(spark, sfDir)))))
+
+    // t32 C4 cleaning pass
+    sections += (("t32 C4-style line/document cleaning",
+      "the entire line rule + document rule is one codegen projection " +
+        "(split + filter/size HOFs + rlike) over the documents scan; the " +
+        "only exchange is the presentation sort",
+      fmt(TextOps.c4Report(spark, sfDir))))
+
     val md = new StringBuilder
     md.append("# BENCH/PLANS — flagship physical plans (explain formatted)\n\n")
     md.append("Generated by `graft.PlanAudit` (re-run after plan-shaping changes).\n")

@@ -408,6 +408,12 @@ object SparkEntry {
     // (JpegQualitySpec: estimate within +-1 of the actual encode quality
     // across 20..95, monotone, audit == kernel mirror)
     "c66_jpeg_quality" -> ((s, _) => ImageOps.qualityAuditDemo(s)),
+    // c67: payload admission gate wired into the crawl — per-epoch status
+    // ledger of a validated 2-epoch run; damaged payloads (truncations +
+    // CDN thumbnail substitutions) land as invalid_payload, never in the
+    // parsed view (ValidationPipelineSpec: invalid set == damage-kernel
+    // mirror, thumbnails provably need the c63 dims gate)
+    "c67_payload_gate" -> ((s, _) => operators.CrawlPipeline.payloadGateDemo(s)),
     "t04_neardup_simhash" -> ((s, d) => TextOps.nearDupSimhash(s, d)),
     "emb01_cosine_topk" -> ((s, d) => SimilarityOps.bruteCosineTopK(s, d)),
     "emb02_ann_lsh" -> ((s, d) => SimilarityOps.annLshTopK(s, d)),

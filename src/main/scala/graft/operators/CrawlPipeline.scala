@@ -120,6 +120,85 @@ object CrawlPipeline {
       }
   }
 
+  // ---- c67: fetched-payload validation wired into the pipeline --------
+
+  /** Deterministic payload damage class for the synthetic fetch (the real
+    * network supplies these for free; url_hash-seeded so resume re-runs
+    * are bit-identical): ~1/32 of parsed pages arrive damaged — half
+    * TRUNCATED mid-stream (connection cut before the container's
+    * dimension field: both the c55 trailer audit and the c63 dims sniff
+    * refuse it), half substituted by a half-size THUMBNAIL (a CDN/proxy
+    * re-render: container whole, trailer intact, magic matches — ONLY
+    * the c63 header-dims-vs-catalog gate can catch it).
+    * 0 = clean, 1 = truncated, 2 = thumbnail.
+    */
+  def payloadDamage(urlHash: Long, epoch: Int): Int = {
+    val m = ImageKit.mix64(urlHash ^ (epoch * 0x6d2bL + 0x3c97L))
+    if ((m & 31L) != 0L) 0 else (1 + ((m >>> 8) & 1L)).toInt
+  }
+
+  /** c55+c63 wired end-to-end: the pre-decode admission gate a fetch
+    * pipeline runs on every response — magic sniff vs declared format,
+    * trailer intact, header dims == catalog dims — as ONE codegen
+    * projection over the fetch wave (nothing decoded; the damage
+    * injection above is the only per-row kernel work and models the
+    * network, not the gate). Rows failing the gate flip to status
+    * `invalid_payload` with a null payload: they are fetched-but-not-
+    * parsed in the lineage manifest, never enter the parsed contract
+    * view, the revisions diff, or the latest table — but their URL is
+    * already in the seen store (the fetch happened; retry is recrawl
+    * policy, not dedupe policy). Off by default: base goldens stay
+    * byte-identical.
+    */
+  def validateFetched(fetched: Dataset[Fetched], epoch: Int): Dataset[Fetched] = {
+    val spark = fetched.sparkSession
+    import spark.implicits._
+    GraftFunctions.ensureRegistered(spark)
+    val damaged = fetched.mapPartitions(_.map { r =>
+      if (r.status != "parsed") r
+      else payloadDamage(CrawlOracle.xxhash64(r.image_id), epoch) match {
+        case 1 => r.copy(bytes = r.bytes.take(12))
+        case 2 =>
+          val (px, w, h) = ImageKit.decodeGray(r.bytes)
+          val tw = math.max(1, w / 2); val th = math.max(1, h / 2)
+          val tp = ImageKit.resampleArea(px, w, h, tw, th)
+            .map(v => math.max(0, math.min(255, math.round(v).toInt)))
+          r.copy(bytes = ImageKit.encode(tp, tw, th, r.fmt))
+        case _ => r
+      }
+    })
+    val declaredPacked =
+      shiftleft(col("w").cast("long"), 32).bitwiseOR(col("h").cast("long"))
+    val ok = FetchAudit.sniffedFmtCol(col("bytes")) === col("fmt") &&
+      FetchAudit.trailerOkCol(col("bytes")) &&
+      GraftFunctions.headerDims64(col("bytes")) === declaredPacked
+    damaged.toDF()
+      .withColumn("status",
+        when(col("status") === "parsed" && !ok, "invalid_payload")
+          .otherwise(col("status")))
+      .withColumn("bytes",
+        when(col("status") === "invalid_payload", lit(null).cast("binary"))
+          .otherwise(col("bytes")))
+      .as[Fetched]
+  }
+
+  /** c67 demo rows: a 2-epoch validated crawl's per-epoch status ledger —
+    * the auditable record the admission gate leaves in the fetch log
+    * (parsed / invalid_payload / fetch_failed / parse_failed counts).
+    */
+  def payloadGateDemo(spark: SparkSession): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft-c67demo").toString
+    run(spark, root, untilEpoch = 1, seedsPerEpoch = 500,
+      cfg0 = FrontierJob.Config(epoch = 0, globalBudget = 350,
+        defaultHostBudget = 4, maxHostBudget = 4),
+      payloadValidation = true)
+    (0 to 1).map(e => Snapshots.readRaw(spark, root, e)
+        .groupBy(lit(e).as("epoch"), col("status"))
+        .agg(count(lit(1)).as("n")))
+      .reduce(_ unionByName _)
+      .orderBy("epoch", "status")
+  }
+
   /** Synthetic outlink discovery (SURVEY.md §2.7 U1): each fetched page
     * links to a deterministic handful of other article URLs on its host.
     * With `crossHost` the LAST link of each fanout set instead targets a
@@ -248,7 +327,8 @@ object CrawlPipeline {
       aging: Boolean = false,
       agingBoost: Double = 0.25,
       robotsFlipEpoch: Int = -1,
-      robotsAvailability: Boolean = false): Seq[EpochSummary] = {
+      robotsAvailability: Boolean = false,
+      payloadValidation: Boolean = false): Seq[EpochSummary] = {
     require(sidecar == "bloom" || sidecar == "cuckoo", s"unknown sidecar kind: $sidecar")
     require(recrawlPolicy == "staleness" || recrawlPolicy == "changerate",
       s"unknown recrawl policy: $recrawlPolicy")
@@ -486,7 +566,12 @@ object CrawlPipeline {
       // crash at ANY point here leaves an uncommitted epoch that resume
       // re-runs idempotently; committing before seen/blooms would instead
       // let a crash produce a committed epoch whose URLs re-schedule)
-      val fetched = fetchInstrumented(scheduled, epoch, fetchPartitions)
+      val fetched0 = fetchInstrumented(scheduled, epoch, fetchPartitions)
+      // c67: the payload admission gate sits between the fetch wave and
+      // the at-rest write — damaged payloads land in the fetch log as
+      // invalid_payload (auditable), never in the parsed contract view
+      val fetched =
+        if (!payloadValidation) fetched0 else validateFetched(fetched0, epoch)
       val summary = Snapshots.writeEpochFetched(fetched, root, epoch, dedupeCounts)
       // c50: persist this epoch's AIMD backoff state from the at-rest fetch
       // log BEFORE the manifest commit (sibling-state discipline — resume
