@@ -188,8 +188,13 @@ object CrawlPipeline {
     */
   def payloadGateDemo(spark: SparkSession): DataFrame = {
     val root = java.nio.file.Files.createTempDirectory("graft-c67demo").toString
-    run(spark, root, untilEpoch = 1, seedsPerEpoch = 500,
-      cfg0 = FrontierJob.Config(epoch = 0, globalBudget = 350,
+    // trimmed demo scale (c44/c51 precedent): ~8 expected damage rows
+    // per epoch at 1/32 — the ledger stays non-vacuous (all four statuses
+    // realized per epoch, probed 8 rows) and the wall drops ~1 s; the
+    // fixed 2-epoch crawl cost dominates, and the semantics are pinned at
+    // full scale by ValidationPipelineSpec
+    run(spark, root, untilEpoch = 1, seedsPerEpoch = 350,
+      cfg0 = FrontierJob.Config(epoch = 0, globalBudget = 250,
         defaultHostBudget = 4, maxHostBudget = 4),
       payloadValidation = true)
     (0 to 1).map(e => Snapshots.readRaw(spark, root, e)
