@@ -248,6 +248,10 @@ object SparkEntry {
     // over a variable-aspect image catalog) — integer argmin bucket
     // assignment + one windowed pack per bucket, ragged tail marked
     "t33_aspect_buckets" -> ((s, d) => ImageOps.aspectBucketReport(s, d)),
+    // t34: BM25 top-k retrieval — Robertson-ratio idf + length-normalized
+    // tf in t23's integer fixed point (hash-exact cross-engine); queries
+    // derived in-plan from df ranks
+    "t34_bm25_topk" -> ((s, d) => TextOps.bm25TopK(s, d)),
     "t09_corpus_curation" -> ((s, d) => TextOps.curatedCorpus(s, d)),
     "t10_span_clip" -> ((s, d) => TextOps.spanClippedCorpus(s, d)),
     "t11_multimodal_dedup" -> ((s, d) =>
@@ -402,6 +406,12 @@ object SparkEntry {
     // (ExifSpec: tag round-trip both endiannesses, transform laws,
     // matches == brute oriented-kernel mirror)
     "c64_exif_orientation" -> ((s, _) => ImageOps.orientationDemo(s)),
+    // c68: rotation/flip copy detection with NO metadata (rotate-then-
+    // strip reposts) — full dihedral orbit probed against stored hashes
+    "c68_dihedral_copydetect" -> ((s, _) => ImageOps.dihedralDemo(s)),
+    // c69: uniform-border (letterbox/pillarbox/padding) audit — the
+    // crop-or-drop curation signal for padded images
+    "c69_border_audit" -> ((s, _) => ImageOps.borderDemo(s)),
     // c66: JPEG encode-quality audit — IJG quality inverted from the
     // luminance DQT (header bytes only, codegen expression); planted
     // low-quality re-encodes must flag LOW, png rows report -1
@@ -1456,6 +1466,54 @@ object SparkEntry {
         |)
         |SELECT doc_id, term, tf, df, score, rank
         |FROM ranked WHERE rank <= 3""".stripMargin,
+    // t34: same tokenization as t23; identical integer fixed-point BM25
+    // arithmetic in both engines (DuckDB // == Spark div on positives;
+    // sum(BIGINT) recast from HUGEINT)
+    "t34_bm25_topk" ->
+      """WITH toks AS (
+        |  SELECT doc_id, t AS term FROM (
+        |    SELECT doc_id,
+        |      unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS t
+        |    FROM documents)
+        |  WHERE t <> ''
+        |), tf AS (
+        |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        |  FROM toks GROUP BY 1, 2
+        |), dl AS (
+        |  SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1
+        |), dft AS (
+        |  SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1
+        |), stats AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |         CAST(sum(dl) AS BIGINT) AS sum_dl FROM dl
+        |), ranked AS (
+        |  SELECT term, row_number() OVER (ORDER BY df DESC, term ASC) AS r
+        |  FROM dft
+        |), qterms AS (
+        |  SELECT CAST(1 AS BIGINT) AS query_id, term FROM ranked
+        |  WHERE r IN (10, 20, 30)
+        |  UNION ALL
+        |  SELECT CAST(2 AS BIGINT) AS query_id, term FROM ranked
+        |  WHERE r IN (15, 25, 35)
+        |), scored AS (
+        |  SELECT q.query_id, t.doc_id,
+        |    ((2*(st.n_docs - d.df) + 1) * 1000 // (2*d.df + 1)) *
+        |    ((22*t.tf*st.sum_dl*1000) //
+        |      (10*t.tf*st.sum_dl + 3*st.sum_dl + 9*l.dl*st.n_docs)) AS s
+        |  FROM tf t JOIN qterms q USING (term) JOIN dl l USING (doc_id)
+        |       JOIN dft d USING (term) CROSS JOIN stats st
+        |), perdoc AS (
+        |  SELECT query_id, doc_id, CAST(sum(s) AS BIGINT) AS score,
+        |         CAST(count(*) AS BIGINT) AS n_terms
+        |  FROM scored GROUP BY 1, 2
+        |), topk AS (
+        |  SELECT *, CAST(row_number() OVER (
+        |      PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS INT)
+        |      AS rank
+        |  FROM perdoc
+        |)
+        |SELECT query_id, doc_id, score, n_terms, rank
+        |FROM topk WHERE rank <= 5""".stripMargin,
     "t22_corpus_build" ->
       (ngramPairSql +
         """, edges AS (

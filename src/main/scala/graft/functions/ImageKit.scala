@@ -690,4 +690,75 @@ object ImageKit {
     val (dpx, dw, dh) = applyOrientation(px, w, h, exifOrientation(bytes))
     phashOfPixels(dpx, dw, dh)
   }
+
+  /** c68 — the phash of every element of the image's dihedral orbit
+    * (EXIF codes 1..8 ARE the full D4 group: identity, mirror, 180,
+    * upside-down mirror, the two transposes, 90 CW and 90 CCW), from ONE
+    * decode: each transform is an index remap of the already-decoded
+    * pixels. This is the metadata-FREE rotation story — c64 normalizes by
+    * the DECLARED tag, but the common web repost is rotate-then-strip
+    * (editors bake the rotation into the pixel grid and drop EXIF), which
+    * leaves no tag to read; matching any of the orbit's hashes against a
+    * stored hash catches those. Index i holds orientation code i+1.
+    */
+  /** c69 — uniform border (letterbox/pillarbox/padding) measurement: the
+    * count of consecutive FLAT lines (max-min <= tol within the line, and
+    * within tol of the outermost line's mean — one bar, not stacked
+    * different-colored bars) inward from each edge, capped at half the
+    * dimension so a fully-flat image reads as "all border" without the
+    * scans crossing. All-integer; total on garbage (zeros).
+    * Returns (top, bottom, left, right) thicknesses in pixels.
+    */
+  def borderWidths(bytes: Array[Byte], tol: Int = 8): (Int, Int, Int, Int) = {
+    if (bytes == null || bytes.isEmpty) return (0, 0, 0, 0)
+    val (px, w, h) = decodeGray(bytes)
+    if (w == 0 || h == 0) return (0, 0, 0, 0)
+    def line(isRow: Boolean, idx: Int): (Int, Int, Int) = {
+      // (min, max, sum) over the line
+      var mn = 255; var mx = 0; var sm = 0
+      val n = if (isRow) w else h
+      var i = 0
+      while (i < n) {
+        val v = if (isRow) px(idx * w + i) else px(i * w + idx)
+        if (v < mn) mn = v
+        if (v > mx) mx = v
+        sm += v
+        i += 1
+      }
+      (mn, mx, sm)
+    }
+    def scan(isRow: Boolean, from: Int, step: Int, cap: Int): Int = {
+      val n0 = if (isRow) w else h
+      val (mn0, mx0, sm0) = line(isRow, from)
+      if (mx0 - mn0 > tol) return 0
+      val mean0 = sm0 / n0
+      var t = 0
+      var idx = from
+      while (t < cap) {
+        val (mn, mx, sm) = line(isRow, idx)
+        if (mx - mn > tol || math.abs(sm / n0 - mean0) > tol) return t
+        t += 1
+        idx += step
+      }
+      t
+    }
+    (scan(isRow = true, 0, 1, h / 2),
+      scan(isRow = true, h - 1, -1, h / 2),
+      scan(isRow = false, 0, 1, w / 2),
+      scan(isRow = false, w - 1, -1, w / 2))
+  }
+
+  def dihedralPhashes(bytes: Array[Byte]): Array[Long] = {
+    val out = new Array[Long](8)
+    if (bytes == null || bytes.isEmpty) return out
+    val (px, w, h) = decodeGray(bytes)
+    if (w == 0 || h == 0) return out
+    var o = 1
+    while (o <= 8) {
+      val (dpx, dw, dh) = applyOrientation(px, w, h, o)
+      out(o - 1) = phashOfPixels(dpx, dw, dh)
+      o += 1
+    }
+    out
+  }
 }

@@ -649,6 +649,165 @@ object ImageOps {
     orientationMatches(orientationCorpus(spark))
       .orderBy("image_a", "image_b")
 
+  // ---- c68: dihedral (EXIF-STRIPPED rotation/flip) copy detection ------
+
+  /** c68 corpus: n upright base images plus, for every 3rd, a repost whose
+    * pixels are baked through a dihedral transform (cycling all seven
+    * non-trivial D4 elements) and re-encoded WITHOUT any EXIF tag — the
+    * rotate-then-strip web repost c64's declared-tag normalization cannot
+    * see (exifOrientation reads 0 on every row here). Every other repost
+    * is jpeg (lossy twin), the rest png (exact twin), so the matcher is
+    * exercised on both noise regimes.
+    */
+  def dihedralCorpus(spark: org.apache.spark.sql.SparkSession,
+                     n: Int = 42): DataFrame = {
+    import spark.implicits._
+    val rows = (0 until n).flatMap { i =>
+      val s = graft.sources.Gen.snapshotRow(s"img-$i", 0, 0, "png", 0)
+      val base = Seq((s.image_id, s.bytes))
+      if (i % 3 != 0) base
+      else {
+        val (px, w, h) = ImageKit.decodeGray(s.bytes)
+        val o = 2 + i % 7 // cycles 2..8
+        val (spx, sw, sh) = ImageKit.storeWithOrientation(px, w, h, o)
+        val fmt = if (i % 2 == 0) "jpeg" else "png"
+        base :+ (s"img-$i?rot=$o", ImageKit.encode(spx, sw, sh, fmt))
+      }
+    }
+    spark.createDataset(rows).toDF("image_id", "bytes")
+  }
+
+  /** Per-image dihedral audit: the stored grid's phash plus the full
+    * 8-element orbit of phashes, one decode per row (each orbit element
+    * is an index remap of the decoded pixels, no re-decode).
+    */
+  def dihedralAudit(images: DataFrame): DataFrame = {
+    import images.sparkSession.implicits._
+    images.select("image_id", "bytes").as[(String, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        val orbit = ImageKit.dihedralPhashes(bytes)
+        (id, orbit(0), orbit)
+      })
+      .toDF("image_id", "phash", "orbit")
+  }
+
+  /** c68 — rotation/flip-invariant copy pairs with NO metadata: probe
+    * every element of side a's dihedral orbit against side b's single
+    * stored hash (D4 closure makes the probe symmetric: whichever of the
+    * pair is the rotated one, the un-rotating element is in the other's
+    * orbit). Blocking is c17's 4x16-bit key scheme applied to each
+    * (orbit element, stored hash) combination — ids and hashes only on
+    * the exchanges, bytes never leave the decode pass; pigeonhole keeps
+    * recall certain for hamming <= 3. `plain_missed` contrasts what
+    * stored-hash-only blocking (c17) is blind to — for the 90-degree
+    * family, essentially every pair.
+    */
+  def dihedralMatches(images: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val audit = dihedralAudit(images)
+      .withColumn("img_hash", xxhash64(col("image_id")))
+      .cache()
+    val probes = audit.select(col("image_id"), col("phash"), col("img_hash"),
+        posexplode(col("orbit")).as(Seq("orient0", "ph_o")))
+      .select(col("image_id"), col("phash"), col("img_hash"),
+        (col("orient0") + 1).as("orient"), col("ph_o"),
+        explode(array((0 until 4).map(b =>
+          struct(lit(b).as("blk"),
+            shiftrightunsigned(col("ph_o"), b * 16)
+              .bitwiseAND(lit(0xffffL)).as("key"))).toIndexedSeq: _*))
+          .as("block"))
+      .select(col("image_id"), col("phash"), col("img_hash"),
+        col("orient"), col("ph_o"), col("block.blk").as("blk"),
+        col("block.key").as("key"))
+    val stored = phashBlocks(audit.select("image_id", "phash"))
+    probes.as("a").join(stored.as("b"),
+        col("a.blk") === col("b.blk") && col("a.key") === col("b.key") &&
+          col("a.img_hash") < col("b.img_hash"))
+      .select(col("a.image_id").as("image_a"), col("b.image_id").as("image_b"),
+        col("a.img_hash").as("img_a"), col("b.img_hash").as("img_b"),
+        col("a.orient").as("orient"),
+        bit_count(col("a.ph_o").bitwiseXOR(col("b.phash"))).as("hamming"),
+        bit_count(col("a.phash").bitwiseXOR(col("b.phash")))
+          .as("plain_hamming"))
+      .where(col("hamming") <= maxHamming)
+      .groupBy("img_a", "img_b")
+      .agg(first("image_a").as("image_a"), first("image_b").as("image_b"),
+        min(struct(col("hamming"), col("orient"))).as("best"),
+        first("plain_hamming").as("plain_hamming"))
+      .select(col("image_a"), col("image_b"),
+        col("best.hamming").as("hamming"), col("best.orient").as("orient"),
+        (col("plain_hamming") > maxHamming).as("plain_missed"))
+  }
+
+  def dihedralDemo(spark: org.apache.spark.sql.SparkSession): DataFrame =
+    dihedralMatches(dihedralCorpus(spark))
+      .orderBy("image_a", "image_b")
+
+  // ---- c69: letterbox / pillarbox / padding border audit ---------------
+
+  /** c69 corpus: n natural-texture images; every 4th is letterboxed (flat
+    * top+bottom bars, thickness cycling 3/5/7, bar value cycling 0/16/235
+    * — black, near-black, broadcast-white), every 6th (not also 4th) is
+    * pillarboxed (flat left+right bars, thickness 4/6), and every 11th
+    * clean image gets ONE flat top row (a 1-px camera artifact that must
+    * not trip the verdict). Encoded png so the planted bars stay exactly
+    * flat.
+    */
+  def borderCorpus(spark: org.apache.spark.sql.SparkSession,
+                   n: Int = 66): DataFrame = {
+    import spark.implicits._
+    val rows = (0 until n).map { i =>
+      val w = 48; val h = 32
+      val px = ImageKit.genPixels(ImageKit.mix64(i * 15485863L + 7L), 0, w, h)
+      val (out, ow, oh) =
+        if (i % 4 == 0) {
+          val bar = Seq(3, 5, 7)(i / 4 % 3)
+          val v = Seq(0, 16, 235)(i / 4 % 3)
+          val padded = Array.fill(bar * w)(v) ++ px ++ Array.fill(bar * w)(v)
+          (padded, w, h + 2 * bar)
+        } else if (i % 6 == 0) {
+          val bar = Seq(4, 6)(i / 6 % 2)
+          val padded = (0 until h).flatMap(y =>
+            Array.fill(bar)(8) ++ px.slice(y * w, (y + 1) * w) ++
+              Array.fill(bar)(8)).toArray
+          (padded, w + 2 * bar, h)
+        } else if (i % 11 == 0) {
+          (Array.fill(w)(64) ++ px.drop(w), w, h)
+        } else (px, w, h)
+      (s"img-$i", ImageKit.encode(out, ow, oh, "png"))
+    }
+    rows.toDF("image_id", "bytes")
+  }
+
+  /** c69 — border audit: per-image flat-bar thickness on all four edges
+    * (ImageKit.borderWidths, one decode per row) plus the padded-fraction
+    * of each axis and the curation verdict (PADDED when either axis is
+    * >= minFrac border — the letterboxed/pillarboxed rows a training
+    * pipeline crops or drops; a 1-px artifact row stays below the
+    * threshold). Bytes never leave the decode pass; the output is ids +
+    * small ints.
+    */
+  def borderAudit(images: DataFrame, tol: Int = 8,
+                  minFrac: Double = 0.1): DataFrame = {
+    import images.sparkSession.implicits._
+    images.select("image_id", "bytes").as[(String, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        val (t, b, l, r) = ImageKit.borderWidths(bytes, tol)
+        val packed = ImageKit.headerDims64(bytes)
+        val w = math.max(ImageKit.dimsW(packed), 1)
+        val h = math.max(ImageKit.dimsH(packed), 1)
+        (id, t, b, l, r,
+          math.round((t + b) * 10000.0 / h) / 10000.0,
+          math.round((l + r) * 10000.0 / w) / 10000.0)
+      })
+      .toDF("image_id", "top", "bottom", "left", "right",
+        "vfrac", "hfrac")
+      .withColumn("padded",
+        col("vfrac") >= minFrac || col("hfrac") >= minFrac)
+  }
+
+  def borderDemo(spark: org.apache.spark.sql.SparkSession): DataFrame =
+    borderAudit(borderCorpus(spark)).orderBy("image_id")
+
   // ---- c66: JPEG encode-quality audit ----------------------------------
 
   /** c66 corpus: n jpegs at high encode quality, with every 4th replaced

@@ -1255,6 +1255,66 @@ object TextOps {
       .select("doc_id", "term", "tf", "df", "score", "rank")
   }
 
+  /** t34 — BM25 top-k retrieval (Robertson/Spärck-Jones 1976 probabilistic
+    * weighting, k1=1.2 b=0.75), the ranked-retrieval primitive behind
+    * corpus search / decontamination-candidate lookup / eval-set mining.
+    * Scoring is t23's integer fixed-point discipline so the DuckDB oracle
+    * matches hash-exactly at any parallelism: the idf factor is the raw
+    * Robertson ratio (N-df+0.5)/(df+0.5) at scale 1000 WITHOUT the log
+    * (a documented monotone-argument variant — ln() is libm-dependent and
+    * not bit-identical across engines, and integer sums are
+    * addition-order-free where double sums are not), and the
+    * length-normalized tf factor tf*(k1+1)/(tf + k1*(1-b+b*dl/avgdl)) is
+    * cleared of fractions by multiplying through by 20*sum_dl:
+    * 22*tf*sum_dl / (10*tf*sum_dl + 3*sum_dl + 9*dl*N), at scale 1000.
+    * Queries are derived in-plan (terms at df-ranks {10,20,30} and
+    * {15,25,35}) so the operator is self-contained and deterministic.
+    *
+    * Scale shape: tf and dl are doc-keyed aggs of one tokenize pass (the
+    * exchange is reused); df is a vocab-sized re-agg (Heaps' law ~ sqrt
+    * of corpus) that joins back BROADCAST, as do the query terms and the
+    * 1-row stats; the only big exchange is the doc-keyed one. The final
+    * top-k window partitions by query_id — fine for a handful of queries
+    * (TopKAgg is the bounded-heap path for query fan-out); the df-rank
+    * window is a global sort of the SMALL vocab table only.
+    */
+  def bm25TopK(spark: SparkSession, dir: String, k: Int = 5): DataFrame =
+    bm25TopKOf(docs(spark, dir), k)
+
+  /** t34 kernel over any (doc_id, text) frame. */
+  def bm25TopKOf(corpus: DataFrame, k: Int = 5): DataFrame = {
+    val base = corpus.select(col("doc_id"), col("text"))
+    val toks = base.select(col("doc_id"),
+      explode(split(lower(trim(col("text"))), "\\s+")).as("term"))
+      .where(length(col("term")) > 0)
+    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
+    val dfT = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"))
+    val wDf = org.apache.spark.sql.expressions.Window
+      .orderBy(col("df").desc, col("term").asc)
+    val ranked = dfT.withColumn("r", row_number().over(wDf))
+    val qterms =
+      ranked.where(col("r").isin(10, 20, 30))
+        .select(lit(1L).as("query_id"), col("term"))
+        .unionByName(ranked.where(col("r").isin(15, 25, 35))
+          .select(lit(2L).as("query_id"), col("term")))
+    val scored = tf.join(broadcast(qterms), "term")
+      .join(dl, "doc_id")
+      .join(broadcast(dfT.select("term", "df")), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("s", expr(
+        "((2*(n_docs - df) + 1) * 1000 div (2*df + 1)) * " +
+          "((22*tf*sum_dl*1000) div (10*tf*sum_dl + 3*sum_dl + 9*dl*n_docs))"))
+    val perDoc = scored.groupBy("query_id", "doc_id")
+      .agg(sum("s").as("score"), count(lit(1)).cast("long").as("n_terms"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("score").desc, col("doc_id").asc)
+    perDoc.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "doc_id", "score", "n_terms", "rank")
+  }
+
   /** SimHash near-dup: fingerprint once, candidate pairs by identical
     * 16-bit prefix block (cheap bucketing), verify by Hamming distance.
     */
