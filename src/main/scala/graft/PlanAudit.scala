@@ -255,6 +255,23 @@ object PlanAudit {
         "only exchange is the presentation sort",
       fmt(TextOps.c4Report(spark, sfDir))))
 
+    // t34 BM25 ranked retrieval
+    sections += (("t34 BM25 ranked retrieval",
+      "the corpus-sized tf table is the only shuffled relation (one " +
+        "doc-keyed exchange family); df, in-plan query terms and the " +
+        "1-row stats all come back as broadcasts; scoring is integer " +
+        "fixed point inside codegen; text never rides an exchange",
+      fmt(TextOps.bm25TopK(spark, sfDir))))
+
+    // c68 dihedral (metadata-free rotation) copy detection
+    sections += (("c68 dihedral copy detection (rotate-then-strip reposts)",
+      "one decode pass emits the 8-hash orbit; the orbit explode and " +
+        "4x16-bit blocking carry ids+hashes only — image bytes stop at " +
+        "the decode pass and never reach an exchange; per-pair best " +
+        "(hamming, orientation) is a min(struct) hash aggregate",
+      fmt(graft.operators.ImageOps.dihedralMatches(
+        graft.operators.ImageOps.dihedralCorpus(spark)))))
+
     val md = new StringBuilder
     md.append("# BENCH/PLANS — flagship physical plans (explain formatted)\n\n")
     md.append("Generated by `graft.PlanAudit` (re-run after plan-shaping changes).\n")

@@ -647,4 +647,25 @@ class PlanSpec extends AnyFunSuite {
       assert(!l.contains("text#"), s"document text on an exchange: $l")
     }
   }
+
+  test("t34 BM25: df/query/stats sides broadcast; document text never on an exchange") {
+    val p = finalPlan(graft.operators.TextOps.bm25TopK(
+      spark, "/root/testdata/sf0.001"))
+    // three small sides (query terms, df, 1-row stats) must come back as
+    // broadcasts — the corpus-sized tf table is the only shuffled relation
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      s"small sides of the BM25 join do not broadcast:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"1-row stats side not broadcast:\n$p")
+    p.linesIterator.filter(_.contains("Exchange hashpartitioning")).foreach { l =>
+      assert(!l.contains("text#"), s"document text on an exchange: $l")
+    }
+  }
+
+  test("c68 dihedral matches: image bytes stop at the decode pass, never an exchange") {
+    val p = finalPlan(graft.operators.ImageOps.dihedralDemo(spark))
+    p.linesIterator.filter(_.contains("Exchange")).foreach { l =>
+      assert(!l.contains("bytes#"), s"image bytes on an exchange: $l")
+    }
+  }
 }
