@@ -412,6 +412,11 @@ object SparkEntry {
     // c69: uniform-border (letterbox/pillarbox/padding) audit — the
     // crop-or-drop curation signal for padded images
     "c69_border_audit" -> ((s, _) => ImageOps.borderDemo(s)),
+    // c70: per-IP politeness — the vhost-farm cap (budget keyed by
+    // resolved address, not host)
+    "c70_ip_politeness" -> ((s, _) => operators.IpOps.ipBudgetDemo(s)),
+    // c71: low-contrast / flat-payload audit — the no-signal curation drop
+    "c71_contrast_audit" -> ((s, _) => ImageOps.contrastDemo(s)),
     // c66: JPEG encode-quality audit — IJG quality inverted from the
     // luminance DQT (header bytes only, codegen expression); planted
     // low-quality re-encodes must flag LOW, png rows report -1

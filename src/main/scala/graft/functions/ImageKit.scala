@@ -701,6 +701,40 @@ object ImageKit {
     * leaves no tag to read; matching any of the orbit's hashes against a
     * stored hash catches those. Index i holds orientation code i+1.
     */
+  /** c71 — global contrast measurement: (intensity range, stddev x100)
+    * over all pixels, all-integer (the stddev is the floor integer square
+    * root of the exact integer variance x10000, so the score is
+    * bit-identical at any parallelism and between the distributed audit
+    * and its mirror). Flat / near-flat payloads (solid placeholders,
+    * blank thumbnails, tracking pixels scaled up) are a standard
+    * curation drop alongside the blur gate (c57) — blur attenuates high
+    * frequencies, this catches images with no signal at all. Total on
+    * garbage (zeros).
+    */
+  def contrastQ100(bytes: Array[Byte]): (Int, Long) = {
+    if (bytes == null || bytes.isEmpty) return (0, 0L)
+    val (px, w, h) = decodeGray(bytes)
+    val n = w.toLong * h
+    if (n == 0) return (0, 0L)
+    var mn = 255; var mx = 0; var sum = 0L; var sumSq = 0L
+    var i = 0
+    while (i < px.length) {
+      val v = px(i)
+      if (v < mn) mn = v
+      if (v > mx) mx = v
+      sum += v
+      sumSq += v.toLong * v
+      i += 1
+    }
+    // var x10000 = (n*sumSq - sum^2) * 10000 / n^2, exact integer floor;
+    // stddev x100 = floor sqrt of that (Math.sqrt seed + exact adjust)
+    val varQ = (n * sumSq - sum * sum) * 10000L / (n * n)
+    var s = math.sqrt(varQ.toDouble).toLong
+    while (s * s > varQ) s -= 1
+    while ((s + 1) * (s + 1) <= varQ) s += 1
+    (mx - mn, s)
+  }
+
   /** c69 — uniform border (letterbox/pillarbox/padding) measurement: the
     * count of consecutive FLAT lines (max-min <= tol within the line, and
     * within tol of the outermost line's mean — one bar, not stacked

@@ -808,6 +808,54 @@ object ImageOps {
   def borderDemo(spark: org.apache.spark.sql.SparkSession): DataFrame =
     borderAudit(borderCorpus(spark)).orderBy("image_id")
 
+  // ---- c71: low-contrast / flat-payload audit ---------------------------
+
+  /** c71 corpus: n natural-texture images; every 5th is replaced by a
+    * SOLID placeholder (one value, range 0), every 7th (not also 5th) by
+    * a near-flat card (values within +-2 of a base — the "blank thumbnail
+    * with a faint logo" shape), the rest keep their full-range texture.
+    */
+  def contrastCorpus(spark: org.apache.spark.sql.SparkSession,
+                     n: Int = 70): DataFrame = {
+    import spark.implicits._
+    val rows = (0 until n).map { i =>
+      val w = 48; val h = 32
+      val seed = ImageKit.mix64(i * 32452843L + 13L)
+      val px =
+        if (i % 5 == 0) Array.fill(w * h)(((seed >>> 8) & 0xff).toInt)
+        else if (i % 7 == 0) {
+          val base = 100 + (i % 3) * 40
+          Array.tabulate(w * h)(j =>
+            base + (ImageKit.mix64(seed + j) & 0x3L).toInt)
+        } else ImageKit.genPixels(seed, 0, w, h)
+      (s"img-$i", ImageKit.encode(px, w, h, "png"))
+    }
+    rows.toDF("image_id", "bytes")
+  }
+
+  /** c71 — contrast audit: per-image intensity range and integer
+    * fixed-point stddev (ImageKit.contrastQ100, one decode per row),
+    * verdict LOW_CONTRAST when the range or the spread is under the
+    * gate — the no-signal payloads a curation pipeline drops before
+    * spending feature-extraction on them. Bytes stop at the decode pass;
+    * output is ids + small ints.
+    */
+  def contrastAudit(images: DataFrame, minRange: Int = 24,
+                    minStddevQ100: Long = 600L): DataFrame = {
+    import images.sparkSession.implicits._
+    images.select("image_id", "bytes").as[(String, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        val (rng, sd) = ImageKit.contrastQ100(bytes)
+        (id, rng, sd)
+      })
+      .toDF("image_id", "range", "stddev_q100")
+      .withColumn("low_contrast",
+        col("range") < minRange || col("stddev_q100") < minStddevQ100)
+  }
+
+  def contrastDemo(spark: org.apache.spark.sql.SparkSession): DataFrame =
+    contrastAudit(contrastCorpus(spark)).orderBy("image_id")
+
   // ---- c66: JPEG encode-quality audit ----------------------------------
 
   /** c66 corpus: n jpegs at high encode quality, with every 4th replaced
