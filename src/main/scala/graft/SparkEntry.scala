@@ -83,6 +83,9 @@ object SparkEntry {
     // q56: GROUPING SETS proper — a multi-group shape rollup/cube can't
     // express (two independent one-column groupings, no grand total)
     "q56_grouping_sets" -> ((s, d) => Relational.groupingSetsOrders(s, d)),
+    // q57: Z-order clustering zone maps — the write-time layout tool for
+    // multi-column scan pruning (Morton bit-interleave, engine-exact)
+    "q57_zorder_zones" -> ((s, d) => operators.LayoutOps.zorderZones(s, d)),
     "q22_levenshtein" -> ((s, d) => Relational.levenshteinDocs(s, d)),
     "q23_percentile" -> ((s, d) => Relational.percentiles(s, d)),
     "q24_window_misc" -> ((s, d) => Relational.windowMisc(s, d)),
@@ -938,6 +941,40 @@ object SparkEntry {
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
         |round(sum(o_totalprice),2) AS total FROM orders
         |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))""".stripMargin,
+    // q57: the same Morton magic-number spread spelled step by step
+    // (masks 0x00FF00FF / 0x0F0F0F0F / 0x33333333 / 0x55555555 in
+    // decimal); all BIGINT so both engines stay sign-free
+    "q57_zorder_zones" ->
+      """WITH base AS (
+        |  SELECT CAST(l_partkey AS BIGINT) % 65536 AS pk,
+        |         CAST(l_suppkey AS BIGINT) % 65536 AS sk
+        |  FROM lineitem
+        |), s1 AS (
+        |  SELECT pk, sk,
+        |    ((pk & 65535) | ((pk & 65535) << 8)) & 16711935 AS xa,
+        |    ((sk & 65535) | ((sk & 65535) << 8)) & 16711935 AS xb
+        |  FROM base
+        |), s2 AS (
+        |  SELECT pk, sk, (xa | (xa << 4)) & 252645135 AS xa,
+        |         (xb | (xb << 4)) & 252645135 AS xb FROM s1
+        |), s3 AS (
+        |  SELECT pk, sk, (xa | (xa << 2)) & 858993459 AS xa,
+        |         (xb | (xb << 2)) & 858993459 AS xb FROM s2
+        |), s4 AS (
+        |  SELECT pk, sk, (xa | (xa << 1)) & 1431655765 AS xa,
+        |         (xb | (xb << 1)) & 1431655765 AS xb FROM s3
+        |), keyed AS (
+        |  SELECT pk, sk, xa | (xb << 1) AS z FROM s4
+        |), zoned AS (
+        |  SELECT pk, sk, z, CAST(ntile(32) OVER (
+        |      ORDER BY z ASC, pk ASC, sk ASC) AS INT) AS zone
+        |  FROM keyed
+        |)
+        |SELECT zone, CAST(count(*) AS BIGINT) AS n_rows,
+        |  min(pk) AS pk_min, max(pk) AS pk_max,
+        |  min(sk) AS sk_min, max(sk) AS sk_max,
+        |  min(z) AS z_min, max(z) AS z_max
+        |FROM zoned GROUP BY zone""".stripMargin,
     "q09_setops" ->
       """SELECT c_nationkey AS nationkey FROM customer
         |EXCEPT SELECT s_nationkey AS nationkey FROM supplier""".stripMargin,
