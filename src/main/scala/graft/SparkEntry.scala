@@ -222,6 +222,9 @@ object SparkEntry {
     // the gate proves store == from-scratch
     "g08_incremental_cc" -> ((s, d) => operators.DedupResolve.resolveNgramDupsIncremental(s, d)),
     "t08_dedup_corpus" -> ((s, d) => operators.DedupResolve.dedupedCorpus(s, d)),
+    // t36: SOFT dedup — survivors carry cluster multiplicity as a
+    // training weight (count-aware alternative to hard dropping)
+    "t36_dedup_weights" -> ((s, d) => operators.DedupResolve.weightedCorpus(s, d)),
     // t27: POLICY-parameterized survivor — keep-LONGEST (Lee et al.
     // ACL'22) instead of t08's min-id; argmax(score) per component via
     // one window over the label table, min-id tie-break
@@ -1636,6 +1639,29 @@ object SparkEntry {
           |)
           |SELECT doc_id FROM corpus WHERE doc_id NOT IN (SELECT id FROM drops)"""
           .stripMargin),
+    // t36: t08's reachability components + a component-size weight on
+    // each survivor; unpaired docs weight 1 (COALESCE). Conservation:
+    // SUM(weight) == corpus row count.
+    "t36_dedup_weights" ->
+      (ngramPairSql +
+        """, edges AS (
+          |  SELECT doc_a AS src, doc_b AS dst FROM dup_pairs
+          |  UNION
+          |  SELECT doc_b AS src, doc_a AS dst FROM dup_pairs
+          |), reach AS (
+          |  SELECT src AS id, src AS node FROM edges
+          |  UNION
+          |  SELECT r.id, e.dst AS node FROM reach r JOIN edges e ON r.node = e.src
+          |), comp AS (
+          |  SELECT id, min(node) AS comp FROM reach GROUP BY id
+          |), csize AS (
+          |  SELECT comp, CAST(count(*) AS BIGINT) AS w FROM comp GROUP BY comp
+          |)
+          |SELECT c.doc_id, COALESCE(z.w, CAST(1 AS BIGINT)) AS weight
+          |FROM corpus c
+          |LEFT JOIN comp m ON c.doc_id = m.id
+          |LEFT JOIN csize z ON m.comp = z.comp AND m.id = m.comp
+          |WHERE m.id IS NULL OR m.id = m.comp""".stripMargin),
     // t27: t08's reachability components, survivor = argmax(length) with
     // min-id tie-break (keep-longest policy) — same recursive CTE, one
     // extra window over the component table.

@@ -264,6 +264,34 @@ object DedupResolve {
         (col("rk") === 1).as("is_survivor"))
   }
 
+  /** t36 — SOFT dedup: keep one member per near-dup cluster but carry the
+    * cluster MULTIPLICITY as a training weight (unpaired docs weight 1).
+    * Hard dropping discards the duplication signal; count-aware training
+    * re-weights the survivor's loss by how often the content occurred —
+    * the standard alternative when duplication frequency is itself
+    * informative (popular boilerplate vs genuinely common knowledge).
+    * Same label-table-sized work as t08: the weight table is one
+    * component-keyed count over the dup-rate-sized label table; the
+    * corpus pays the identical keep-list anti-join plus one dup-rate-
+    * sized left join for the weights. Conservation law: the weights sum
+    * to the ORIGINAL corpus size.
+    */
+  def weightedCorpus(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = TextOps.plantedCorpus(spark, dir)
+    val labels = resolve(TextOps.nearDupNgramJaccard(spark, dir),
+      "doc_a", "doc_b")
+    val survivorWeights = labels
+      .groupBy("component").agg(count(lit(1)).cast("long").as("weight"))
+      .select(col("component").as("doc_id"), col("weight"))
+    val drops = labels.where(!col("is_survivor"))
+      .select(col("doc_id").as("__drop_id"))
+    corpus.select(col("doc_id").cast("long").as("doc_id"))
+      .join(drops, col("doc_id") === col("__drop_id"), "left_anti")
+      .join(survivorWeights, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("weight"), lit(1L)).as("weight"))
+      .orderBy("doc_id")
+  }
+
   /** t27 — keep-LONGEST dedup over the planted corpus (oracled). The two
     * policies genuinely disagree here: every planted revision is longer
     * than its base (appended marker tokens), so keep-longest retains the
