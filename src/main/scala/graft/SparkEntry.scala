@@ -679,6 +679,29 @@ object SparkEntry {
       operators.SimIndex.decontaminateImages(s, root, 1, evalSet)
         .orderBy("image_id")
     }),
+    "c72_forget_takedown" -> ((s, d) => {
+      // takedown propagation through the persisted index (ForgetOps):
+      // a 2-epoch corpus with planted cross-epoch copies, then a takedown
+      // of part of the epoch-0 originals — the merge-on-read probe answers
+      // WITHOUT the deleted docs (and with the df-cap maintained) while
+      // the index files stay untouched; merge-on-read == rebuilt-from-
+      // filtered-corpus and compaction goldens are pinned in ForgetSpec
+      val root = java.nio.file.Files.createTempDirectory("graft-c72").toString
+      val docs = s.read.parquet(s"$d/documents.parquet").select("doc_id", "text")
+      val e0 = docs.where(pmod(col("doc_id"), lit(2)) === 0)
+      val e1 = docs.where(pmod(col("doc_id"), lit(2)) === 1)
+        .unionByName(e0.where(pmod(col("doc_id"), lit(20)) === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"),
+            concat(col("text"), lit(" appended revision marker tokens")).as("text")))
+      operators.SimIndex.writeShingleIndex(e0, root, 0)
+      operators.SimIndex.writeShingleIndex(e1, root, 1)
+      // take down the %40==0 originals: every pair they anchored must go,
+      // the %20-but-not-%40 pairs must stay
+      operators.ForgetOps.writeDocTombstones(s, root, 1,
+        docs.where(pmod(col("doc_id"), lit(40)) === 0).select("doc_id"))
+      operators.ForgetOps.crossEpochNearDupsForgetting(s, root, 1)
+        .orderBy("doc_a", "doc_b")
+    }),
     "c20_incremental_image_dedup" -> ((s, _) => {
       // incremental admission of a new image epoch against the corpus-so-far
       // through the persisted phash index: dups of EXISTING content drop

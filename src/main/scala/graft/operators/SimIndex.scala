@@ -57,7 +57,7 @@ object SimIndex {
     * or -1 — the SeenStore.latestCompactEpoch discipline applied to the
     * index family.
     */
-  private def latestCompact(root: String, table: String, maxEpoch: Int): Int = {
+  private[operators] def latestCompact(root: String, table: String, maxEpoch: Int): Int = {
     val dir = new java.io.File(s"$root/$table")
     val done = Option(dir.listFiles()).map(_.toSeq).getOrElse(Nil)
       .filter(f => f.isDirectory && f.getName.startsWith("epoch="))
@@ -73,7 +73,7 @@ object SimIndex {
     * original shape); with periodic [[compactShingleStats]] a 10^4-epoch
     * index sums O(cadence) partials per probe instead of 10^4.
     */
-  private def dfUpTo(spark: SparkSession, root: String, upToEpoch: Int,
+  private[operators] def dfUpTo(spark: SparkSession, root: String, upToEpoch: Int,
                      maxCompactEpoch: Int = Int.MaxValue): DataFrame = {
     val c = latestCompact(root, "shingle_df_compact",
       math.min(upToEpoch, maxCompactEpoch))
@@ -87,7 +87,7 @@ object SimIndex {
   /** Per-doc shingle counts as of `upToEpoch` (docs write sizes in exactly
     * one epoch, so this is a plain union): latest compact + tail dirs.
     */
-  private def sizesUpTo(spark: SparkSession, root: String, upToEpoch: Int,
+  private[operators] def sizesUpTo(spark: SparkSession, root: String, upToEpoch: Int,
                         maxCompactEpoch: Int = Int.MaxValue): DataFrame = {
     val c = latestCompact(root, "shingle_sizes_compact",
       math.min(upToEpoch, maxCompactEpoch))
@@ -130,11 +130,24 @@ object SimIndex {
       spark: SparkSession,
       root: String,
       epoch: Int,
-      maxDf: Int = 64): DataFrame = {
-    val idx = readShingleIndex(spark, root, epoch)
-    // corpus-so-far df = latest compact + per-epoch partials after it
-    val hot = dfUpTo(spark, root, epoch)
-      .where(col("df") > maxDf).select("sh")
+      maxDf: Int = 64): DataFrame =
+    nearDupsFrom(readShingleIndex(spark, root, epoch),
+      dfUpTo(spark, root, epoch), sizesUpTo(spark, root, epoch),
+      epoch, maxDf)
+
+  /** Pairing core shared by the plain probe and ForgetOps' merge-on-read
+    * variant: the caller supplies the (possibly tombstone-filtered) index
+    * view, the (possibly maintenance-adjusted) corpus-so-far df, and the
+    * sizes table; the df-cap, lossless semi-join cut, orientation rule,
+    * and Jaccard gate are identical by construction.
+    */
+  private[operators] def nearDupsFrom(
+      idx: DataFrame,
+      dfAll: DataFrame,
+      sizes: DataFrame,
+      epoch: Int,
+      maxDf: Int): DataFrame = {
+    val hot = dfAll.where(col("df") > maxDf).select("sh")
     val newCapped = idx.where(col("epoch") === epoch)
       .select("doc_id", "sh")
       .join(hot, Seq("sh"), "left_anti")
@@ -157,7 +170,6 @@ object SimIndex {
       .groupBy(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
         greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
       .agg(count(lit(1)).as("n_inter"))
-    val sizes = sizesUpTo(spark, root, epoch)
     pairs
       .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sz_a")), "doc_a")
       .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("sz_b")), "doc_b")
@@ -284,7 +296,7 @@ object SimIndex {
     * the cost being avoided) with their epoch re-attached; the compact
     * carries epoch as a data column.
     */
-  private def phashBlocksUpTo(
+  private[operators] def phashBlocksUpTo(
       spark: SparkSession, root: String, upToEpoch: Int,
       maxCompactEpoch: Int = Int.MaxValue): DataFrame = {
     val c = latestCompact(root, "phash_blocks_compact",
@@ -326,8 +338,18 @@ object SimIndex {
       spark: SparkSession,
       root: String,
       epoch: Int,
-      maxHamming: Int = 3): DataFrame = {
-    val blocks = phashBlocksUpTo(spark, root, epoch)
+      maxHamming: Int = 3): DataFrame =
+    nearDupPhashFrom(phashBlocksUpTo(spark, root, epoch), epoch, maxHamming)
+
+  /** Pairing core shared by the plain probe and ForgetOps' merge-on-read
+    * variant; the caller supplies the (possibly tombstone-filtered) block
+    * view carrying an `epoch` column.
+    */
+  private[operators] def nearDupPhashFrom(
+      blockRows: DataFrame,
+      epoch: Int,
+      maxHamming: Int): DataFrame = {
+    val blocks = blockRows
       .select(col("image_id"), col("phash"), col("img_hash"),
         col("blk"), col("key"), (col("epoch") === epoch).as("is_new"))
     val newB = blocks.where(col("is_new"))
