@@ -258,6 +258,9 @@ object SparkEntry {
     // tf in t23's integer fixed point (hash-exact cross-engine); queries
     // derived in-plan from df ranks
     "t34_bm25_topk" -> ((s, d) => TextOps.bm25TopK(s, d)),
+    // t37: Gopher document-quality rules (Rae et al. 2021 §A1.1) — five
+    // per-row token rules + verdict, zero exchanges, fully SQL-expressible
+    "t37_gopher_filter" -> ((s, d) => TextOps.gopherReport(s, d)),
     "t09_corpus_curation" -> ((s, d) => TextOps.curatedCorpus(s, d)),
     "t10_span_clip" -> ((s, d) => TextOps.spanClippedCorpus(s, d)),
     "t11_multimodal_dedup" -> ((s, d) =>
@@ -458,6 +461,10 @@ object SparkEntry {
     // emb13: 1-bit sign-quantized Hamming ANN — 16-byte bitmaps, XOR +
     // popcount coarse scan, exact cosine rerank of the candidates
     "emb13_ann_binary" -> ((s, d) => SimilarityOps.annBinaryTopK(s, d)),
+    // emb14: exact maximum-inner-product top-k (recommender/dual-encoder
+    // scoring — raw dot, NOT cosine); the Bachrach norm-augmentation
+    // reduction to cosine-ANN is spec-gated with a recall floor
+    "emb14_mips_topk" -> ((s, d) => SimilarityOps.bruteMipsTopK(s, d)),
     // emb09: SemDeDup — k-means cluster-scoped semantic near-dup pairs
     // resolved to components; survivor = component-min (Abbas et al. '23)
     "emb09_semdedup" -> ((s, d) => SimilarityOps.semDedup(s, d)),
@@ -1582,6 +1589,48 @@ object SparkEntry {
         |)
         |SELECT query_id, doc_id, score, n_terms, rank
         |FROM topk WHERE rank <= 5""".stripMargin,
+    "t37_gopher_filter" ->
+      """WITH built AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 17 = 0
+        |           THEN array_to_string(string_split(text, ' ')[1:5], ' ')
+        |         WHEN doc_id % 19 = 0
+        |           THEN text || ' ## ## ## ## ## ## ## ## ## ## ## ##'
+        |         WHEN doc_id % 23 = 0
+        |           THEN regexp_replace(text, '[A-Za-z]', '7', 'g')
+        |         WHEN doc_id % 29 = 0
+        |           THEN text || ' ' || trim(repeat(repeat('x', 40) || ' ', 20))
+        |         ELSE text END AS text
+        |  FROM documents
+        |), tok AS (
+        |  SELECT doc_id, text,
+        |    list_filter(string_split_regex(trim(text), '\s+'),
+        |                t -> t <> '') AS toks
+        |  FROM built
+        |), m AS (
+        |  SELECT doc_id,
+        |    CAST(len(toks) AS BIGINT) AS n_words,
+        |    round(CAST(list_sum(list_transform(toks, t -> length(t)))
+        |        AS DOUBLE) / greatest(len(toks), 1), 4) AS mean_word_len,
+        |    round(CAST((length(text) - length(replace(text, '#', '')))
+        |        + CAST((length(text)
+        |            - length(regexp_replace(text, '\.\.\.', '', 'g'))) / 3
+        |          AS INT) AS DOUBLE)
+        |      / greatest(len(toks), 1), 4) AS sym_ratio,
+        |    round(CAST(len(list_filter(toks,
+        |        t -> regexp_matches(t, '[A-Za-z]'))) AS DOUBLE)
+        |      / greatest(len(toks), 1), 4) AS alpha_frac,
+        |    CAST(len(list_intersect(list_distinct(toks),
+        |      ['the','a','data','table','join','row','scan','merge']))
+        |      AS BIGINT) AS n_stop
+        |  FROM tok
+        |)
+        |SELECT doc_id, n_words, mean_word_len, sym_ratio, alpha_frac, n_stop,
+        |  CAST(CASE WHEN n_words BETWEEN 20 AND 100000
+        |    AND mean_word_len BETWEEN 3.0 AND 10.0
+        |    AND sym_ratio <= 0.1 AND alpha_frac >= 0.8
+        |    AND n_stop >= 2 THEN 1 ELSE 0 END AS INT) AS kept
+        |FROM m ORDER BY doc_id""".stripMargin,
     "t22_corpus_build" ->
       (ngramPairSql +
         """, edges AS (
@@ -2175,6 +2224,30 @@ object SparkEntry {
         |SELECT query_id, vec_id, round(cos, 4) AS cos, rank FROM (
         |  SELECT query_id, vec_id, cos,
         |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rank
+        |  FROM scored
+        |) WHERE rank <= 5""".stripMargin,
+    // emb14: exact MIPS — emb01's scored CTE with the norm division
+    // dropped, over the float-rounded magnitude-planted corpus;
+    // identical ordered double summation, same tie-break.
+    "emb14_mips_topk" ->
+      """WITH scaled AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(CAST(x AS DOUBLE)
+        |      * (1.0 + (vec_id % 7) * 0.1) AS FLOAT)) AS embedding
+        |  FROM embeddings
+        |), q AS (
+        |  SELECT vec_id AS query_id, embedding AS qvec FROM scaled WHERE vec_id < 3
+        |), scored AS (
+        |  SELECT q.query_id, e.vec_id,
+        |    list_aggregate(list_transform(generate_series(1, len(e.embedding)),
+        |      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qvec[i] AS DOUBLE)), 'sum')
+        |    AS dot
+        |  FROM scaled e, q
+        |  WHERE e.vec_id <> q.query_id
+        |)
+        |SELECT query_id, vec_id, round(dot, 4) AS dot, rank FROM (
+        |  SELECT query_id, vec_id, dot,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY dot DESC, vec_id ASC) AS rank
         |  FROM scored
         |) WHERE rank <= 5""".stripMargin,
     // emb07: SQ8 ANN — the scales cancel in the quantized cosine, so the

@@ -887,4 +887,99 @@ object SimilarityOps {
       .select(col("query_id"), col("vec_id"), round(col("cos"), 4).as("cos"),
         col("rank").cast("long").as("rank"))
   }
+
+  // ---- emb14: maximum-inner-product search (MIPS) ----------------------
+  //
+  // Recommendation/retrieval scoring ranks by RAW inner product (user x
+  // item factors, dual-encoder logits) — NOT cosine: a long vector should
+  // outrank a parallel short one, so normalizing changes the answer.
+  // Exact form: one corpus pass against broadcast queries — the emb01
+  // plan with the norm division dropped — fully SQL-expressible, so MIPS
+  // joins the HARD oracle gate. Scale path: MIPS has no locality-sensitive
+  // hash of its own, but the Bachrach et al. (RecSys'14) reduction embeds
+  // it into cosine space — append sqrt(M^2 - |x|^2) to each corpus vector
+  // (M = max corpus norm) and 0 to each query; augmented cosine order ==
+  // inner-product order — after which the WHOLE cosine-ANN toolkit
+  // (emb02 LSH here; IVF/PQ/SQ8 equally) applies unchanged.
+
+  /** The MIPS corpus: the embeddings table with a deterministic per-row
+    * magnitude 1.0 + (vec_id % 7)/10 multiplied in (float-rounded per
+    * element so the oracle can reproduce it bit-for-bit). The raw test
+    * embeddings are ~unit-norm, under which MIPS degenerates to cosine —
+    * the scale plant makes the dot ranking genuinely magnitude-sensitive
+    * (a recommender's item popularity prior, a dual encoder's logit
+    * scale), which is the case MIPS exists for.
+    */
+  private def mipsCorpus(spark: SparkSession, dir: String): DataFrame = {
+    val w = lit(1.0) + pmod(col("vec_id"), lit(7)).cast("double") * lit(0.1)
+    emb(spark, dir).select(col("vec_id"),
+      transform(col("embedding"), x => (x.cast("double") * w).cast("float"))
+        .as("embedding"))
+  }
+
+  /** Exact MIPS top-k: query vectors vec_id < nQueries broadcast against a
+    * full corpus scan; rank ties break on vec_id. `dot` rounded 4 dp (the
+    * emb01 discipline; rank cast long for the oracle's BIGINT row_number).
+    */
+  def bruteMipsTopK(spark: SparkSession, dir: String,
+                    nQueries: Int = 3, k: Int = 5): DataFrame = {
+    val e = mipsCorpus(spark, dir)
+    val queries = e.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val scored = e.join(broadcast(queries), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        dotCol(col("embedding"), col("qvec")).as("dot"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("dot").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("vec_id"), round(col("dot"), 4).as("dot"),
+        col("rank").cast("long").as("rank"))
+  }
+
+  /** Approximate MIPS via the norm-augmentation reduction + multi-probe
+    * LSH: corpus rows become unit-comparable [x, sqrt(M^2-|x|^2)] points,
+    * queries [q, 0]; buckets/probes on the AUGMENTED vectors, exact
+    * inner-product rerank on the candidates only (so emitted scores are
+    * true dots, directly comparable to bruteMipsTopK for the recall
+    * floor). M is one max() aggregate — a single driver scalar, the same
+    * bounded-collect family as the IVF centroids. Default probe radius is
+    * 3 (emb02 uses 2): the augmentation pulls every corpus point toward
+    * the query hemisphere's equator — angular gaps SHRINK, so hyperplane
+    * agreement weakens and MIPS-via-cosine needs more probes at the same
+    * nBits (the documented recall cost of the reduction).
+    */
+  def annMipsLsh(spark: SparkSession, dir: String,
+                 nQueries: Int = 3, k: Int = 5, nBits: Int = 6,
+                 probeRadius: Int = 3): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val e = mipsCorpus(spark, dir)
+    val maxNorm = e.agg(max(normCol(col("embedding")))).head.getDouble(0)
+    val m2 = maxNorm * maxNorm
+    def augment(tail: Column): Column =
+      concat(col("embedding"),
+        array(tail.cast("float")))
+    val corpus = e.withColumn("aug",
+      augment(sqrt(greatest(lit(m2) - normCol(col("embedding")) *
+        normCol(col("embedding")), lit(0.0)))))
+    val masks = (0 until (1 << nBits)).filter(m => Integer.bitCount(m) <= probeRadius)
+    val bucketed = corpus.withColumn("bucket",
+      graft.functions.GraftFunctions.lshBucket(spark, nBits, col("aug")))
+    val queries = bucketed.where(col("vec_id") < nQueries)
+      .withColumn("qbucket",
+        graft.functions.GraftFunctions.lshBucket(spark, nBits, augment(lit(0.0))))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"),
+        explode(transform(typedLit(masks), mk => col("qbucket").bitwiseXOR(mk)))
+          .as("probe_bucket"))
+    val scored = bucketed.join(broadcast(queries),
+        col("bucket") === col("probe_bucket") && col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        dotCol(col("embedding"), col("qvec")).as("dot"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("dot").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("vec_id"), round(col("dot"), 4).as("dot"),
+        col("rank").cast("long").as("rank"))
+  }
 }

@@ -1344,4 +1344,85 @@ object TextOps {
       .dropDuplicates("doc_a", "doc_b")
       .where(col("hamming") <= maxHamming)
   }
+
+  // ---- t37: Gopher document-quality rules (Rae et al. 2021, §A1.1) ----
+  //
+  // The second most-run heuristic filter family after C4 (t32): word-count
+  // bounds, mean-word-length bounds, symbol-to-word ratio, alphabetic-word
+  // fraction, and the required-stopword rule. Everything is per-row token
+  // arithmetic over a split — one codegen'd projection, ZERO exchanges, so
+  // at 100 TB it is a scan-speed pass fused into the ingest scan (the same
+  // shape argument as t32). All five rules and the verdict are plain SQL,
+  // so the whole operator sits in the HARD DuckDB oracle gate.
+
+  /** Planted Gopher-violation corpus: each modulus wires exactly one rule
+    * hot (first match wins, mirroring the oracle's CASE):
+    * %17 truncated to 5 words (word-count floor), %19 hash-spam appended
+    * (symbol ratio), %23 letters digitized (alpha fraction + stopwords),
+    * %29 twenty 40-char words appended (mean-word-length ceiling).
+    */
+  def gopherCorpus(spark: SparkSession, dir: String): DataFrame = {
+    val w = split(col("text"), " ")
+    val longWords = Array.fill(20)("x" * 40).mkString(" ")
+    val planted = when(pmod(col("doc_id"), lit(17)) === 0,
+        array_join(slice(w, 1, 5), " "))
+      .when(pmod(col("doc_id"), lit(19)) === 0,
+        concat(col("text"), lit(" ## ## ## ## ## ## ## ## ## ## ## ##")))
+      .when(pmod(col("doc_id"), lit(23)) === 0,
+        regexp_replace(col("text"), "[A-Za-z]", "7"))
+      .when(pmod(col("doc_id"), lit(29)) === 0,
+        concat(col("text"), lit(" " + longWords)))
+      .otherwise(col("text"))
+    docs(spark, dir).select(col("doc_id"), planted.as("text"))
+  }
+
+  /** Gopher rule metrics + keep verdict over any (doc_id, text) frame.
+    * Ratios are rounded to 4 dp BEFORE the threshold comparisons so both
+    * engines gate on identical values (the t01/t32 rounding discipline).
+    * The required-word set is Gopher's "must contain >= 2 of a short list
+    * of ubiquitous words" rule with the list adapted to the test corpus's
+    * vocabulary (Gopher's own list — the/be/to/of/and/... — is an
+    * English-frequency artifact; the rule is set membership, not the set).
+    */
+  def gopherStatsOf(corpus: DataFrame,
+                    minWords: Long = 20L, maxWords: Long = 100000L,
+                    minMeanLen: Double = 3.0, maxMeanLen: Double = 10.0,
+                    maxSymRatio: Double = 0.1, minAlphaFrac: Double = 0.8,
+                    minStop: Int = 2): DataFrame = {
+    val stopwords = Seq("the", "a", "data", "table", "join", "row", "scan", "merge")
+    val toks = filter(split(trim(col("text")), "\\s+"), t => t =!= "")
+    val nWords = size(col("toks")).cast("long")
+    val sumLen = aggregate(col("toks"), lit(0),
+      (acc, t) => acc + length(t)).cast("double")
+    val nAlpha = size(filter(col("toks"), t => t.rlike("[A-Za-z]"))).cast("double")
+    val hashes = length(col("text")) -
+      length(regexp_replace(col("text"), "#", ""))
+    val ellipses = ((length(col("text")) -
+      length(regexp_replace(col("text"), "\\.\\.\\.", ""))) / 3).cast("int")
+    corpus
+      .withColumn("toks", toks)
+      .withColumn("n_words", nWords)
+      .withColumn("mean_word_len",
+        round(sumLen / greatest(col("n_words"), lit(1L)), 4))
+      .withColumn("sym_ratio",
+        round((hashes + ellipses).cast("double") /
+          greatest(col("n_words"), lit(1L)), 4))
+      .withColumn("alpha_frac",
+        round(nAlpha / greatest(col("n_words"), lit(1L)), 4))
+      .withColumn("n_stop",
+        size(array_intersect(array_distinct(col("toks")),
+          array(stopwords.map(lit): _*))).cast("long"))
+      .withColumn("kept",
+        (col("n_words").between(minWords, maxWords) &&
+          col("mean_word_len").between(minMeanLen, maxMeanLen) &&
+          col("sym_ratio") <= maxSymRatio &&
+          col("alpha_frac") >= minAlphaFrac &&
+          col("n_stop") >= minStop).cast("int"))
+      .select("doc_id", "n_words", "mean_word_len", "sym_ratio",
+        "alpha_frac", "n_stop", "kept")
+      .orderBy("doc_id")
+  }
+
+  def gopherReport(spark: SparkSession, dir: String): DataFrame =
+    gopherStatsOf(gopherCorpus(spark, dir))
 }
