@@ -86,6 +86,9 @@ object SparkEntry {
     // q57: Z-order clustering zone maps — the write-time layout tool for
     // multi-column scan pruning (Morton bit-interleave, engine-exact)
     "q57_zorder_zones" -> ((s, d) => operators.LayoutOps.zorderZones(s, d)),
+    // q58: gaps-and-islands — consecutive active days per (user, type)
+    // via the day-minus-row_number constant; no self-join
+    "q58_activity_islands" -> ((s, d) => Relational.activityIslands(s, d)),
     "q22_levenshtein" -> ((s, d) => Relational.levenshteinDocs(s, d)),
     "q23_percentile" -> ((s, d) => Relational.percentiles(s, d)),
     "q24_window_misc" -> ((s, d) => Relational.windowMisc(s, d)),
@@ -350,6 +353,10 @@ object SparkEntry {
     // c42: redirect-chain resolution — bounded-hop alias walk with loop
     // verdict; Spark iterates joins, DuckDB oracles via recursive CTE
     "c42_redirect_resolve" -> ((s, d) => operators.RedirectOps.resolveRedirects(s, d)),
+    // c73: rel=canonical consolidation — page-level alias channel folded
+    // with c42's HTTP channel (redirect wins: a redirecting URL never
+    // shows its tag); one combined walk + consolidated group sizes
+    "c73_canonical_aliases" -> ((s, d) => operators.CanonicalOps.consolidate(s, d)),
     // c43: video scene-change detection — consecutive-frame phash deltas
     // over tau mark shot cuts; MediaOpsSpec pins cuts == planted bounds
     "c43_scene_changes" -> ((s, _) => operators.MediaOps.sceneChangeDemo(s)),
@@ -1008,6 +1015,23 @@ object SparkEntry {
         |  min(sk) AS sk_min, max(sk) AS sk_max,
         |  min(z) AS z_min, max(z) AS z_max
         |FROM zoned GROUP BY zone""".stripMargin,
+    // q58: same row_number trick; dates rendered as strings (timestamp
+    // columns leave results only as formatted strings per convention)
+    "q58_activity_islands" ->
+      """WITH dd AS (
+        |  SELECT DISTINCT user_id, event_type, CAST(ts AS DATE) AS dy
+        |  FROM events
+        |), g AS (
+        |  SELECT user_id, event_type, dy,
+        |    dy - CAST(row_number() OVER (
+        |      PARTITION BY user_id, event_type ORDER BY dy) AS INTEGER) AS grp
+        |  FROM dd
+        |)
+        |SELECT user_id, event_type,
+        |  strftime(min(dy), '%Y-%m-%d') AS start_day,
+        |  strftime(max(dy), '%Y-%m-%d') AS end_day,
+        |  CAST(count(*) AS BIGINT) AS n_days
+        |FROM g GROUP BY user_id, event_type, grp""".stripMargin,
     "q09_setops" ->
       """SELECT c_nationkey AS nationkey FROM customer
         |EXCEPT SELECT s_nationkey AS nationkey FROM supplier""".stripMargin,
@@ -1241,6 +1265,36 @@ object SparkEntry {
         |SELECT id, cur AS final_id, CAST(hops AS INT) AS n_hops,
         |       hops >= 8 AS exceeded
         |FROM last WHERE rn = 1""".stripMargin,
+    // c73: c42's walk over the COMBINED successor (the CASE order encodes
+    // redirect-over-canonical priority) + consolidated group sizes
+    "c73_canonical_aliases" ->
+      """WITH RECURSIVE edges AS (
+        |  SELECT src, dst FROM (
+        |    SELECT doc_id AS src,
+        |           CASE WHEN doc_id % 5 <> 0 THEN doc_id - 1
+        |                WHEN (doc_id // 5) % 10 = 9 THEN doc_id + 4
+        |                WHEN doc_id % 7 = 3 AND doc_id >= 3 THEN doc_id - 3
+        |           END AS dst
+        |    FROM documents)
+        |  WHERE dst IS NOT NULL
+        |), walk(id, cur, hops) AS (
+        |  SELECT doc_id, doc_id, 0 FROM documents
+        |  UNION ALL
+        |  SELECT w.id, e.dst, w.hops + 1
+        |  FROM walk w JOIN edges e ON e.src = w.cur
+        |  WHERE w.hops < 8
+        |), last AS (
+        |  SELECT id, cur, hops,
+        |         row_number() OVER (PARTITION BY id ORDER BY hops DESC) AS rn
+        |  FROM walk
+        |), resolved AS (
+        |  SELECT id AS doc_id, cur AS final_id, CAST(hops AS INT) AS n_hops,
+        |         hops >= 8 AS exceeded
+        |  FROM last WHERE rn = 1
+        |)
+        |SELECT doc_id, final_id, n_hops, exceeded,
+        |       CAST(count(*) OVER (PARTITION BY final_id) AS BIGINT) AS n_aliases
+        |FROM resolved""".stripMargin,
     // q48: identical ANSI recursive-CTE text runs on both engines; the
     // formula edge set bounds the expansion (out-degree 2, depth < 7)
     // despite cycles, and min-hop-per-node is order-independent.

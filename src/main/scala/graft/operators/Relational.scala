@@ -791,4 +791,31 @@ object Relational {
           unix_micros(col("matched_ts").cast("timestamp"))).as("gap_us"))
       .orderBy("purchase_event")
   }
+
+  /** q58 — gaps-and-islands: collapse each user's consecutive ACTIVE DAYS
+    * per event type into [start, end] islands (the classic streak /
+    * retention-run analysis; also the shape of crawl-side "contiguous
+    * epochs a host was reachable"). The standard row_number trick: day
+    * minus rank is constant within a run, so islands fall out of one
+    * distinct + one window + one groupBy — three key-partitioned
+    * exchanges, no self-join (the naive LEFT JOIN day-1 form is quadratic
+    * on skewed users and can't map-side-combine).
+    */
+  def activityIslands(spark: SparkSession, dir: String): DataFrame = {
+    val days = t(spark, dir, "events")
+      .select(col("user_id"), col("event_type"),
+        to_date(col("ts")).as("dy"))
+      .distinct()
+    val w = Window.partitionBy("user_id", "event_type").orderBy("dy")
+    days
+      .withColumn("grp", date_sub(col("dy"), row_number().over(w)))
+      .groupBy(col("user_id"), col("event_type"), col("grp"))
+      .agg(min("dy").as("start_day"), max("dy").as("end_day"),
+        count(lit(1)).as("n_days"))
+      .select(col("user_id"), col("event_type"),
+        date_format(col("start_day"), "yyyy-MM-dd").as("start_day"),
+        date_format(col("end_day"), "yyyy-MM-dd").as("end_day"),
+        col("n_days"))
+      .orderBy("user_id", "event_type", "start_day")
+  }
 }
