@@ -433,6 +433,9 @@ object SparkEntry {
     "c70_ip_politeness" -> ((s, _) => operators.IpOps.ipBudgetDemo(s)),
     // c71: low-contrast / flat-payload audit — the no-signal curation drop
     "c71_contrast_audit" -> ((s, _) => ImageOps.contrastDemo(s)),
+    // c74: tone-curve-resistant copy detection — equalized-phash matcher
+    // finds gamma/re-grade reposts the raw phash misses (contrast column)
+    "c74_tone_copydetect" -> ((s, _) => ImageOps.toneDetectDemo(s)),
     // c66: JPEG encode-quality audit — IJG quality inverted from the
     // luminance DQT (header bytes only, codegen expression); planted
     // low-quality re-encodes must flag LOW, png rows report -1

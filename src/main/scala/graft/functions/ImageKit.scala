@@ -795,4 +795,56 @@ object ImageKit {
     }
     out
   }
+
+  /** Histogram equalization in exact integer arithmetic: pixel value v ->
+    * (cdf(v) - cdf_min) * 255 / (n - cdf_min). INVARIANCE LAW: any
+    * STRICTLY increasing intensity map permutes the present values
+    * bijectively, preserving every cdf count — the equalized image is
+    * bit-identical. Near-monotone maps with rounding collisions (real
+    * tone curves, gamma) perturb only the collided levels, so the
+    * equalized phash moves by a few bits where the raw phash can move
+    * arbitrarily (the DCT median threshold shifts under a nonlinear map).
+    */
+  def rankNormalize(px: Array[Int]): Array[Int] = {
+    if (px.isEmpty) return px
+    // 10-bit histogram: decode emits 0..255, but tone curves map INTO a
+    // wider range (a strictly increasing self-map of 0..255 can only be
+    // the identity — the invariance law needs room to be non-trivial)
+    val bins = 1024
+    val hist = new Array[Long](bins)
+    var i = 0
+    while (i < px.length) { hist(px(i) & (bins - 1)) += 1; i += 1 }
+    val cdf = new Array[Long](bins)
+    var c = 0L
+    i = 0
+    while (i < bins) { c += hist(i); cdf(i) = c; i += 1 }
+    var vMin = 0
+    while (vMin < bins - 1 && hist(vMin) == 0L) vMin += 1
+    val cdfMin = cdf(vMin)
+    val denom = math.max(1L, px.length - cdfMin)
+    val out = new Array[Int](px.length)
+    i = 0
+    while (i < px.length) {
+      out(i) = (((cdf(px(i) & (bins - 1)) - cdfMin) * 255L) / denom).toInt
+      i += 1
+    }
+    out
+  }
+
+  /** Tone-curve-resistant perceptual hash: phash of the equalized pixels.
+    * Total: bad bytes -> 0L.
+    */
+  def phashRank64(bytes: Array[Byte]): Long = {
+    if (bytes == null || bytes.isEmpty) return 0L
+    val (px, w, h) = decodeGray(bytes)
+    if (w == 0 || h == 0) return 0L
+    phashOfPixels(rankNormalize(px), w, h)
+  }
+
+  /** Integer gamma map (corpus plant): v -> round(255 * (v/255)^g),
+    * g = num/den. Monotone non-decreasing; strong gammas collide levels.
+    */
+  def gammaMap(px: Array[Int], g: Double): Array[Int] =
+    px.map(v => math.min(255,
+      math.round(255.0 * math.pow((v & 0xff) / 255.0, g)).toInt))
 }

@@ -403,6 +403,71 @@ object ImageOps {
     flipMatches(flipCorpus(spark))
       .orderBy("image_a", "image_b")
 
+  // ---- c74: tone-curve-resistant copy detection ------------------------
+
+  /** Per-image tone audit: plain phash + equalized (rank-normalized)
+    * phash, ONE decode per row (the equalization is an integer remap of
+    * the decoded pixels). Bytes never leave the decode pass.
+    */
+  def toneAudit(images: DataFrame): DataFrame = {
+    import images.sparkSession.implicits._
+    images.select("image_id", "bytes").as[(String, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        val (px, w, h) = ImageKit.decodeGray(bytes)
+        if (w == 0 || h == 0) (id, 0L, 0L)
+        else (id, ImageKit.phashOfPixels(px, w, h),
+          ImageKit.phashOfPixels(ImageKit.rankNormalize(px), w, h))
+      })
+      .toDF("image_id", "plain_phash", "rank_phash")
+  }
+
+  /** c74 — copy pairs that survive a TONE CURVE (gamma correction,
+    * re-grade, auto-contrast — the most common silent edit in web
+    * reposts after crop/flip): c17's blocked matcher over the equalized
+    * phash. Histogram equalization is EXACTLY invariant under strictly
+    * increasing intensity maps (ImageKit.rankNormalize law) and moves
+    * only the rounding-collided levels under real gammas, where the raw
+    * phash's DCT median shifts arbitrarily — `plain_missed` marks the
+    * pairs raw-phash matching at the same threshold loses.
+    */
+  def toneMatches(images: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val audit = toneAudit(images).cache()
+    nearDupPhash(audit.select(col("image_id"),
+        col("rank_phash").as("phash")), maxHamming)
+      .join(audit.select(col("image_id").as("image_a"),
+        col("plain_phash").as("pa")), "image_a")
+      .join(audit.select(col("image_id").as("image_b"),
+        col("plain_phash").as("pb")), "image_b")
+      .withColumn("plain_missed",
+        bit_count(col("pa").bitwiseXOR(col("pb"))) > maxHamming)
+      .select("image_a", "image_b", "hamming", "plain_missed")
+  }
+
+  /** c74 fixture: n base images (png) plus a gamma-regraded repost of
+    * every 3rd, gamma cycling strong-dark to strong-bright.
+    */
+  def toneCorpus(spark: org.apache.spark.sql.SparkSession, n: Int = 48): DataFrame = {
+    import spark.implicits._
+    val gammas = Array(0.45, 0.6, 1.7, 2.2)
+    val rows = (0 until n).flatMap { i =>
+      val s = graft.sources.Gen.snapshotRow(s"img-$i", 0, 0, "png", 0)
+      val base = Seq((s.image_id, s.bytes))
+      if (i % 3 != 0) base
+      else {
+        val (px, w, h) = ImageKit.decodeGray(s.bytes)
+        val g = gammas((i / 3) % gammas.length)
+        base :+ (s"img-$i?gamma=$g",
+          ImageKit.encode(ImageKit.gammaMap(px, g), w, h, "png"))
+      }
+    }
+    spark.createDataset(rows).toDF("image_id", "bytes")
+  }
+
+  /** c74 demo: tone-resistant matches over the gamma corpus. */
+  def toneDetectDemo(spark: org.apache.spark.sql.SparkSession): DataFrame =
+    toneMatches(toneCorpus(spark))
+      .orderBy("image_a", "image_b")
+
   // ---- c47: corpus-wide caption-divergence mining --------------------
 
   /** c47 — clusters of near-identical pixels carrying DIFFERENT captions:
