@@ -436,6 +436,9 @@ object SparkEntry {
     // c74: tone-curve-resistant copy detection — equalized-phash matcher
     // finds gamma/re-grade reposts the raw phash misses (contrast column)
     "c74_tone_copydetect" -> ((s, _) => ImageOps.toneDetectDemo(s)),
+    // c75: WARC-shaped archival record format round-trip through the
+    // custom DSv2 source (pruned metadata scan + full payload scan)
+    "c75_archive_roundtrip" -> ((s, _) => sources.ArchiveSource.roundTripDemo(s)),
     // c66: JPEG encode-quality audit — IJG quality inverted from the
     // luminance DQT (header bytes only, codegen expression); planted
     // low-quality re-encodes must flag LOW, png rows report -1
