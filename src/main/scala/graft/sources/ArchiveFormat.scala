@@ -53,7 +53,11 @@ object ArchiveFormat {
     * the column-pruning fast path (a metadata scan of a payload archive
     * reads ~1% of the bytes).
     */
-  final class FileReader(file: File, wantCaption: Boolean, wantBytes: Boolean)
+  /** `keepEpoch` is the header-evaluable pushed predicate: a rejected
+    * record's bodies are seek-skipped and the record never materializes.
+    */
+  final class FileReader(file: File, wantCaption: Boolean, wantBytes: Boolean,
+                         keepEpoch: Int => Boolean = _ => true)
       extends Iterator[Record] with AutoCloseable {
     private val fileLen = file.length()
     private val in = new DataInputStream(
@@ -107,7 +111,12 @@ object ArchiveFormat {
 
     private def advance(): Unit = {
       nextRec = null
-      if (done) return
+      // loop (not recurse) over filtered-out records: a pushed predicate
+      // rejecting a long run must not grow the stack
+      while (nextRec == null && !done) step()
+    }
+
+    private def step(): Unit = {
       // a clean EOF at a record boundary, or a truncated tail mid-record,
       // both end iteration; malformed content at a record START throws
       val first =
@@ -124,12 +133,15 @@ object ArchiveFormat {
         // extent (bodies + separator) must lie inside the file
         if (pos + capLen + bodyLen + 1 > fileLen)
           throw new EOFException("truncated record tail")
-        val cap = body(capLen, wantCaption)
-        val payload = body(bodyLen, wantBytes)
+        val keep = keepEpoch(epoch)
+        val cap = body(capLen, wantCaption && keep)
+        val payload = body(bodyLen, wantBytes && keep)
         body(1, want = false) // trailing record separator
-        nextRec = Record(id, epoch,
-          if (wantCaption) new String(cap, StandardCharsets.UTF_8) else "",
-          payload)
+        if (keep)
+          nextRec = Record(id, epoch,
+            if (wantCaption) new String(cap, StandardCharsets.UTF_8) else "",
+            payload)
+        // !keep: fall through — advance()'s loop reads the next record
       } catch { case _: EOFException => done = true } // truncated tail
     }
 

@@ -8,6 +8,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.Filter
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -122,40 +123,72 @@ private class ArchiveTable(root: String) extends Table with SupportsRead {
 }
 
 private class ArchiveScanBuilder(root: String)
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters {
   private var required: StructType = ArchiveSource.Schema
+  private var pushedEpochs: Option[Set[Int]] = None
+  private var pushed: Array[Filter] = Array.empty
+
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
-  override def build(): Scan = new ArchiveScan(root, required)
+
+  /** Epoch predicates are evaluable from the record HEADER alone — the
+    * reader drops non-matching records before materializing either body
+    * (bodies seek-skip), so a one-epoch query over a multi-epoch archive
+    * reads ~headers only. Everything else stays a residual for Spark.
+    */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    def epochsOf(f: Filter): Option[Set[Int]] = f match {
+      case org.apache.spark.sql.sources.EqualTo("epoch", v: Int) => Some(Set(v))
+      case org.apache.spark.sql.sources.In("epoch", vs)
+          if vs.forall(_.isInstanceOf[Int]) =>
+        Some(vs.map(_.asInstanceOf[Int]).toSet)
+      case _ => None
+    }
+    val (accepted, residual) = filters.partition(epochsOf(_).isDefined)
+    accepted.flatMap(epochsOf).foreach { s =>
+      pushedEpochs = Some(pushedEpochs.fold(s)(_ intersect s))
+    }
+    pushed = accepted
+    residual
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def build(): Scan = new ArchiveScan(root, required, pushedEpochs)
 }
 
-private class ArchiveScan(root: String, required: StructType)
+private class ArchiveScan(root: String, required: StructType,
+                          epochs: Option[Set[Int]])
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
-    s"grft-archive root=$root, ReadSchema: ${required.fieldNames.mkString(",")}"
+    s"grft-archive root=$root, ReadSchema: ${required.fieldNames.mkString(",")}" +
+      epochs.fold("")(s => s", PushedEpochs: ${s.toSeq.sorted.mkString(",")}")
   override def planInputPartitions(): Array[InputPartition] =
     ArchiveSource.listFiles(root).map(ArchiveInputPartition(_): InputPartition)
   override def createReaderFactory(): PartitionReaderFactory =
-    new ArchiveReaderFactory(required.fieldNames)
+    new ArchiveReaderFactory(required.fieldNames, epochs)
 }
 
 private case class ArchiveInputPartition(file: String) extends InputPartition
 
-private class ArchiveReaderFactory(fields: Array[String])
+private class ArchiveReaderFactory(fields: Array[String],
+                                   epochs: Option[Set[Int]])
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val file = p.asInstanceOf[ArchiveInputPartition].file
-    new ArchivePartitionReader(file, fields)
+    new ArchivePartitionReader(file, fields, epochs)
   }
 }
 
-private class ArchivePartitionReader(file: String, fields: Array[String])
+private class ArchivePartitionReader(file: String, fields: Array[String],
+                                     epochs: Option[Set[Int]])
     extends PartitionReader[InternalRow] {
   private val wantCaption = fields.contains("caption")
   private val wantBytes = fields.contains("bytes")
-  private val it = new ArchiveFormat.FileReader(new File(file), wantCaption, wantBytes)
+  private val it = new ArchiveFormat.FileReader(new File(file), wantCaption,
+    wantBytes, keepEpoch = e => epochs.forall(_.contains(e)))
   private var cur: ArchiveFormat.Record = _
 
   override def next(): Boolean = {

@@ -69,6 +69,27 @@ class ArchiveSpec extends AnyFunSuite {
     } finally rd.close()
   }
 
+  test("epoch filter pushes into the scan and the byte stream") {
+    val root = tempDir("grft-filter")
+    ArchiveSource.write(corpus(40).repartition(2), root)
+    val q = readArchive(root).where($"epoch" === 2).select("image_id", "epoch")
+    val scans = q.queryExecution.executedPlan.collect {
+      case b: BatchScanExec => b.scan.description()
+    }
+    assert(scans.exists(_.contains("PushedEpochs: 2")),
+      s"epoch filter did not reach the scan: $scans")
+    assert(q.collect().map(_.getString(0)).toSet ==
+      corpus(40).where($"epoch" === 2).collect().map(_.getString(0)).toSet)
+    // IN-list form intersects with equality at the builder
+    val q2 = readArchive(root).where($"epoch".isin(1, 2, 3)).select("epoch").distinct()
+    assert(q2.collect().map(_.getInt(0)).toSet == Set(1, 2, 3))
+    // byte-level: a rejecting predicate materializes nothing
+    val f = new File(root).listFiles().filter(_.getName.endsWith(".grft")).head
+    val rd = new ArchiveFormat.FileReader(f, wantCaption = true, wantBytes = true,
+      keepEpoch = _ => false)
+    try assert(!rd.hasNext) finally rd.close()
+  }
+
   test("truncated tail drops only the cut record; earlier records survive") {
     val root = tempDir("grft-trunc")
     ArchiveSource.write(corpus(10).repartition(1), root)
