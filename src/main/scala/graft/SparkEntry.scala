@@ -89,6 +89,9 @@ object SparkEntry {
     // q58: gaps-and-islands — consecutive active days per (user, type)
     // via the day-minus-row_number constant; no self-join
     "q58_activity_islands" -> ((s, d) => Relational.activityIslands(s, d)),
+    // q59: deterministic mode + lower median from ONE value histogram —
+    // the scalable exact-median shape (no full-row sort, no approx sketch)
+    "q59_mode_median" -> ((s, d) => Relational.modeMedian(s, d)),
     "q22_levenshtein" -> ((s, d) => Relational.levenshteinDocs(s, d)),
     "q23_percentile" -> ((s, d) => Relational.percentiles(s, d)),
     "q24_window_misc" -> ((s, d) => Relational.windowMisc(s, d)),
@@ -478,6 +481,9 @@ object SparkEntry {
     // scoring — raw dot, NOT cosine); the Bachrach norm-augmentation
     // reduction to cosine-ANN is spec-gated with a recall floor
     "emb14_mips_topk" -> ((s, d) => SimilarityOps.bruteMipsTopK(s, d)),
+    // emb15: cosine range search — guaranteed-complete neighborhood at
+    // cos >= tau; planted strong/weak twins prove the threshold separates
+    "emb15_range_search" -> ((s, d) => SimilarityOps.rangeSearch(s, d)),
     // emb09: SemDeDup — k-means cluster-scoped semantic near-dup pairs
     // resolved to components; survivor = component-min (Abbas et al. '23)
     "emb09_semdedup" -> ((s, d) => SimilarityOps.semDedup(s, d)),
@@ -1038,6 +1044,32 @@ object SparkEntry {
         |  strftime(max(dy), '%Y-%m-%d') AS end_day,
         |  CAST(count(*) AS BIGINT) AS n_days
         |FROM g GROUP BY user_id, event_type, grp""".stripMargin,
+    // q59: same histogram + windows; mode ties break on smallest value,
+    // median is the LOWER median ((n+1) div 2 ordinal) — all integer
+    "q59_mode_median" ->
+      """WITH hist AS (
+        |  SELECT l_returnflag, l_linestatus, CAST(l_quantity AS BIGINT) AS qty,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM lineitem GROUP BY 1, 2, 3
+        |), md AS (
+        |  SELECT l_returnflag, l_linestatus, qty AS mode_qty, cnt AS mode_cnt
+        |  FROM (SELECT *, row_number() OVER (
+        |      PARTITION BY l_returnflag, l_linestatus
+        |      ORDER BY cnt DESC, qty ASC) AS rn FROM hist)
+        |  WHERE rn = 1
+        |), me AS (
+        |  SELECT l_returnflag, l_linestatus, qty AS median_lo_qty,
+        |    total AS n_rows
+        |  FROM (SELECT *,
+        |      CAST(sum(cnt) OVER (PARTITION BY l_returnflag, l_linestatus
+        |        ORDER BY qty) AS BIGINT) AS cum,
+        |      CAST(sum(cnt) OVER (PARTITION BY l_returnflag, l_linestatus)
+        |        AS BIGINT) AS total FROM hist)
+        |  WHERE cum - cnt < (total + 1) // 2 AND (total + 1) // 2 <= cum
+        |)
+        |SELECT md.l_returnflag, md.l_linestatus, mode_qty, mode_cnt,
+        |  median_lo_qty, n_rows
+        |FROM md JOIN me USING (l_returnflag, l_linestatus)""".stripMargin,
     "q09_setops" ->
       """SELECT c_nationkey AS nationkey FROM customer
         |EXCEPT SELECT s_nationkey AS nationkey FROM supplier""".stripMargin,
@@ -2310,6 +2342,39 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY query_id ORDER BY dot DESC, vec_id ASC) AS rank
         |  FROM scored
         |) WHERE rank <= 5""".stripMargin,
+    // emb15: range search — emb01's scored CTE thresholded on the rounded
+    // cosine, over the twin-planted corpus rebuilt in SQL (float-rounded
+    // element edits, same IEEE casts as the Spark transform).
+    "emb15_range_search" ->
+      """WITH base AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |), tw1 AS (
+        |  SELECT vec_id + 1000000 AS vec_id,
+        |    list_concat([CAST(CAST(embedding[1] AS DOUBLE) + 0.05 AS FLOAT)],
+        |      embedding[2:]) AS embedding
+        |  FROM base WHERE vec_id < 3
+        |), tw2 AS (
+        |  SELECT vec_id + 2000000 AS vec_id,
+        |    list_concat([embedding[1],
+        |      CAST(CAST(embedding[2] AS DOUBLE) + 1.0 AS FLOAT)],
+        |      embedding[3:]) AS embedding
+        |  FROM base WHERE vec_id < 3
+        |), corpus AS (
+        |  SELECT * FROM base UNION ALL SELECT * FROM tw1 UNION ALL SELECT * FROM tw2
+        |), q AS (
+        |  SELECT vec_id AS query_id, embedding AS qvec FROM base WHERE vec_id < 3
+        |), scored AS (
+        |  SELECT q.query_id, e.vec_id,
+        |    round(list_aggregate(list_transform(generate_series(1, len(e.embedding)),
+        |      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qvec[i] AS DOUBLE)), 'sum')
+        |    / (sqrt(list_aggregate(list_transform(e.embedding,
+        |         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
+        |     * sqrt(list_aggregate(list_transform(q.qvec,
+        |         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))), 4) AS cos
+        |  FROM corpus e, q
+        |  WHERE e.vec_id <> q.query_id
+        |)
+        |SELECT query_id, vec_id, cos FROM scored WHERE cos >= 0.9""".stripMargin,
     // emb07: SQ8 ANN — the scales cancel in the quantized cosine, so the
     // candidate ranking is INTEGER dots + one exact-rounded sqrt/divide
     // (bit-identical across engines); the refine set re-scores with

@@ -818,4 +818,43 @@ object Relational {
         col("n_days"))
       .orderBy("user_id", "event_type", "start_day")
   }
+
+  /** q59 — deterministic MODE + LOWER MEDIAN per group, computed from ONE
+    * value histogram (the scalable exact-median shape: groupBy(key, value)
+    * map-side-combines to O(distinct values) rows per group, then mode and
+    * median are windows over the compressed histogram — never a full-row
+    * sort, never percentile_approx's engine-specific sketch). Determinism
+    * conventions so the oracle can reproduce bit-for-bit: mode ties break
+    * on the SMALLEST value; median is the lower median (element at ordinal
+    * (n+1) div 2 of the sorted multiset) — integer in, integer out, no
+    * interpolation doubles.
+    */
+  def modeMedian(spark: SparkSession, dir: String): DataFrame = {
+    val hist = t(spark, dir, "lineitem")
+      .select(col("l_returnflag"), col("l_linestatus"),
+        col("l_quantity").cast("long").as("qty"))
+      .groupBy("l_returnflag", "l_linestatus", "qty")
+      .agg(count(lit(1)).as("cnt"))
+    val grp = Seq("l_returnflag", "l_linestatus")
+    val wMode = Window.partitionBy(grp.map(col): _*)
+      .orderBy(col("cnt").desc, col("qty").asc)
+    val mode = hist.withColumn("rn", row_number().over(wMode))
+      .where(col("rn") === 1)
+      .select(col("l_returnflag"), col("l_linestatus"),
+        col("qty").as("mode_qty"), col("cnt").as("mode_cnt"))
+    val wCum = Window.partitionBy(grp.map(col): _*).orderBy("qty")
+    val wAll = Window.partitionBy(grp.map(col): _*)
+    val med = hist
+      .withColumn("cum", sum("cnt").over(wCum))
+      .withColumn("total", sum("cnt").over(wAll))
+      // lower-median ordinal lands inside this value's cumulative run
+      .where(col("cum") - col("cnt") < expr("(total + 1) div 2") &&
+        expr("(total + 1) div 2") <= col("cum"))
+      .select(col("l_returnflag"), col("l_linestatus"),
+        col("qty").as("median_lo_qty"), col("total").as("n_rows"))
+    mode.join(med, grp)
+      .select(col("l_returnflag"), col("l_linestatus"), col("mode_qty"),
+        col("mode_cnt"), col("median_lo_qty"), col("n_rows"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
 }

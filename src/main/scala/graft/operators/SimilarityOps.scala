@@ -888,6 +888,41 @@ object SimilarityOps {
         col("rank").cast("long").as("rank"))
   }
 
+  // ---- emb15: cosine range search (radius retrieval) -------------------
+
+  /** emb15 — RANGE search: every corpus vector within cosine >= tau of
+    * each query (the vector-store "radius" call — dedup-threshold
+    * retrieval, recall-safety sweeps around a top-k — where k-NN returns
+    * a fixed count, range returns a guaranteed-complete neighborhood).
+    * Exact form: one corpus pass against broadcast queries, thresholded
+    * on the ROUNDED cosine so both engines gate on identical values.
+    * Scale path: identical candidate machinery as emb03 (LSH buckets cut
+    * the corpus, exact verify on candidates) — the threshold replaces the
+    * window. Two deterministic twins are planted per query: a strong one
+    * (tiny dim-0 nudge, inside tau) and a weak one (unit dim-1 shove,
+    * outside) so the threshold provably separates.
+    */
+  def rangeSearch(spark: SparkSession, dir: String,
+                  nQueries: Int = 3, tau: Double = 0.9): DataFrame = {
+    val base = emb(spark, dir).select("vec_id", "embedding")
+    def twin(offset: Long, dim: Int, delta: Double) =
+      base.where(col("vec_id") < nQueries)
+        .select((col("vec_id") + offset).as("vec_id"),
+          transform(col("embedding"), (x, i) =>
+            when(i === dim, (x.cast("double") + lit(delta)).cast("float"))
+              .otherwise(x)).as("embedding"))
+    val corpus = base
+      .unionByName(twin(1000000L, 0, 0.05))
+      .unionByName(twin(2000000L, 1, 1.0))
+    val queries = base.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    corpus.join(broadcast(queries), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(cosineCol(col("embedding"), col("qvec")), 4).as("cos"))
+      .where(col("cos") >= tau)
+      .orderBy("query_id", "vec_id")
+  }
+
   // ---- emb14: maximum-inner-product search (MIPS) ----------------------
   //
   // Recommendation/retrieval scoring ranks by RAW inner product (user x
