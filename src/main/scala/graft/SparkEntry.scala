@@ -442,6 +442,9 @@ object SparkEntry {
     // c75: WARC-shaped archival record format round-trip through the
     // custom DSv2 source (pruned metadata scan + full payload scan)
     "c75_archive_roundtrip" -> ((s, _) => sources.ArchiveSource.roundTripDemo(s)),
+    // c76: image-caption alignment gate (LAION/DataComp CLIP-score
+    // filter; deterministic two-tower stubs, per-row zero-exchange gate)
+    "c76_alignment_gate" -> ((s, _) => AlignOps.alignmentDemo(s)),
     // c66: JPEG encode-quality audit — IJG quality inverted from the
     // luminance DQT (header bytes only, codegen expression); planted
     // low-quality re-encodes must flag LOW, png rows report -1
