@@ -92,6 +92,9 @@ object SparkEntry {
     // q59: deterministic mode + lower median from ONE value histogram —
     // the scalable exact-median shape (no full-row sort, no approx sketch)
     "q59_mode_median" -> ((s, d) => Relational.modeMedian(s, d)),
+    // q60: SCD2 dimension build — lag change-detect + lead interval-close,
+    // one exchange on the dimension key, open rows at the 9999-12-31 sentinel
+    "q60_scd2_dimension" -> ((s, d) => Relational.scd2Dimension(s, d)),
     "q22_levenshtein" -> ((s, d) => Relational.levenshteinDocs(s, d)),
     "q23_percentile" -> ((s, d) => Relational.percentiles(s, d)),
     "q24_window_misc" -> ((s, d) => Relational.windowMisc(s, d)),
@@ -1073,6 +1076,28 @@ object SparkEntry {
         |SELECT md.l_returnflag, md.l_linestatus, mode_qty, mode_cnt,
         |  median_lo_qty, n_rows
         |FROM md JOIN me USING (l_returnflag, l_linestatus)""".stripMargin,
+    // q60: same two-window SCD2 build; dates as strings, open intervals at
+    // the 9999-12-31 sentinel so hashing never sees NULL ordering
+    "q60_scd2_dimension" ->
+      """WITH ch AS (
+        |  SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey,
+        |    lag(o_orderstatus) OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate, o_orderkey) AS prev_status
+        |  FROM orders
+        |), f AS (
+        |  SELECT * FROM ch
+        |  WHERE prev_status IS NULL OR prev_status <> o_orderstatus
+        |)
+        |SELECT o_custkey AS cust_id, o_orderstatus AS status,
+        |  CAST(row_number() OVER w AS INT) AS version,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS valid_from,
+        |  coalesce(strftime(lead(o_orderdate) OVER w, '%Y-%m-%d'),
+        |    '9999-12-31') AS valid_to,
+        |  CAST(CASE WHEN lead(o_orderdate) OVER w IS NULL
+        |    THEN 1 ELSE 0 END AS INT) AS is_current
+        |FROM f
+        |WINDOW w AS (PARTITION BY o_custkey
+        |  ORDER BY o_orderdate, o_orderkey)""".stripMargin,
     "q09_setops" ->
       """SELECT c_nationkey AS nationkey FROM customer
         |EXCEPT SELECT s_nationkey AS nationkey FROM supplier""".stripMargin,

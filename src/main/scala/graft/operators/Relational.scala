@@ -819,6 +819,44 @@ object Relational {
       .orderBy("user_id", "event_type", "start_day")
   }
 
+  /** q60 — SCD2 (type-2 slowly-changing dimension) build from a change
+    * log: per customer, collapse the o_orderstatus sequence (ordered by
+    * order date, then key) into validity intervals [valid_from, valid_to)
+    * with a version number and an is_current flag. The warehouse-standard
+    * shape: lag() marks change rows, lead() on the filtered change rows
+    * closes each interval — two windows over ONE (custkey) partitioning
+    * that Catalyst plans as a single exchange reused by both sorts; no
+    * self-join, no gaps-and-islands groupBy needed because SCD2 keeps one
+    * row per run already. At 100 TB the change log shuffles once on the
+    * dimension key and every downstream op is per-key local. Open
+    * intervals render as '9999-12-31' (the usual SCD2 sentinel) so the
+    * oracle hash has no NULL-ordering dependence.
+    */
+  def scd2Dimension(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val changes = t(spark, dir, "orders")
+      .select(col("o_custkey"), col("o_orderstatus"), col("o_orderdate"),
+        col("o_orderkey"))
+      .withColumn("prev_status", lag("o_orderstatus", 1).over(w))
+      .where(col("prev_status").isNull ||
+        col("prev_status") =!= col("o_orderstatus"))
+    val wc = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    changes
+      .withColumn("version", row_number().over(wc))
+      .withColumn("next_from", lead(col("o_orderdate"), 1).over(wc))
+      .select(col("o_custkey").as("cust_id"),
+        col("o_orderstatus").as("status"),
+        col("version").cast("int").as("version"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("valid_from"),
+        coalesce(date_format(col("next_from"), "yyyy-MM-dd"),
+          lit("9999-12-31")).as("valid_to"),
+        when(col("next_from").isNull, lit(1)).otherwise(lit(0))
+          .cast("int").as("is_current"))
+      .orderBy("cust_id", "version")
+  }
+
   /** q59 — deterministic MODE + LOWER MEDIAN per group, computed from ONE
     * value histogram (the scalable exact-median shape: groupBy(key, value)
     * map-side-combines to O(distinct values) rows per group, then mode and
