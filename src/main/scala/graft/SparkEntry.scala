@@ -95,6 +95,10 @@ object SparkEntry {
     // q60: SCD2 dimension build — lag change-detect + lead interval-close,
     // one exchange on the dimension key, open rows at the 9999-12-31 sentinel
     "q60_scd2_dimension" -> ((s, d) => Relational.scd2Dimension(s, d)),
+    // q61: ordered funnel — three min-filter aggs chained by user-key joins
+    "q61_funnel" -> ((s, d) => Relational.funnelStages(s, d)),
+    // q62: retention cohorts over the (user, day) distinct grid
+    "q62_retention" -> ((s, d) => Relational.retentionCohorts(s, d)),
     "q22_levenshtein" -> ((s, d) => Relational.levenshteinDocs(s, d)),
     "q23_percentile" -> ((s, d) => Relational.percentiles(s, d)),
     "q24_window_misc" -> ((s, d) => Relational.windowMisc(s, d)),
@@ -1101,6 +1105,46 @@ object SparkEntry {
     "q09_setops" ->
       """SELECT c_nationkey AS nationkey FROM customer
         |EXCEPT SELECT s_nationkey AS nationkey FROM supplier""".stripMargin,
+    // q61: same min-filter agg chain; strict-after (>) comparisons on
+    // microsecond integers, -1 sentinel for unreached stages
+    "q61_funnel" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS us FROM events
+        |), v AS (
+        |  SELECT user_id, min(us) AS t_view_us FROM ev
+        |  WHERE event_type = 'view' GROUP BY user_id
+        |), c AS (
+        |  SELECT ev.user_id, min(ev.us) AS t_click_us
+        |  FROM ev JOIN v USING (user_id)
+        |  WHERE ev.event_type = 'click' AND ev.us > v.t_view_us
+        |  GROUP BY ev.user_id
+        |), p AS (
+        |  SELECT ev.user_id, min(ev.us) AS t_purchase_us
+        |  FROM ev JOIN c USING (user_id)
+        |  WHERE ev.event_type = 'purchase' AND ev.us > c.t_click_us
+        |  GROUP BY ev.user_id
+        |)
+        |SELECT v.user_id,
+        |  CAST(1 + CASE WHEN c.t_click_us IS NULL THEN 0 ELSE 1 END
+        |    + CASE WHEN p.t_purchase_us IS NULL THEN 0 ELSE 1 END AS INT)
+        |    AS stage_reached,
+        |  v.t_view_us,
+        |  coalesce(c.t_click_us, -1) AS t_click_us,
+        |  coalesce(p.t_purchase_us, -1) AS t_purchase_us
+        |FROM v LEFT JOIN c USING (user_id)
+        |LEFT JOIN p USING (user_id)""".stripMargin,
+    // q62: same distinct-day grid + min cohort day + datediff offset
+    "q62_retention" ->
+      """WITH days AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS dy FROM events
+        |), cohort AS (
+        |  SELECT user_id, min(dy) AS cohort_day FROM days GROUP BY user_id
+        |)
+        |SELECT strftime(cohort_day, '%Y-%m-%d') AS cohort_day,
+        |  CAST(dy - cohort_day AS BIGINT) AS day_offset,
+        |  CAST(count(DISTINCT days.user_id) AS BIGINT) AS n_users
+        |FROM days JOIN cohort USING (user_id)
+        |GROUP BY cohort.cohort_day, dy - cohort_day""".stripMargin,
     // t33: identical dims synthesis from p_partkey; bucket argmin is the
     // same integer (cost, b) total order (rank over a cross join here);
     // batch/slot arithmetic is integer division on a 0-based row_number

@@ -857,6 +857,60 @@ object Relational {
       .orderBy("cust_id", "version")
   }
 
+  /** q61 — ordered 3-stage FUNNEL (view -> click -> purchase): per user,
+    * the earliest view, the earliest click strictly after it, the earliest
+    * purchase strictly after that. The scalable shape is three min-filter
+    * aggregations chained by user-key equi-joins — each agg map-side
+    * combines the event stream down to one row per user before its
+    * exchange, and the joins are on the same user key so AQE reuses the
+    * partitioning; no per-user event collection, no windows over the raw
+    * stream. Times render as unix microseconds (BIGINT, -1 when the stage
+    * was never reached) so both engines hash identical integers.
+    */
+  def funnelStages(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts").cast("timestamp")).as("us"))
+    val v = ev.where(col("event_type") === "view")
+      .groupBy("user_id").agg(min("us").as("t_view_us"))
+    val c = ev.where(col("event_type") === "click")
+      .join(v, "user_id").where(col("us") > col("t_view_us"))
+      .groupBy("user_id").agg(min("us").as("t_click_us"))
+    val p = ev.where(col("event_type") === "purchase")
+      .join(c, "user_id").where(col("us") > col("t_click_us"))
+      .groupBy("user_id").agg(min("us").as("t_purchase_us"))
+    v.join(c, Seq("user_id"), "left").join(p, Seq("user_id"), "left")
+      .select(col("user_id"),
+        (lit(1) + when(col("t_click_us").isNotNull, 1).otherwise(0) +
+          when(col("t_purchase_us").isNotNull, 1).otherwise(0))
+          .cast("int").as("stage_reached"),
+        col("t_view_us"),
+        coalesce(col("t_click_us"), lit(-1L)).as("t_click_us"),
+        coalesce(col("t_purchase_us"), lit(-1L)).as("t_purchase_us"))
+      .orderBy("user_id")
+  }
+
+  /** q62 — retention COHORT matrix: cohort = each user's first active day,
+    * cell = distinct users from that cohort active day_offset days later.
+    * One distinct over (user, day), one min-agg for the cohort day, one
+    * user-key join, one (cohort, offset) count — every exchange is on a
+    * key the data is already compressed on (O(users x active-days) rows,
+    * never the raw event count). The day-granularity cohort avoids any
+    * week-truncation convention mismatch between engines.
+    */
+  def retentionCohorts(spark: SparkSession, dir: String): DataFrame = {
+    val days = t(spark, dir, "events")
+      .select(col("user_id"), to_date(col("ts")).as("dy")).distinct()
+    val cohort = days.groupBy("user_id").agg(min("dy").as("cohort_day"))
+    days.join(cohort, "user_id")
+      .groupBy(col("cohort_day"), datediff(col("dy"), col("cohort_day"))
+        .cast("long").as("day_offset"))
+      .agg(countDistinct("user_id").as("n_users"))
+      .select(date_format(col("cohort_day"), "yyyy-MM-dd").as("cohort_day"),
+        col("day_offset"), col("n_users"))
+      .orderBy("cohort_day", "day_offset")
+  }
+
   /** q59 — deterministic MODE + LOWER MEDIAN per group, computed from ONE
     * value histogram (the scalable exact-median shape: groupBy(key, value)
     * map-side-combines to O(distinct values) rows per group, then mode and
