@@ -99,6 +99,10 @@ object SparkEntry {
     "q61_funnel" -> ((s, d) => Relational.funnelStages(s, d)),
     // q62: retention cohorts over the (user, day) distinct grid
     "q62_retention" -> ((s, d) => Relational.retentionCohorts(s, d)),
+    // q63: basket-keyed co-occurrence pairs (support >= 2)
+    "q63_cooccurrence" -> ((s, d) => Relational.coOccurrencePairs(s, d)),
+    // q64: sweep-line max concurrency, half-open intervals
+    "q64_max_concurrency" -> ((s, d) => Relational.maxConcurrency(s, d)),
     "q22_levenshtein" -> ((s, d) => Relational.levenshteinDocs(s, d)),
     "q23_percentile" -> ((s, d) => Relational.percentiles(s, d)),
     "q24_window_misc" -> ((s, d) => Relational.windowMisc(s, d)),
@@ -1105,6 +1109,39 @@ object SparkEntry {
     "q09_setops" ->
       """SELECT c_nationkey AS nationkey FROM customer
         |EXCEPT SELECT s_nationkey AS nationkey FROM supplier""".stripMargin,
+    // q63: same basket self-join; DISTINCT first so support counts orders
+    "q63_cooccurrence" ->
+      """WITH d AS (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+        |)
+        |SELECT a.pk AS part_a, b.pk AS part_b,
+        |  CAST(count(*) AS BIGINT) AS n_orders
+        |FROM d a JOIN d b ON a.ok = b.ok AND a.pk < b.pk
+        |GROUP BY a.pk, b.pk
+        |HAVING count(*) >= 2""".stripMargin,
+    // q64: same sweep — ends (-1) sort before starts (+1) at equal t
+    "q64_max_concurrency" ->
+      """WITH iv AS (
+        |  SELECT event_type, event_id, epoch_us(ts) AS s,
+        |    epoch_us(ts) + (event_id % 3600) * 1000000 AS e
+        |  FROM events
+        |), pts AS (
+        |  SELECT event_type, s AS t, 1 AS delta, event_id FROM iv
+        |  UNION ALL
+        |  SELECT event_type, e AS t, -1 AS delta, event_id FROM iv
+        |), run AS (
+        |  SELECT event_type, t,
+        |    sum(delta) OVER (PARTITION BY event_type
+        |      ORDER BY t, delta, event_id) AS conc
+        |  FROM pts
+        |), mx AS (
+        |  SELECT event_type, t, conc,
+        |    max(conc) OVER (PARTITION BY event_type) AS max_conc
+        |  FROM run
+        |)
+        |SELECT event_type, CAST(max(conc) AS BIGINT) AS max_concurrent,
+        |  min(t) AS first_at_us
+        |FROM mx WHERE conc = max_conc GROUP BY event_type""".stripMargin,
     // q61: same min-filter agg chain; strict-after (>) comparisons on
     // microsecond integers, -1 sentinel for unreached stages
     "q61_funnel" ->

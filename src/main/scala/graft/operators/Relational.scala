@@ -911,6 +911,57 @@ object Relational {
       .orderBy("cohort_day", "day_offset")
   }
 
+  /** q63 — market-basket CO-OCCURRENCE mining (parts bought together; the
+    * crawl-side analog is "hosts co-linked from the same page"): pair
+    * counts via a basket-keyed self-join. The shape is scale-safe because
+    * the join key is the BASKET id — per-key work is quadratic only in
+    * basket size (bounded small), the pair count map-side-combines, and
+    * nothing ever builds the global item x item matrix; the distinct()
+    * first collapses repeat lines so support counts orders, not lines.
+    */
+  def coOccurrencePairs(spark: SparkSession, dir: String): DataFrame = {
+    val d = t(spark, dir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    d.as("a").join(d.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .groupBy(col("a.pk").as("part_a"), col("b.pk").as("part_b"))
+      .agg(count(lit(1)).as("n_orders"))
+      .where(col("n_orders") >= 2)
+      .orderBy(col("n_orders").desc, col("part_a"), col("part_b"))
+  }
+
+  /** q64 — MAX CONCURRENCY per event type via the sweep-line (+1/-1)
+    * trick (the "max simultaneous fetches per host" / peak-sessions
+    * shape): synthesize a deterministic duration per event, union start
+    * (+1) and end (-1) points, running-sum over ONE (type)-partitioned
+    * order, then max + earliest attaining instant. Half-open intervals:
+    * ends sort before starts at the same instant (delta asc), so a
+    * back-to-back pair never counts as 2. No interval self-join — the
+    * naive overlap join is quadratic on hot types; the sweep is one
+    * exchange + one sort.
+    */
+  def maxConcurrency(spark: SparkSession, dir: String): DataFrame = {
+    val iv = t(spark, dir, "events")
+      .select(col("event_type"), col("event_id"),
+        unix_micros(col("ts").cast("timestamp")).as("s"))
+      .withColumn("e", col("s") + pmod(col("event_id"), lit(3600)) * 1000000L)
+    val pts = iv.select(col("event_type"), col("s").as("t"),
+        lit(1).as("delta"), col("event_id"))
+      .unionByName(iv.select(col("event_type"), col("e").as("t"),
+        lit(-1).as("delta"), col("event_id")))
+    val w = Window.partitionBy("event_type")
+      .orderBy(col("t"), col("delta"), col("event_id"))
+    val conc = pts.withColumn("conc", sum("delta").over(w))
+    val wMax = Window.partitionBy("event_type")
+    conc.withColumn("max_conc", max("conc").over(wMax))
+      .where(col("conc") === col("max_conc"))
+      .groupBy("event_type")
+      .agg(max("conc").cast("long").as("max_concurrent"),
+        min("t").as("first_at_us"))
+      .orderBy("event_type")
+  }
+
   /** q59 — deterministic MODE + LOWER MEDIAN per group, computed from ONE
     * value histogram (the scalable exact-median shape: groupBy(key, value)
     * map-side-combines to O(distinct values) rows per group, then mode and
