@@ -456,6 +456,9 @@ object SparkEntry {
     // c76: image-caption alignment gate (LAION/DataComp CLIP-score
     // filter; deterministic two-tower stubs, per-row zero-exchange gate)
     "c76_alignment_gate" -> ((s, _) => AlignOps.alignmentDemo(s)),
+    // c77: scale-variant dedup (radius-6 combination blocking) + best-copy
+    // election — keep the highest-resolution lossless member per cluster
+    "c77_best_copy" -> ((s, _) => ImageOps.bestCopyDemo(s)),
     // c66: JPEG encode-quality audit — IJG quality inverted from the
     // luminance DQT (header bytes only, codegen expression); planted
     // low-quality re-encodes must flag LOW, png rows report -1

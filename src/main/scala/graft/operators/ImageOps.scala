@@ -1005,4 +1005,110 @@ object ImageOps {
   def aspectBucketReport(spark: org.apache.spark.sql.SparkSession,
                          dir: String): DataFrame =
     aspectBucketPack(aspectBucketCorpus(spark, dir)).orderBy("p_partkey")
+
+  // ---- c77: scale-variant dedup + best-copy election -------------------
+
+  /** Combination blocking over the 64-bit phash (Manku et al., WWW'07
+    * simhash dedup): 8 blocks of 8 bits, one key per block PAIR (i<j) —
+    * C(8,2) = 28 keys of 16 bits each. CERTAIN recall at hamming <= 6: six
+    * flips touch at most six blocks, so two blocks stay intact and their
+    * combination key matches. The c17 matcher (4x16-bit single blocks) is
+    * certain only to radius 3, which provably misses scale variants —
+    * thumbnail re-encodes of the same pixels land at hamming 4..8 (three
+    * of forty probed trios shared NO 16-bit block). Key width stays 16
+    * bits, so per-key selectivity equals c17's; the cost is 28 index rows
+    * per image instead of 4 (ids + 8-byte hash only — never pixels).
+    */
+  def phashBlockPairs(images: DataFrame): DataFrame = {
+    val base = images.select(col("image_id"), col("phash"),
+      xxhash64(col("image_id")).as("img_hash"))
+    val keys = for (i <- 0 until 8; j <- (i + 1) until 8) yield
+      struct(lit(i * 8 + j).as("tag"),
+        (shiftrightunsigned(col("phash"), i * 8).bitwiseAND(lit(0xffL)) * 256L +
+          shiftrightunsigned(col("phash"), j * 8).bitwiseAND(lit(0xffL))).as("key"))
+    base.select(col("image_id"), col("phash"), col("img_hash"),
+        explode(array(keys.toIndexedSeq: _*)).as("bk"))
+      .select(col("image_id"), col("phash"), col("img_hash"),
+        col("bk.tag").as("tag"), col("bk.key").as("key"))
+  }
+
+  /** Scale-variant near-dup pairs at radius 6 (certain recall via the
+    * combination blocking above; exact verify on the XOR popcount). */
+  def scaleMatches(images: DataFrame, maxHamming: Int = 6): DataFrame = {
+    val blocked = phashBlockPairs(images)
+    blocked.as("a").join(blocked.as("b"),
+        col("a.tag") === col("b.tag") && col("a.key") === col("b.key") &&
+          col("a.img_hash") < col("b.img_hash"))
+      .select(col("a.image_id").as("image_a"), col("b.image_id").as("image_b"),
+        col("a.img_hash").as("img_a"), col("b.img_hash").as("img_b"),
+        bit_count(col("a.phash").bitwiseXOR(col("b.phash"))).as("hamming"))
+      .dropDuplicates("img_a", "img_b")
+      .where(col("hamming") <= maxHamming)
+  }
+
+  /** c77 — BEST-COPY election: the LAION/DataComp curation rule that c17's
+    * min-hash survivor cannot express — when the same picture circulates
+    * at several resolutions/encodings, keep the highest-quality member:
+    * max pixel area, then lossless format over lossy, then min img_hash
+    * for determinism. The whole policy packs into ONE long score
+    * (area * 2 + png-bit; area < 2^62 for any real image) so the generic
+    * score-ranked resolver (DedupResolve.resolveByScore) applies
+    * unchanged. Scale shape: pairs/labels carry ids + hashes only, the
+    * election is one window over the dup-rate-sized label table, and the
+    * corpus pays a broadcast anti-join on the drop list — bytes never
+    * shuffle.
+    */
+  def electBestCopies(images: DataFrame, maxHamming: Int = 6): DataFrame = {
+    val withHash = images.withColumn("img_hash", xxhash64(col("image_id")))
+    val pairs = scaleMatches(images, maxHamming)
+    val scores = withHash.select(col("img_hash"),
+      (col("w").cast("long") * col("h") * 2L +
+        when(col("fmt") === "png", 1L).otherwise(0L)).as("copy_score"))
+    val resolved = DedupResolve.resolveByScore(pairs, "img_a", "img_b",
+      scores, "img_hash", "copy_score")
+    val drops = resolved.where(!col("is_survivor"))
+      .select(col("doc_id").as("__drop_id"))
+    withHash.join(drops, col("img_hash") === col("__drop_id"), "left_anti")
+      .drop("__drop_id")
+  }
+
+  /** c77 corpus: n/4 planted trios of the SAME pixels at three scales —
+    * full png (48x36, the copy the policy must keep), half jpeg (24x18),
+    * thumb png (16x12) — plus n/4 unrelated singletons. Every field is a
+    * pure function of the group index, so tests recompute rows locally.
+    */
+  def scaleCorpus(spark: org.apache.spark.sql.SparkSession,
+                  n: Int = 48): DataFrame = {
+    import spark.implicits._
+    val groups = n / 4
+    spark.range(0L, groups.toLong, 1L, math.max(1, groups / 8))
+      .flatMap { i =>
+        val w = 48; val h = 36
+        val px = ImageKit.genPixels(ImageKit.mix64(i * 7919L + 5L), 0, w, h)
+        def down(tw: Int, th: Int, fmt: String) = {
+          val d = ImageKit.resampleArea(px, w, h, tw, th)
+          val ip = d.map(v => math.max(0, math.min(255, math.round(v).toInt)))
+          ImageKit.encode(ip, tw, th, fmt)
+        }
+        val full = ImageKit.encode(px, w, h, "png")
+        val half = down(24, 18, "jpeg")
+        val thumb = down(16, 12, "png")
+        val solo = ImageKit.encode(
+          ImageKit.genPixels(ImageKit.mix64(i * 104729L + 11L), 0, w, h), w, h, "png")
+        Seq(
+          graft.model.Snapshot(s"img-$i-full", full, w, h, "png",
+            s"caption of img-$i", ImageKit.phash64(full), 0),
+          graft.model.Snapshot(s"img-$i-half", half, 24, 18, "jpeg",
+            s"caption of img-$i", ImageKit.phash64(half), 0),
+          graft.model.Snapshot(s"img-$i-thumb", thumb, 16, 12, "png",
+            s"caption of img-$i", ImageKit.phash64(thumb), 0),
+          graft.model.Snapshot(s"img-$i-solo", solo, w, h, "png",
+            s"caption of solo-$i", ImageKit.phash64(solo), 0))
+      }.toDF()
+  }
+
+  def bestCopyDemo(spark: org.apache.spark.sql.SparkSession): DataFrame =
+    electBestCopies(scaleCorpus(spark))
+      .select(col("image_id"), col("w"), col("h"), col("fmt"))
+      .orderBy("image_id")
 }
