@@ -103,6 +103,8 @@ object SparkEntry {
     "q63_cooccurrence" -> ((s, d) => Relational.coOccurrencePairs(s, d)),
     // q64: sweep-line max concurrency, half-open intervals
     "q64_max_concurrency" -> ((s, d) => Relational.maxConcurrency(s, d)),
+    // q65: Gini skew index — integer cents, one final rounded division
+    "q65_gini_skew" -> ((s, d) => Relational.giniRevenue(s, d)),
     "q22_levenshtein" -> ((s, d) => Relational.levenshteinDocs(s, d)),
     "q23_percentile" -> ((s, d) => Relational.percentiles(s, d)),
     "q24_window_misc" -> ((s, d) => Relational.windowMisc(s, d)),
@@ -1145,6 +1147,25 @@ object SparkEntry {
         |SELECT event_type, CAST(max(conc) AS BIGINT) AS max_concurrent,
         |  min(t) AS first_at_us
         |FROM mx WHERE conc = max_conc GROUP BY event_type""".stripMargin,
+    // q65: same integer-cents Gini; the single double division at the end
+    "q65_gini_skew" ->
+      """WITH cents AS (
+        |  SELECT o_custkey, CAST(sum(CAST(round(o_totalprice * 100)
+        |    AS BIGINT)) AS BIGINT) AS cents
+        |  FROM orders GROUP BY o_custkey
+        |), ranked AS (
+        |  SELECT n_name, cents,
+        |    CAST(row_number() OVER (PARTITION BY n_name
+        |      ORDER BY cents, o_custkey) AS BIGINT) AS i
+        |  FROM cents
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |)
+        |SELECT n_name, CAST(count(*) AS BIGINT) AS n_customers,
+        |  CAST(sum(cents) AS BIGINT) AS total_cents,
+        |  round((2.0 * sum(i * cents) - (count(*) + 1.0) * sum(cents)) /
+        |    (CAST(count(*) AS DOUBLE) * sum(cents)), 4) AS gini
+        |FROM ranked GROUP BY n_name""".stripMargin,
     // q61: same min-filter agg chain; strict-after (>) comparisons on
     // microsecond integers, -1 sentinel for unreached stages
     "q61_funnel" ->

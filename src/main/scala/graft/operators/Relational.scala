@@ -962,6 +962,36 @@ object Relational {
       .orderBy("event_type")
   }
 
+  /** q65 — GINI concentration index of customer revenue per nation (the
+    * exact statistic behind the frontier's skew decisions: "how hot are
+    * the hot keys" — a Gini near 1 is the regime where salting pays).
+    * Everything that must be exact is integer: revenues convert to cents
+    * (BIGINT) before any sum, the rank-weighted sums are integer, and the
+    * only floating point is ONE final division rounded to 4 dp —
+    * identical in both engines regardless of partial-aggregation order.
+    * Ties on revenue are rank-permutation-invariant in the formula, so
+    * the custkey tie-break is for engine parity, not correctness.
+    */
+  def giniRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val cents = t(spark, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+    val byNation = cents
+      .join(t(spark, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(t(spark, dir, "nation"), col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name"), col("o_custkey"), col("cents"))
+    val w = Window.partitionBy("n_name").orderBy(col("cents"), col("o_custkey"))
+    byNation.withColumn("i", row_number().over(w).cast("long"))
+      .groupBy("n_name")
+      .agg(count(lit(1)).as("n_customers"),
+        sum("cents").as("total_cents"),
+        sum(col("i") * col("cents")).as("six"))
+      .select(col("n_name"), col("n_customers"), col("total_cents"),
+        round((lit(2.0) * col("six") - (col("n_customers") + lit(1.0)) * col("total_cents")) /
+          (col("n_customers").cast("double") * col("total_cents")), 4).as("gini"))
+      .orderBy("n_name")
+  }
+
   /** q59 — deterministic MODE + LOWER MEDIAN per group, computed from ONE
     * value histogram (the scalable exact-median shape: groupBy(key, value)
     * map-side-combines to O(distinct values) rows per group, then mode and

@@ -299,6 +299,17 @@ class PlanSpec extends AnyFunSuite {
     assert(pairs.collect().nonEmpty, "planted copies produced no pairs")
   }
 
+  test("c77 scale-match pair exchanges carry ids+phash only (no payload columns)") {
+    val pairs = graft.operators.ImageOps.scaleMatches(
+      graft.operators.ImageOps.scaleCorpus(spark, 32))
+    val p = finalPlan(pairs)
+    p.linesIterator.filter(_.trim.startsWith("+- Exchange")).foreach { l =>
+      assert(!l.contains("bytes") && !l.contains("caption"),
+        s"payload column on a c77 pair exchange: $l")
+    }
+    assert(pairs.collect().nonEmpty, "planted scale trios produced no pairs")
+  }
+
   test("t11 multimodal edge union: no text payload on any exchange") {
     import org.apache.spark.sql.functions.col
     val pairs = graft.operators.MultimodalDedup.pairsCorpus(
