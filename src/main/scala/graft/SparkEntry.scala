@@ -105,6 +105,8 @@ object SparkEntry {
     "q64_max_concurrency" -> ((s, d) => Relational.maxConcurrency(s, d)),
     // q65: Gini skew index — integer cents, one final rounded division
     "q65_gini_skew" -> ((s, d) => Relational.giniRevenue(s, d)),
+    // q66: rolling 7-day distinct users — linear explode-by-offset shape
+    "q66_rolling_wau" -> ((s, d) => Relational.rollingWau(s, d)),
     "q22_levenshtein" -> ((s, d) => Relational.levenshteinDocs(s, d)),
     "q23_percentile" -> ((s, d) => Relational.percentiles(s, d)),
     "q24_window_misc" -> ((s, d) => Relational.windowMisc(s, d)),
@@ -461,6 +463,9 @@ object SparkEntry {
     // c77: scale-variant dedup (radius-6 combination blocking) + best-copy
     // election — keep the highest-resolution lossless member per cluster
     "c77_best_copy" -> ((s, _) => ImageOps.bestCopyDemo(s)),
+    // c78: incremental best-copy catalog — upgrade/evict/drop actions
+    // through the persisted combination-block index
+    "c78_catalog_upgrade" -> ((s, _) => ImageOps.bestCopyCatalogDemo(s)),
     // c66: JPEG encode-quality audit — IJG quality inverted from the
     // luminance DQT (header bytes only, codegen expression); planted
     // low-quality re-encodes must flag LOW, png rows report -1
@@ -1166,6 +1171,25 @@ object SparkEntry {
         |  round((2.0 * sum(i * cents) - (count(*) + 1.0) * sum(cents)) /
         |    (CAST(count(*) AS DOUBLE) * sum(cents)), 4) AS gini
         |FROM ranked GROUP BY n_name""".stripMargin,
+    // q66: same explode-by-offset rolling distinct
+    "q66_rolling_wau" ->
+      """WITH grid AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS dy FROM events
+        |), spine AS (
+        |  SELECT DISTINCT dy AS sd FROM grid
+        |), expanded AS (
+        |  SELECT g.user_id, g.dy + CAST(k.k AS INTEGER) AS sd
+        |  FROM grid g CROSS JOIN
+        |    (SELECT unnest(generate_series(0, 6)) AS k) k
+        |), wau AS (
+        |  SELECT e.sd, CAST(count(DISTINCT e.user_id) AS BIGINT) AS wau
+        |  FROM expanded e JOIN spine USING (sd) GROUP BY e.sd
+        |), dau AS (
+        |  SELECT dy AS sd, CAST(count(DISTINCT user_id) AS BIGINT) AS dau
+        |  FROM grid GROUP BY dy
+        |)
+        |SELECT strftime(wau.sd, '%Y-%m-%d') AS day, wau, dau
+        |FROM wau JOIN dau USING (sd)""".stripMargin,
     // q61: same min-filter agg chain; strict-after (>) comparisons on
     // microsecond integers, -1 sentinel for unreached stages
     "q61_funnel" ->

@@ -1111,4 +1111,115 @@ object ImageOps {
     electBestCopies(scaleCorpus(spark))
       .select(col("image_id"), col("w"), col("h"), col("fmt"))
       .orderBy("image_id")
+
+  // ---- c78: incremental best-copy catalog (upgrade semantics) ----------
+  //
+  // The curated corpus as PERSISTED STATE: each epoch's new images are
+  // admitted against the catalog-so-far through the combination-block
+  // index, and — unlike dedupNewEpochImages, which always drops a new
+  // duplicate — a HIGHER-quality copy of known content REPLACES the
+  // stored survivor (the realistic crawl event: the canonical-resolution
+  // original shows up after a thumbnail circulated first). The election
+  // policy is history-independent ((copy_score desc, img_hash asc)), so
+  // the incremental catalog provably equals a from-scratch election over
+  // the union corpus — the SimIndex/IncrementalCc golden law.
+  //
+  // State per epoch, all slim (bytes never persisted, never shuffled):
+  //   phash_pair_blocks/epoch=N   via SimIndex.writePhashPairIndex
+  //   image_scores/epoch=N        (img_hash, image_id, copy_score)
+  //   bestcopy_cc/cc_labels/...   via DedupResolve.updateLabels
+  //
+  // Scale shape: pairs/labels/actions are dup-rate-sized; the election is
+  // one window over the paired nodes only; singletons join by anti-join.
+
+  private def copyScore = col("w").cast("long") * col("h") * 2L +
+    when(col("fmt") === "png", 1L).otherwise(0L)
+
+  def writeImageScores(images: DataFrame, root: String, epoch: Int): Unit =
+    images.select(xxhash64(col("image_id")).as("img_hash"),
+        col("image_id"), copyScore.as("copy_score"))
+      .write.mode("overwrite").parquet(s"$root/image_scores/epoch=$epoch")
+
+  private def scoresUpTo(spark: org.apache.spark.sql.SparkSession,
+                         root: String, upToEpoch: Int): DataFrame =
+    (0 to upToEpoch)
+      .filter(e => new java.io.File(s"$root/image_scores/epoch=$e").exists())
+      .map(e => spark.read.parquet(s"$root/image_scores/epoch=$e"))
+      .reduce(_.unionByName(_))
+
+  /** Admit one epoch's images into the catalog state: index + scores +
+    * incremental CC labels. Idempotent per epoch (every write overwrites
+    * its own epoch dir). */
+  def admitEpochBestCopy(spark: org.apache.spark.sql.SparkSession,
+                         root: String, epoch: Int, newImages: DataFrame,
+                         maxHamming: Int = 6): Unit = {
+    SimIndex.writePhashPairIndex(newImages, root, epoch)
+    writeImageScores(newImages, root, epoch)
+    val pairs = SimIndex.crossEpochScaleMatches(spark, root, epoch, maxHamming)
+    DedupResolve.updateLabels(spark, s"$root/bestcopy_cc", epoch, pairs,
+      "img_a", "img_b")
+    ()
+  }
+
+  /** The catalog as of `epoch`: per component the (copy_score desc,
+    * img_hash asc) argmax over ALL members seen so far, plus every
+    * never-paired image. */
+  def bestCopyCatalog(spark: org.apache.spark.sql.SparkSession,
+                      root: String, epoch: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scores = scoresUpTo(spark, root, epoch)
+    val labels = DedupResolve.readLabels(spark, s"$root/bestcopy_cc", epoch)
+      .select(col("id").as("img_hash"), col("comp"))
+    val paired = scores.join(labels, "img_hash")
+    val w = Window.partitionBy("comp")
+      .orderBy(col("copy_score").desc, col("img_hash").asc)
+    val elected = paired.withColumn("rk", row_number().over(w))
+      .where(col("rk") === 1)
+      .select("image_id", "img_hash", "copy_score")
+    val singles = scores.join(labels.select("img_hash"),
+        Seq("img_hash"), "left_anti")
+      .select("image_id", "img_hash", "copy_score")
+    elected.unionByName(singles)
+  }
+
+  /** The epoch's catalog DELTA as actions: `admitted` (new image entered
+    * the catalog), `dropped_new` (new image was a lesser copy of known
+    * content), `evicted` (a previously cataloged survivor lost its
+    * election to a better new copy — the upgrade event). */
+  def upgradeActions(spark: org.apache.spark.sql.SparkSession,
+                     root: String, epoch: Int): DataFrame = {
+    val cur = bestCopyCatalog(spark, root, epoch)
+      .select("image_id", "img_hash")
+    val newScores = spark.read.parquet(s"$root/image_scores/epoch=$epoch")
+      .select("image_id", "img_hash")
+    val admitted = newScores.join(cur, Seq("img_hash"), "left_semi")
+      .withColumn("action", lit("admitted"))
+    val dropped = newScores.join(cur, Seq("img_hash"), "left_anti")
+      .withColumn("action", lit("dropped_new"))
+    val evicted =
+      if (epoch == 0)
+        newScores.where(lit(false)).withColumn("action", lit("evicted"))
+      else bestCopyCatalog(spark, root, epoch - 1)
+        .select("image_id", "img_hash")
+        .join(cur, Seq("img_hash"), "left_anti")
+        .withColumn("action", lit("evicted"))
+    admitted.unionByName(dropped).unionByName(evicted)
+      .select("image_id", "action")
+  }
+
+  /** c78 demo: two epochs over the scale trios — even groups see their
+    * lesser copies first and the full png later (upgrade + eviction),
+    * odd groups see the full first and lesser copies later (drops). */
+  def bestCopyCatalogDemo(spark: org.apache.spark.sql.SparkSession): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft-c78").toString
+    val all = scaleCorpus(spark)
+    val grp = regexp_extract(col("image_id"), "img-(\\d+)-", 1).cast("long")
+    val isFull = col("image_id").endsWith("-full")
+    val e0 = all.where((pmod(grp, lit(2)) === 0 && !isFull) ||
+      (pmod(grp, lit(2)) === 1 && isFull) || col("image_id").endsWith("-solo"))
+    val e1 = all.join(e0.select("image_id"), Seq("image_id"), "left_anti")
+    admitEpochBestCopy(spark, root, 0, e0)
+    admitEpochBestCopy(spark, root, 1, e1)
+    upgradeActions(spark, root, 1).orderBy("action", "image_id")
+  }
 }

@@ -992,6 +992,34 @@ object Relational {
       .orderBy("n_name")
   }
 
+  /** q66 — rolling 7-day DISTINCT users (WAU) next to DAU, the sliding
+    * windowed-distinct every engagement dashboard runs (crawl-side:
+    * "hosts fetched in the trailing week"). COUNT(DISTINCT) over a RANGE
+    * frame doesn't exist in either engine, and the range-join form
+    * rescans the grid per spine day; the LINEAR shape explodes each
+    * (user, day) into the <= 7 spine days it can serve (one
+    * explode(sequence(0,6))), semi-restricts to days that actually
+    * occur, and counts distinct per spine day — O(7 x grid) rows total,
+    * all exchanges on already-compressed keys.
+    */
+  def rollingWau(spark: SparkSession, dir: String): DataFrame = {
+    val grid = t(spark, dir, "events")
+      .select(col("user_id"), to_date(col("ts")).as("dy")).distinct()
+    val spine = grid.select(col("dy").as("sd")).distinct()
+    val expanded = grid
+      .select(col("user_id"),
+        explode(sequence(lit(0), lit(6))).as("k"), col("dy"))
+      .select(col("user_id"), date_add(col("dy"), col("k")).as("sd"))
+    val wau = expanded.join(spine, "sd")
+      .groupBy("sd").agg(countDistinct("user_id").as("wau"))
+    val dau = grid.groupBy(col("dy").as("sd"))
+      .agg(countDistinct("user_id").as("dau"))
+    wau.join(dau, "sd")
+      .select(date_format(col("sd"), "yyyy-MM-dd").as("day"),
+        col("wau"), col("dau"))
+      .orderBy("day")
+  }
+
   /** q59 — deterministic MODE + LOWER MEDIAN per group, computed from ONE
     * value histogram (the scalable exact-median shape: groupBy(key, value)
     * map-side-combines to O(distinct values) rows per group, then mode and

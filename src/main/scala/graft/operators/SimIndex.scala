@@ -348,10 +348,11 @@ object SimIndex {
   private[operators] def nearDupPhashFrom(
       blockRows: DataFrame,
       epoch: Int,
-      maxHamming: Int): DataFrame = {
+      maxHamming: Int,
+      blkCol: String = "blk"): DataFrame = {
     val blocks = blockRows
       .select(col("image_id"), col("phash"), col("img_hash"),
-        col("blk"), col("key"), (col("epoch") === epoch).as("is_new"))
+        col(blkCol).as("blk"), col("key"), (col("epoch") === epoch).as("is_new"))
     val newB = blocks.where(col("is_new"))
     // `a` is always new: a (new, old) pairing appears once per shared
     // block; a (new, new) pairing would appear in both orientations — the
@@ -371,6 +372,56 @@ object SimIndex {
       .dropDuplicates("img_a", "img_b")
       .where(col("hamming") <= maxHamming)
   }
+
+  /** Persist the COMBINATION-blocked phash table for one epoch's images —
+    * the c77 radius-6 matcher (8x8-bit blocks keyed on every C(8,2)=28
+    * block pair, ImageOps.phashBlockPairs) under the same epoch-layout
+    * discipline as [[writePhashIndex]]. Scale variants (thumbnails,
+    * re-encodes) land at hamming 4..8, past the 4x16 index's certain
+    * radius, so the best-copy catalog (c78) needs this wider index:
+    *
+    *   phash_pair_blocks/epoch=N  (image_id, phash, img_hash, tag, key)
+    *
+    * 28 rows x ~40 bytes per image; keys stay 16-bit so per-key
+    * selectivity equals the 4x16 family's.
+    */
+  def writePhashPairIndex(images: DataFrame, root: String, epoch: Int): Unit =
+    ImageOps.phashBlockPairs(images.select("image_id", "phash"))
+      .write.mode("overwrite").parquet(s"$root/phash_pair_blocks/epoch=$epoch")
+
+  private[operators] def phashPairBlocksUpTo(
+      spark: SparkSession, root: String, upToEpoch: Int,
+      maxCompactEpoch: Int = Int.MaxValue): DataFrame = {
+    val c = latestCompact(root, "phash_pair_blocks_compact",
+      math.min(upToEpoch, maxCompactEpoch))
+    val tail = (c + 1 to upToEpoch)
+      .filter(e => new java.io.File(s"$root/phash_pair_blocks/epoch=$e").exists())
+      .map(e => spark.read.parquet(s"$root/phash_pair_blocks/epoch=$e")
+        .withColumn("epoch", lit(e)))
+    val parts =
+      (if (c >= 0) Seq(spark.read.parquet(s"$root/phash_pair_blocks_compact/epoch=$c"))
+       else Nil) ++ tail
+    parts.reduce(_.unionByName(_))
+  }
+
+  def compactPhashPairIndex(spark: SparkSession, root: String, upToEpoch: Int): Unit =
+    phashPairBlocksUpTo(spark, root, upToEpoch, maxCompactEpoch = upToEpoch - 1)
+      .write.mode("overwrite")
+      .parquet(s"$root/phash_pair_blocks_compact/epoch=$upToEpoch")
+
+  /** Cross-epoch SCALE-VARIANT matches through the persisted combination
+    * index: epoch `epoch`'s images pair against the corpus-so-far with
+    * certain recall to hamming 6 (two intact 8-bit blocks of eight), no
+    * re-blocking of earlier epochs. Same pair contract as
+    * [[crossEpochNearDupPhash]].
+    */
+  def crossEpochScaleMatches(
+      spark: SparkSession,
+      root: String,
+      epoch: Int,
+      maxHamming: Int = 6): DataFrame =
+    nearDupPhashFrom(phashPairBlocksUpTo(spark, root, epoch), epoch,
+      maxHamming, blkCol = "tag")
 
   /** c65 — eval-set image DECONTAMINATION through the persisted phash
     * index (the image analog of t13/t31's benchmark decontamination:
