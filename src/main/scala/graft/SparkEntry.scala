@@ -3,7 +3,7 @@ package graft
 import graft.model.Snapshot
 import graft.operators._
 import graft.sources.Gen
-import org.apache.spark.sql.functions.{col, concat, count, lit, max, min, pmod, round, xxhash64}
+import org.apache.spark.sql.functions.{col, concat, count, lit, max, min, pmod, round, transform, when, xxhash64}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -751,6 +751,31 @@ object SparkEntry {
         docs.where(pmod(col("doc_id"), lit(40)) === 0).select("doc_id"))
       operators.ForgetOps.crossEpochNearDupsForgetting(s, root, 1)
         .orderBy("doc_a", "doc_b")
+    }),
+    "c79_forget_embeddings" -> ((s, d) => {
+      // takedown propagation for the EMBEDDING index family (the c72
+      // semantics over lsh_buckets): 2 epochs with planted re-embedded
+      // copies, then a GDPR-style takedown of half the epoch-0 originals —
+      // the merge-on-read probe answers without the deleted vectors while
+      // the bucket files stay untouched; merge-on-read == rebuilt and
+      // compaction goldens are pinned in ForgetSpec
+      val root = java.nio.file.Files.createTempDirectory("graft-c79").toString
+      val base = s.read.parquet(s"$d/embeddings.parquet")
+        .select("vec_id", "embedding")
+      val e0 = base.where(pmod(col("vec_id"), lit(2)) === 0)
+      val e1 = base.where(pmod(col("vec_id"), lit(2)) === 1)
+        .unionByName(e0.where(pmod(col("vec_id"), lit(20)) === 0)
+          .select((col("vec_id") + 1000000L).as("vec_id"),
+            transform(col("embedding"), (x, i) =>
+              when(i === 0, (x.cast("double") + lit(0.05)).cast("float")).otherwise(x))
+              .as("embedding")))
+      val all = e0.unionByName(e1)
+      operators.SimIndex.writeLshIndex(e0, root, 0, 6)
+      operators.SimIndex.writeLshIndex(e1, root, 1, 6)
+      operators.ForgetOps.writeEmbTombstones(s, root, 1,
+        base.where(pmod(col("vec_id"), lit(40)) === 0).select("vec_id"))
+      operators.ForgetOps.crossEpochNearDupCosineForgetting(s, root, 1, all)
+        .orderBy("vec_a", "vec_b")
     }),
     "c20_incremental_image_dedup" -> ((s, _) => {
       // incremental admission of a new image epoch against the corpus-so-far

@@ -204,4 +204,49 @@ object ForgetOps {
     SimIndex.compactPhashIndex(spark, root, upToEpoch)
     deleteRecursively(s"$root/tombstones_img")
   }
+
+  // -------------------------------------------- embedding (LSH) family
+
+  def embTombstones(spark: SparkSession, root: String): DataFrame = {
+    val dirs = epochDirs(root, "tombstones_emb")
+    if (dirs.isEmpty) spark.range(0).select(col("id").as("vec_id"))
+    else spark.read.parquet(dirs: _*).select("vec_id").distinct()
+  }
+
+  /** Embedding takedown: tombstones only — like the image family, the
+    * persisted bucket table is purely row-keyed (a vector contributes
+    * nothing to any maintained aggregate), so a filter is the whole
+    * semantics. Idempotent like the other writers.
+    */
+  def writeEmbTombstones(spark: SparkSession, root: String, epoch: Int,
+                         ids: DataFrame): Unit =
+    ids.select(col("vec_id").cast("long").as("vec_id")).distinct()
+      .join(broadcast(embTombstones(spark, root)), Seq("vec_id"), "left_anti")
+      .write.mode("overwrite").parquet(s"$root/tombstones_emb/epoch=$epoch")
+
+  /** Merge-on-read embedding near-dup: crossEpochNearDupCosine with
+    * tombstoned vectors excluded from both candidate sides (one broadcast
+    * anti-join on the bucket view — the exact-verify side can never see a
+    * tombstoned id because candidates only come from the filtered view).
+    */
+  def crossEpochNearDupCosineForgetting(spark: SparkSession, root: String,
+                                        epoch: Int, vectors: DataFrame,
+                                        threshold: Double = 0.99): DataFrame =
+    SimIndex.nearDupCosineFrom(
+      spark.read.parquet(s"$root/lsh_buckets").where(col("epoch") <= epoch)
+        .join(broadcast(embTombstones(spark, root)), Seq("vec_id"), "left_anti"),
+      epoch, vectors, threshold)
+
+  /** Copy-on-write apply for the embedding family: rewrite the per-epoch
+    * bucket dirs minus tombstones, clear the applied tombstones (the LSH
+    * family keeps no compact table — partition discovery reads the epoch
+    * dirs directly).
+    */
+  def compactForgetEmbeddings(spark: SparkSession, root: String): Unit = {
+    val tomb = embTombstones(spark, root)
+    if (tomb.isEmpty) return
+    epochDirs(root, "lsh_buckets")
+      .foreach(p => rewriteMinus(spark, p, tomb, "vec_id"))
+    deleteRecursively(s"$root/tombstones_emb")
+  }
 }

@@ -243,9 +243,21 @@ object SimIndex {
       root: String,
       epoch: Int,
       vectors: DataFrame,
-      threshold: Double = 0.99): DataFrame = {
-    val buckets = spark.read.parquet(s"$root/lsh_buckets")
-      .where(col("epoch") <= epoch)
+      threshold: Double = 0.99): DataFrame =
+    nearDupCosineFrom(
+      spark.read.parquet(s"$root/lsh_buckets").where(col("epoch") <= epoch),
+      epoch, vectors, threshold)
+
+  /** Candidate+verify core shared with ForgetOps' merge-on-read variant;
+    * the caller supplies the (possibly tombstone-filtered) bucket view
+    * carrying an `epoch` column.
+    */
+  private[operators] def nearDupCosineFrom(
+      bucketRows: DataFrame,
+      epoch: Int,
+      vectors: DataFrame,
+      threshold: Double): DataFrame = {
+    val buckets = bucketRows
       .select(col("vec_id"), col("bucket"), (col("epoch") === epoch).as("is_new"))
     val newB = buckets.where(col("is_new")).select("vec_id", "bucket")
     val cand = newB.as("a")

@@ -165,6 +165,54 @@ class ForgetSpec extends AnyFunSuite {
       "deleted images physically present after rewrite")
   }
 
+  test("embedding takedown: merge-on-read == rebuilt; compaction destroys and the plain probe stays correct") {
+    import spark.implicits._
+    val base = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select("vec_id", "embedding")
+    // the SimIndexSpec fixture: epoch 1 re-embeds every 20th epoch-0
+    // vector under a shifted id (tiny first-dim nudge, inside 0.99)
+    val e0 = base.where(pmod(col("vec_id"), lit(2)) === 0)
+    val e1 = base.where(pmod(col("vec_id"), lit(2)) === 1)
+      .unionByName(e0.where(pmod(col("vec_id"), lit(20)) === 0)
+        .select((col("vec_id") + 1000000L).as("vec_id"),
+          transform(col("embedding"), (x, i) =>
+            when(i === 0, (x.cast("double") + lit(0.05)).cast("float")).otherwise(x))
+            .as("embedding")))
+    val all = e0.unionByName(e1)
+    val nBits = 6
+    val root = tempDir("graft-forget-emb")
+    SimIndex.writeLshIndex(e0, root, 0, nBits)
+    SimIndex.writeLshIndex(e1, root, 1, nBits)
+    def collectE(df: DataFrame): Set[(Long, Long, Double)] =
+      df.select("vec_a", "vec_b", "cos").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val before = collectE(SimIndex.crossEpochNearDupCosine(spark, root, 1, all))
+    assert(before.nonEmpty, "fixture broken: no planted embedding pairs")
+    // take down the epoch-0 ORIGINAL of every planted pair (GDPR erasure:
+    // the source vector goes, its re-embedded copy must stop matching it)
+    val gone = before.map(_._1).toSeq.sorted.take(3)
+    ForgetOps.writeEmbTombstones(spark, root, 1, gone.toDF("vec_id"))
+    val mor = collectE(ForgetOps.crossEpochNearDupCosineForgetting(spark, root, 1, all))
+    val root2 = tempDir("graft-forget-emb-ref")
+    val goneSet = gone.toSet
+    SimIndex.writeLshIndex(e0.where(!col("vec_id").isin(gone: _*)), root2, 0, nBits)
+    SimIndex.writeLshIndex(e1.where(!col("vec_id").isin(gone: _*)), root2, 1, nBits)
+    val rebuilt = collectE(SimIndex.crossEpochNearDupCosine(spark, root2, 1, all))
+    assert(mor == rebuilt,
+      s"embedding merge-on-read != rebuilt (mor=${mor.size}, rebuilt=${rebuilt.size})")
+    assert(mor != before && !mor.exists(p => goneSet(p._1) || goneSet(p._2)))
+    // a replayed takedown at a later epoch slot is a no-op
+    ForgetOps.writeEmbTombstones(spark, root, 2, gone.toDF("vec_id"))
+    assert(collectE(ForgetOps.crossEpochNearDupCosineForgetting(spark, root, 1, all)) == mor)
+    ForgetOps.compactForgetEmbeddings(spark, root)
+    assert(collectE(SimIndex.crossEpochNearDupCosine(spark, root, 1, all)) == rebuilt,
+      "post-compaction tombstone-unaware embedding probe != rebuilt reference")
+    assert(!new java.io.File(s"$root/tombstones_emb").exists())
+    assert(spark.read.parquet(s"$root/lsh_buckets")
+      .where(col("vec_id").isin(gone: _*)).count() == 0,
+      "deleted vectors physically present after rewrite")
+  }
+
   test("probe cost stays tombstone-sized: tombstone sides broadcast, index stays a parquet scan") {
     val root = tempDir("graft-forget-plan")
     (0 to 1).foreach(e => SimIndex.writeShingleIndex(epochDocs(e), root, e))
