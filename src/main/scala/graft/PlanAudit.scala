@@ -272,6 +272,15 @@ object PlanAudit {
       fmt(graft.operators.ImageOps.dihedralMatches(
         graft.operators.ImageOps.dihedralCorpus(spark)))))
 
+    // c77 scale-variant matches (radius-6 combination blocking)
+    sections += (("c77 scale-variant matches (radius-6 combination blocking)",
+      "28 combination keys explode from the phash inside codegen (no " +
+        "decode — the hash is an index column); every pair exchange " +
+        "carries ids + the 8-byte phash only, bytes/captions never " +
+        "shuffle; exact verify is a bit_count on the joined hashes",
+      fmt(graft.operators.ImageOps.scaleMatches(
+        graft.operators.ImageOps.scaleCorpus(spark, 32)))))
+
     val md = new StringBuilder
     md.append("# BENCH/PLANS — flagship physical plans (explain formatted)\n\n")
     md.append("Generated by `graft.PlanAudit` (re-run after plan-shaping changes).\n")
