@@ -107,6 +107,8 @@ object SparkEntry {
     "q65_gini_skew" -> ((s, d) => Relational.giniRevenue(s, d)),
     // q66: rolling 7-day distinct users — linear explode-by-offset shape
     "q66_rolling_wau" -> ((s, d) => Relational.rollingWau(s, d)),
+    // q67: Pearson correlation from exact integer moments
+    "q67_correlation" -> ((s, d) => Relational.corrPricing(s, d)),
     "q22_levenshtein" -> ((s, d) => Relational.levenshteinDocs(s, d)),
     "q23_percentile" -> ((s, d) => Relational.percentiles(s, d)),
     "q24_window_misc" -> ((s, d) => Relational.windowMisc(s, d)),
@@ -1196,6 +1198,24 @@ object SparkEntry {
         |  round((2.0 * sum(i * cents) - (count(*) + 1.0) * sum(cents)) /
         |    (CAST(count(*) AS DOUBLE) * sum(cents)), 4) AS gini
         |FROM ranked GROUP BY n_name""".stripMargin,
+    // q67: same integer moments; HUGEINT sums cast to double at the end
+    "q67_correlation" ->
+      """WITH m AS (
+        |  SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(x * y) AS BIGINT) AS sxy,
+        |    CAST(sum(x * x) AS BIGINT) AS sxx,
+        |    CAST(sum(y * y) AS BIGINT) AS syy
+        |  FROM (SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS x,
+        |    CAST(round(l_extendedprice) AS BIGINT) AS y FROM lineitem)
+        |  GROUP BY l_returnflag
+        |)
+        |SELECT l_returnflag, n,
+        |  round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) /
+        |    sqrt((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) *
+        |      (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)), 4)
+        |    AS corr_qty_price
+        |FROM m""".stripMargin,
     // q66: same explode-by-offset rolling distinct
     "q66_rolling_wau" ->
       """WITH grid AS (

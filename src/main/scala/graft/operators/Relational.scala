@@ -1020,6 +1020,33 @@ object Relational {
       .orderBy("day")
   }
 
+  /** q67 — PEARSON CORRELATION per group with engine-exact determinism:
+    * built-in corr() accumulates doubles in partition order (FP
+    * non-associativity makes the 15th digit partition-count-dependent),
+    * so instead the five moments are summed as INTEGERS (quantity as-is,
+    * price quantized to whole units so sum(y^2) stays well under 2^53 at
+    * sf >= 1) and the correlation is ONE final double expression rounded
+    * 4 dp — the same discipline as q65's Gini. This is also the shape
+    * that scales: the moment agg map-side-combines to one row per group.
+    */
+  def corrPricing(spark: SparkSession, dir: String): DataFrame = {
+    val m = t(spark, dir, "lineitem")
+      .select(col("l_returnflag"),
+        col("l_quantity").cast("long").as("x"),
+        round(col("l_extendedprice")).cast("long").as("y"))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+    m.select(col("l_returnflag"), col("n"),
+        round((col("n").cast("double") * col("sxy") - col("sx").cast("double") * col("sy")) /
+          sqrt((col("n").cast("double") * col("sxx") - col("sx").cast("double") * col("sx")) *
+            (col("n").cast("double") * col("syy") - col("sy").cast("double") * col("sy"))), 4)
+          .as("corr_qty_price"))
+      .orderBy("l_returnflag")
+  }
+
   /** q59 — deterministic MODE + LOWER MEDIAN per group, computed from ONE
     * value histogram (the scalable exact-median shape: groupBy(key, value)
     * map-side-combines to O(distinct values) rows per group, then mode and
