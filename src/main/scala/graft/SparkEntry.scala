@@ -468,6 +468,9 @@ object SparkEntry {
     // c78: incremental best-copy catalog — upgrade/evict/drop actions
     // through the persisted combination-block index
     "c78_catalog_upgrade" -> ((s, _) => ImageOps.bestCopyCatalogDemo(s)),
+    // c80: the same catalog kept current ONLINE (foreachBatch mini-epochs)
+    "c80_stream_catalog" ->
+      ((s, _) => streaming.StreamingJobs.bestCopyCatalogDemo(s)),
     // c66: JPEG encode-quality audit — IJG quality inverted from the
     // luminance DQT (header bytes only, codegen expression); planted
     // low-quality re-encodes must flag LOW, png rows report -1

@@ -642,6 +642,72 @@ object StreamingJobs {
     graft.operators.PacingOps.adaptiveDelaysFrom(spark, root, uptoEpoch = 2)
   }
 
+  /** Streaming BEST-COPY catalog maintenance (c80) — the c78 upgrade
+    * semantics kept current online: each micro-batch of
+    * (image_id, phash, w, h, fmt) rows admits as its own mini-epoch
+    * through the persisted combination-block index
+    * (ImageOps.admitEpochBestCopy), and the epoch's catalog DELTA
+    * (admitted / dropped_new / evicted) lands under
+    * `root/catalog_actions/epoch=N` — so a late-arriving original
+    * EVICTS the thumbnail that circulated first, while the stream runs.
+    */
+  def streamingBestCopyCatalog(
+      images: Dataset[(String, Long, Int, Int, String)],
+      root: String,
+      startEpoch: Int): org.apache.spark.sql.streaming.StreamingQuery =
+    images.toDF("image_id", "phash", "w", "h", "fmt").writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", ckptDir(s"bestcopy_$startEpoch"))
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val epoch = startEpoch + batchId.toInt
+        graft.operators.ImageOps.admitEpochBestCopy(spark, root, epoch, batch)
+        graft.operators.ImageOps.upgradeActions(spark, root, epoch)
+          .write.mode("overwrite").parquet(s"$root/catalog_actions/epoch=$epoch")
+      }
+      .start()
+
+  /** Driver-contract demo (c80): epoch 0 = the scale corpus's lesser
+    * copies of even groups + full pngs of odd groups, admitted
+    * batch-side; the stream delivers the rest in two micro-batches —
+    * first the even groups' full pngs (each admits AND evicts its
+    * half-jpeg incumbent), then the odd groups' lesser copies (all
+    * drop). Stream == per-epoch batch recompute is pinned in
+    * StreamingSpec.
+    */
+  def bestCopyCatalogDemo(spark: SparkSession): DataFrame =
+    withFewStatePartitions(spark) { bestCopyCatalogDemoImpl(spark) }
+
+  private def bestCopyCatalogDemoImpl(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft-c80").toString
+    val all = graft.operators.ImageOps.scaleCorpus(spark)
+      .select("image_id", "phash", "w", "h", "fmt")
+    val grp = regexp_extract(col("image_id"), "img-(\\d+)-", 1).cast("long")
+    val isFull = col("image_id").endsWith("-full")
+    val e0 = all.where((pmod(grp, lit(2)) === 0 && !isFull) ||
+      (pmod(grp, lit(2)) === 1 && isFull) || col("image_id").endsWith("-solo"))
+    graft.operators.ImageOps.admitEpochBestCopy(spark, root, 0, e0)
+    def rows(df: DataFrame) = df
+      .as[(String, Long, Int, Int, String)].collect()
+    val upgrades = rows(all.where(pmod(grp, lit(2)) === 0 && isFull))
+    val lateLessers = rows(all
+      .where(pmod(grp, lit(2)) === 1 && !isFull &&
+        !col("image_id").endsWith("-solo")))
+    val stream = MemoryStream[(String, Long, Int, Int, String)]
+    val q = streamingBestCopyCatalog(stream.toDS(), root, startEpoch = 1)
+    try {
+      stream.addData(upgrades)
+      q.processAllAvailable()
+      stream.addData(lateLessers)
+      q.processAllAvailable()
+    } finally q.stop()
+    spark.read.parquet(s"$root/catalog_actions")
+      .select(col("image_id"), col("action"), col("epoch").as("in_batch"))
+      .orderBy("in_batch", "action", "image_id")
+  }
+
   /** Driver-contract demo (c18): epoch 0 = half the documents table,
     * indexed batch-side; the stream delivers the other half in two
     * micro-batches, the second carrying planted near-copies of epoch-0

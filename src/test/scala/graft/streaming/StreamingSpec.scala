@@ -227,6 +227,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(out.forall(_._5 == 0), "exact re-crawls should pair at hamming 0")
   }
 
+  test("streaming best-copy catalog == per-epoch batch admission, per arrival batch") {
+    import org.apache.spark.sql.functions._
+    import graft.SparkTestBase.spark
+    val out = graft.streaming.StreamingJobs.bestCopyCatalogDemo(spark)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
+    // mirror: the identical epoch sequence admitted batch-side in a fresh
+    // root; the stream's per-batch action deltas must match exactly
+    val root = java.nio.file.Files.createTempDirectory("graft-c80-mirror").toString
+    val all = graft.operators.ImageOps.scaleCorpus(spark)
+      .select("image_id", "phash", "w", "h", "fmt")
+    val grp = regexp_extract(col("image_id"), "img-(\\d+)-", 1).cast("long")
+    val isFull = col("image_id").endsWith("-full")
+    val e0 = all.where((pmod(grp, lit(2)) === 0 && !isFull) ||
+      (pmod(grp, lit(2)) === 1 && isFull) || col("image_id").endsWith("-solo"))
+    val e1 = all.where(pmod(grp, lit(2)) === 0 && isFull)
+    val e2 = all.where(pmod(grp, lit(2)) === 1 && !isFull &&
+      !col("image_id").endsWith("-solo"))
+    graft.operators.ImageOps.admitEpochBestCopy(spark, root, 0, e0)
+    graft.operators.ImageOps.admitEpochBestCopy(spark, root, 1, e1)
+    graft.operators.ImageOps.admitEpochBestCopy(spark, root, 2, e2)
+    val expected = (1 to 2).flatMap { e =>
+      graft.operators.ImageOps.upgradeActions(spark, root, e)
+        .collect().map(r => (r.getString(0), r.getString(1), e))
+    }.toSet
+    assert(out == expected,
+      s"stream catalog actions diverged (out=${out.size}, exp=${expected.size})")
+    assert(out.exists(_._2 == "evicted"), "no upgrade eviction in the stream")
+    assert(out.exists(p => p._2 == "dropped_new" && p._3 == 2),
+      "late lesser copies not dropped in their arrival batch")
+  }
+
   test("stream-static enrichment == batch mirror (c40); defaults on unknown hosts") {
     import spark.implicits._
     val n = 900
