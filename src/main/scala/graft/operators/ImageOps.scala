@@ -1140,12 +1140,29 @@ object ImageOps {
         col("image_id"), copyScore.as("copy_score"))
       .write.mode("overwrite").parquet(s"$root/image_scores/epoch=$epoch")
 
+  /** Score rows as of `upToEpoch`: latest completed compact + the tail of
+    * per-epoch dirs after it (the SimIndex.phashBlocksUpTo discipline —
+    * without compaction a long-running catalog pays an O(epochs) listing
+    * per election). */
   private def scoresUpTo(spark: org.apache.spark.sql.SparkSession,
-                         root: String, upToEpoch: Int): DataFrame =
-    (0 to upToEpoch)
+                         root: String, upToEpoch: Int,
+                         maxCompactEpoch: Int = Int.MaxValue): DataFrame = {
+    val c = SimIndex.latestCompact(root, "image_scores_compact",
+      math.min(upToEpoch, maxCompactEpoch))
+    val tail = (c + 1 to upToEpoch)
       .filter(e => new java.io.File(s"$root/image_scores/epoch=$e").exists())
       .map(e => spark.read.parquet(s"$root/image_scores/epoch=$e"))
-      .reduce(_.unionByName(_))
+    ((if (c >= 0) Seq(spark.read.parquet(s"$root/image_scores_compact/epoch=$c"))
+      else Nil) ++ tail).reduce(_.unionByName(_))
+  }
+
+  /** Fold the score dirs up to `upToEpoch` into
+    * `image_scores_compact/epoch=upToEpoch` (idempotent; crash-safe via
+    * the _SUCCESS-gated latestCompact read). */
+  def compactImageScores(spark: org.apache.spark.sql.SparkSession,
+                         root: String, upToEpoch: Int): Unit =
+    scoresUpTo(spark, root, upToEpoch, maxCompactEpoch = upToEpoch - 1)
+      .write.mode("overwrite").parquet(s"$root/image_scores_compact/epoch=$upToEpoch")
 
   /** Admit one epoch's images into the catalog state: index + scores +
     * incremental CC labels. Idempotent per epoch (every write overwrites

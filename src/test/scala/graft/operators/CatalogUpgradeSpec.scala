@@ -43,6 +43,12 @@ class CatalogUpgradeSpec extends AnyFunSuite {
     val want1 = ImageOps.electBestCopies(all, 6)
       .select("image_id").collect().map(_.getString(0)).toSet
     assert(cat1 == want1, "epoch-1 catalog drifted from from-scratch election")
+
+    // score-table compaction changes the read path, never the election
+    ImageOps.compactImageScores(spark, root, 1)
+    val cat1c = ImageOps.bestCopyCatalog(spark, root, 1)
+      .select("image_id").collect().map(_.getString(0)).toSet
+    assert(cat1c == want1, "catalog drifted after score compaction")
   }
 
   test("c78 upgrade actions: late full png admits + evicts; late lesser copies drop") {
