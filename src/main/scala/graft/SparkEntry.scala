@@ -471,6 +471,9 @@ object SparkEntry {
     // c80: the same catalog kept current ONLINE (foreachBatch mini-epochs)
     "c80_stream_catalog" ->
       ((s, _) => streaming.StreamingJobs.bestCopyCatalogDemo(s)),
+    // c81: composed image corpus build — quality gates then best-copy
+    // dedup over survivors, one declarative plan, per-row verdicts
+    "c81_corpus_build" -> ((s, _) => ImageOps.corpusBuildDemo(s)),
     // c66: JPEG encode-quality audit — IJG quality inverted from the
     // luminance DQT (header bytes only, codegen expression); planted
     // low-quality re-encodes must flag LOW, png rows report -1

@@ -211,8 +211,16 @@ object ImageOps {
   def curateImages(spark: org.apache.spark.sql.SparkSession,
                    n: Int = 800,
                    minSide: Int = 24, maxAspectX100: Int = 200,
-                   minCapTokens: Int = 3, minContrast: Double = 2.0): DataFrame = {
-    val corpus = curationCorpus(spark, n).toDF()
+                   minCapTokens: Int = 3, minContrast: Double = 2.0): DataFrame =
+    curationReport(curationCorpus(spark, n).toDF(), minSide, maxAspectX100,
+      minCapTokens, minContrast)
+
+  /** The c36 gate stack over ANY snapshot-shaped corpus (extracted so the
+    * composed corpus build (c81) can run the same gates over a corpus the
+    * demo didn't synthesize). */
+  def curationReport(corpus: DataFrame,
+                     minSide: Int = 24, maxAspectX100: Int = 200,
+                     minCapTokens: Int = 3, minContrast: Double = 2.0): DataFrame = {
     val feats = features(corpus).toDF()
       .select(col("image_id"), round(col("contrast"), 4).as("contrast"))
     corpus.select(col("image_id"), col("w"), col("h"), col("caption"))
@@ -1078,29 +1086,30 @@ object ImageOps {
     * pure function of the group index, so tests recompute rows locally.
     */
   def scaleCorpus(spark: org.apache.spark.sql.SparkSession,
-                  n: Int = 48): DataFrame = {
+                  n: Int = 48, w: Int = 48, h: Int = 36): DataFrame = {
     import spark.implicits._
     val groups = n / 4
     spark.range(0L, groups.toLong, 1L, math.max(1, groups / 8))
       .flatMap { i =>
-        val w = 48; val h = 36
         val px = ImageKit.genPixels(ImageKit.mix64(i * 7919L + 5L), 0, w, h)
         def down(tw: Int, th: Int, fmt: String) = {
           val d = ImageKit.resampleArea(px, w, h, tw, th)
           val ip = d.map(v => math.max(0, math.min(255, math.round(v).toInt)))
           ImageKit.encode(ip, tw, th, fmt)
         }
+        val (hw, hh) = (w / 2, h / 2)
+        val (tw, th) = (w / 3, h / 3)
         val full = ImageKit.encode(px, w, h, "png")
-        val half = down(24, 18, "jpeg")
-        val thumb = down(16, 12, "png")
+        val half = down(hw, hh, "jpeg")
+        val thumb = down(tw, th, "png")
         val solo = ImageKit.encode(
           ImageKit.genPixels(ImageKit.mix64(i * 104729L + 11L), 0, w, h), w, h, "png")
         Seq(
           graft.model.Snapshot(s"img-$i-full", full, w, h, "png",
             s"caption of img-$i", ImageKit.phash64(full), 0),
-          graft.model.Snapshot(s"img-$i-half", half, 24, 18, "jpeg",
+          graft.model.Snapshot(s"img-$i-half", half, hw, hh, "jpeg",
             s"caption of img-$i", ImageKit.phash64(half), 0),
-          graft.model.Snapshot(s"img-$i-thumb", thumb, 16, 12, "png",
+          graft.model.Snapshot(s"img-$i-thumb", thumb, tw, th, "png",
             s"caption of img-$i", ImageKit.phash64(thumb), 0),
           graft.model.Snapshot(s"img-$i-solo", solo, w, h, "png",
             s"caption of solo-$i", ImageKit.phash64(solo), 0))
@@ -1239,4 +1248,50 @@ object ImageOps {
     admitEpochBestCopy(spark, root, 1, e1)
     upgradeActions(spark, root, 1).orderBy("action", "image_id")
   }
+
+  // ---- c81: composed image corpus build (quality gates + dedup) --------
+
+  /** c81 fixture: the c36 curation corpus (all five failure families) plus
+    * 64x48 scale trios whose captions follow the alignment convention —
+    * sized so the trio's full (64x48) and half (32x24) PASS the
+    * resolution floor while the thumb (21x16) FAILS it, which makes every
+    * verdict class live: thumb = quality_fail, half = dup_lesser (loses
+    * the election to full), full = kept.
+    */
+  def compositeCurationCorpus(spark: org.apache.spark.sql.SparkSession,
+                              n: Int = 400): DataFrame =
+    curationCorpus(spark, n).toDF().unionByName(
+      scaleCorpus(spark, 48, 64, 48).withColumn("caption",
+        concat(lit("caption of "), col("image_id"), lit(" v0"))))
+
+  /** c81 — the COMPOSED image corpus build, the image payload's t09/t22
+    * analog (what a LAION/DataComp-style release actually runs, as ONE
+    * declarative plan): c36's five quality gates first (cheap metadata +
+    * one decode pass), then best-copy dedup over the survivors only (the
+    * expensive pair machinery never sees quality-failed rows). Verdict per
+    * input row: `quality_fail` | `dup_lesser` | `kept`. Scale shape: the
+    * gates are a codegen'd projection + one slim decode-feature join; the
+    * dedup stage inherits c77's ids+phash-only exchanges; the final
+    * verdict assembly is two dup-rate-or-report-sized joins on image_id.
+    */
+  def buildImageCorpus(images: DataFrame,
+                       minSide: Int = 24, maxAspectX100: Int = 200,
+                       minCapTokens: Int = 3, minContrast: Double = 2.0,
+                       maxHamming: Int = 6): DataFrame = {
+    val rep = curationReport(images, minSide, maxAspectX100,
+      minCapTokens, minContrast).select("image_id", "kept")
+    val quality = images.join(
+      rep.where(col("kept") === 1).select("image_id"), Seq("image_id"), "left_semi")
+    val elected = electBestCopies(quality, maxHamming).select("image_id")
+    images.select("image_id")
+      .join(rep.withColumnRenamed("kept", "q"), Seq("image_id"), "left")
+      .join(elected.withColumn("e", lit(1)), Seq("image_id"), "left")
+      .select(col("image_id"),
+        when(col("q") === 0, lit("quality_fail"))
+          .when(col("e").isNull, lit("dup_lesser"))
+          .otherwise(lit("kept")).as("verdict"))
+  }
+
+  def corpusBuildDemo(spark: org.apache.spark.sql.SparkSession): DataFrame =
+    buildImageCorpus(compositeCurationCorpus(spark)).orderBy("image_id")
 }
