@@ -109,6 +109,12 @@ object SparkEntry {
     "q66_rolling_wau" -> ((s, d) => Relational.rollingWau(s, d)),
     // q67: Pearson correlation from exact integer moments
     "q67_correlation" -> ((s, d) => Relational.corrPricing(s, d)),
+    // q68: regression slope/intercept/r² from the same integer moments
+    "q68_regression" -> ((s, d) => Relational.regressionPricing(s, d)),
+    // q69: Shannon entropy from a value histogram, fixed-point term sums
+    "q69_entropy" -> ((s, d) => Relational.entropyQuantities(s, d)),
+    // q70: median absolute deviation, integer-exact lower medians
+    "q70_mad" -> ((s, d) => Relational.madQuantities(s, d)),
     "q22_levenshtein" -> ((s, d) => Relational.levenshteinDocs(s, d)),
     "q23_percentile" -> ((s, d) => Relational.percentiles(s, d)),
     "q24_window_misc" -> ((s, d) => Relational.windowMisc(s, d)),
@@ -198,6 +204,9 @@ object SparkEntry {
     // g07: aggregated anchor text per cited target — top-2 anchors with
     // a total tie-break (counts reduce map-side before the rank)
     "g07_anchor_text" -> ((s, d) => operators.GraphOps.anchorText(s, d)),
+    // g09: per-host triangle counts — degree-ordered wedge enumeration
+    // (skew-proof apex fan-out); oracle mirrors with the naive triple join
+    "g09_triangles" -> ((s, d) => operators.GraphOps.hostTriangles(s, d)),
     // c34: authority-weighted host budget allocation — largest-remainder
     // apportionment of the global fetch budget over PageRank (integer-exact)
     "c34_budget_allocation" -> ((s, d) => operators.GraphOps.budgetAllocation(s, d)),
@@ -284,6 +293,9 @@ object SparkEntry {
     // t37: Gopher document-quality rules (Rae et al. 2021 §A1.1) — five
     // per-row token rules + verdict, zero exchanges, fully SQL-expressible
     "t37_gopher_filter" -> ((s, d) => TextOps.gopherReport(s, d)),
+    // t38: lexical diversity (TTR + hapax fraction) from one exploded
+    // (doc, token) histogram that map-side-combines before its exchange
+    "t38_lexical_diversity" -> ((s, d) => TextOps.lexicalDiversity(s, d)),
     "t09_corpus_curation" -> ((s, d) => TextOps.curatedCorpus(s, d)),
     "t10_span_clip" -> ((s, d) => TextOps.spanClippedCorpus(s, d)),
     "t11_multimodal_dedup" -> ((s, d) =>
@@ -474,6 +486,16 @@ object SparkEntry {
     // c81: composed image corpus build — quality gates then best-copy
     // dedup over survivors, one declarative plan, per-row verdicts
     "c81_corpus_build" -> ((s, _) => ImageOps.corpusBuildDemo(s)),
+    // c83: bounded failure-retry policy — transiently-failed URLs re-enter
+    // the frontier around the seen dedupe with an attempt budget;
+    // RetrySpec pins the due-set law and the retryMax bound
+    "c83_failure_retry" -> ((s, _) => CrawlPipeline.retryDemo(s)),
+    // c82: per-host politeness SLA audit over the flagship schedule —
+    // gap/budget/slot compliance as an observable (PolitenessAuditSpec
+    // asserts every verdict column is true on engine-produced schedules)
+    "c82_politeness_audit" -> ((s, _) =>
+      FrontierJob.politenessAudit(entry(s), Gen.robots(s).toDF(),
+        crawlCfg(budget = math.max(200, 2000 / 3)))),
     // c66: JPEG encode-quality audit — IJG quality inverted from the
     // luminance DQT (header bytes only, codegen expression); planted
     // low-quality re-encodes must flag LOW, png rows report -1
@@ -516,6 +538,9 @@ object SparkEntry {
     // emb15: cosine range search — guaranteed-complete neighborhood at
     // cos >= tau; planted strong/weak twins prove the threshold separates
     "emb15_range_search" -> ((s, d) => SimilarityOps.rangeSearch(s, d)),
+    // emb16: mutual k-NN edges over a deterministic eval sample — the
+    // symmetric-neighborhood primitive for density-aware dedup seeding
+    "emb16_mutual_knn" -> ((s, d) => SimilarityOps.mutualKnn(s, d)),
     // emb09: SemDeDup — k-means cluster-scoped semantic near-dup pairs
     // resolved to components; survivor = component-min (Abbas et al. '23)
     "emb09_semdedup" -> ((s, d) => SimilarityOps.semDedup(s, d)),
@@ -1222,6 +1247,76 @@ object SparkEntry {
         |      (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)), 4)
         |    AS corr_qty_price
         |FROM m""".stripMargin,
+    // q68: same moment discipline; slope/intercept/r2 one expression each
+    "q68_regression" ->
+      """WITH m AS (
+        |  SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(x * y) AS BIGINT) AS sxy,
+        |    CAST(sum(x * x) AS BIGINT) AS sxx,
+        |    CAST(sum(y * y) AS BIGINT) AS syy
+        |  FROM (SELECT l_returnflag, l_linestatus,
+        |    CAST(l_quantity AS BIGINT) AS x,
+        |    CAST(round(l_extendedprice) AS BIGINT) AS y FROM lineitem)
+        |  GROUP BY l_returnflag, l_linestatus
+        |)
+        |SELECT l_returnflag, l_linestatus, n,
+        |  round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) /
+        |    (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx), 4) AS slope,
+        |  round((CAST(sy AS DOUBLE) -
+        |    ((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) /
+        |     (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)) * sx) /
+        |    CAST(n AS DOUBLE), 4) AS intercept,
+        |  round(((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) *
+        |         (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)) /
+        |    ((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) *
+        |     (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)), 4) AS r2
+        |FROM m""".stripMargin,
+    // q69: same histogram; per-term cnt*log2(cnt) quantized to 1e-6 longs
+    // so the cross-engine sum is integer-exact (ln/ln(2) on both sides)
+    "q69_entropy" ->
+      """WITH hist AS (
+        |  SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS qty,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM lineitem GROUP BY l_returnflag, qty
+        |)
+        |SELECT l_returnflag, CAST(sum(cnt) AS BIGINT) AS n,
+        |  CAST(count(*) AS BIGINT) AS n_distinct,
+        |  round(ln(CAST(sum(cnt) AS DOUBLE)) / ln(2.0) -
+        |    (CAST(sum(CAST(round(CAST(cnt AS DOUBLE) *
+        |        (ln(CAST(cnt AS DOUBLE)) / ln(2.0)) * 1e6) AS BIGINT))
+        |      AS DOUBLE) / 1e6) / CAST(sum(cnt) AS DOUBLE), 4)
+        |    AS entropy_bits
+        |FROM hist GROUP BY l_returnflag""".stripMargin,
+    // q70: lower medians over the compressed histogram, integers only
+    "q70_mad" ->
+      """WITH hist AS (
+        |  SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS qty,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM lineitem GROUP BY l_returnflag, qty
+        |), med AS (
+        |  SELECT l_returnflag, qty AS med, total FROM (
+        |    SELECT l_returnflag, qty, cnt,
+        |      sum(cnt) OVER (PARTITION BY l_returnflag ORDER BY qty) AS cum,
+        |      sum(cnt) OVER (PARTITION BY l_returnflag) AS total
+        |    FROM hist)
+        |  WHERE cum - cnt < (total + 1) // 2 AND (total + 1) // 2 <= cum
+        |), devhist AS (
+        |  SELECT h.l_returnflag, abs(h.qty - m.med) AS dev,
+        |    CAST(sum(h.cnt) AS BIGINT) AS cnt
+        |  FROM hist h JOIN med m ON h.l_returnflag = m.l_returnflag
+        |  GROUP BY h.l_returnflag, dev
+        |)
+        |SELECT d.l_returnflag, m.med AS median_qty, d.dev AS mad,
+        |  d.total AS n_rows
+        |FROM (
+        |  SELECT l_returnflag, dev, cnt,
+        |    sum(cnt) OVER (PARTITION BY l_returnflag ORDER BY dev) AS cum,
+        |    sum(cnt) OVER (PARTITION BY l_returnflag) AS total
+        |  FROM devhist) d
+        |JOIN med m ON d.l_returnflag = m.l_returnflag
+        |WHERE d.cum - d.cnt < (d.total + 1) // 2
+        |  AND (d.total + 1) // 2 <= d.cum""".stripMargin,
     // q66: same explode-by-offset rolling distinct
     "q66_rolling_wau" ->
       """WITH grid AS (
@@ -2658,6 +2753,47 @@ object SparkEntry {
     "g05_host_components" -> operators.GraphOps.hostComponentsOracleSql(),
     "g06_host_trustrank" -> operators.GraphOps.trustRankOracleSql(),
     "g07_anchor_text" -> operators.GraphOps.anchorTextOracleSql(),
+    "g09_triangles" -> operators.GraphOps.trianglesOracleSql(),
+    // t38: same tokenization (lowercased alphanumeric runs), same
+    // two-level histogram rollup; ratios rounded 4 dp on both sides
+    "t38_lexical_diversity" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS tok
+        |  FROM documents
+        |), tc AS (
+        |  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM toks WHERE tok <> '' GROUP BY doc_id, tok
+        |)
+        |SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_tokens,
+        |  CAST(count(*) AS BIGINT) AS n_types,
+        |  round(CAST(count(*) AS DOUBLE) / sum(cnt), 4) AS ttr,
+        |  round(CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / count(*), 4) AS hapax_frac
+        |FROM tc GROUP BY doc_id""".stripMargin,
+    // emb16: emb01's cosine kernel over the sampled self-join; mutuality
+    // via the swapped-id join; a < b canonical direction
+    "emb16_mutual_knn" ->
+      """WITH s AS (
+        |  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 5 = 0
+        |), scored AS (
+        |  SELECT q.vec_id AS a, e.vec_id AS b,
+        |    list_aggregate(list_transform(generate_series(1, len(e.embedding)),
+        |      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE)), 'sum')
+        |    / (sqrt(list_aggregate(list_transform(e.embedding,
+        |         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
+        |     * sqrt(list_aggregate(list_transform(q.embedding,
+        |         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))) AS cos
+        |  FROM s q, s e WHERE q.vec_id <> e.vec_id
+        |), knn AS (
+        |  SELECT a, b, cos FROM (
+        |    SELECT a, b, cos,
+        |      row_number() OVER (PARTITION BY a ORDER BY cos DESC, b ASC) AS rank
+        |    FROM scored) WHERE rank <= 3
+        |)
+        |SELECT x.a AS vec_a, x.b AS vec_b, round(x.cos, 4) AS cos
+        |FROM knn x JOIN knn y ON x.a = y.b AND x.b = y.a
+        |WHERE x.a < x.b""".stripMargin,
     "t21_dsir_select" -> TextOps.dsirOracleSql(),
     "c34_budget_allocation" -> operators.GraphOps.budgetOracleSql(),
     "c35_shard_assign" -> operators.ShardOps.shardOracleSql(),

@@ -242,6 +242,23 @@ object CrawlPipeline {
       .orderBy("url_hash")
   }
 
+  /** c83 demo rows: a 3-epoch retrying crawl's failure ledger — every URL
+    * that ever failed transiently, with its last outcome and whether the
+    * retry budget still covers it. fanout 0 + identical per-epoch seeds
+    * make epochs 1..2 pure retry waves, so the ledger directly exhibits
+    * fail→retry→recover and fail→retry→fail chains.
+    */
+  def retryDemo(spark: SparkSession, epochs: Int = 2,
+                seedsPerEpoch: Int = 400, retryMax: Int = 2): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft-c83").toString
+    run(spark, root, untilEpoch = epochs, seedsPerEpoch = seedsPerEpoch,
+      cfg0 = FrontierJob.Config(epoch = 0, globalBudget = 10000),
+      outlinkFanout = 0, retryFailures = true, retryMax = retryMax)
+    RetryOps.retryLedger(spark, root, epochs, retryMax)
+      .where(col("n_transient") >= 1)
+      .orderBy("image_id")
+  }
+
   def outlinks(scheduled: Dataset[Scheduled], fanout: Int,
                crossHost: Boolean = false): Dataset[Seed] = {
     import scheduled.sparkSession.implicits._
@@ -333,7 +350,9 @@ object CrawlPipeline {
       agingBoost: Double = 0.25,
       robotsFlipEpoch: Int = -1,
       robotsAvailability: Boolean = false,
-      payloadValidation: Boolean = false): Seq[EpochSummary] = {
+      payloadValidation: Boolean = false,
+      retryFailures: Boolean = false,
+      retryMax: Int = 2): Seq[EpochSummary] = {
     require(sidecar == "bloom" || sidecar == "cuckoo", s"unknown sidecar kind: $sidecar")
     require(recrawlPolicy == "staleness" || recrawlPolicy == "changerate",
       s"unknown recrawl policy: $recrawlPolicy")
@@ -496,7 +515,28 @@ object CrawlPipeline {
                 .as[Seed]))
           }
         }
-      val toRobots0 = recrawlFrontier.fold(deduped)(deduped.unionByName(_))
+      // c83 wired end-to-end: URLs whose LAST attempt failed transiently
+      // (fetch_failed / c67 invalid_payload) re-enter the frontier with a
+      // bounded attempt budget — like recrawl they bypass the seen dedupe
+      // (they ARE seen; refetching is the point) but pass robots +
+      // politeness like any discovery. parse_failed is permanent (the
+      // parser is deterministic — c83 scaladoc). Committed state only, so
+      // resume recomputes the same due set. Off by default: base goldens
+      // stay byte-identical.
+      val retryFrontier =
+        if (!retryFailures || epoch == 0) None
+        else {
+          val canon = FrontierJob.canonicalizeFrontier(
+            RetryOps.dueForRetry(spark, root, epoch - 1, retryMax)
+              .select(col("url"), col("priority")).as[Seed])
+          // a URL due under BOTH recrawl (content revisit) and retry (a
+          // scheduled recrawl that then failed) schedules once: the retry
+          // copy yields
+          Some(recrawlFrontier.fold(canon)(rc =>
+            canon.join(rc.select("url_hash"), Seq("url_hash"), "left_anti")))
+        }
+      val toRobots0 = Seq(recrawlFrontier, retryFrontier).flatten
+        .foldLeft(deduped)(_ unionByName _)
       // c59 wired end-to-end: exactly at the flip epoch, URLs held back
       // under the OLD policy in earlier epochs re-enter the frontier if
       // the NEW policy allows them (once — later epochs hold nothing under
@@ -600,12 +640,13 @@ object CrawlPipeline {
       // seen merge + cumulative bloom sidecar for the NEXT epoch
       val newSeen0 = scheduled
         .select(col("url_hash"), col("host"), lit(epoch).as("first_epoch"))
-      // recrawled URLs are already in the seen store — re-appending them
-      // would duplicate SeenEntry rows (double-inserting their cuckoo
+      // recrawled/retried URLs are already in the seen store — re-appending
+      // them would duplicate SeenEntry rows (double-inserting their cuckoo
       // fingerprints, wasting bucket capacity every revisit); the anti-join
-      // runs only in recrawl mode so the default path stays byte-identical
+      // runs only when a seen-bypass mode is on so the default path stays
+      // byte-identical
       val newSeen = (
-        if (recrawl)
+        if (recrawl || retryFailures)
           newSeen0.join(seen.toDF().select("url_hash"), Seq("url_hash"), "left_anti")
         else newSeen0
         ).as[SeenEntry]

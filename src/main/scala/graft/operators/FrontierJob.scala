@@ -333,6 +333,41 @@ object FrontierJob {
       .withColumn("epoch", lit(cfg.epoch))
   }
 
+  /** c82 — POLITENESS COMPLIANCE AUDIT over a committed schedule: the
+    * per-host SLA ledger an operator reads after (or during) an epoch —
+    * n scheduled vs the robots host budget, the minimum observed
+    * inter-fetch gap vs the host's Crawl-delay, and slot uniqueness.
+    * These hold by construction of `schedule`; the audit makes the
+    * guarantee an OBSERVABLE over at-rest data (the S6 lineage
+    * discipline), so a regression in any scheduler rewrite — or a
+    * hand-edited schedule — surfaces as audit rows, not as a banned
+    * crawler. One window pass + one map-side-combined agg over the
+    * schedule (never the page payloads), then a broadcast join against
+    * the host-sized robots catalog.
+    */
+  def politenessAudit(scheduled: DataFrame, robots: DataFrame,
+                      cfg: Config): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("host").orderBy(col("slot").asc)
+    val r = robots.select(col("host"),
+      coalesce(col("crawl_delay_ms"), lit(cfg.defaultDelayMs)).as("delay_ms"),
+      coalesce(col("host_budget"), lit(cfg.defaultHostBudget)).as("budget"))
+    scheduled
+      .withColumn("prev_ms", lag("scheduled_at_ms", 1).over(w))
+      .groupBy("host")
+      .agg(count(lit(1)).as("n_scheduled"),
+        min(col("scheduled_at_ms") - col("prev_ms")).as("min_gap_ms"),
+        countDistinct("slot").as("n_slots"))
+      .join(broadcast(r), Seq("host"), "left")
+      .select(col("host"), col("n_scheduled"), col("min_gap_ms"),
+        col("delay_ms"), col("budget"),
+        (col("min_gap_ms").isNull || col("min_gap_ms") >= col("delay_ms"))
+          .as("gap_ok"),
+        (col("n_scheduled") <= col("budget")).as("budget_ok"),
+        (col("n_slots") === col("n_scheduled")).as("slots_ok"))
+      .orderBy("host")
+  }
+
   /** The two-phase WINDOW formulation of the same schedule (kept as the
     * documented alternative; golden-tested equal to `schedule`). Prefer
     * `schedule` — the bounded-heap aggregator moves orders of magnitude

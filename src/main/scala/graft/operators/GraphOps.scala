@@ -671,4 +671,106 @@ object GraphOps {
        |SELECT target_source, anchor, cnt, CAST(rank AS BIGINT) AS rank
        |FROM ranked WHERE rank <= $k
        |ORDER BY target_source, rank""".stripMargin
+
+  /** g09 — TRIANGLE COUNT per host over the undirected host graph, by
+    * degree-ordered wedge enumeration (the skew-proof shape: orient every
+    * edge from its lower-(degree, name) endpoint to the higher one, so
+    * each triangle is enumerated at exactly ONE apex and apex fan-out is
+    * bounded by O(√m) even on a star — a name-ordered orientation would
+    * instead pile every wedge of a hot host onto one key). Enumeration
+    * order never reaches the result (per-host counts are
+    * orientation-invariant), so the DuckDB oracle mirrors with the naive
+    * name-ordered triple join. Exchanges carry (host, host) string pairs
+    * only — the host graph is edges-of-hosts, ~6 orders below page scale.
+    */
+  /** g09's edge derivation: TWO deterministic citation maps per document —
+    * g01's linear map plus a quadratic one. The linear map alone lifts to
+    * a triangle-free host graph (source = doc_id mod |hosts|, so a linear
+    * cite is a linear map on host ids, and the closing congruence
+    * 2a ≡ k (mod 20) is unsolvable for odd k); the quadratic map breaks
+    * the linearity and the lifted graph carries triangles at every SF.
+    * Same integer-only arithmetic contract as `sourceEdges`, so DuckDB
+    * derives the identical graph.
+    */
+  def denseSourceEdges(spark: SparkSession, dir: String): DataFrame = {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("source"))
+    val nDocs = docs.count()
+    val cites = docs
+      .select(col("source").as("src"), ((col("doc_id") * 17L + 3L) % nDocs).as("cited"))
+      .unionByName(docs.select(col("source").as("src"),
+        ((col("doc_id") * col("doc_id") * 7L + col("doc_id") * 31L + 5L) % nDocs)
+          .as("cited")))
+    val b = docs.select(col("doc_id").as("cited_id"), col("source").as("dst"))
+    cites.join(b, cites("cited") === b("cited_id"))
+      .where(col("src") =!= col("dst"))
+      .select("src", "dst")
+      .distinct()
+  }
+
+  def hostTriangles(spark: SparkSession, dir: String): DataFrame =
+    triangleCounts(denseSourceEdges(spark, dir))
+
+  /** Per-node triangle counts over an arbitrary (src, dst) edge list
+    * (direction and duplicates ignored; self-loops dropped).
+    */
+  def triangleCounts(e0: DataFrame): DataFrame = {
+    val und = e0.select(col("src").as("a"), col("dst").as("b"))
+      .union(e0.select(col("dst").as("a"), col("src").as("b")))
+      .where(col("a") =!= col("b"))
+      .distinct().localCheckpoint()
+    val deg = und.groupBy(col("a").as("h")).agg(count(lit(1)).as("deg"))
+    val oriented = und
+      .join(deg.select(col("h").as("a"), col("deg").as("da")), Seq("a"))
+      .join(deg.select(col("h").as("b"), col("deg").as("db")), Seq("b"))
+      .where(col("da") < col("db") ||
+        (col("da") === col("db") && col("a") < col("b")))
+      .select(col("a").as("u"), col("b").as("v"), col("db").as("dv"))
+      .localCheckpoint()
+    val x = oriented.select(col("u"), col("v").as("v1"), col("dv").as("d1"))
+    val y = oriented.select(col("u"), col("v").as("v2"), col("dv").as("d2"))
+    val wedges = x.join(y, Seq("u"))
+      .where(col("d1") < col("d2") ||
+        (col("d1") === col("d2") && col("v1") < col("v2")))
+    val tri = wedges.join(
+        oriented.select(col("u").as("v1"), col("v").as("v2")),
+        Seq("v1", "v2"))
+      .select(col("u"), col("v1"), col("v2"))
+    tri.select(col("u").as("source"))
+      .union(tri.select(col("v1").as("source")))
+      .union(tri.select(col("v2").as("source")))
+      .groupBy("source").agg(count(lit(1)).as("n_triangles"))
+      .orderBy("source")
+  }
+
+  /** Naive name-ordered triple-join DuckDB mirror of `hostTriangles` —
+    * per-host counts are orientation-invariant, so the two enumeration
+    * strategies agree exactly.
+    */
+  def trianglesOracleSql(): String =
+    """WITH docs AS (SELECT doc_id, source FROM documents),
+      |cnt AS (SELECT count(*) AS c FROM docs),
+      |cites AS (
+      |  SELECT source AS src, (doc_id * 17 + 3) % c AS cited FROM docs, cnt
+      |  UNION ALL
+      |  SELECT source, (doc_id * doc_id * 7 + doc_id * 31 + 5) % c
+      |  FROM docs, cnt),
+      |dedges AS (
+      |  SELECT DISTINCT a.src, b.source AS dst
+      |  FROM cites a JOIN docs b ON b.doc_id = a.cited
+      |  WHERE a.src <> b.source),
+      |canon AS (
+      |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+      |  FROM dedges),
+      |tri AS (
+      |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+      |  FROM canon e1
+      |  JOIN canon e2 ON e2.a = e1.b
+      |  JOIN canon e3 ON e3.a = e1.a AND e3.b = e2.b),
+      |hosts AS (
+      |  SELECT x AS source FROM tri
+      |  UNION ALL SELECT y FROM tri
+      |  UNION ALL SELECT z FROM tri)
+      |SELECT source, CAST(count(*) AS BIGINT) AS n_triangles
+      |FROM hosts GROUP BY source ORDER BY source""".stripMargin
 }

@@ -1085,4 +1085,97 @@ object Relational {
         col("mode_cnt"), col("median_lo_qty"), col("n_rows"))
       .orderBy("l_returnflag", "l_linestatus")
   }
+
+  /** q68 — SIMPLE LINEAR REGRESSION per group (slope / intercept / r²,
+    * the regr_slope/regr_intercept/regr_r2 family) from the SAME exact
+    * integer five-moment aggregate as q67: x = quantity, y = whole-unit
+    * price, moments summed as longs (partition-order-exact), then the
+    * three statistics are each ONE final double expression rounded 4 dp.
+    * One map-side-combined agg to |groups| rows — nothing about this
+    * shape changes at 100 TB.
+    */
+  def regressionPricing(spark: SparkSession, dir: String): DataFrame = {
+    val m = t(spark, dir, "lineitem")
+      .select(col("l_returnflag"), col("l_linestatus"),
+        col("l_quantity").cast("long").as("x"),
+        round(col("l_extendedprice")).cast("long").as("y"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+    val nD = col("n").cast("double")
+    val covN = nD * col("sxy") - col("sx").cast("double") * col("sy")
+    val varXN = nD * col("sxx") - col("sx").cast("double") * col("sx")
+    val varYN = nD * col("syy") - col("sy").cast("double") * col("sy")
+    m.select(col("l_returnflag"), col("l_linestatus"), col("n"),
+        round(covN / varXN, 4).as("slope"),
+        round((col("sy").cast("double") - (covN / varXN) * col("sx")) / nD, 4)
+          .as("intercept"),
+        round(covN * covN / (varXN * varYN), 4).as("r2"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  /** q69 — SHANNON ENTROPY (bits) of the per-group quantity distribution,
+    * partition-order-exact: the value histogram map-side-combines to
+    * O(distinct values) rows per group (q59's discipline); each
+    * histogram row contributes cnt·log2(cnt) QUANTIZED to a fixed-point
+    * long (1e6 units) so the cross-partition/cross-engine sum is an
+    * INTEGER sum — any ulp-level libm disagreement between engines moves
+    * one term by ±1e-6 and is absorbed by the final 4 dp rounding,
+    * instead of compounding through a float accumulation. H = log2(n) −
+    * Σcnt·log2(cnt)/n.
+    */
+  def entropyQuantities(spark: SparkSession, dir: String): DataFrame = {
+    val hist = t(spark, dir, "lineitem")
+      .select(col("l_returnflag"), col("l_quantity").cast("long").as("qty"))
+      .groupBy("l_returnflag", "qty")
+      .agg(count(lit(1)).as("cnt"))
+    hist.groupBy("l_returnflag")
+      .agg(sum("cnt").as("n"), count(lit(1)).as("n_distinct"),
+        sum(round(col("cnt").cast("double") * log(2.0, col("cnt")) * 1e6)
+          .cast("long")).as("qterms"))
+      .select(col("l_returnflag"), col("n"), col("n_distinct"),
+        round(log(2.0, col("n")) -
+          (col("qterms").cast("double") / 1e6) / col("n").cast("double"), 4)
+          .as("entropy_bits"))
+      .orderBy("l_returnflag")
+  }
+
+  /** q70 — MEDIAN ABSOLUTE DEVIATION per group, integer-exact end to end:
+    * lower-median of quantity from the compressed value histogram (q59's
+    * shape — never a full-row sort), then lower-median of |qty − med|
+    * from a SECOND histogram pass over the same O(distinct) rows (the
+    * deviation histogram derives from the value histogram, not the base
+    * table, so the base table is scanned once). No interpolation doubles
+    * anywhere — both engines agree bit-for-bit.
+    */
+  def madQuantities(spark: SparkSession, dir: String): DataFrame = {
+    val hist = t(spark, dir, "lineitem")
+      .select(col("l_returnflag"), col("l_quantity").cast("long").as("qty"))
+      .groupBy("l_returnflag", "qty")
+      .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint() // reused by both median passes; O(groups·distinct) rows
+    def lowerMedian(h: DataFrame, valueCol: String, out: String): DataFrame = {
+      val wCum = Window.partitionBy("l_returnflag").orderBy(valueCol)
+      val wAll = Window.partitionBy("l_returnflag")
+      h.withColumn("cum", sum("cnt").over(wCum))
+        .withColumn("total", sum("cnt").over(wAll))
+        .where(col("cum") - col("cnt") < expr("(total + 1) div 2") &&
+          expr("(total + 1) div 2") <= col("cum"))
+        .select(col("l_returnflag"), col(valueCol).as(out), col("total"))
+    }
+    val med = lowerMedian(hist, "qty", "med")
+    val devHist = hist
+      .join(med.select("l_returnflag", "med"), Seq("l_returnflag"))
+      .select(col("l_returnflag"), abs(col("qty") - col("med")).as("dev"),
+        col("cnt"))
+      .groupBy("l_returnflag", "dev").agg(sum("cnt").as("cnt"))
+    lowerMedian(devHist, "dev", "mad")
+      .join(med.select(col("l_returnflag"), col("med").as("median_qty")),
+        Seq("l_returnflag"))
+      .select(col("l_returnflag"), col("median_qty"), col("mad"),
+        col("total").as("n_rows"))
+      .orderBy("l_returnflag")
+  }
 }

@@ -1017,4 +1017,34 @@ object SimilarityOps {
       .select(col("query_id"), col("vec_id"), round(col("dot"), 4).as("dot"),
         col("rank").cast("long").as("rank"))
   }
+
+  /** emb16 — MUTUAL k-NN edges over a deterministic evaluation sample
+    * (vec_id % `modulus` == 0): pairs where each vector ranks in the
+    * OTHER's top-k. Mutual-kNN is the symmetric-neighborhood primitive
+    * under density-aware dedup/cluster seeding (a one-way neighbor of a
+    * hub is noise; a mutual pair is structure) and under ANN recall
+    * evaluation. Scale contract: the quadratic part runs over the SAMPLE
+    * only (capped by construction — an eval set, not the corpus), sample
+    * broadcast against sample, so the corpus-sized path is one scan +
+    * filter; the mutuality join carries (id, id, cos) triples only.
+    */
+  def mutualKnn(spark: SparkSession, dir: String,
+                modulus: Int = 5, k: Int = 3): DataFrame = {
+    val s = emb(spark, dir)
+      .where(pmod(col("vec_id"), lit(modulus)) === 0)
+      .select(col("vec_id"), col("embedding"))
+    val q = s.select(col("vec_id").as("a"), col("embedding").as("va"))
+    val c = s.select(col("vec_id").as("b"), col("embedding").as("vb"))
+    val scored = q.join(broadcast(c), col("a") =!= col("b"))
+      .select(col("a"), col("b"), cosineCol(col("va"), col("vb")).as("cos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("a").orderBy(col("cos").desc, col("b").asc)
+    val knn = scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k).select("a", "b", "cos")
+    knn.join(knn.select(col("b").as("a"), col("a").as("b")), Seq("a", "b"))
+      .where(col("a") < col("b"))
+      .select(col("a").as("vec_a"), col("b").as("vec_b"),
+        round(col("cos"), 4).as("cos"))
+      .orderBy("vec_a", "vec_b")
+  }
 }

@@ -1425,4 +1425,32 @@ object TextOps {
 
   def gopherReport(spark: SparkSession, dir: String): DataFrame =
     gopherStatsOf(gopherCorpus(spark, dir))
+
+  /** t38 — LEXICAL DIVERSITY profile per document: type-token ratio and
+    * hapax fraction (the vocabulary-richness signals a corpus mixer uses
+    * next to t01's surface quality and t28's cross-corpus novelty — a
+    * low-TTR doc is boilerplate/template spam even when its punctuation
+    * and length look clean; Gopher's repetition rules are the n-gram
+    * generalization, t18). Shape: one explode + a (doc, token) count that
+    * MAP-SIDE-COMBINES before the only exchange, then a per-doc rollup of
+    * O(types) rows — token text never crosses a shuffle wider than the
+    * distinct (doc, token) pairs, and the base table is scanned once.
+    * Tokens are lowercased alphanumeric runs; ratios rounded 4 dp (the
+    * t01 discipline) so both engines gate on identical values.
+    */
+  def lexicalDiversity(spark: SparkSession, dir: String): DataFrame = {
+    val toks = docs(spark, dir)
+      .select(col("doc_id"),
+        explode(filter(split(lower(col("text")), "[^a-z0-9]+"),
+          t => t =!= "")).as("tok"))
+    toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("cnt"))
+      .groupBy("doc_id")
+      .agg(sum("cnt").as("n_tokens"), count(lit(1)).as("n_types"),
+        sum(when(col("cnt") === 1L, 1L).otherwise(0L)).as("n_hapax"))
+      .select(col("doc_id"), col("n_tokens"), col("n_types"),
+        round(col("n_types").cast("double") / col("n_tokens"), 4).as("ttr"),
+        round(col("n_hapax").cast("double") / col("n_types"), 4)
+          .as("hapax_frac"))
+      .orderBy("doc_id")
+  }
 }
