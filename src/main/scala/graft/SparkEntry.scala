@@ -207,6 +207,9 @@ object SparkEntry {
     // g09: per-host triangle counts — degree-ordered wedge enumeration
     // (skew-proof apex fan-out); oracle mirrors with the naive triple join
     "g09_triangles" -> ((s, d) => operators.GraphOps.hostTriangles(s, d)),
+    // g10: k-core decomposition by iterative peeling (id-only rounds);
+    // KCoreSpec pins the sequential-peeling mirror + planted closed forms
+    "g10_kcore" -> ((s, d) => operators.GraphOps.hostCoreNumbers(s, d)),
     // c34: authority-weighted host budget allocation — largest-remainder
     // apportionment of the global fetch budget over PageRank (integer-exact)
     "c34_budget_allocation" -> ((s, d) => operators.GraphOps.budgetAllocation(s, d)),
@@ -296,6 +299,9 @@ object SparkEntry {
     // t38: lexical diversity (TTR + hapax fraction) from one exploded
     // (doc, token) histogram that map-side-combines before its exchange
     "t38_lexical_diversity" -> ((s, d) => TextOps.lexicalDiversity(s, d)),
+    // t39: Zipf slope per source — log-log frequency/rank regression from
+    // fixed-point quantized moments (corpus distribution-health QA)
+    "t39_zipf_slope" -> ((s, d) => TextOps.zipfSlope(s, d)),
     "t09_corpus_curation" -> ((s, d) => TextOps.curatedCorpus(s, d)),
     "t10_span_clip" -> ((s, d) => TextOps.spanClippedCorpus(s, d)),
     "t11_multimodal_dedup" -> ((s, d) =>
@@ -486,6 +492,10 @@ object SparkEntry {
     // c81: composed image corpus build — quality gates then best-copy
     // dedup over survivors, one declarative plan, per-row verdicts
     "c81_corpus_build" -> ((s, _) => ImageOps.corpusBuildDemo(s)),
+    // c84: the c83 retry ledger as LIVE keyed streaming state
+    // (mapGroupsWithState); StreamingSpec pins stream == batch ledger
+    "c84_stream_retry" ->
+      ((s, _) => streaming.StreamingJobs.retryLedgerDemo(s)),
     // c83: bounded failure-retry policy — transiently-failed URLs re-enter
     // the frontier around the seen dedupe with an attempt budget;
     // RetrySpec pins the due-set law and the retryMax bound
@@ -2771,6 +2781,42 @@ object SparkEntry {
         |  round(CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS DOUBLE)
         |    / count(*), 4) AS hapax_frac
         |FROM tc GROUP BY doc_id""".stripMargin,
+    // t39: same histogram + top-R window; log2 terms quantized to 1e-6
+    // longs so the moment sums are integer-exact across engines
+    "t39_zipf_slope" ->
+      """WITH toks AS (
+        |  SELECT source,
+        |    unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS tok
+        |  FROM documents
+        |), hist AS (
+        |  SELECT source, tok, CAST(count(*) AS BIGINT) AS freq
+        |  FROM toks WHERE tok <> '' GROUP BY source, tok
+        |), ranked AS (
+        |  SELECT source, freq,
+        |    row_number() OVER (PARTITION BY source
+        |                       ORDER BY freq DESC, tok ASC) AS rank
+        |  FROM hist
+        |), q AS (
+        |  SELECT source,
+        |    CAST(round(ln(CAST(rank AS DOUBLE)) / ln(2.0) * 1e6) AS BIGINT) AS x,
+        |    CAST(round(ln(CAST(freq AS DOUBLE)) / ln(2.0) * 1e6) AS BIGINT) AS y
+        |  FROM ranked WHERE rank <= 50
+        |), m AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(x * y) AS BIGINT) AS sxy,
+        |    CAST(sum(x * x) AS BIGINT) AS sxx
+        |  FROM q GROUP BY source
+        |)
+        |SELECT source, n AS n_ranks,
+        |  round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) /
+        |    (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx), 4)
+        |    AS zipf_slope,
+        |  round((CAST(sy AS DOUBLE) -
+        |    ((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) /
+        |     (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)) * sx) /
+        |    CAST(n AS DOUBLE) / 1e6, 4) AS zipf_intercept
+        |FROM m""".stripMargin,
     // emb16: emb01's cosine kernel over the sampled self-join; mutuality
     // via the swapped-id join; a < b canonical direction
     "emb16_mutual_knn" ->

@@ -743,6 +743,51 @@ object GraphOps {
       .orderBy("source")
   }
 
+  /** g10 — k-CORE DECOMPOSITION (core number per node) by iterative
+    * peeling (Matula-Beck'83 / Batagelj-Zaveršnik'03 semantics): the
+    * k-core is the maximal subgraph where every node has degree >= k; a
+    * node's core number is the largest k whose core contains it. Peeling
+    * removes degree<k nodes to a fixpoint, then raises k — each inner
+    * round is ONE map-side-combined degree agg + TWO id-only anti-joins
+    * over the surviving edge list (localCheckpoint bounds lineage), the
+    * distributed shape that holds at any graph size; the driver sees only
+    * a per-round count. Core numbers are unique (peel order never changes
+    * them), so the result is deterministic at any parallelism. Used as
+    * the host-authority band next to g01/g04: a high-core host sits in a
+    * densely interlinked community, a high-degree low-core host is a
+    * link-farm hub.
+    */
+  def coreNumbers(e0: DataFrame): DataFrame = {
+    val spark = e0.sparkSession
+    var und = e0.select(col("src").as("a"), col("dst").as("b"))
+      .union(e0.select(col("dst").as("a"), col("src").as("b")))
+      .where(col("a") =!= col("b"))
+      .distinct().localCheckpoint()
+    val peeled = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    var k = 1L
+    var guard = 0
+    while (und.head(1).nonEmpty && guard < 10000) {
+      guard += 1
+      val deg = und.groupBy("a").agg(count(lit(1)).as("deg"))
+      val weak = deg.where(col("deg") < k).select("a").localCheckpoint()
+      if (weak.head(1).isEmpty) k += 1
+      else {
+        peeled += weak.select(col("a").as("source"), lit(k - 1).as("core"))
+        und = und
+          .join(weak.select(col("a").as("w1")), col("a") === col("w1"), "left_anti")
+          .join(weak.select(col("a").as("w2")), col("b") === col("w2"), "left_anti")
+          .localCheckpoint()
+      }
+    }
+    peeled.reduceOption(_ unionByName _)
+      .map(_.orderBy("source"))
+      .getOrElse(spark.emptyDataFrame
+        .withColumn("source", lit("")).withColumn("core", lit(0L)).limit(0))
+  }
+
+  def hostCoreNumbers(spark: SparkSession, dir: String): DataFrame =
+    coreNumbers(denseSourceEdges(spark, dir))
+
   /** Naive name-ordered triple-join DuckDB mirror of `hostTriangles` —
     * per-host counts are orientation-invariant, so the two enumeration
     * strategies agree exactly.

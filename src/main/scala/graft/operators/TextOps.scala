@@ -1426,6 +1426,46 @@ object TextOps {
   def gopherReport(spark: SparkSession, dir: String): DataFrame =
     gopherStatsOf(gopherCorpus(spark, dir))
 
+  /** t39 — ZIPF SLOPE per source: the log-log regression of token
+    * frequency on frequency rank over the top `topR` ranks — the corpus
+    * diagnostic for frequency-distribution health (natural text sits near
+    * slope −1, Zipf's law; machine-generated/boilerplate corpora flatten
+    * or cliff, and a slope drifting across crawl epochs flags a source
+    * turning into template spam). Shape: token histogram map-side-combines
+    * per (source, token); ranking is a per-source top-R window over the
+    * compressed histogram (never raw tokens); the regression reuses q68's
+    * exact-moment discipline with log2(rank)/log2(freq) QUANTIZED to
+    * fixed-point longs (1e-6) before the moment sums, so cross-engine and
+    * cross-partition sums are integer-exact and the slope is ONE final
+    * double expression rounded 4 dp.
+    */
+  def zipfSlope(spark: SparkSession, dir: String, topR: Int = 50): DataFrame = {
+    val toks = docs(spark, dir)
+      .select(col("source"),
+        explode(filter(split(lower(col("text")), "[^a-z0-9]+"),
+          t => t =!= "")).as("tok"))
+    val hist = toks.groupBy("source", "tok").agg(count(lit(1)).as("freq"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy(col("freq").desc, col("tok").asc)
+    val q = hist.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= topR)
+      .select(col("source"),
+        round(log(2.0, col("rank")) * 1e6).cast("long").as("x"),
+        round(log(2.0, col("freq")) * 1e6).cast("long").as("y"))
+    val m = q.groupBy("source")
+      .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+    val nD = col("n").cast("double")
+    val slope = (nD * col("sxy") - col("sx").cast("double") * col("sy")) /
+      (nD * col("sxx") - col("sx").cast("double") * col("sx"))
+    m.select(col("source"), col("n").as("n_ranks"),
+        round(slope, 4).as("zipf_slope"),
+        round((col("sy").cast("double") - slope * col("sx")) / nD / 1e6, 4)
+          .as("zipf_intercept"))
+      .orderBy("source")
+  }
+
   /** t38 — LEXICAL DIVERSITY profile per document: type-token ratio and
     * hapax fraction (the vocabulary-richness signals a corpus mixer uses
     * next to t01's surface quality and t28's cross-corpus novelty — a

@@ -6,6 +6,9 @@ import graft.model.{Scheduled, Seed}
   * constructor for codegen).
   */
 final case class HostState(nextSlot: Int)
+final case class RetryState(lastEpoch: Int, lastStatus: String, nTransient: Long)
+final case class RetryVerdict(image_id: String, last_epoch: Int,
+    last_status: String, n_transient: Long, due: Boolean)
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
@@ -378,6 +381,102 @@ object StreamingJobs {
       q.processAllAvailable()
     } finally q.stop()
     spark.table(name).orderBy("host", "slot")
+  }
+
+  /** c84 — the c83 retry ledger as LIVE keyed streaming state: fetch
+    * outcomes arrive as a stream, mapGroupsWithState keeps each URL's
+    * (last epoch, last status, transient-failure count) and emits the
+    * updated retry verdict per micro-batch — the online form of
+    * RetryOps.retryLedgerOf (which recomputes the same ledger from
+    * at-rest fetch logs). State is one tiny fixed-size record per URL
+    * that has EVER failed or fetched — a production deployment would
+    * bound it with a state TTL on recovered URLs; the demo keeps
+    * NoTimeout so the batch-parity golden needs no expiry modeling.
+    */
+  def streamingRetryLedger(
+      outcomes: Dataset[(String, String, Int)], // (image_id, status, epoch)
+      maxRetries: Int): Dataset[RetryVerdict] = {
+    import outcomes.sparkSession.implicits._
+    def transient(s: String) = s == "fetch_failed" || s == "invalid_payload"
+    outcomes
+      .groupByKey(_._1)
+      .mapGroupsWithState[RetryState, RetryVerdict](
+        GroupStateTimeout.NoTimeout()) {
+        case (id, rows, state: GroupState[RetryState]) =>
+          var st = state.getOption.getOrElse(RetryState(-1, "", 0L))
+          // epochs are monotone per URL (one outcome per epoch); apply in
+          // epoch order so a batch spanning several waves folds correctly
+          rows.toSeq.sortBy(_._3).foreach { case (_, status, epoch) =>
+            st = RetryState(epoch, status,
+              st.nTransient + (if (transient(status)) 1L else 0L))
+          }
+          state.update(st)
+          RetryVerdict(id, st.lastEpoch, st.lastStatus, st.nTransient,
+            transient(st.lastStatus) && st.nTransient <= maxRetries)
+      }
+  }
+
+  /** Driver-contract wrapper: feed the exact per-epoch fetch-outcome waves
+    * a retry-enabled crawl produces (wave 0 = every URL; wave e = the
+    * previous wave's transient failures, kernel-predicted), one micro-batch
+    * per epoch; returns the FINAL ledger (last verdict per URL, restricted
+    * to URLs that ever failed). StreamingSpec asserts it equals the batch
+    * RetryOps.retryLedgerOf over the concatenated log.
+    */
+  def retryLedgerDemo(spark: SparkSession, n: Int = 3000,
+                      epochs: Int = 2, maxRetries: Int = 2): DataFrame =
+    withFewStatePartitions(spark) { retryLedgerDemoImpl(spark, n, epochs, maxRetries) }
+
+  private[graft] def retryOutcomeWaves(
+      n: Int, epochs: Int): Seq[Array[(String, String, Int)]] = {
+    // local kernels only (the politenessDemo discipline): canonical URLs,
+    // xxhash identity, and the same fetchFails/parseFails kernels the
+    // distributed fetch wave runs
+    val canon = scala.collection.mutable.LinkedHashSet.empty[String]
+    graft.sources.Gen.seedsLocal(n).foreach { s =>
+      val uc = graft.functions.UrlKit.canonicalize(s.url)
+      if (uc != null && uc.nonEmpty) canon += uc
+    }
+    var wave = canon.toArray.sorted
+    (0 to epochs).map { e =>
+      val outcomes = wave.map { uc =>
+        val h = graft.operators.CrawlOracle.xxhash64(uc)
+        val status =
+          if (graft.operators.CrawlPipeline.fetchFails(h, e)) "fetch_failed"
+          else if (graft.operators.CrawlPipeline.parseFails(h, e)) "parse_failed"
+          else "parsed"
+        (uc, status, e)
+      }
+      wave = outcomes.filter(_._2 == "fetch_failed").map(_._1)
+      outcomes
+    }
+  }
+
+  private def retryLedgerDemoImpl(spark: SparkSession, n: Int,
+                                  epochs: Int, maxRetries: Int): DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = MemoryStream[(String, String, Int)]
+    val out = streamingRetryLedger(stream.toDS(), maxRetries)
+    val name = s"stream_retry_$n"
+    val q = out.writeStream.outputMode(OutputMode.Update())
+      .option("checkpointLocation", ckptDir(name))
+      .format("memory").queryName(name).start()
+    try {
+      retryOutcomeWaves(n, epochs).foreach { wave =>
+        stream.addData(wave.toIndexedSeq)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    // final verdict per URL = the row from its LAST update (epochs are
+    // monotone, so max last_epoch picks it deterministically)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("image_id").orderBy(col("last_epoch").desc)
+    spark.table(name)
+      .withColumn("rn", org.apache.spark.sql.functions.row_number().over(w))
+      .where(col("rn") === 1 && col("n_transient") >= 1)
+      .drop("rn")
+      .orderBy("image_id")
   }
 
   /** Streaming copy-detection — the ONLINE form of the news-diff

@@ -679,4 +679,47 @@ class PlanSpec extends AnyFunSuite {
       assert(!l.contains("bytes#"), s"image bytes on an exchange: $l")
     }
   }
+
+  test("t38 lexical diversity: partial agg before the exchange; scan prunes to doc_id+text") {
+    val p = finalPlan(graft.operators.TextOps.lexicalDiversity(
+      spark, "/root/testdata/sf0.001"))
+    // the (doc, token) histogram must map-side-combine: a partial_count
+    // HashAggregate must sit BELOW the innermost hash exchange (children
+    // print after parents, so "below" = after the LAST exchange line in
+    // the final-plan section)
+    val lines = p.linesIterator
+      .takeWhile(!_.contains("== Initial Plan ==")).toSeq
+    val lastExchange = lines.lastIndexWhere(_.contains("Exchange hashpartitioning"))
+    assert(lastExchange > 0, s"no hash exchange found:\n$p")
+    assert(lines.drop(lastExchange).exists(l =>
+      l.contains("HashAggregate") && l.contains("partial_count")),
+      s"token histogram does not map-side-combine before its exchange:\n$p")
+    p.linesIterator.filter(_.contains("ReadSchema")).foreach { l =>
+      assert(!l.contains("source") && !l.contains("n_chars"),
+        s"t38 scan reads unused columns: $l")
+    }
+  }
+
+  test("g09 triangles: exchanges carry host strings + counts only, no doc payloads") {
+    val p = finalPlan(graft.operators.GraphOps.hostTriangles(
+      spark, "/root/testdata/sf0.001"))
+    p.linesIterator.filter(_.contains("Exchange")).foreach { l =>
+      assert(!l.contains("text#") && !l.contains("bytes#"),
+        s"payload column on a triangle exchange: $l")
+    }
+    // the doc scan feeds the edge derivation only: doc_id + source
+    p.linesIterator.filter(_.contains("ReadSchema")).foreach { l =>
+      assert(!l.contains("text"), s"g09 scan reads text: $l")
+    }
+  }
+
+  test("emb16 mutual k-NN: the sample side broadcasts; corpus scans prune to id+embedding") {
+    val p = finalPlan(graft.operators.SimilarityOps.mutualKnn(
+      spark, "/root/testdata/sf0.001"))
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      s"eval sample does not broadcast against the sampled corpus:\n$p")
+    p.linesIterator.filter(_.contains("ReadSchema")).foreach { l =>
+      assert(!l.contains("label"), s"emb16 scan reads unused label column: $l")
+    }
+  }
 }

@@ -280,4 +280,33 @@ class StreamingSpec extends AnyFunSuite {
       unknown.forall(t => t._4 && t._5 == 500L && t._6 == 40),
       "unknown-host rows did not take the default policy")
   }
+
+  test("streaming retry ledger == batch retryLedgerOf over the same waves (c84)") {
+    import spark.implicits._
+    // epochs == 1 < maxRetries so the final wave's repeat failures are
+    // still inside the retry budget — the ledger's "due" verdict is
+    // realized (with epochs == maxRetries every last-wave failure is
+    // exhausted and due would be vacuously false everywhere); n sized so
+    // the 1/64-per-epoch failure kernel plants a double-failure chain
+    val (n, epochs, maxRetries) = (20000, 1, 2)
+    val streamed = StreamingJobs.retryLedgerDemo(spark, n, epochs, maxRetries)
+      .collect()
+      .map(r => r.getString(0) ->
+        (r.getInt(1), r.getString(2), r.getLong(3), r.getBoolean(4))).toMap
+    val waves = StreamingJobs.retryOutcomeWaves(n, epochs)
+    val logs = spark.createDataset(waves.flatten.toIndexedSeq)
+      .toDF("image_id", "status", "epoch")
+    val batch = graft.operators.RetryOps.retryLedgerOf(logs, maxRetries)
+      .where(org.apache.spark.sql.functions.col("n_transient") >= 1).collect()
+      .map(r => r.getString(0) ->
+        (r.getInt(1), r.getString(2), r.getLong(3), r.getBoolean(4))).toMap
+    assert(streamed == batch, "stream keyed state != batch ledger")
+    // non-vacuity: the fixture realizes recovery, re-failure, and due rows
+    assert(batch.values.exists(_._2 == "parsed"), "no recovered URL")
+    assert(batch.values.exists(v => v._2 == "fetch_failed" && v._4),
+      "no URL still due for retry")
+    assert(batch.values.exists(_._3 >= 2L), "no multi-failure chain")
+    assert(batch.values.exists(v => v._2 == "parsed" && v._3 == 1L),
+      "no single-failure recovery row")
+  }
 }
