@@ -115,6 +115,8 @@ object SparkEntry {
     "q69_entropy" -> ((s, d) => Relational.entropyQuantities(s, d)),
     // q70: median absolute deviation, integer-exact lower medians
     "q70_mad" -> ((s, d) => Relational.madQuantities(s, d)),
+    // q71: ordered-set array aggregation (collect/sort/slice surface)
+    "q71_topk_array" -> ((s, d) => Relational.topQuantitiesArray(s, d)),
     "q22_levenshtein" -> ((s, d) => Relational.levenshteinDocs(s, d)),
     "q23_percentile" -> ((s, d) => Relational.percentiles(s, d)),
     "q24_window_misc" -> ((s, d) => Relational.windowMisc(s, d)),
@@ -551,6 +553,9 @@ object SparkEntry {
     // emb16: mutual k-NN edges over a deterministic eval sample — the
     // symmetric-neighborhood primitive for density-aware dedup seeding
     "emb16_mutual_knn" -> ((s, d) => SimilarityOps.mutualKnn(s, d)),
+    // emb17: SQ8 quantization-error audit — per-label reconstruction
+    // cosine distribution (index-quality gate before shipping emb08)
+    "emb17_sq8_error" -> ((s, d) => SimilarityOps.sqErrorAudit(s, d)),
     // emb09: SemDeDup — k-means cluster-scoped semantic near-dup pairs
     // resolved to components; survivor = component-min (Abbas et al. '23)
     "emb09_semdedup" -> ((s, d) => SimilarityOps.semDedup(s, d)),
@@ -2781,6 +2786,44 @@ object SparkEntry {
         |  round(CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS DOUBLE)
         |    / count(*), 4) AS hapax_frac
         |FROM tc GROUP BY doc_id""".stripMargin,
+    // q71: DuckDB's ordered list() aggregate mirrors sort-inside-the-agg
+    "q71_topk_array" ->
+      """SELECT l_returnflag,
+        |  (list(CAST(l_quantity AS BIGINT) ORDER BY CAST(l_quantity AS BIGINT) DESC))[1:3]
+        |    AS top3_qty,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    // emb17: same scalar quantizer (round(x/scale), scale = maxabs/127),
+    // cosine(original, dequantized) quantized to 1e-6 longs before the
+    // min/mean aggregate so both engines sum integers
+    "emb17_sq8_error" ->
+      """WITH d AS (
+        |  SELECT label, embedding,
+        |    CASE WHEN ma = 0 THEN 1.0 ELSE ma / 127.0 END AS scale
+        |  FROM (SELECT label, embedding,
+        |          list_aggregate(list_transform(embedding,
+        |            x -> abs(CAST(x AS DOUBLE))), 'max') AS ma
+        |        FROM embeddings)
+        |), c AS (
+        |  SELECT label, CAST(round(
+        |    list_aggregate(list_transform(generate_series(1, len(embedding)),
+        |      i -> CAST(embedding[i] AS DOUBLE) *
+        |           (CAST(round(CAST(embedding[i] AS DOUBLE) / scale) AS BIGINT)
+        |            * scale)), 'sum')
+        |    / (sqrt(list_aggregate(list_transform(embedding,
+        |         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
+        |     * sqrt(list_aggregate(list_transform(generate_series(1, len(embedding)),
+        |         i -> (CAST(round(CAST(embedding[i] AS DOUBLE) / scale) AS BIGINT)
+        |               * scale) *
+        |              (CAST(round(CAST(embedding[i] AS DOUBLE) / scale) AS BIGINT)
+        |               * scale)), 'sum')))
+        |    * 1e6) AS BIGINT) AS cq
+        |  FROM d
+        |)
+        |SELECT label, CAST(count(*) AS BIGINT) AS n,
+        |  round(CAST(min(cq) AS DOUBLE) / 1e6, 6) AS min_cos,
+        |  round(CAST(sum(cq) AS DOUBLE) / 1e6 / count(*), 4) AS mean_cos
+        |FROM c GROUP BY label""".stripMargin,
     // t39: same histogram + top-R window; log2 terms quantized to 1e-6
     // longs so the moment sums are integer-exact across engines
     "t39_zipf_slope" ->

@@ -1178,4 +1178,23 @@ object Relational {
         col("total").as("n_rows"))
       .orderBy("l_returnflag")
   }
+
+  /** q71 — ORDERED-SET array aggregation: the top-3 quantities per group
+    * AS an array column (the collect/sort/slice surface — result sets that
+    * carry small ordered lists instead of exploding to rows). collect_list
+    * arrival order is parallelism-dependent, so determinism comes from
+    * value-sorting INSIDE the aggregate expression before the slice; the
+    * DuckDB mirror uses its ordered list() aggregate. Note the scale
+    * contract: collect_list materializes the whole group — acceptable
+    * here ONLY because the slice keeps a constant 3 and groups are few;
+    * the row-scale form of the same query is q05's bounded-heap TopKAgg.
+    */
+  def topQuantitiesArray(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .select(col("l_returnflag"), col("l_quantity").cast("long").as("qty"))
+      .groupBy("l_returnflag")
+      .agg(
+        slice(reverse(array_sort(collect_list("qty"))), 1, 3).as("top3_qty"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
 }

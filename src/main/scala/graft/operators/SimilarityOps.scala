@@ -1018,6 +1018,37 @@ object SimilarityOps {
         col("rank").cast("long").as("rank"))
   }
 
+  /** emb17 — SQ8 QUANTIZATION-ERROR AUDIT: per-label distribution of
+    * cosine(original, dequantized) under emb07's scalar quantizer — the
+    * index-quality observable that decides whether the 1-byte/dim store
+    * (emb08) is safe for a corpus, BEFORE recall silently degrades (a
+    * label whose min reconstruction cosine dips is a cluster the
+    * quantizer is clipping). One corpus pass, no joins; per-row cosines
+    * quantize to 1e-6 longs so min/mean aggregate integer-exactly at any
+    * parallelism (the q69 discipline).
+    */
+  def sqErrorAudit(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val maxAbs = aggregate(col("embedding"), lit(0.0),
+      (acc, x) => greatest(acc, abs(x.cast("double"))))
+    val deq = transform(col("embedding"), x =>
+      round(x.cast("double") / col("scale")).cast("long").cast("double") *
+        col("scale"))
+    e.withColumn("scale",
+        when(maxAbs === 0.0, lit(1.0)).otherwise(maxAbs / 127.0))
+      .withColumn("deq", deq)
+      .select(col("label"),
+        round(cosineCol(col("embedding"), col("deq")) * 1e6).cast("long")
+          .as("cq"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n"), min("cq").as("min_cq"),
+        sum("cq").as("sum_cq"))
+      .select(col("label"), col("n"),
+        round(col("min_cq").cast("double") / 1e6, 6).as("min_cos"),
+        round(col("sum_cq").cast("double") / 1e6 / col("n"), 4).as("mean_cos"))
+      .orderBy("label")
+  }
+
   /** emb16 — MUTUAL k-NN edges over a deterministic evaluation sample
     * (vec_id % `modulus` == 0): pairs where each vector ranks in the
     * OTHER's top-k. Mutual-kNN is the symmetric-neighborhood primitive
