@@ -281,6 +281,29 @@ object PlanAudit {
       fmt(graft.operators.ImageOps.scaleMatches(
         graft.operators.ImageOps.scaleCorpus(spark, 32)))))
 
+    // t38 lexical diversity
+    sections += (("t38 lexical diversity (TTR/hapax per doc)",
+      "the (doc, token) histogram map-side-combines before its exchange " +
+        "(partial_count below the innermost hashpartitioning); the scan " +
+        "prunes to doc_id+text; the per-doc rollup is a second partial+" +
+        "final agg over O(types) rows",
+      fmt(TextOps.lexicalDiversity(spark, sfDir))))
+
+    // g09 degree-ordered triangle counting
+    sections += (("g09 host triangles (degree-ordered wedge join)",
+      "orientation by (degree, name) bounds apex fan-out O(sqrt m); " +
+        "every exchange carries host strings + counts only; the doc scan " +
+        "feeds the edge derivation with doc_id+source and never text",
+      fmt(graft.operators.GraphOps.hostTriangles(spark, sfDir))))
+
+    // t40 token-yield accounting (dedup + tokenization composed)
+    sections += (("t40 token-yield accounting (docs/tokens after dedup)",
+      "token counts fuse into the corpus scan (one pass), the keep flag " +
+        "is a left join against the survivor-id list, the rollup " +
+        "map-side-combines to |sources| rows; document text feeds the " +
+        "shingle index once and never rides the yield exchanges",
+      fmt(TextOps.tokenYield(spark, sfDir))))
+
     val md = new StringBuilder
     md.append("# BENCH/PLANS — flagship physical plans (explain formatted)\n\n")
     md.append("Generated by `graft.PlanAudit` (re-run after plan-shaping changes).\n")

@@ -304,6 +304,10 @@ object SparkEntry {
     // t39: Zipf slope per source — log-log frequency/rank regression from
     // fixed-point quantized moments (corpus distribution-health QA)
     "t39_zipf_slope" -> ((s, d) => TextOps.zipfSlope(s, d)),
+    // t40: token-yield accounting — docs/tokens before+after dedup per
+    // source (the dataset-card number; composes t08's keep-list with
+    // t01's tokenization in one plan)
+    "t40_token_yield" -> ((s, d) => TextOps.tokenYield(s, d)),
     "t09_corpus_curation" -> ((s, d) => TextOps.curatedCorpus(s, d)),
     "t10_span_clip" -> ((s, d) => TextOps.spanClippedCorpus(s, d)),
     "t11_multimodal_dedup" -> ((s, d) =>
@@ -494,6 +498,9 @@ object SparkEntry {
     // c81: composed image corpus build — quality gates then best-copy
     // dedup over survivors, one declarative plan, per-row verdicts
     "c81_corpus_build" -> ((s, _) => ImageOps.corpusBuildDemo(s)),
+    // c85: per-host crawl health ledger (fetch outcomes + revision rate)
+    // over committed state; HostHealthSpec cross-checks schedule-vs-log
+    "c85_host_health" -> ((s, _) => HealthOps.hostHealthDemo(s)),
     // c84: the c83 retry ledger as LIVE keyed streaming state
     // (mapGroupsWithState); StreamingSpec pins stream == batch ledger
     "c84_stream_retry" ->
@@ -2121,6 +2128,37 @@ object SparkEntry {
           |)
           |SELECT doc_id FROM corpus WHERE doc_id NOT IN (SELECT id FROM drops)"""
           .stripMargin),
+    // t40: t08's drops CTE + per-source token rollup (planted copies
+    // inherit their base doc's source via doc_id % 1e6)
+    "t40_token_yield" ->
+      (ngramPairSql +
+        """, edges AS (
+          |  SELECT doc_a AS src, doc_b AS dst FROM dup_pairs
+          |  UNION
+          |  SELECT doc_b AS src, doc_a AS dst FROM dup_pairs
+          |), reach AS (
+          |  SELECT src AS id, src AS node FROM edges
+          |  UNION
+          |  SELECT r.id, e.dst AS node FROM reach r JOIN edges e ON r.node = e.src
+          |), drops AS (
+          |  SELECT id FROM (SELECT id, min(node) AS comp FROM reach GROUP BY id)
+          |  WHERE id <> comp
+          |), flagged AS (
+          |  SELECT c.doc_id, d.source,
+          |    CAST(len(regexp_split_to_array(trim(c.text), '\s+')) AS BIGINT)
+          |      AS n_tok,
+          |    CASE WHEN c.doc_id IN (SELECT id FROM drops) THEN 0 ELSE 1 END
+          |      AS kept
+          |  FROM corpus c JOIN documents d ON d.doc_id = c.doc_id % 1000000
+          |)
+          |SELECT source, CAST(count(*) AS BIGINT) AS docs_total,
+          |  CAST(sum(kept) AS BIGINT) AS docs_kept,
+          |  CAST(sum(n_tok) AS BIGINT) AS tokens_total,
+          |  CAST(sum(CASE WHEN kept = 1 THEN n_tok ELSE 0 END) AS BIGINT)
+          |    AS tokens_kept,
+          |  round(CAST(sum(CASE WHEN kept = 1 THEN n_tok ELSE 0 END) AS DOUBLE)
+          |    / sum(n_tok), 4) AS token_yield
+          |FROM flagged GROUP BY source""".stripMargin),
     // t36: t08's reachability components + a component-size weight on
     // each survivor; unpaired docs weight 1 (COALESCE). Conservation:
     // SUM(weight) == corpus row count.

@@ -1426,6 +1426,41 @@ object TextOps {
   def gopherReport(spark: SparkSession, dir: String): DataFrame =
     gopherStatsOf(gopherCorpus(spark, dir))
 
+  /** t40 — TOKEN-YIELD accounting: docs and TOKENS before/after near-dup
+    * dedup, per source — the dataset-card number every corpus release
+    * reports ("X B tokens after dedup") and the per-source signal a
+    * mixture designer reads (a source whose token yield collapses is a
+    * mirror/repost farm, however many documents it contributes). Composes
+    * t08's keep-list (reachability components, min-id survivor) with
+    * t01's tokenization as ONE declarative plan: token counts fuse into
+    * the corpus scan, the keep flag is a left join against the
+    * survivor-id list, and the rollup map-side-combines to |sources| rows.
+    */
+  def tokenYield(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = plantedCorpus(spark, dir)
+    val kept = DedupResolve
+      .filterCorpus(corpus, "doc_id", nearDupNgramJaccard(spark, dir),
+        "doc_a", "doc_b")
+      .select(col("doc_id")).withColumn("kept", lit(1L))
+    val src = docs(spark, dir).select(col("doc_id").as("base_id"), col("source"))
+    corpus
+      .withColumn("base_id", col("doc_id") % 1000000L)
+      .withColumn("n_tok", size(split(trim(col("text")), "\\s+")).cast("long"))
+      .join(src, Seq("base_id"))
+      .join(kept, Seq("doc_id"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("docs_total"),
+        sum(coalesce(col("kept"), lit(0L))).as("docs_kept"),
+        sum("n_tok").as("tokens_total"),
+        sum(when(col("kept").isNotNull, col("n_tok")).otherwise(0L))
+          .as("tokens_kept"))
+      .select(col("source"), col("docs_total"), col("docs_kept"),
+        col("tokens_total"), col("tokens_kept"),
+        round(col("tokens_kept").cast("double") / col("tokens_total"), 4)
+          .as("token_yield"))
+      .orderBy("source")
+  }
+
   /** t39 — ZIPF SLOPE per source: the log-log regression of token
     * frequency on frequency rank over the top `topR` ranks — the corpus
     * diagnostic for frequency-distribution health (natural text sits near

@@ -1,0 +1,61 @@
+package graft.operators
+
+import graft.SparkTestBase.spark
+import org.scalatest.funsuite.AnyFunSuite
+
+/** c85 host-health ledger: the fetch-outcome side must equal counts
+  * PREDICTED from the committed schedules + the fetch kernels (a true
+  * cross-check between two committed artifacts — schedule vs fetch log),
+  * and the revision side must agree with the revisions tables.
+  */
+class HostHealthSpec extends AnyFunSuite {
+
+  test("ledger == schedule+kernel prediction; revision side == revisions tables") {
+    val root = graft.SparkTestBase.tempDir("graft-health")
+    val epochs = 2
+    CrawlPipeline.run(spark, root, untilEpoch = epochs, seedsPerEpoch = 400,
+      cfg0 = FrontierJob.Config(epoch = 0, globalBudget = 10000),
+      recrawl = true)
+
+    // predict fetch outcomes per host from the schedules + kernels
+    val predicted = scala.collection.mutable.Map
+      .empty[String, (Long, Long, Long, Long)] // fetched, parsed, ffail, pfail
+    (0 to epochs).foreach { e =>
+      spark.read.parquet(s"$root/scheduled/epoch=$e")
+        .select("url_canon", "url_hash").collect().foreach { r =>
+          val host = graft.functions.UrlKit.hostOf(r.getString(0))
+          val h = r.getLong(1)
+          val (f, p, ff, pf) = predicted.getOrElse(host, (0L, 0L, 0L, 0L))
+          val row =
+            if (CrawlPipeline.fetchFails(h, e)) (f + 1, p, ff + 1, pf)
+            else if (CrawlPipeline.parseFails(h, e)) (f + 1, p, ff, pf + 1)
+            else (f + 1, p + 1, ff, pf)
+          predicted(host) = row
+        }
+    }
+    val revCounts = (0 to epochs).flatMap { e =>
+      spark.read.parquet(s"$root/revisions/epoch=$e")
+        .where(org.apache.spark.sql.functions.col("change").startsWith("revised"))
+        .select("image_id").collect()
+        .map(r => graft.functions.UrlKit.hostOf(r.getString(0)))
+    }.groupBy(identity).map { case (h, v) => h -> v.length.toLong }
+
+    val got = HealthOps.hostHealth(spark, root, epochs).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6), r.getLong(7))).toMap
+
+    assert(got.keySet == predicted.keySet)
+    got.foreach { case (host, (f, p, ff, pf, rev, fbp, rbp)) =>
+      val (ef, ep, eff, epf) = predicted(host)
+      assert((f, p, ff, pf) == ((ef, ep, eff, epf)),
+        s"fetch ledger drift for $host")
+      assert(rev == revCounts.getOrElse(host, 0L), s"revision drift for $host")
+      assert(fbp == (ff + pf) * 10000L / f)
+      assert(rbp == (if (p == 0) 0L else rev * 10000L / p))
+    }
+    // non-vacuity: the kernels realize failures and the crawl revisions
+    assert(got.values.exists(v => v._3 > 0), "no transport failures planted")
+    assert(got.values.exists(v => v._5 > 0), "no revisions realized")
+  }
+}
