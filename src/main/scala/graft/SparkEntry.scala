@@ -117,6 +117,9 @@ object SparkEntry {
     "q70_mad" -> ((s, d) => Relational.madQuantities(s, d)),
     // q71: ordered-set array aggregation (collect/sort/slice surface)
     "q71_topk_array" -> ((s, d) => Relational.topQuantitiesArray(s, d)),
+    // q72: exact weighted percentiles — cumsum over per-distinct-value
+    // weights, BIGINT cents throughout, weighted-lower-percentile pick
+    "q72_weighted_percentile" -> ((s, d) => Relational.weightedPercentiles(s, d)),
     "q22_levenshtein" -> ((s, d) => Relational.levenshteinDocs(s, d)),
     "q23_percentile" -> ((s, d) => Relational.percentiles(s, d)),
     "q24_window_misc" -> ((s, d) => Relational.windowMisc(s, d)),
@@ -212,6 +215,9 @@ object SparkEntry {
     // g10: k-core decomposition by iterative peeling (id-only rounds);
     // KCoreSpec pins the sequential-peeling mirror + planted closed forms
     "g10_kcore" -> ((s, d) => operators.GraphOps.hostCoreNumbers(s, d)),
+    // g11: label-propagation communities — synchronous rounds, fixed
+    // count, (votes desc, label asc) ties; oracle unrolls the rounds
+    "g11_communities" -> ((s, d) => operators.GraphOps.hostCommunities(s, d)),
     // c34: authority-weighted host budget allocation — largest-remainder
     // apportionment of the global fetch budget over PageRank (integer-exact)
     "c34_budget_allocation" -> ((s, d) => operators.GraphOps.budgetAllocation(s, d)),
@@ -308,6 +314,9 @@ object SparkEntry {
     // source (the dataset-card number; composes t08's keep-list with
     // t01's tokenization in one plan)
     "t40_token_yield" -> ((s, d) => TextOps.tokenYield(s, d)),
+    // t41: dedup threshold operating-point audit — exact P/R per
+    // candidate Jaccard gate vs the planted truth; one score-table pass
+    "t41_operating_points" -> ((s, d) => TextOps.dedupOperatingPoints(s, d)),
     "t09_corpus_curation" -> ((s, d) => TextOps.curatedCorpus(s, d)),
     "t10_span_clip" -> ((s, d) => TextOps.spanClippedCorpus(s, d)),
     "t11_multimodal_dedup" -> ((s, d) =>
@@ -501,6 +510,9 @@ object SparkEntry {
     // c85: per-host crawl health ledger (fetch outcomes + revision rate)
     // over committed state; HostHealthSpec cross-checks schedule-vs-log
     "c85_host_health" -> ((s, _) => HealthOps.hostHealthDemo(s)),
+    // c86: parked/soft-404 host detection — per-source dominant identical
+    // payload share (md5 groups, integer bp); DuckDB-oracled
+    "c86_parked_hosts" -> ((s, d) => HealthOps.parkedHosts(s, d)),
     // c84: the c83 retry ledger as LIVE keyed streaming state
     // (mapGroupsWithState); StreamingSpec pins stream == batch ledger
     "c84_stream_retry" ->
@@ -2128,6 +2140,46 @@ object SparkEntry {
           |)
           |SELECT doc_id FROM corpus WHERE doc_id NOT IN (SELECT id FROM drops)"""
           .stripMargin),
+    // t41: the t05 CTE prefix, ungated scores + planted truth, constant
+    // threshold grid; tp/fp/fn integer-exact, P/R single divisions 6dp
+    "t41_operating_points" ->
+      (ngramPairSql +
+        """, scores AS (
+          |  SELECT doc_a, doc_b, n_inter, sa.sz + sb.sz - n_inter AS n_union
+          |  FROM pairs
+          |  JOIN sizes sa ON doc_a = sa.doc_id
+          |  JOIN sizes sb ON doc_b = sb.doc_id
+          |), truth AS (
+          |  SELECT doc_id AS doc_a, doc_id + 1000000 AS doc_b,
+          |    CAST(1 AS BIGINT) AS is_true
+          |  FROM documents WHERE doc_id % 20 = 0
+          |), joined AS (
+          |  SELECT coalesce(s.n_inter, 0) AS n_inter,
+          |    coalesce(s.n_union, 1) AS n_union,
+          |    coalesce(t.is_true, 0) AS is_true
+          |  FROM scores s
+          |  FULL OUTER JOIN truth t ON s.doc_a = t.doc_a AND s.doc_b = t.doc_b
+          |), grid AS (
+          |  SELECT j.*, th.threshold_pct
+          |  FROM joined j,
+          |    (SELECT unnest([30, 40, 50, 60, 70, 80, 90]) AS threshold_pct) th
+          |), pred AS (
+          |  SELECT threshold_pct,
+          |    CASE WHEN n_inter * 100 >= threshold_pct * n_union
+          |      THEN 1 ELSE 0 END AS p,
+          |    is_true
+          |  FROM grid
+          |)
+          |SELECT threshold_pct,
+          |  CAST(sum(p * is_true) AS BIGINT) AS tp,
+          |  CAST(sum(p * (1 - is_true)) AS BIGINT) AS fp,
+          |  CAST(sum((1 - p) * is_true) AS BIGINT) AS fn,
+          |  round(CAST(sum(p * is_true) AS DOUBLE) /
+          |    greatest(sum(p), 1), 6) AS prec,
+          |  round(CAST(sum(p * is_true) AS DOUBLE) /
+          |    greatest(sum(is_true), 1), 6) AS rec
+          |FROM pred GROUP BY threshold_pct ORDER BY threshold_pct"""
+          .stripMargin),
     // t40: t08's drops CTE + per-source token rollup (planted copies
     // inherit their base doc's source via doc_id % 1e6)
     "t40_token_yield" ->
@@ -2807,6 +2859,30 @@ object SparkEntry {
     "g06_host_trustrank" -> operators.GraphOps.trustRankOracleSql(),
     "g07_anchor_text" -> operators.GraphOps.anchorTextOracleSql(),
     "g09_triangles" -> operators.GraphOps.trianglesOracleSql(),
+    "g11_communities" -> operators.GraphOps.lpaOracleSql(),
+    // c86: same placeholder-payload view, same md5 grouping and
+    // (n_dup desc, md5 asc) argmax; integer-div basis points
+    "c86_parked_hosts" ->
+      """WITH pages AS (
+        |  SELECT source,
+        |    md5(CASE WHEN doc_id % 7 = 0
+        |      THEN 'domain parked - placeholder page for ' || source
+        |      ELSE text END) AS payload_md5
+        |  FROM documents
+        |), grp AS (
+        |  SELECT source, payload_md5, CAST(count(*) AS BIGINT) AS n_dup
+        |  FROM pages GROUP BY 1, 2
+        |), ranked AS (
+        |  SELECT source, payload_md5, n_dup,
+        |    CAST(sum(n_dup) OVER (PARTITION BY source) AS BIGINT) AS n_docs,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY n_dup DESC, payload_md5 ASC) AS rn
+        |  FROM grp
+        |)
+        |SELECT source, n_docs, payload_md5 AS top_md5, n_dup AS top_n,
+        |  n_dup * 10000 // n_docs AS dup_share_bp,
+        |  (n_dup * 10000 // n_docs) >= 2000 AS parked
+        |FROM ranked WHERE rn = 1 ORDER BY source""".stripMargin,
     // t38: same tokenization (lowercased alphanumeric runs), same
     // two-level histogram rollup; ratios rounded 4 dp on both sides
     "t38_lexical_diversity" ->
@@ -2824,6 +2900,26 @@ object SparkEntry {
         |  round(CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS DOUBLE)
         |    / count(*), 4) AS hapax_frac
         |FROM tc GROUP BY doc_id""".stripMargin,
+    // q72: same BIGINT-cents cumsum over per-distinct-qty weights; the
+    // weighted lower percentile is an integer pick, hash-exact
+    "q72_weighted_percentile" ->
+      """WITH perq AS (
+        |  SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS qty,
+        |    sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS w
+        |  FROM lineitem GROUP BY 1, 2
+        |), cum AS (
+        |  SELECT l_returnflag, qty, w,
+        |    sum(w) OVER (PARTITION BY l_returnflag ORDER BY qty
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumw,
+        |    sum(w) OVER (PARTITION BY l_returnflag) AS totw
+        |  FROM perq
+        |)
+        |SELECT l_returnflag,
+        |  min(CASE WHEN cumw * 100 >= totw * 50 THEN qty END) AS p50_qty,
+        |  min(CASE WHEN cumw * 100 >= totw * 90 THEN qty END) AS p90_qty,
+        |  min(CASE WHEN cumw * 100 >= totw * 99 THEN qty END) AS p99_qty,
+        |  CAST(max(totw) AS BIGINT) AS total_cents
+        |FROM cum GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     // q71: DuckDB's ordered list() aggregate mirrors sort-inside-the-agg
     "q71_topk_array" ->
       """SELECT l_returnflag,

@@ -818,4 +818,89 @@ object GraphOps {
       |  UNION ALL SELECT z FROM tri)
       |SELECT source, CAST(count(*) AS BIGINT) AS n_triangles
       |FROM hosts GROUP BY source ORDER BY source""".stripMargin
+
+  /** g11 — LABEL-PROPAGATION communities (Raghavan et al., Phys. Rev. E
+    * 2007), the near-linear community detector every host-graph pipeline
+    * runs next to CC (g05): CC answers "connected at all", LPA answers
+    * "densely interlinked neighborhood" — the band that separates a real
+    * publisher cluster from a link farm bridged to it by one edge.
+    *
+    * Determinism (the usual LPA weakness) is pinned down: SYNCHRONOUS
+    * rounds (all nodes update from the previous round's labels), a FIXED
+    * round count, and the tie-break "max vote count, then smallest label"
+    * — every step is then a pure function of the edge list, identical at
+    * any parallelism and expressible in DuckDB as unrolled CTE rounds
+    * (the g01/g04/g06 pattern). Per round: ONE equi-join (labels x
+    * undirected edges, both sides hash-partitioned on the join key) +
+    * ONE map-side-combined vote count + ONE row_number window over
+    * (node, votes) — all exchanges carry (node, label, count) scalars;
+    * localCheckpoint bounds lineage across rounds.
+    */
+  def labelPropagation(e0: DataFrame, rounds: Int = 4): DataFrame = {
+    val und = e0.select(col("src").as("a"), col("dst").as("b"))
+      .union(e0.select(col("dst").as("a"), col("src").as("b")))
+      .where(col("a") =!= col("b"))
+      .distinct().localCheckpoint()
+    var labels = und.select(col("a").as("node")).distinct()
+      .withColumn("label", col("node"))
+    for (_ <- 1 to rounds) {
+      val votes = und
+        .join(labels.select(col("node").as("nbr"), col("label")),
+          col("b") === col("nbr"))
+        .groupBy(col("a").as("node"), col("label"))
+        .agg(count(lit(1)).as("c"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("node").orderBy(col("c").desc, col("label").asc)
+      labels = votes.withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select("node", "label")
+        .localCheckpoint()
+    }
+    labels.select(col("node").as("source"), col("label").as("community"))
+      .orderBy("source")
+  }
+
+  def hostCommunities(spark: SparkSession, dir: String,
+                      rounds: Int = 4): DataFrame =
+    labelPropagation(denseSourceEdges(spark, dir), rounds)
+
+  /** Unrolled-round DuckDB mirror of `hostCommunities` — same synchronous
+    * update, same (count desc, label asc) tie-break, so labels agree
+    * exactly after each round.
+    */
+  def lpaOracleSql(rounds: Int = 4): String = {
+    val prefix =
+      """WITH docs AS (SELECT doc_id, source FROM documents),
+        |cnt AS (SELECT count(*) AS c FROM docs),
+        |cites AS (
+        |  SELECT source AS src, (doc_id * 17 + 3) % c AS cited FROM docs, cnt
+        |  UNION ALL
+        |  SELECT source, (doc_id * doc_id * 7 + doc_id * 31 + 5) % c
+        |  FROM docs, cnt),
+        |dedges AS (
+        |  SELECT DISTINCT a.src, b.source AS dst
+        |  FROM cites a JOIN docs b ON b.doc_id = a.cited
+        |  WHERE a.src <> b.source),
+        |und AS (
+        |  SELECT DISTINCT a, b FROM (
+        |    SELECT src AS a, dst AS b FROM dedges
+        |    UNION ALL
+        |    SELECT dst, src FROM dedges)
+        |  WHERE a <> b),
+        |r0 AS (SELECT DISTINCT a AS node, a AS label FROM und)""".stripMargin
+    val steps = (1 to rounds).map { i =>
+      s"""v$i AS (
+         |  SELECT u.a AS node, r.label, count(*) AS c
+         |  FROM und u JOIN r${i - 1} r ON r.node = u.b
+         |  GROUP BY 1, 2),
+         |r$i AS (
+         |  SELECT node, label FROM (
+         |    SELECT node, label,
+         |      row_number() OVER (PARTITION BY node ORDER BY c DESC, label ASC) AS rn
+         |    FROM v$i)
+         |  WHERE rn = 1)""".stripMargin
+    }.mkString(",\n", ",\n", "\n")
+    prefix + steps +
+      s"SELECT node AS source, label AS community FROM r$rounds ORDER BY source"
+  }
 }

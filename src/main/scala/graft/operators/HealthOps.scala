@@ -59,6 +59,49 @@ object HealthOps {
       .orderBy("host")
   }
 
+  /** c86 — PARKED / SOFT-404 host detection: a host that serves the SAME
+    * payload for many distinct URLs is a parked domain, a soft-404 error
+    * page, or a paywall interstitial — crawling it further wastes budget
+    * and poisons the corpus with boilerplate (every production crawl runs
+    * this audit; cf. the DUST family c28/c31, which catches alias URLs,
+    * while this catches alias CONTENT). Per source: the largest group of
+    * byte-identical payloads (md5 over the text, the q12 idiom), its
+    * share of the host's documents in integer basis points (`div`, so the
+    * ledger is arithmetic-exact), and the verdict at the caller's share
+    * threshold. Deterministic: the top group ties break on smallest md5.
+    *
+    * A fixed fraction of docs (doc_id%7==0) is rewritten to a per-source
+    * placeholder payload — the deterministic "this URL answered with the
+    * parked page" view both engines derive from the same parquet, so the
+    * detector provably fires. Scale: ONE scan projected to (source,
+    * 16-byte md5) — text never reaches an exchange; both groupBys
+    * map-side-combine; the per-source argmax is a bounded min_by over
+    * |md5-groups| rows.
+    */
+  def parkedHosts(spark: SparkSession, dir: String,
+                  parkedBp: Int = 2000): DataFrame = {
+    val pages = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("source"),
+        when(pmod(col("doc_id"), lit(7)) === 0,
+          concat(lit("domain parked - placeholder page for "), col("source")))
+          .otherwise(col("text")).as("served"))
+      .select(col("source"), md5(col("served").cast("binary")).as("payload_md5"))
+    val groups = pages.groupBy("source", "payload_md5")
+      .agg(count(lit(1)).as("n_dup"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy(col("n_dup").desc, col("payload_md5").asc)
+    groups
+      .withColumn("n_docs", sum("n_dup").over(
+        org.apache.spark.sql.expressions.Window.partitionBy("source")))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("source"), col("n_docs"),
+        col("payload_md5").as("top_md5"), col("n_dup").as("top_n"),
+        expr("n_dup * 10000 div n_docs").as("dup_share_bp"))
+      .withColumn("parked", col("dup_share_bp") >= parkedBp)
+      .orderBy("source")
+  }
+
   /** c85 demo rows: a 3-epoch crawl's health ledger (every host present,
     * failures realized by the 1/64 + 1/128 kernels).
     */

@@ -1197,4 +1197,35 @@ object Relational {
         slice(reverse(array_sort(collect_list("qty"))), 1, 3).as("top3_qty"),
         count(lit(1)).as("n"))
       .orderBy("l_returnflag")
+
+  /** q72 — exact WEIGHTED percentiles (p50/p90/p99 of quantity, weighted
+    * by revenue cents) per return flag: the "which quantity level carries
+    * half the money" cut that unweighted percentile_disc (q23) cannot
+    * answer. Shape: pre-aggregate weight per DISTINCT (flag, qty) first —
+    * the cumulative-sum window then runs over |flags|x|distinct qty| rows
+    * (a few hundred) instead of every lineitem, and its ordering is unique
+    * per partition so the cumsum is deterministic at any parallelism. All
+    * arithmetic stays in BIGINT cents (round(x*100)::long, the q65 idiom);
+    * the percentile is the smallest qty whose cumulative weight reaches
+    * p% of the total (weighted lower percentile), so the result is
+    * integer-exact and hash-comparable — no FP summation order anywhere.
+    */
+  def weightedPercentiles(spark: SparkSession, dir: String): DataFrame = {
+    val perQty = t(spark, dir, "lineitem")
+      .select(col("l_returnflag"),
+        col("l_quantity").cast("long").as("qty"),
+        round(col("l_extendedprice") * 100).cast("long").as("cents"))
+      .groupBy("l_returnflag", "qty")
+      .agg(sum("cents").as("w"))
+    val cw = Window.partitionBy("l_returnflag").orderBy("qty")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = perQty
+      .withColumn("cumw", sum("w").over(cw))
+      .withColumn("totw", sum("w").over(Window.partitionBy("l_returnflag")))
+    def pct(p: Int) =
+      min(when(col("cumw") * 100 >= col("totw") * p, col("qty"))).as(s"p${p}_qty")
+    cum.groupBy("l_returnflag")
+      .agg(pct(50), pct(90), pct(99), max("totw").as("total_cents"))
+      .orderBy("l_returnflag")
+  }
 }

@@ -342,7 +342,18 @@ object TextOps {
     * the t05 kernel, also the full-recompute mirror for the persisted
     * incremental index (SimIndexSpec).
     */
-  def ngramJaccardPairs(corpus: DataFrame, maxDf: Int = 64): DataFrame = {
+  def ngramJaccardPairs(corpus: DataFrame, maxDf: Int = 64): DataFrame =
+    ngramJaccardScores(corpus, maxDf)
+      .where(col("n_inter") * 2 >= col("n_union"))
+
+  /** The t05 kernel WITHOUT the 0.5-Jaccard gate: every candidate pair
+    * sharing at least one under-df-cap shingle, with its exact
+    * intersection/union sizes — the score table a threshold sweep (t41)
+    * or a caller-chosen operating point consumes. Same plan discipline
+    * as t05 (text never on an exchange; ReuseExchange serves the shared
+    * distinct-shingle subtree).
+    */
+  def ngramJaccardScores(corpus: DataFrame, maxDf: Int = 64): DataFrame = {
     // NOT persisted: the distinct index feeds five consumers (sizes, the
     // df-cap, both self-join sides), but they all share one byte-identical
     // shuffle subtree, so ReuseExchange serves them from the same map
@@ -363,8 +374,57 @@ object TextOps {
       .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sz_a")), "doc_a")
       .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("sz_b")), "doc_b")
       .withColumn("n_union", col("sz_a") + col("sz_b") - col("n_inter"))
-      .where(col("n_inter") * 2 >= col("n_union"))
       .select("doc_a", "doc_b", "n_inter", "n_union")
+  }
+
+  /** t41 — dedup threshold OPERATING-POINT audit: exact precision/recall
+    * of the n-gram-Jaccard detector at each candidate threshold, against
+    * the planted ground truth (doc_id%20==0 -> a +1e6 revision copy, the
+    * same construction both engines derive from the parquet). This is the
+    * sweep a pipeline owner runs BEFORE picking t05's 0.5 gate — the gate
+    * is only defensible with the curve that justifies it.
+    *
+    * Shape: ONE score-table pass (ngramJaccardScores — the expensive part,
+    * computed once), full-outer-joined with the truth pairs so missed
+    * positives (no shared shingle at all) still count as FN, then each row
+    * fans out to the constant 7-threshold grid (explode of a literal
+    * array — no extra exchange; the groupBy(threshold) reduces to 7 rows
+    * map-side). Predicted-at-theta is the integer test
+    * n_inter*100 >= theta*n_union, so TP/FP/FN are integer-exact;
+    * precision/recall are single integer divisions (bit-identical across
+    * engines) rounded to 6 dp.
+    */
+  def dedupOperatingPoints(spark: SparkSession, dir: String,
+                           maxDf: Int = 64): DataFrame = {
+    val scores = ngramJaccardScores(plantedCorpus(spark, dir), maxDf)
+    val truth = docs(spark, dir)
+      .where(pmod(col("doc_id"), lit(20)) === 0)
+      .select(col("doc_id").as("doc_a"),
+        (col("doc_id") + 1000000L).as("doc_b"),
+        lit(1L).as("is_true"))
+    val joined = scores
+      .join(truth, Seq("doc_a", "doc_b"), "full_outer")
+      .select(
+        coalesce(col("n_inter"), lit(0L)).as("n_inter"),
+        coalesce(col("n_union"), lit(1L)).as("n_union"),
+        coalesce(col("is_true"), lit(0L)).as("is_true"))
+    joined
+      .select(col("n_inter"), col("n_union"), col("is_true"),
+        explode(lit(Array(30, 40, 50, 60, 70, 80, 90))).as("threshold_pct"))
+      .withColumn("pred",
+        (col("n_inter") * 100 >= col("threshold_pct") * col("n_union"))
+          .cast("long"))
+      .groupBy("threshold_pct")
+      .agg(
+        sum(col("pred") * col("is_true")).as("tp"),
+        sum(col("pred") * (lit(1L) - col("is_true"))).as("fp"),
+        sum((lit(1L) - col("pred")) * col("is_true")).as("fn"))
+      .select(col("threshold_pct"), col("tp"), col("fp"), col("fn"),
+        round(col("tp").cast("double") /
+          greatest(col("tp") + col("fp"), lit(1L)), 6).as("prec"),
+        round(col("tp").cast("double") /
+          greatest(col("tp") + col("fn"), lit(1L)), 6).as("rec"))
+      .orderBy("threshold_pct")
   }
 
   /** Repeated-span detection — the shuffle-friendly screen of
