@@ -218,6 +218,9 @@ object SparkEntry {
     // g11: label-propagation communities — synchronous rounds, fixed
     // count, (votes desc, label asc) ties; oracle unrolls the rounds
     "g11_communities" -> ((s, d) => operators.GraphOps.hostCommunities(s, d)),
+    // g12: multi-source BFS hop distance from the seed hosts — frontier
+    // rounds (settled anti-join), integer min-merge; oracle unrolls
+    "g12_hop_distance" -> ((s, d) => operators.GraphOps.hostHopDistance(s, d)),
     // c34: authority-weighted host budget allocation — largest-remainder
     // apportionment of the global fetch budget over PageRank (integer-exact)
     "c34_budget_allocation" -> ((s, d) => operators.GraphOps.budgetAllocation(s, d)),
@@ -317,6 +320,9 @@ object SparkEntry {
     // t41: dedup threshold operating-point audit — exact P/R per
     // candidate Jaccard gate vs the planted truth; one score-table pass
     "t41_operating_points" -> ((s, d) => TextOps.dedupOperatingPoints(s, d)),
+    // t42: bigram-LM perplexity (order-aware upgrade of t14) — quantized
+    // log2 fixed-point sums make it integer-exact, hence oracled
+    "t42_bigram_perplexity" -> ((s, d) => TextOps.bigramPerplexity(s, d)),
     "t09_corpus_curation" -> ((s, d) => TextOps.curatedCorpus(s, d)),
     "t10_span_clip" -> ((s, d) => TextOps.spanClippedCorpus(s, d)),
     "t11_multimodal_dedup" -> ((s, d) =>
@@ -513,6 +519,9 @@ object SparkEntry {
     // c86: parked/soft-404 host detection — per-source dominant identical
     // payload share (md5 groups, integer bp); DuckDB-oracled
     "c86_parked_hosts" -> ((s, d) => HealthOps.parkedHosts(s, d)),
+    // c87: crawl-budget fairness (Jain index over per-host docs/bytes,
+    // exact BIGINT moments); DuckDB-oracled
+    "c87_budget_fairness" -> ((s, d) => HealthOps.budgetFairness(s, d)),
     // c84: the c83 retry ledger as LIVE keyed streaming state
     // (mapGroupsWithState); StreamingSpec pins stream == batch ledger
     "c84_stream_retry" ->
@@ -2860,6 +2869,63 @@ object SparkEntry {
     "g07_anchor_text" -> operators.GraphOps.anchorTextOracleSql(),
     "g09_triangles" -> operators.GraphOps.trianglesOracleSql(),
     "g11_communities" -> operators.GraphOps.lpaOracleSql(),
+    "g12_hop_distance" -> operators.GraphOps.hopOracleSql(),
+    // t42: same tokenization, same integer add-one bigram model, same
+    // 1e-6 log2 quantization (the t39 discipline) — BIGINT sums both
+    // sides, one final rounded division
+    "t42_bigram_perplexity" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |      t -> t <> '') AS l
+        |  FROM documents
+        |), docs2 AS (SELECT doc_id, l FROM toks WHERE len(l) >= 2),
+        |inst AS (
+        |  SELECT doc_id, l[i] AS w1, l[i + 1] AS w2,
+        |    CAST(count(*) AS BIGINT) AS m
+        |  FROM docs2, unnest(range(1, len(l))) AS t(i)
+        |  GROUP BY doc_id, w1, w2
+        |), c12 AS (
+        |  SELECT w1, w2, sum(m) AS c12 FROM inst GROUP BY w1, w2
+        |), c1 AS (
+        |  SELECT w1, sum(m) AS c1 FROM inst GROUP BY w1
+        |), voc AS (
+        |  SELECT CAST(count(DISTINCT tok) AS BIGINT) AS v
+        |  FROM (SELECT unnest(l) AS tok FROM docs2)
+        |), scored AS (
+        |  SELECT i.doc_id, i.m,
+        |    CAST(round(log2(c12.c12 + 1) * 1e6) AS BIGINT)
+        |      - CAST(round(log2(c1.c1 + voc.v) * 1e6) AS BIGINT) AS qlp
+        |  FROM inst i
+        |  JOIN c12 ON i.w1 = c12.w1 AND i.w2 = c12.w2
+        |  JOIN c1 ON i.w1 = c1.w1
+        |  CROSS JOIN voc
+        |)
+        |SELECT doc_id, CAST(sum(m) AS BIGINT) AS n_bigrams,
+        |  round(-CAST(sum(m * qlp) AS DOUBLE) / sum(m) / 1e6, 4)
+        |    AS bits_per_bigram
+        |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // c87: same per-source BIGINT moments, same integer-div share
+    "c87_budget_fairness" ->
+      """WITH per AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS docs,
+        |    CAST(sum(length(text)) AS BIGINT) AS bytes
+        |  FROM documents GROUP BY source
+        |), st AS (
+        |  SELECT 'docs' AS measure, docs AS x FROM per
+        |  UNION ALL
+        |  SELECT 'bytes', bytes FROM per
+        |), agg AS (
+        |  SELECT measure, CAST(count(*) AS BIGINT) AS n_hosts,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(x * x) AS BIGINT) AS sxx,
+        |    CAST(max(x) AS BIGINT) AS mx
+        |  FROM st GROUP BY measure
+        |)
+        |SELECT measure, n_hosts,
+        |  round(CAST(sx * sx AS DOUBLE) / CAST(n_hosts * sxx AS DOUBLE), 6)
+        |    AS jain_index,
+        |  mx * 10000 // sx AS top_share_bp
+        |FROM agg ORDER BY measure""".stripMargin,
     // c86: same placeholder-payload view, same md5 grouping and
     // (n_dup desc, md5 asc) argmax; integer-div basis points
     "c86_parked_hosts" ->

@@ -903,4 +903,105 @@ object GraphOps {
     prefix + steps +
       s"SELECT node AS source, label AS community FROM r$rounds ORDER BY source"
   }
+
+  /** g12 — multi-source BFS HOP DISTANCE over the host graph: how many
+    * link hops separate every host from the seed set — the "crawl depth"
+    * a frontier reaches a host at under pure link discovery, the signal
+    * behind seed-list design (a host at hop 5 needs five epochs of
+    * outlink fanout before its first fetch) and behind trap triage (a
+    * host unreachable from any seed can only have entered via sitemaps
+    * or dark traffic). TrustRank (g06) is this signal's damped cousin;
+    * the exact integer hop count is what an operator reads off a crawl
+    * report.
+    *
+    * Scale shape: FRONTIER-style rounds — each round expands only the
+    * nodes first reached THAT round (an anti-join against the settled
+    * set), not the whole reached set, so total join work is O(edges
+    * touched once per first-reach), the textbook Pregel BFS; exchanges
+    * carry (node, dist) scalars; localCheckpoint bounds lineage. Fixed
+    * round count + integer min make the result parallelism-independent
+    * and expressible as unrolled DuckDB CTE rounds (min-merge per round
+    * is order-free, unlike LPA's vote argmax, so the oracle is even
+    * simpler than g11's).
+    */
+  def hopDistance(e0: DataFrame, seeds: DataFrame,
+                  rounds: Int = 4): DataFrame = {
+    val und = e0.select(col("src").as("a"), col("dst").as("b"))
+      .union(e0.select(col("dst").as("a"), col("src").as("b")))
+      .where(col("a") =!= col("b"))
+      .distinct().localCheckpoint()
+    var settled = seeds.select(col("node"), lit(0L).as("dist"))
+      .localCheckpoint()
+    var frontier = settled
+    for (i <- 1 to rounds) {
+      val reached = frontier
+        .join(und, col("node") === col("a"))
+        .select(col("b").as("node")).distinct()
+      frontier = reached
+        .join(settled.select("node"), Seq("node"), "left_anti")
+        .withColumn("dist", lit(i.toLong))
+        .localCheckpoint()
+      settled = settled.unionByName(frontier).localCheckpoint()
+    }
+    settled
+  }
+
+  /** g12 on the derived host graph, seeded by the two lexicographically
+    * smallest sources; unreached hosts report hops = -1.
+    */
+  def hostHopDistance(spark: SparkSession, dir: String,
+                      rounds: Int = 4): DataFrame = {
+    val hosts = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("source")).distinct()
+    val seeds = hosts.orderBy("source").limit(2)
+      .select(col("source").as("node"))
+    hosts
+      .join(hopDistance(denseSourceEdges(spark, dir), seeds, rounds)
+          .withColumnRenamed("node", "source"),
+        Seq("source"), "left")
+      .select(col("source"), coalesce(col("dist"), lit(-1L)).as("hops"))
+      .orderBy("source")
+  }
+
+  /** Unrolled-round DuckDB mirror of `hostHopDistance` — per round the
+    * settled set min-merges with (frontier neighbors, round) — min() is
+    * order-free so rounds unroll to plain CTEs.
+    */
+  def hopOracleSql(rounds: Int = 4): String = {
+    val prefix =
+      """WITH docs AS (SELECT doc_id, source FROM documents),
+        |cnt AS (SELECT count(*) AS c FROM docs),
+        |cites AS (
+        |  SELECT source AS src, (doc_id * 17 + 3) % c AS cited FROM docs, cnt
+        |  UNION ALL
+        |  SELECT source, (doc_id * doc_id * 7 + doc_id * 31 + 5) % c
+        |  FROM docs, cnt),
+        |dedges AS (
+        |  SELECT DISTINCT a.src, b.source AS dst
+        |  FROM cites a JOIN docs b ON b.doc_id = a.cited
+        |  WHERE a.src <> b.source),
+        |und AS (
+        |  SELECT DISTINCT a, b FROM (
+        |    SELECT src AS a, dst AS b FROM dedges
+        |    UNION ALL
+        |    SELECT dst, src FROM dedges)
+        |  WHERE a <> b),
+        |seeds AS (SELECT DISTINCT source FROM documents ORDER BY source LIMIT 2),
+        |d0 AS (SELECT source AS node, CAST(0 AS BIGINT) AS dist FROM seeds)"""
+        .stripMargin
+    val steps = (1 to rounds).map { i =>
+      s"""d$i AS (
+         |  SELECT node, min(dist) AS dist FROM (
+         |    SELECT node, dist FROM d${i - 1}
+         |    UNION ALL
+         |    SELECT u.b AS node, r.dist + 1 AS dist
+         |    FROM und u JOIN d${i - 1} r ON r.node = u.a)
+         |  GROUP BY node)""".stripMargin
+    }.mkString(",\n", ",\n", "\n")
+    prefix + steps +
+      s"""SELECT h.source, coalesce(d.dist, -1) AS hops
+         |FROM (SELECT DISTINCT source FROM documents) h
+         |LEFT JOIN d$rounds d ON d.node = h.source
+         |ORDER BY h.source""".stripMargin
+  }
 }

@@ -114,4 +114,38 @@ object HealthOps {
       recrawl = true)
     hostHealth(spark, root, epochs)
   }
+
+  /** c87 — crawl-budget FAIRNESS audit: Jain's index (Jain/Chiu/Hawe,
+    * DEC TR-301 1984) over what the crawl actually spent per host, for
+    * both request count and byte volume — the one-number answer to "is
+    * the corpus a balanced sample of the host population or did three
+    * hot domains eat the budget?" J = (Σx)²/(n·Σx²) ∈ (0,1]: 1 = every
+    * host got an equal share, 1/n = one host got everything. Read next
+    * to c85's per-host ledger (this is the rollup) and c34's allocation
+    * (this audits what allocation actually produced); the salted
+    * politeness scheduler (J3/W2) exists precisely to keep this number
+    * from collapsing under Zipf host skew.
+    *
+    * Integer-exact by construction: x (docs, bytes) are BIGINTs, so
+    * numerator (Σx)² and denominator n·Σx² are exact BIGINT products and
+    * J is ONE final double division rounded 6 dp; the dominant-host
+    * share is an integer-div basis-point figure (the c85/c86 idiom).
+    * Shape: ONE scan → per-host map-side-combined agg (|hosts| rows) →
+    * a 2-row stack + rollup; nothing wider than (host, 2 longs) ever
+    * reaches an exchange.
+    */
+  def budgetFairness(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/documents.parquet")
+      .groupBy("source")
+      .agg(count(lit(1)).as("docs"), sum(length(col("text"))).as("bytes"))
+      .select(expr(
+        "stack(2, 'docs', docs, 'bytes', bytes) AS (measure, x)"))
+      .groupBy("measure")
+      .agg(count(lit(1)).as("n_hosts"), sum("x").as("sx"),
+        sum(col("x") * col("x")).as("sxx"), max("x").as("mx"))
+      .select(col("measure"), col("n_hosts"),
+        round((col("sx") * col("sx")).cast("double") /
+          (col("n_hosts") * col("sxx")).cast("double"), 6).as("jain_index"),
+        expr("mx * 10000 div sx").as("top_share_bp"))
+      .orderBy("measure")
 }

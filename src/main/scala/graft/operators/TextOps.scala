@@ -1588,4 +1588,57 @@ object TextOps {
           .as("hapax_frac"))
       .orderBy("doc_id")
   }
+
+  /** t42 — BIGRAM-LM perplexity per document, integer-EXACT and therefore
+    * DuckDB-oracled: the sequence-model upgrade of t14's unigram filter
+    * (CCNet filters on a KenLM 5-gram; the bigram form is the smallest
+    * model that sees word ORDER, so shuffled/templated text scores worse
+    * than its unigram profile suggests). t14 stays the broadcast-vocab
+    * production filter; t42 brings the perplexity FAMILY into the hard
+    * rows+schema+hash gate, which t14's raw-double ln() average cannot
+    * join (FP summation order). The trick is the t39 discipline: add-one
+    * bigram log-prob = log2(c12+1) - log2(c1+V) where every argument is
+    * an INTEGER, each log2 is quantized to a fixed-point long (1e-6)
+    * BEFORE summation, so the per-doc sum is a BIGINT — order-free — and
+    * bits/bigram is ONE final double division rounded 4 dp.
+    *
+    * Shape: one token scan; bigram instances compress to per-doc
+    * (w1, w2, m) counts map-side before ANY exchange; corpus bigram
+    * counts c12 and prefix counts c1 both derive from that same grouped
+    * table (one subtree, ReuseExchange-able); the vocabulary size V is a
+    * 1-row broadcast. Text crosses exchanges only as distinct bigram
+    * strings, never whole documents.
+    */
+  def bigramPerplexity(spark: SparkSession, dir: String): DataFrame = {
+    def qlog2(x: Column): Column =
+      round(log(2.0, x) * 1e6).cast("long")
+    val toks = docs(spark, dir)
+      .select(col("doc_id"),
+        filter(split(lower(col("text")), "[^a-z0-9]+"),
+          t => t =!= "").as("l"))
+      .where(size(col("l")) >= 2)
+    val inst = toks.select(col("doc_id"),
+        explode(expr(
+          "transform(sequence(0, size(l) - 2), " +
+            "i -> struct(element_at(l, i + 1) AS w1, element_at(l, i + 2) AS w2))"))
+          .as("bg"))
+      .select(col("doc_id"), col("bg.w1"), col("bg.w2"))
+      .groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("m"))
+    val c12 = inst.groupBy("w1", "w2").agg(sum("m").as("c12"))
+    val c1 = inst.groupBy("w1").agg(sum("m").as("c1"))
+    val vocab = toks
+      .select(explode(col("l")).as("tok")).agg(count_distinct(col("tok")).as("v"))
+    inst
+      .join(c12, Seq("w1", "w2"))
+      .join(c1, Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .select(col("doc_id"), col("m"),
+        (qlog2(col("c12") + 1L) - qlog2(col("c1") + col("v"))).as("qlp"))
+      .groupBy("doc_id")
+      .agg(sum("m").as("n_bigrams"), sum(col("m") * col("qlp")).as("sq"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(-col("sq").cast("double") / col("n_bigrams") / 1e6, 4)
+          .as("bits_per_bigram"))
+      .orderBy("doc_id")
+  }
 }
