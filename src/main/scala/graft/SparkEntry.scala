@@ -323,6 +323,9 @@ object SparkEntry {
     // t42: bigram-LM perplexity (order-aware upgrade of t14) — quantized
     // log2 fixed-point sums make it integer-exact, hence oracled
     "t42_bigram_perplexity" -> ((s, d) => TextOps.bigramPerplexity(s, d)),
+    // t43: MinHash estimator calibration — k=16 estimate vs exact Jaccard
+    // per audited pair, all integer bp (the audit behind t03's banding)
+    "t43_minhash_calibration" -> ((s, d) => TextOps.minhashCalibration(s, d)),
     "t09_corpus_curation" -> ((s, d) => TextOps.curatedCorpus(s, d)),
     "t10_span_clip" -> ((s, d) => TextOps.spanClippedCorpus(s, d)),
     "t11_multimodal_dedup" -> ((s, d) =>
@@ -2189,6 +2192,48 @@ object SparkEntry {
           |    greatest(sum(is_true), 1), 6) AS rec
           |FROM pred GROUP BY threshold_pct ORDER BY threshold_pct"""
           .stripMargin),
+    // t43: the t05 CTE prefix supplies dup_pairs + full shingle strings;
+    // same md5 permutations, same integer bp arithmetic both sides
+    "t43_minhash_calibration" ->
+      (ngramPairSql +
+        """, cand AS (
+          |  SELECT doc_a, doc_b FROM dup_pairs
+          |  UNION
+          |  SELECT doc_id AS doc_a, doc_id + 1 AS doc_b FROM documents
+          |  WHERE doc_id % 20 = 0
+          |    AND doc_id + 1 IN (SELECT doc_id FROM documents)
+          |), perm AS (
+          |  SELECT unnest(generate_series(0, 15)) AS i
+          |), sig AS (
+          |  SELECT doc_id, i,
+          |    min(md5(CAST(i AS VARCHAR) || '#' || sh)) AS sg
+          |  FROM shingles, perm GROUP BY doc_id, i
+          |), mtc AS (
+          |  SELECT c.doc_a, c.doc_b,
+          |    CAST(sum(CASE WHEN a.sg = b.sg THEN 1 ELSE 0 END) AS BIGINT)
+          |      AS n_match
+          |  FROM cand c
+          |  JOIN sig a ON a.doc_id = c.doc_a
+          |  JOIN sig b ON b.doc_id = c.doc_b AND b.i = a.i
+          |  GROUP BY 1, 2
+          |), intr AS (
+          |  SELECT c.doc_a, c.doc_b, CAST(count(*) AS BIGINT) AS n_inter
+          |  FROM cand c
+          |  JOIN shingles a ON a.doc_id = c.doc_a
+          |  JOIN shingles b ON b.doc_id = c.doc_b AND b.sh = a.sh
+          |  GROUP BY 1, 2
+          |)
+          |SELECT m.doc_a, m.doc_b, m.n_match,
+          |  m.n_match * 625 AS est_bp,
+          |  coalesce(i.n_inter, 0) * 10000
+          |    // (sa.sz + sb.sz - coalesce(i.n_inter, 0)) AS exact_bp,
+          |  abs(m.n_match * 625 - coalesce(i.n_inter, 0) * 10000
+          |    // (sa.sz + sb.sz - coalesce(i.n_inter, 0))) AS err_bp
+          |FROM mtc m
+          |LEFT JOIN intr i ON i.doc_a = m.doc_a AND i.doc_b = m.doc_b
+          |JOIN sizes sa ON m.doc_a = sa.doc_id
+          |JOIN sizes sb ON m.doc_b = sb.doc_id
+          |ORDER BY m.doc_a, m.doc_b""".stripMargin),
     // t40: t08's drops CTE + per-source token rollup (planted copies
     // inherit their base doc's source via doc_id % 1e6)
     "t40_token_yield" ->

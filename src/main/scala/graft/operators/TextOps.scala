@@ -334,6 +334,24 @@ object TextOps {
       .distinct()
   }
 
+  /** wordShingles without the xxhash64 — the STRING 3-grams, for
+    * operators whose arithmetic must reproduce in DuckDB (t43's md5
+    * permutations need the text; the engine-local xxhash64 key stays the
+    * right choice everywhere the shingle never leaves Spark).
+    */
+  def wordShingleStrings(corpus: DataFrame): DataFrame = {
+    val toks = corpus.select(col("doc_id"), split(trim(col("text")), "\\s+").as("t"))
+    val idxs = when(size(col("t")) >= 3, sequence(lit(0), size(col("t")) - 3))
+      .otherwise(array().cast("array<int>"))
+    toks
+      .select(col("doc_id"),
+        explode(transform(idxs, i => concat_ws(" ",
+          element_at(col("t"), i + 1),
+          element_at(col("t"), i + 2),
+          element_at(col("t"), i + 3)))).as("sh"))
+      .distinct()
+  }
+
   def nearDupNgramJaccard(spark: SparkSession, dir: String, maxDf: Int = 64): DataFrame =
     ngramJaccardPairs(plantedCorpus(spark, dir), maxDf)
       .orderBy("doc_a", "doc_b")
@@ -425,6 +443,69 @@ object TextOps {
         round(col("tp").cast("double") /
           greatest(col("tp") + col("fn"), lit(1L)), 6).as("rec"))
       .orderBy("threshold_pct")
+  }
+
+  /** t43 — MinHash ESTIMATOR CALIBRATION: per audited pair, the k=16
+    * MinHash Jaccard estimate next to the exact Jaccard, with the error
+    * in integer basis points — the measurement that justifies t03's
+    * banding parameters the way t41's P/R sweep justifies t05's gate
+    * (Broder'97 gives E[est] = J and Var = J(1-J)/k; this audit shows
+    * the realized error on THIS corpus's planted near-dups and on
+    * adjacent non-dup controls). Everything is integer-exact, hence
+    * DuckDB-oracled: est_bp = n_match · (10000/k) (matching permutation
+    * count times an integer), exact_bp = n_inter·10000 div n_union,
+    * err_bp = |est − exact| — no FP anywhere.
+    *
+    * Shape: audited pairs = the t05 detector's own output (the gated
+    * dup_pairs) plus deterministic adjacent control pairs; signatures
+    * are ONE explode of the distinct-shingle table by the constant k
+    * permutations, map-side-combined min() per (doc, perm) — exchanges
+    * carry (doc_id, i, 32-char hex), never documents; the exact side
+    * re-joins full shingle sets ONLY for the audited pairs' docs. The
+    * signature table (k strings per doc, vs the full shingle set) is
+    * exactly the fixed-size sketch the production path ships at 10^10
+    * scale; this operator prices what that compression costs.
+    */
+  def minhashCalibration(spark: SparkSession, dir: String,
+                         k: Int = 16): DataFrame = {
+    require(10000 % k == 0, s"k=$k must divide 10000 for exact est_bp")
+    val corpus = plantedCorpus(spark, dir)
+    val sh = wordShingleStrings(corpus)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val base = docs(spark, dir).select("doc_id")
+    val cand = ngramJaccardPairs(corpus).select("doc_a", "doc_b")
+      .unionByName(
+        base.where(pmod(col("doc_id"), lit(20)) === 0)
+          .select(col("doc_id").as("doc_a"), (col("doc_id") + 1L).as("doc_b"))
+          .join(base.select(col("doc_id").as("doc_b")), Seq("doc_b"), "left_semi")
+          .select("doc_a", "doc_b"))
+      .distinct()
+    val sig = sh
+      .select(col("doc_id"), explode(sequence(lit(0), lit(k - 1))).as("i"),
+        col("sh"))
+      .select(col("doc_id"), col("i"),
+        md5(concat(col("i").cast("string"), lit("#"), col("sh"))).as("w"))
+      .groupBy("doc_id", "i").agg(min("w").as("sg"))
+    val m = cand
+      .join(sig.select(col("doc_id").as("doc_a"), col("i"), col("sg").as("sga")),
+        Seq("doc_a"))
+      .join(sig.select(col("doc_id").as("doc_b"), col("i"), col("sg").as("sgb")),
+        Seq("doc_b", "i"))
+      .groupBy("doc_a", "doc_b")
+      .agg(sum(when(col("sga") === col("sgb"), 1L).otherwise(0L)).as("n_match"))
+    val inter = cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh")), Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh")), Seq("doc_b", "sh"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_inter"))
+    m.join(inter, Seq("doc_a", "doc_b"), "left")
+      .na.fill(0L, Seq("n_inter"))
+      .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sz_a")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("sz_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("n_match"),
+        (col("n_match") * lit((10000 / k).toLong)).as("est_bp"),
+        expr("n_inter * 10000 div (sz_a + sz_b - n_inter)").as("exact_bp"))
+      .withColumn("err_bp", abs(col("est_bp") - col("exact_bp")))
+      .orderBy("doc_a", "doc_b")
   }
 
   /** Repeated-span detection — the shuffle-friendly screen of
@@ -1602,12 +1683,15 @@ object TextOps {
     * BEFORE summation, so the per-doc sum is a BIGINT — order-free — and
     * bits/bigram is ONE final double division rounded 4 dp.
     *
-    * Shape: one token scan; bigram instances compress to per-doc
-    * (w1, w2, m) counts map-side before ANY exchange; corpus bigram
-    * counts c12 and prefix counts c1 both derive from that same grouped
-    * table (one subtree, ReuseExchange-able); the vocabulary size V is a
-    * 1-row broadcast. Text crosses exchanges only as distinct bigram
-    * strings, never whole documents.
+    * Shape: ONE token scan — bigram instances compress to per-doc
+    * (w1, w2, m) counts map-side before any exchange and the grouped
+    * table is checkpointed once; corpus bigram counts c12, prefix counts
+    * c1 (folded over c12), and the vocabulary size V (distinct w1 ∪ w2 —
+    * provably the scored docs' token vocabulary, no extra corpus pass)
+    * all derive from those blocks, and c12/c1/V reach the scorer as
+    * broadcasts. Text crosses exchanges only as distinct bigram strings,
+    * never whole documents; PlanSpec pins zero parquet scans in the
+    * final scoring plan.
     */
   def bigramPerplexity(spark: SparkSession, dir: String): DataFrame = {
     def qlog2(x: Column): Column =
@@ -1617,6 +1701,16 @@ object TextOps {
         filter(split(lower(col("text")), "[^a-z0-9]+"),
           t => t =!= "").as("l"))
       .where(size(col("l")) >= 2)
+    // The per-doc instance table feeds FOUR consumers (the scorer, c12,
+    // c1, and both vocab branches). Declaratively AQE's ReuseExchange
+    // only serves the consumers that land in the same stage wave (the
+    // broadcast stages materialize concurrently and two of the four
+    // rebuilt from a fresh corpus scan — measured, PlanSpec pins the
+    // fixed shape), so materialize it ONCE: localCheckpoint computes the
+    // map-side-combined count table a single time and every derived
+    // table folds over those blocks — the corpus text is read exactly
+    // once at any scale, the same call KenLM-style count pipelines make
+    // when they persist the count table before deriving the model.
     val inst = toks.select(col("doc_id"),
         explode(expr(
           "transform(sequence(0, size(l) - 2), " +
@@ -1624,10 +1718,22 @@ object TextOps {
           .as("bg"))
       .select(col("doc_id"), col("bg.w1"), col("bg.w2"))
       .groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("m"))
+      .localCheckpoint()
     val c12 = inst.groupBy("w1", "w2").agg(sum("m").as("c12"))
-    val c1 = inst.groupBy("w1").agg(sum("m").as("c1"))
-    val vocab = toks
-      .select(explode(col("l")).as("tok")).agg(count_distinct(col("tok")).as("v"))
+    // c1 folds over c12, not inst: the prefix count is the same number
+    // either way (sum over w2 of sum over docs == sum over docs), but
+    // this way c1's subtree IS c12's subtree + one |bigrams|-row agg, so
+    // ReuseExchange serves both corpus tables from the instance stream's
+    // single shuffle instead of re-scanning the corpus a third time
+    val c1 = c12.groupBy("w1").agg(sum("c12").as("c1"))
+    // V from the bigram stream, not a third corpus pass: every token of a
+    // >=2-token doc occurs as some bigram's w1 or w2 (docs below the
+    // length floor are excluded from scoring anyway), so distinct(w1)
+    // UNION distinct(w2) IS the scored vocabulary — and both branches
+    // fold over the instance subtree instead of re-reading text
+    val vocab = inst.select(col("w1").as("tok"))
+      .union(inst.select(col("w2").as("tok")))
+      .agg(count_distinct(col("tok")).as("v"))
     inst
       .join(c12, Seq("w1", "w2"))
       .join(c1, Seq("w1"))

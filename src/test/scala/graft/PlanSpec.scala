@@ -722,4 +722,67 @@ class PlanSpec extends AnyFunSuite {
       assert(!l.contains("label"), s"emb16 scan reads unused label column: $l")
     }
   }
+
+  test("t42 bigram LM: vocab size broadcasts; no UDF; bigram counts partial-agg before exchanges") {
+    val p = finalPlan(graft.operators.TextOps.bigramPerplexity(
+      spark, "/root/testdata/sf0.001"))
+    // the 1-row vocabulary total must reach the scorer as a broadcast,
+    // never a shuffled join
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"vocab total does not broadcast:\n$p")
+    assert(!p.contains("BatchEvalPython") && !p.toLowerCase.contains("scalaudf"),
+      "bigram LM fell back to a UDF")
+    // every derived table (scorer, c12, c1, vocab) folds over the
+    // checkpointed instance blocks — the corpus text is NOT re-read by
+    // any consumer, so the final plan contains zero parquet scans
+    val fin = p.linesIterator
+      .takeWhile(!_.contains("== Initial Plan ==")).toSeq
+    assert(fin.count(_.contains("FileScan parquet")) == 0,
+      s"a t42 consumer re-scans the corpus instead of the instance table:\n$p")
+    assert(fin.exists(_.contains("Scan ExistingRDD")),
+      s"instance table is not served from checkpoint blocks:\n$p")
+  }
+
+  test("t43 MinHash calibration: signature min() partial-aggs; no UDF anywhere") {
+    val p = finalPlan(graft.operators.TextOps.minhashCalibration(
+      spark, "/root/testdata/sf0.001"))
+    // the (doc, perm) min-signature must map-side-combine so the k-fold
+    // exploded shingle stream collapses to k rows per doc BEFORE its
+    // exchange — this is what makes the sketch the cheap side at scale
+    assert(p.contains("partial_min"),
+      s"signature min does not map-side-combine:\n$p")
+    assert(!p.contains("BatchEvalPython") && !p.toLowerCase.contains("scalaudf"),
+      "MinHash calibration fell back to a UDF")
+  }
+
+  test("c86/c87 health audits: scans prune to the audited columns; single-scan stacks") {
+    val p86 = finalPlan(graft.operators.HealthOps.parkedHosts(
+      spark, "/root/testdata/sf0.001"))
+    p86.linesIterator.filter(_.contains("Exchange")).foreach { l =>
+      assert(!l.contains("text#") && !l.contains("served#"),
+        s"c86 puts payload text on an exchange: $l")
+    }
+    val p87 = finalPlan(graft.operators.HealthOps.budgetFairness(
+      spark, "/root/testdata/sf0.001"))
+    val fin87 = p87.linesIterator
+      .takeWhile(!_.contains("== Initial Plan ==")).toSeq
+    fin87.filter(_.contains("ReadSchema")).foreach { l =>
+      assert(!l.contains("doc_id") && !l.contains("n_chars"),
+        s"c87 scan reads unused columns: $l")
+    }
+    assert(fin87.count(_.contains("FileScan parquet")) == 1,
+      s"c87 scans the table more than once:\n$p87")
+  }
+
+  test("g12 hop distance: exchanges carry (node, dist) scalars only") {
+    val p = finalPlan(graft.operators.GraphOps.hostHopDistance(
+      spark, "/root/testdata/sf0.001"))
+    p.linesIterator.filter(_.contains("Exchange")).foreach { l =>
+      assert(!l.contains("text#") && !l.contains("bytes#"),
+        s"payload column on a BFS exchange: $l")
+    }
+    p.linesIterator.filter(_.contains("ReadSchema")).foreach { l =>
+      assert(!l.contains("text"), s"g12 scan reads text: $l")
+    }
+  }
 }
