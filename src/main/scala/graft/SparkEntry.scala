@@ -120,6 +120,9 @@ object SparkEntry {
     // q72: exact weighted percentiles — cumsum over per-distinct-value
     // weights, BIGINT cents throughout, weighted-lower-percentile pick
     "q72_weighted_percentile" -> ((s, d) => Relational.weightedPercentiles(s, d)),
+    // q73: exact Spearman rank correlation (row_number ranks, BIGINT
+    // sum of squared rank diffs, one rounded division) — oracled
+    "q73_spearman" -> ((s, d) => Relational.spearmanSupplier(s, d)),
     "q22_levenshtein" -> ((s, d) => Relational.levenshteinDocs(s, d)),
     "q23_percentile" -> ((s, d) => Relational.percentiles(s, d)),
     "q24_window_misc" -> ((s, d) => Relational.windowMisc(s, d)),
@@ -525,6 +528,10 @@ object SparkEntry {
     // c87: crawl-budget fairness (Jain index over per-host docs/bytes,
     // exact BIGINT moments); DuckDB-oracled
     "c87_budget_fairness" -> ((s, d) => HealthOps.budgetFairness(s, d)),
+    // c88: frontier priority calibration — exact Spearman between
+    // per-host scheduled priority and realized revision yield over
+    // committed state; HostHealthSpec pins the plain-Scala mirror
+    "c88_priority_calibration" -> ((s, _) => HealthOps.calibrationDemo(s)),
     // c84: the c83 retry ledger as LIVE keyed streaming state
     // (mapGroupsWithState); StreamingSpec pins stream == batch ledger
     "c84_stream_retry" ->
@@ -3011,6 +3018,29 @@ object SparkEntry {
         |  round(CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS DOUBLE)
         |    / count(*), 4) AS hapax_frac
         |FROM tc GROUP BY doc_id""".stripMargin,
+    // q73: same row_number ranks (x desc, suppkey asc), same BIGINT d²
+    // sum, one rounded division — hash-exact
+    "q73_spearman" ->
+      """WITH per AS (
+        |  SELECT l_returnflag, l_suppkey,
+        |    sum(CAST(l_quantity AS BIGINT)) AS qty,
+        |    sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS cents
+        |  FROM lineitem GROUP BY 1, 2
+        |), ranked AS (
+        |  SELECT l_returnflag,
+        |    CAST(row_number() OVER (PARTITION BY l_returnflag
+        |      ORDER BY qty DESC, l_suppkey ASC) AS BIGINT) AS rx,
+        |    CAST(row_number() OVER (PARTITION BY l_returnflag
+        |      ORDER BY cents DESC, l_suppkey ASC) AS BIGINT) AS ry
+        |  FROM per
+        |)
+        |SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum((rx - ry) * (rx - ry)) AS BIGINT) AS sum_d2,
+        |  CASE WHEN count(*) > 1 THEN
+        |    round(1.0 - 6.0 * CAST(sum((rx - ry) * (rx - ry)) AS DOUBLE) /
+        |      (CAST(count(*) AS DOUBLE) * count(*) * count(*) - count(*)), 6)
+        |  ELSE 1.0 END AS spearman_rho
+        |FROM ranked GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     // q72: same BIGINT-cents cumsum over per-distinct-qty weights; the
     // weighted lower percentile is an integer pick, hash-exact
     "q72_weighted_percentile" ->

@@ -115,6 +115,64 @@ object HealthOps {
     hostHealth(spark, root, epochs)
   }
 
+  /** c88 — frontier PRIORITY CALIBRATION: exact Spearman rank correlation
+    * between what the scheduler PAID per host (summed scheduled priority,
+    * quantized to 1e-6 fixed-point longs so the per-host sums — and hence
+    * the ranks — are order-free) and what the crawl GOT BACK (revisions
+    * observed among that host's parsed fetches) — the audit that tells an
+    * operator whether seed priorities actually predict content yield or
+    * the budget is ranked by noise. ρ near 1: priorities earn their keep;
+    * near 0: the frontier would do as well fetching round-robin; negative:
+    * the priority model is actively wrong. Spearman (not Pearson, q67)
+    * because budget decisions are ORDINAL — only the ranking ever matters
+    * to the top-K scheduler.
+    *
+    * Committed state only (the c25/S6 discipline): scheduled + revisions
+    * tables, so resume recomputes the identical figure. One scan of each,
+    * two map-side-combined |hosts|-row aggs, the Relational.spearman
+    * kernel's single-exchange double window, a 1-row verdict.
+    */
+  def priorityCalibration(spark: SparkSession, root: String,
+                          uptoEpoch: Int): DataFrame = {
+    GraftFunctions.ensureRegistered(spark)
+    val spent = (0 to uptoEpoch).map(e =>
+        spark.read.parquet(s"$root/scheduled/epoch=$e")
+          .select(col("host"), col("priority")))
+      .reduce(_ unionByName _)
+      .groupBy("host")
+      .agg(sum(round(col("priority") * 1e6).cast("long")).as("spent_q"))
+    val revDirs = (0 to uptoEpoch)
+      .map(e => s"$root/revisions/epoch=$e")
+      .filter(p => new java.io.File(p).exists())
+    val got =
+      if (revDirs.isEmpty) spent.select(col("host")).limit(0)
+        .withColumn("n_revised", lit(0L))
+      else spark.read.parquet(revDirs: _*)
+        .where(col("change").startsWith("revised"))
+        .withColumn("host", GraftFunctions.hostOf(col("image_id")))
+        .groupBy("host").agg(count(lit(1)).as("n_revised"))
+    val per = spent.join(got, Seq("host"), "left")
+      .select(col("host"), col("spent_q"),
+        coalesce(col("n_revised"), lit(0L)).as("n_revised"))
+    Relational.spearman(per.withColumn("g", lit("all")),
+        col("g"), col("host"), col("spent_q"), col("n_revised"))
+      .select(col("n").as("n_hosts"), col("sum_d2"), col("spearman_rho"))
+  }
+
+  /** c88 demo rows: the calibration verdict over a 3-epoch recrawling
+    * run (same shape as the c85 demo so the two audits read side by
+    * side).
+    */
+  def calibrationDemo(spark: SparkSession, epochs: Int = 2,
+                      seedsPerEpoch: Int = 400): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft-c88").toString
+    CrawlPipeline.run(spark, root, untilEpoch = epochs,
+      seedsPerEpoch = seedsPerEpoch,
+      cfg0 = FrontierJob.Config(epoch = 0, globalBudget = 10000),
+      recrawl = true)
+    priorityCalibration(spark, root, epochs)
+  }
+
   /** c87 — crawl-budget FAIRNESS audit: Jain's index (Jain/Chiu/Hawe,
     * DEC TR-301 1984) over what the crawl actually spent per host, for
     * both request count and byte volume — the one-number answer to "is

@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
 /** Generic relational operator breadth over the driver testdata (SURVEY.md
   * §2.3-2.8, §5.1/§5.5): each method here is paired with ANSI SQL in
@@ -1210,6 +1210,53 @@ object Relational {
     * p% of the total (weighted lower percentile), so the result is
     * integer-exact and hash-comparable — no FP summation order anywhere.
     */
+  /** Generic exact SPEARMAN rank correlation per group: entities are
+    * ranked by x and by y (row_number with a deterministic entity-id
+    * tie-break — documented policy: distinct ranks, not averaged ties,
+    * so the statistic is integer-exact and parallelism-independent),
+    * then rho = 1 − 6·Σd²/(n³−n) with Σd² a BIGINT — ONE final double
+    * division rounded 6 dp (the q67 Pearson discipline, monotone-
+    * association edition: Spearman sees "bigger x ⇒ bigger y" even when
+    * the relation is nonlinear, which is why ops dashboards prefer it).
+    * Shape: one map-side-combined per-entity agg, two window passes over
+    * the SAME (group) partitioning — one exchange total — then a
+    * |groups|-row rollup.
+    */
+  def spearman(per: DataFrame, group: Column, entity: Column,
+               x: Column, y: Column): DataFrame = {
+    val g = per.select(group.as("grp"), entity.as("ent"),
+      x.as("x"), y.as("y"))
+    val wx = Window.partitionBy("grp").orderBy(col("x").desc, col("ent").asc)
+    val wy = Window.partitionBy("grp").orderBy(col("y").desc, col("ent").asc)
+    g.withColumn("rx", row_number().over(wx).cast("long"))
+      .withColumn("ry", row_number().over(wy).cast("long"))
+      .groupBy("grp")
+      .agg(count(lit(1)).as("n"),
+        sum((col("rx") - col("ry")) * (col("rx") - col("ry"))).as("sum_d2"))
+      .select(col("grp"), col("n"), col("sum_d2"),
+        when(col("n") > 1L,
+          round(lit(1.0) - lit(6.0) * col("sum_d2").cast("double") /
+            (col("n") * col("n") * col("n") - col("n")).cast("double"), 6))
+          .otherwise(lit(1.0)).as("spearman_rho"))
+  }
+
+  /** q73 — Spearman between a supplier's shipped volume and its revenue
+    * within each return-flag class: do the highest-volume suppliers also
+    * bill the most, or does pricing skew decouple the two? Revenue in
+    * BIGINT cents (q65 idiom) so the per-entity sums — and therefore the
+    * ranks — are engine-exact.
+    */
+  def spearmanSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val per = t(spark, dir, "lineitem")
+      .groupBy("l_returnflag", "l_suppkey")
+      .agg(sum(col("l_quantity").cast("long")).as("qty"),
+        sum(round(col("l_extendedprice") * 100).cast("long")).as("cents"))
+    spearman(per, col("l_returnflag"), col("l_suppkey"),
+      col("qty"), col("cents"))
+      .withColumnRenamed("grp", "l_returnflag")
+      .orderBy("l_returnflag")
+  }
+
   def weightedPercentiles(spark: SparkSession, dir: String): DataFrame = {
     val perQty = t(spark, dir, "lineitem")
       .select(col("l_returnflag"),
