@@ -532,6 +532,10 @@ object SparkEntry {
     // per-host scheduled priority and realized revision yield over
     // committed state; HostHealthSpec pins the plain-Scala mirror
     "c88_priority_calibration" -> ((s, _) => HealthOps.calibrationDemo(s)),
+    // c89: phash Hamming calibration per transform class — the evidence
+    // behind the image-dedup radius (and c52's flip blindspot), mirror-
+    // gated in ImageOpsSpec
+    "c89_phash_calibration" -> ((s, _) => ImageOps.phashCalibrationDemo(s)),
     // c84: the c83 retry ledger as LIVE keyed streaming state
     // (mapGroupsWithState); StreamingSpec pins stream == batch ledger
     "c84_stream_retry" ->
@@ -591,6 +595,9 @@ object SparkEntry {
     // emb16: mutual k-NN edges over a deterministic eval sample — the
     // symmetric-neighborhood primitive for density-aware dedup seeding
     "emb16_mutual_knn" -> ((s, d) => SimilarityOps.mutualKnn(s, d)),
+    // emb18: IVF operating-point sweep — recall@k vs probe count over ONE
+    // trained index; the p=kLists row must hit 10000 bp (IvfSweepSpec)
+    "emb18_ivf_sweep" -> ((s, d) => SimilarityOps.ivfOperatingPoints(s, d)),
     // emb17: SQ8 quantization-error audit — per-label reconstruction
     // cosine distribution (index-quality gate before shipping emb08)
     "emb17_sq8_error" -> ((s, d) => SimilarityOps.sqErrorAudit(s, d)),

@@ -344,6 +344,73 @@ object ImageOps {
     cropMatches(cropCorpus(spark))
       .orderBy("image_a", "image_b", "tile_a", "tile_b")
 
+  // ---- c89: phash Hamming calibration ----------------------------------
+
+  /** c89 — phash HAMMING CALIBRATION: the measured Hamming-distance
+    * distribution of the 64-bit perceptual hash per planted transform
+    * class — the image counterpart of t43's MinHash calibration, and the
+    * evidence behind every radius choice in the image-dedup family
+    * (c17/c77 block at <=3 bits; this table is WHY 3). Classes: lossy
+    * JPEG re-encode and 3x3 box blur (true copies — the radius must
+    * catch them), horizontal flip (a true copy plain phash CANNOT see —
+    * the measured blindspot that motivates c52's canonical min(phash,
+    * phash(flip))), a content revision, and unrelated pairs (the
+    * separation margin). Stats are integers end to end: min/max Hamming,
+    * avg in centi-bits (integer div), share within the radius in bp.
+    *
+    * Shape: ONE codegen'd decode+phash pass over each byte column
+    * (executor-side, bytes never shuffle or collect), a 5-row map-side
+    * agg. Gate: ImageOpsSpec recomputes every class's stats through the
+    * local ImageKit kernel (expression-vs-kernel parity, the KitSpec
+    * pattern) and asserts the semantic bands: copies within radius at
+    * 10000 bp, flip/revision/unrelated outside with positive margin.
+    */
+  def phashCalibration(pairs: DataFrame, radius: Int = 3): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(pairs.sparkSession)
+    pairs
+      .select(col("kind"),
+        bit_count(graft.functions.GraftFunctions.phash64(col("bytes_a"))
+          .bitwiseXOR(graft.functions.GraftFunctions.phash64(col("bytes_b"))))
+          .as("h"))
+      .groupBy("kind")
+      .agg(count(lit(1)).as("n_pairs"),
+        min("h").cast("long").as("min_hamming"),
+        max("h").cast("long").as("max_hamming"),
+        sum(col("h").cast("long")).as("sum_h"),
+        sum(when(col("h") <= radius, 1L).otherwise(0L)).as("n_within"))
+      .select(col("kind"), col("n_pairs"), col("min_hamming"),
+        col("max_hamming"),
+        expr("sum_h * 100 div n_pairs").as("avg_hamming_x100"),
+        expr("n_within * 10000 div n_pairs").as("within_radius_bp"))
+      .orderBy("kind")
+  }
+
+  /** The planted calibration corpus: per base image, one pair per
+    * transform class (deterministic bytes — both the Spark expression
+    * and the test mirror derive identical pixels from Gen.snapshotRow).
+    */
+  def calibrationPairs(spark: org.apache.spark.sql.SparkSession,
+                       n: Int = 48): DataFrame = {
+    import spark.implicits._
+    val rows = (0 until n).flatMap { i =>
+      val s = graft.sources.Gen.snapshotRow(s"img-$i", 0, 0, "png", 0)
+      val sNext = graft.sources.Gen.snapshotRow(s"img-${(i + 1) % n}", 0, 0, "png", 0)
+      val rev = graft.sources.Gen.snapshotRow(s"img-$i", 1, 0, "png", 0)
+      val (px, w, h) = ImageKit.decodeGray(s.bytes)
+      Seq(
+        ("a_jpeg_reenc", s.bytes, ImageKit.encode(px, w, h, "jpeg")),
+        ("b_blur3", s.bytes, ImageKit.encode(ImageKit.boxBlur3(px, w, h), w, h, "png")),
+        ("c_flip", s.bytes, ImageKit.encode(ImageKit.flipHorizontal(px, w, h), w, h, "png")),
+        ("d_revision", s.bytes, rev.bytes),
+        ("e_unrelated", s.bytes, sNext.bytes))
+    }
+    spark.createDataset(rows).toDF("kind", "bytes_a", "bytes_b")
+  }
+
+  /** c89 demo rows: the calibration table over the planted corpus. */
+  def phashCalibrationDemo(spark: org.apache.spark.sql.SparkSession): DataFrame =
+    phashCalibration(calibrationPairs(spark))
+
   // ---- c52: flip-invariant image near-dup ------------------------------
 
   /** c52 — FLIP-invariant near-dup (mirrored reposts are the most common

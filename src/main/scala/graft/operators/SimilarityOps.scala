@@ -251,6 +251,73 @@ object SimilarityOps {
       .select(col("query_id"), col("vec_id"), round(col("cos"), 4).as("cos"), col("rank"))
   }
 
+  /** emb18 — IVF OPERATING-POINT sweep: recall@k versus probe count over
+    * the SAME trained index, the measurement that turns emb04's bounded
+    * nProbe policy (round-4 verdict fix) from an assertion into a curve —
+    * the ANN family's t41. For each probe budget p: the fraction of the
+    * corpus scanned (p/kLists, integer bp) and recall@k against the
+    * brute-force truth (hit counts are integers; recall is one integer
+    * div). The grid always includes p = kLists, where IVF degenerates to
+    * brute force by construction — that row's recall MUST be 10000 bp
+    * (same candidates, same (cos desc, vec_id asc) ties), a self-
+    * verifying invariant IvfSweepSpec pins along with monotonicity.
+    *
+    * Scale shape: ONE training, ONE assignment pass, ONE candidate scan —
+    * the probe grid fans out AFTER the expensive cosine is computed (the
+    * t41 pattern: explode a constant literal, filter probe_rank <= p), so
+    * sweeping 5 budgets costs one query's work plus a 5x window on the
+    * candidate rows, not 5 retrainings.
+    */
+  def ivfOperatingPoints(spark: SparkSession, dir: String,
+                         nQueries: Int = 8, k: Int = 10,
+                         probeGrid: Seq[Int] = Seq(1, 2, 4, 8)): DataFrame = {
+    import spark.implicits._
+    val e = emb(spark, dir).select("vec_id", "embedding")
+    val kLists = clustersFor(e.count())
+    val grid = (probeGrid.filter(_ < kLists) :+ kLists).distinct.sorted
+    val cents = ivfTrain(e, kLists, 2)
+    val listed = e.withColumn("list_id", ivfAssignCol(col("embedding"), cents))
+    val centTable = cents.zipWithIndex
+      .map { case (c, i) => (i, c) }.toDF("list_id", "centroid")
+    val queries = e.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val probeW = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id")
+      .orderBy(cosineCol(col("qvec"), col("centroid")).desc, col("list_id").asc)
+    val ranked = queries.crossJoin(centTable)
+      .withColumn("probe_rank", row_number().over(probeW))
+      .select("query_id", "qvec", "list_id", "probe_rank")
+    val cand = listed.join(broadcast(ranked),
+        listed("list_id") === ranked("list_id") && col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), col("probe_rank"),
+        cosineCol(col("embedding"), col("qvec")).as("cos"))
+    val fan = cand
+      .select(col("query_id"), col("vec_id"), col("cos"), col("probe_rank"),
+        explode(lit(grid.toArray)).as("n_probe"))
+      .where(col("probe_rank") <= col("n_probe"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("n_probe", "query_id")
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    val topk = fan.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+    val brute = bruteCosineTopK(spark, dir, nQueries, k)
+      .select("query_id", "vec_id")
+    val truthN = brute.count()
+    val hits = topk.join(brute, Seq("query_id", "vec_id"), "left_semi")
+      .groupBy("n_probe").agg(count(lit(1)).as("n_hits"))
+    // grid rows with zero hits must still report (a p=1 budget that finds
+    // nothing is the most important row on the curve)
+    grid.map(_.toLong).toDF("n_probe")
+      .join(hits.select(col("n_probe").cast("long").as("n_probe"), col("n_hits")),
+        Seq("n_probe"), "left")
+      .na.fill(0L, Seq("n_hits"))
+      .select(col("n_probe"), lit(kLists.toLong).as("n_lists"),
+        expr(s"n_probe * 10000 div $kLists").as("probed_bp"),
+        col("n_hits"), expr(s"n_hits * 10000 div ${math.max(1L, truthN)}")
+          .as("recall_bp"))
+      .orderBy("n_probe")
+  }
+
   /** Per-subspace PQ codebooks (product quantization, Jégou/Douze/Schmid
     * TPAMI 2011 — public technique): the corpus dimension is split into
     * `m` subspaces and each sub-vector is k-means-quantized to one of

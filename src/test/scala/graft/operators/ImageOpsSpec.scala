@@ -144,4 +144,32 @@ class ImageOpsSpec extends AnyFunSuite {
     novel.drop(3).foreach { case (id, _) =>
       assert(admitted.contains(id), s"novel $id wrongly dropped") }
   }
+
+  test("c89 phash calibration == ImageKit mirror; copies inside the radius, flip/revision/unrelated outside") {
+    val pairs = ImageOps.calibrationPairs(spark, 48)
+    val got = ImageOps.phashCalibration(pairs).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toMap
+
+    // mirror: identical stats through the local kernel (expression parity)
+    val local = pairs.collect().map { r =>
+      val h = ImageKit.hamming64(
+        ImageKit.phash64(r.getAs[Array[Byte]](1)),
+        ImageKit.phash64(r.getAs[Array[Byte]](2)))
+      (r.getString(0), h.toLong)
+    }
+    val mir = local.groupBy(_._1).map { case (k, v) =>
+      val hs = v.map(_._2)
+      k -> (hs.length.toLong, hs.min, hs.max,
+        hs.sum * 100L / hs.length, hs.count(_ <= 3L).toLong * 10000L / hs.length)
+    }
+    assert(got == mir, s"calibration drifted from the kernel mirror:\n$got\nvs\n$mir")
+
+    // semantic bands: the radius catches true copies and ONLY true copies
+    assert(got("a_jpeg_reenc")._5 == 10000L, s"jpeg re-encodes escape the radius: ${got("a_jpeg_reenc")}")
+    assert(got("b_blur3")._5 == 10000L, s"blurred copies escape the radius: ${got("b_blur3")}")
+    assert(got("c_flip")._2 > 3L, s"flip blindspot not realized (c52's reason to exist): ${got("c_flip")}")
+    assert(got("d_revision")._2 > 3L, s"content revision inside the copy radius: ${got("d_revision")}")
+    assert(got("e_unrelated")._2 > 3L, s"unrelated pair inside the copy radius: ${got("e_unrelated")}")
+  }
 }
