@@ -159,11 +159,14 @@ object HealthOps {
       .select(col("n").as("n_hosts"), col("sum_d2"), col("spearman_rho"))
   }
 
-  /** c88 demo rows: the calibration verdict over a 3-epoch recrawling
-    * run (same shape as the c85 demo so the two audits read side by
-    * side).
+  /** c88 demo rows: the calibration verdict over a recrawling run. Two
+    * pipeline epochs (0..1) suffice for a non-degenerate statistic —
+    * revisions realize at both epochs and the recrawl path is active at
+    * epoch 1 — so the bench demo pays the per-epoch pipeline fixed cost
+    * (BENCH/PLANS.md) the minimum number of times; HostHealthSpec gates
+    * exactness on its own 3-epoch fixture.
     */
-  def calibrationDemo(spark: SparkSession, epochs: Int = 2,
+  def calibrationDemo(spark: SparkSession, epochs: Int = 1,
                       seedsPerEpoch: Int = 400): DataFrame = {
     val root = java.nio.file.Files.createTempDirectory("graft-c88").toString
     CrawlPipeline.run(spark, root, untilEpoch = epochs,
