@@ -123,6 +123,9 @@ object SparkEntry {
     // q73: exact Spearman rank correlation (row_number ranks, BIGINT
     // sum of squared rank diffs, one rounded division) — oracled
     "q73_spearman" -> ((s, d) => Relational.spearmanSupplier(s, d)),
+    // q74: geometric + harmonic means via fixed-point quantized terms
+    // (integer sums, one final expression each) — oracled
+    "q74_means" -> ((s, d) => Relational.meansQuantities(s, d)),
     "q22_levenshtein" -> ((s, d) => Relational.levenshteinDocs(s, d)),
     "q23_percentile" -> ((s, d) => Relational.percentiles(s, d)),
     "q24_window_misc" -> ((s, d) => Relational.windowMisc(s, d)),
@@ -598,6 +601,9 @@ object SparkEntry {
     // emb18: IVF operating-point sweep — recall@k vs probe count over ONE
     // trained index; the p=kLists row must hit 10000 bp (IvfSweepSpec)
     "emb18_ivf_sweep" -> ((s, d) => SimilarityOps.ivfOperatingPoints(s, d)),
+    // emb19: multi-probe LSH operating-point sweep — recall + candidate
+    // cost vs probe radius; radius=nBits row must be exact (LshSweepSpec)
+    "emb19_lsh_sweep" -> ((s, d) => SimilarityOps.lshOperatingPoints(s, d)),
     // emb17: SQ8 quantization-error audit — per-label reconstruction
     // cosine distribution (index-quality gate before shipping emb08)
     "emb17_sq8_error" -> ((s, d) => SimilarityOps.sqErrorAudit(s, d)),
@@ -3025,6 +3031,22 @@ object SparkEntry {
         |  round(CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS DOUBLE)
         |    / count(*), 4) AS hapax_frac
         |FROM tc GROUP BY doc_id""".stripMargin,
+    // q74: same 1e-6 log2 / 1e9 reciprocal fixed-point terms, BIGINT
+    // sums, one final expression each — hash-exact
+    "q74_means" ->
+      """WITH per AS (
+        |  SELECT l_returnflag,
+        |    CAST(round(log2(CAST(l_quantity AS BIGINT)) * 1e6) AS BIGINT)
+        |      AS qlog,
+        |    CAST(round(1e9 / CAST(l_quantity AS BIGINT)) AS BIGINT) AS qinv
+        |  FROM lineitem
+        |)
+        |SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+        |  round(pow(2.0, CAST(sum(qlog) AS DOUBLE) / count(*) / 1e6), 4)
+        |    AS gmean_qty,
+        |  round(CAST(count(*) AS DOUBLE) * 1e9 / CAST(sum(qinv) AS DOUBLE), 4)
+        |    AS hmean_qty
+        |FROM per GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     // q73: same row_number ranks (x desc, suppkey asc), same BIGINT d²
     // sum, one rounded division — hash-exact
     "q73_spearman" ->

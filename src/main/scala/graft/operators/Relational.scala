@@ -1257,6 +1257,34 @@ object Relational {
       .orderBy("l_returnflag")
   }
 
+  /** q74 — GEOMETRIC and HARMONIC means per group, engine-exact: both are
+    * textbook FP-summation-order traps (Πx overflows/underflows so
+    * everyone sums logs; Σ1/x sums tiny doubles — either way the
+    * cross-partition sum depends on arrival order), resolved with the
+    * t39/q69 quantization discipline: each per-row term — log2(x) for the
+    * geometric mean, 1e9/x for the harmonic — is rounded to a fixed-point
+    * LONG before aggregation, so the sums are integer-exact at any
+    * parallelism and each mean is ONE final double expression rounded
+    * 4 dp. The ±1e-6 (resp. ±1e-9-scale) per-term quantization error is
+    * orders of magnitude below the final rounding.
+    */
+  def meansQuantities(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .select(col("l_returnflag"),
+        col("l_quantity").cast("long").as("qty"))
+      .select(col("l_returnflag"),
+        round(log(2.0, col("qty")) * 1e6).cast("long").as("qlog"),
+        round(lit(1e9) / col("qty")).cast("long").as("qinv"))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"), sum("qlog").as("slog"),
+        sum("qinv").as("sinv"))
+      .select(col("l_returnflag"), col("n"),
+        round(pow(lit(2.0),
+          col("slog").cast("double") / col("n") / 1e6), 4).as("gmean_qty"),
+        round(col("n").cast("double") * 1e9 /
+          col("sinv").cast("double"), 4).as("hmean_qty"))
+      .orderBy("l_returnflag")
+
   def weightedPercentiles(spark: SparkSession, dir: String): DataFrame = {
     val perQty = t(spark, dir, "lineitem")
       .select(col("l_returnflag"),

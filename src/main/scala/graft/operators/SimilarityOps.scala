@@ -810,6 +810,71 @@ object SimilarityOps {
       .select(col("query_id"), col("vec_id"), round(col("cos"), 4).as("cos"), col("rank"))
   }
 
+  /** emb19 — multi-probe LSH OPERATING-POINT sweep: recall@k AND candidate
+    * cost versus probe radius over the SAME bucketed corpus — emb18's
+    * curve for the OTHER ANN path, completing the rule that every sketch
+    * the engine ships carries the measured curve behind its operating
+    * point (2.9f asserts a 0.6 recall floor at radius 2; this shows the
+    * whole trade). Each candidate pair is reached at exactly ONE radius
+    * (the mask is bq XOR bv, unique per pair), so the radius grid fans
+    * out AFTER the one candidate-cosine pass (the t41/emb18 pattern) and
+    * costs windows, not re-probes. The grid ends at radius = nBits where
+    * every bucket is probed and LSH degenerates to brute force — that
+    * row's recall MUST be 10000 bp (same candidates, same ties), pinned
+    * in LshSweepSpec. Cost column: candidates as bp of (queries x
+    * corpus) — the fraction of the brute-force work actually done.
+    */
+  def lshOperatingPoints(spark: SparkSession, dir: String,
+                         nQueries: Int = 8, k: Int = 10,
+                         nBits: Int = 6): DataFrame = {
+    import spark.implicits._
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val e = emb(spark, dir).select("vec_id", "embedding").withColumn("bucket",
+      graft.functions.GraftFunctions.lshBucket(spark, nBits, col("embedding")))
+    val corpusN = e.count()
+    val masks = (0 until (1 << nBits)).toArray
+    val queries = e.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"),
+        explode(transform(typedLit(masks),
+          m => struct(col("bucket").bitwiseXOR(m).as("probe_bucket"),
+            bit_count(m).as("radius")))).as("p"))
+      .select(col("query_id"), col("qvec"),
+        col("p.probe_bucket"), col("p.radius"))
+    val cand = e.join(broadcast(queries),
+        col("bucket") === col("probe_bucket") && col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), col("radius"),
+        cosineCol(col("embedding"), col("qvec")).as("cos"))
+    val grid = (0 to nBits).toArray
+    val fan = cand
+      .select(col("query_id"), col("vec_id"), col("cos"), col("radius"),
+        explode(lit(grid)).as("probe_radius"))
+      .where(col("radius") <= col("probe_radius"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("probe_radius", "query_id")
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    val topk = fan.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+    val brute = bruteCosineTopK(spark, dir, nQueries, k)
+      .select("query_id", "vec_id")
+    val truthN = math.max(1L, brute.count())
+    val nCand = fan.groupBy("probe_radius")
+      .agg(count(lit(1)).as("n_cand"))
+    val hits = topk.join(brute, Seq("query_id", "vec_id"), "left_semi")
+      .groupBy("probe_radius").agg(count(lit(1)).as("n_hits"))
+    grid.map(_.toLong).toSeq.toDF("probe_radius")
+      .join(nCand.select(col("probe_radius").cast("long").as("probe_radius"),
+        col("n_cand")), Seq("probe_radius"), "left")
+      .join(hits.select(col("probe_radius").cast("long").as("probe_radius"),
+        col("n_hits")), Seq("probe_radius"), "left")
+      .na.fill(0L, Seq("n_cand", "n_hits"))
+      .select(col("probe_radius"), col("n_cand"),
+        expr(s"n_cand * 10000 div ${math.max(1L, nQueries.toLong * corpusN)}")
+          .as("cand_bp"),
+        col("n_hits"),
+        expr(s"n_hits * 10000 div $truthN").as("recall_bp"))
+      .orderBy("probe_radius")
+  }
+
   /** emb11 — PREDICATE-FILTERED similarity search (hybrid vector+metadata
     * search — the "filtered ANN" every production vector store exposes;
     * Wang et al. SIGMOD'21 Milvus discuss exactly this composition): top-k
