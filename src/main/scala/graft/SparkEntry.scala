@@ -126,6 +126,9 @@ object SparkEntry {
     // q74: geometric + harmonic means via fixed-point quantized terms
     // (integer sums, one final expression each) — oracled
     "q74_means" -> ((s, d) => Relational.meansQuantities(s, d)),
+    // q75: trimmed + winsorized means — exact order statistics over
+    // integers (rank-range sums are tie-permutation invariant) — oracled
+    "q75_robust_means" -> ((s, d) => Relational.robustMeans(s, d)),
     "q22_levenshtein" -> ((s, d) => Relational.levenshteinDocs(s, d)),
     "q23_percentile" -> ((s, d) => Relational.percentiles(s, d)),
     "q24_window_misc" -> ((s, d) => Relational.windowMisc(s, d)),
@@ -332,6 +335,10 @@ object SparkEntry {
     // t43: MinHash estimator calibration — k=16 estimate vs exact Jaccard
     // per audited pair, all integer bp (the audit behind t03's banding)
     "t43_minhash_calibration" -> ((s, d) => TextOps.minhashCalibration(s, d)),
+    // t44: weighted corpus sampling — priority sampling (u/w, keep k
+    // smallest per stratum) with deterministic md5 uniforms; emits the
+    // reweighting threshold tau — oracled
+    "t44_priority_sample" -> ((s, d) => TextOps.prioritySample(s, d)),
     "t09_corpus_curation" -> ((s, d) => TextOps.curatedCorpus(s, d)),
     "t10_span_clip" -> ((s, d) => TextOps.spanClippedCorpus(s, d)),
     "t11_multimodal_dedup" -> ((s, d) =>
@@ -2482,6 +2489,29 @@ object SparkEntry {
       """SELECT doc_id, lang, source FROM documents
         |WHERE md5('smp1:' || CAST(doc_id AS VARCHAR))
         |      < (CASE WHEN lang = 'en' THEN '2' ELSE '8' END)""".stripMargin,
+    // t44: priority sampling — identical md5 uniforms (('0x'||hex)::BIGINT
+    // == conv(...,16,10), the t21/c45 parity), ONE IEEE division u/w, so
+    // both engines rank and threshold identically; priority/tau emitted
+    // unrounded (q32 precedent).
+    "t44_priority_sample" ->
+      """WITH base AS (
+        |  SELECT lang, doc_id, greatest(n_chars, 1) AS w,
+        |    greatest(('0x' || substr(md5('pri1:' || CAST(doc_id AS VARCHAR)),
+        |      1, 8))::BIGINT, 1) AS u
+        |  FROM documents
+        |), ranked AS (
+        |  SELECT lang, doc_id, w,
+        |    CAST(u AS DOUBLE) / w AS priority,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY CAST(u AS DOUBLE) / w, doc_id) AS rn
+        |  FROM base
+        |), tau AS (
+        |  SELECT lang, priority AS tau FROM ranked WHERE rn = 9
+        |)
+        |SELECT r.lang, r.doc_id, r.w, r.priority, t.tau
+        |FROM ranked r LEFT JOIN tau t ON r.lang = t.lang
+        |WHERE r.rn <= 8
+        |ORDER BY r.lang, r.doc_id""".stripMargin,
     // t13: benchmark decontamination — word-8-gram overlap vs the
     // deterministic benchmark slice (doc_id % 23). The oracle joins on
     // the n-gram STRINGS where Spark joins xxhash64 of the same strings
@@ -3047,6 +3077,29 @@ object SparkEntry {
         |  round(CAST(count(*) AS DOUBLE) * 1e9 / CAST(sum(qinv) AS DOUBLE), 4)
         |    AS hmean_qty
         |FROM per GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // q75: same rank ranges (tie order cannot matter — rank-range sums
+    // select a fixed multiset of values), same integer sums, one rounded
+    // division each — hash-exact
+    "q75_robust_means" ->
+      """WITH ranked AS (
+        |  SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS qty,
+        |    row_number() OVER (PARTITION BY l_returnflag ORDER BY
+        |      CAST(l_quantity AS BIGINT)) AS rn,
+        |    count(*) OVER (PARTITION BY l_returnflag) AS n
+        |  FROM lineitem
+        |), kd AS (
+        |  SELECT *, CAST(floor(n / 10) AS BIGINT) AS k FROM ranked
+        |)
+        |SELECT l_returnflag, CAST(max(n) AS BIGINT) AS n, max(k) AS k,
+        |  max(CASE WHEN rn = k + 1 THEN qty END) AS lo,
+        |  max(CASE WHEN rn = n - k THEN qty END) AS hi,
+        |  round(CAST(sum(CASE WHEN rn > k AND rn <= n - k THEN qty END)
+        |    AS DOUBLE) / (max(n) - 2 * max(k)), 4) AS trimmed_mean,
+        |  round(CAST(sum(CASE WHEN rn > k AND rn <= n - k THEN qty END)
+        |    + max(k) * (max(CASE WHEN rn = k + 1 THEN qty END)
+        |      + max(CASE WHEN rn = n - k THEN qty END)) AS DOUBLE)
+        |    / max(n), 4) AS winsorized_mean
+        |FROM kd GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     // q73: same row_number ranks (x desc, suppkey asc), same BIGINT d²
     // sum, one rounded division — hash-exact
     "q73_spearman" ->

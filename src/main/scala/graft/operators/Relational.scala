@@ -1303,4 +1303,46 @@ object Relational {
       .agg(pct(50), pct(90), pct(99), max("totw").as("total_cents"))
       .orderBy("l_returnflag")
   }
+
+  /** q75 — TRIMMED and WINSORIZED means per group, exact: the robust-mean
+    * pair every per-host/stratum quality aggregation wants once outliers
+    * exist (a handful of garbage rows must not move the stratum's score).
+    * Both are pure order statistics over integers, so unlike their
+    * floating-point textbook forms they join the hash gate exactly: rank
+    * rows per group with row_number over the value (tie ORDER is
+    * irrelevant — every term below selects a rank RANGE, and the multiset
+    * of equal values inside a rank range is invariant under tie
+    * permutation), trim k = floor(n/10) rows at each end; the trimmed
+    * mean is one integer-sum division, and the winsorized mean re-adds k
+    * copies of the surviving extremes (the (k+1)-th and (n-k)-th smallest
+    * values) — integers until one final rounded division each.
+    *
+    * Scale: the 100 TB form first hash-aggregates to (grp, value, weight)
+    * — distinct quantities are tiny — then runs the same rank ranges over
+    * cumulative weights (the q72 shape); at bench scale the direct window
+    * keeps the plan to a single exchange on grp.
+    */
+  def robustMeans(spark: SparkSession, dir: String): DataFrame = {
+    val base = t(spark, dir, "lineitem")
+      .select(col("l_returnflag"), col("l_quantity").cast("long").as("qty"))
+    val ranked = base
+      .withColumn("rn",
+        row_number().over(Window.partitionBy("l_returnflag").orderBy("qty")))
+      .withColumn("n",
+        count(lit(1)).over(Window.partitionBy("l_returnflag")))
+      .withColumn("k", floor(col("n") / 10))
+    ranked.groupBy("l_returnflag")
+      .agg(
+        max("n").as("n"), max("k").as("k"),
+        sum(when(col("rn") > col("k") && col("rn") <= col("n") - col("k"),
+          col("qty"))).as("interior"),
+        max(when(col("rn") === col("k") + 1, col("qty"))).as("lo"),
+        max(when(col("rn") === col("n") - col("k"), col("qty"))).as("hi"))
+      .select(col("l_returnflag"), col("n"), col("k"), col("lo"), col("hi"),
+        round(col("interior").cast("double") / (col("n") - col("k") * 2), 4)
+          .as("trimmed_mean"),
+        round((col("interior") + col("k") * (col("lo") + col("hi")))
+          .cast("double") / col("n"), 4).as("winsorized_mean"))
+      .orderBy("l_returnflag")
+  }
 }

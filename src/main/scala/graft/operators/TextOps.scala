@@ -70,6 +70,47 @@ object TextOps {
       .select("doc_id", "lang", "source")
   }
 
+  /** t44 — WEIGHTED corpus sampling via priority sampling (Duffield, Lund
+    * & Thorup, JACM'07): each doc draws priority u/w where u is a
+    * deterministic 32-bit uniform from md5 of the doc id (t12's
+    * reproducible-sampling discipline — no RNG, no shuffle-order
+    * dependence) and w = n_chars; each language stratum keeps the k docs
+    * with the SMALLEST priority. Selection probability is ~min(1, w/tau)
+    * — long documents are proportionally favored, the standard
+    * token-budget-aware corpus draw — and the emitted threshold tau (the
+    * (k+1)-th smallest priority) is exactly the reweighting constant the
+    * unbiased estimator needs (each kept doc represents max(w, tau)
+    * weight). u and w are integers, so priority is ONE IEEE division and
+    * every engine ranks identically (u is floored to 1 so priority stays
+    * finite and positive; ties break on doc_id; priority emitted
+    * UNROUNDED — the q32 integer-derived-division precedent).
+    *
+    * Scale: a per-stratum top-k — bounded-heap shape, the exchange
+    * carries (lang, doc_id, two integers); text never moves. The salt
+    * "pri1:" namespaces these draws against every other hash-of-doc_id
+    * use in the pipeline.
+    */
+  def prioritySample(spark: SparkSession, dir: String, k: Int = 8): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy(col("priority"), col("doc_id"))
+    val ranked = docs(spark, dir)
+      .select(col("lang"), col("doc_id"),
+        greatest(col("n_chars"), lit(1L)).as("w"),
+        greatest(conv(substring(
+            md5(concat(lit("pri1:"), col("doc_id").cast("string"))
+              .cast("binary")), 1, 8), 16, 10).cast("long"),
+          lit(1L)).as("u"))
+      .withColumn("priority", col("u").cast("double") / col("w"))
+      .withColumn("rn", row_number().over(w))
+    val tau = ranked.where(col("rn") === k + 1)
+      .select(col("lang"), col("priority").as("tau"))
+    ranked.where(col("rn") <= k)
+      .join(broadcast(tau), Seq("lang"), "left")
+      .select(col("lang"), col("doc_id"), col("w"), col("priority"),
+        col("tau"))
+      .orderBy("lang", "doc_id")
+  }
+
   /** Full text profile: heuristic language-ID, quality score, simhash +
     * rolling-hash fingerprints, BPE-ish token count (custom codegen'd
     * expressions — rows-only gate + scalatest).

@@ -785,4 +785,35 @@ class PlanSpec extends AnyFunSuite {
       assert(!l.contains("text"), s"g12 scan reads text: $l")
     }
   }
+
+  test("q75 robust means: window and groupBy share ONE group-key exchange; scan prunes to flag+qty") {
+    val p = finalPlan(graft.operators.Relational.robustMeans(
+      spark, "/root/testdata/sf0.001"))
+    // the rank window partitions on l_returnflag and the aggregation
+    // groups on the same key — Catalyst must reuse the partitioning, so
+    // exactly one hash exchange survives (the orderBy adds a range one)
+    val hashExchanges = p.linesIterator
+      .takeWhile(!_.contains("== Initial Plan =="))
+      .count(_.contains("Exchange hashpartitioning"))
+    assert(hashExchanges == 1,
+      s"expected 1 shared group-key exchange, got $hashExchanges:\n$p")
+    p.linesIterator.filter(_.contains("ReadSchema")).foreach { l =>
+      assert(!l.contains("l_extendedprice") && !l.contains("l_shipdate"),
+        s"q75 scan reads unused columns: $l")
+    }
+  }
+
+  test("t44 priority sample: tau side broadcasts; text never scanned or shuffled") {
+    val p = finalPlan(graft.operators.TextOps.prioritySample(
+      spark, "/root/testdata/sf0.001"))
+    assert(p.contains("BroadcastHashJoin"),
+      s"per-stratum threshold tau does not broadcast:\n$p")
+    p.linesIterator.filter(_.contains("Exchange")).foreach { l =>
+      assert(!l.contains("text#"), s"text on a sampling exchange: $l")
+    }
+    p.linesIterator.filter(_.contains("ReadSchema")).foreach { l =>
+      assert(!l.contains("text") && !l.contains("source"),
+        s"t44 scan reads unused columns: $l")
+    }
+  }
 }
