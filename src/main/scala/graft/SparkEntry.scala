@@ -129,6 +129,9 @@ object SparkEntry {
     // q75: trimmed + winsorized means — exact order statistics over
     // integers (rank-range sums are tie-permutation invariant) — oracled
     "q75_robust_means" -> ((s, d) => Relational.robustMeans(s, d)),
+    // q76: chi-square independence + Cramér's V over lang × source —
+    // integer-derived cell terms, 1e6 fixed-point sums — oracled
+    "q76_chi_square" -> ((s, d) => Relational.chiSquareMix(s, d)),
     "q22_levenshtein" -> ((s, d) => Relational.levenshteinDocs(s, d)),
     "q23_percentile" -> ((s, d) => Relational.percentiles(s, d)),
     "q24_window_misc" -> ((s, d) => Relational.windowMisc(s, d)),
@@ -230,6 +233,10 @@ object SparkEntry {
     // g12: multi-source BFS hop distance from the seed hosts — frontier
     // rounds (settled anti-join), integer min-merge; oracle unrolls
     "g12_hop_distance" -> ((s, d) => operators.GraphOps.hostHopDistance(s, d)),
+    // g13: sampled harmonic centrality — g12's BFS keyed by pivot, 1e6
+    // fixed-point 1/d terms (q74 discipline), integer sums — oracled
+    "g13_harmonic_centrality" -> ((s, d) =>
+      operators.GraphOps.harmonicCentrality(s, d)),
     // c34: authority-weighted host budget allocation — largest-remainder
     // apportionment of the global fetch budget over PageRank (integer-exact)
     "c34_budget_allocation" -> ((s, d) => operators.GraphOps.budgetAllocation(s, d)),
@@ -401,6 +408,11 @@ object SparkEntry {
     // — revisit interval inverse in observed change count, engine-exact
     // integer estimator (monotone stand-in for the TOIT'03 MLE)
     "c45_recrawl_schedule" -> ((s, d) => operators.RecrawlOps.recrawlSchedule(s, d)),
+    // c90: CUSUM changepoint on per-host change rates — flags the
+    // NON-stationary host c45's stationary estimate dilutes; exact
+    // closed form cum - min(0, running_min(cum)) over integers — oracled
+    "c90_rate_changepoint" -> ((s, d) =>
+      operators.RecrawlOps.changepointReport(s, d)),
     // c35: rendezvous-hash crawler shard assignment — minimal-movement
     // host ownership across fleet resizes (argmin folds in-row, no
     // per-(host,shard) exchange)
@@ -2737,6 +2749,53 @@ object SparkEntry {
     // c32: streaming pacing must converge to the same delay table, so it
     // shares c30's oracle verbatim
     "c32_stream_pacing" -> PacingSql,
+    // c90: identical md5 draws (t21/c45 parity) + the same CUSUM closed
+    // form cum - least(0, running_min(cum)) — all BIGINT, hash-exact
+    "c90_rate_changepoint" ->
+      """WITH hosts AS (
+        |  SELECT DISTINCT source AS host FROM documents
+        |), flagged AS (
+        |  SELECT host,
+        |    ('0x' || substr(md5('cp-shift:' || host), 1, 6))::BIGINT % 3 = 0
+        |      AS shifted
+        |  FROM hosts
+        |), grid AS (
+        |  SELECT host, shifted,
+        |    CAST(e.epoch AS BIGINT) AS epoch, i.i AS i
+        |  FROM flagged,
+        |    (SELECT unnest(generate_series(1, 24)) AS epoch) e,
+        |    (SELECT unnest(generate_series(1, 8)) AS i) i
+        |), drawn AS (
+        |  SELECT host, shifted, epoch,
+        |    CASE WHEN ('0x' || substr(md5('cp:' || host || ':' ||
+        |        CAST(epoch AS VARCHAR) || ':' || CAST(i AS VARCHAR)),
+        |        1, 6))::BIGINT % 8 <
+        |      (CASE WHEN shifted AND epoch > 12 THEN 6 ELSE 1 END)
+        |    THEN 1 ELSE 0 END AS changed
+        |  FROM grid
+        |), counts AS (
+        |  SELECT host, shifted, epoch, CAST(sum(changed) AS BIGINT) AS x
+        |  FROM drawn GROUP BY 1, 2, 3
+        |), cums AS (
+        |  SELECT host, shifted, epoch, x,
+        |    sum(x - 3) OVER (PARTITION BY host ORDER BY epoch
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM counts
+        |), scored AS (
+        |  SELECT host, shifted, epoch, x,
+        |    cum - least(0, min(cum) OVER (PARTITION BY host ORDER BY epoch
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS s
+        |  FROM cums
+        |)
+        |SELECT host, max(shifted) AS shifted, CAST(max(s) AS BIGINT) AS max_s,
+        |  min(CASE WHEN s >= 8 THEN epoch END) AS alarm_epoch,
+        |  CAST(sum(CASE WHEN epoch <= 12 THEN x END) AS BIGINT)
+        |    AS pre_changes,
+        |  CAST(sum(CASE WHEN epoch > 12 THEN x END) AS BIGINT)
+        |    AS post_changes,
+        |  CASE WHEN min(CASE WHEN s >= 8 THEN epoch END) IS NOT NULL
+        |    THEN 'rate_shift' ELSE 'stable' END AS verdict
+        |FROM scored GROUP BY host ORDER BY host""".stripMargin,
     // emb01: brute cosine top-k IS plain SQL (round-4 verdict "missing
     // #4"). The cosine mirrors the Spark column arithmetic exactly —
     // per-element double casts, sequential list sums, dot/(norm*norm) —
@@ -2965,6 +3024,9 @@ object SparkEntry {
     "g09_triangles" -> operators.GraphOps.trianglesOracleSql(),
     "g11_communities" -> operators.GraphOps.lpaOracleSql(),
     "g12_hop_distance" -> operators.GraphOps.hopOracleSql(),
+    // g13: the g12 oracle with the seed column carried through every
+    // unrolled round; same 1e6 fixed-point 1/d quantization both sides
+    "g13_harmonic_centrality" -> operators.GraphOps.harmonicOracleSql(),
     // t42: same tokenization, same integer add-one bigram model, same
     // 1e-6 log2 quantization (the t39 discipline) — BIGINT sums both
     // sides, one final rounded division
@@ -3100,6 +3162,39 @@ object SparkEntry {
         |      + max(CASE WHEN rn = n - k THEN qty END)) AS DOUBLE)
         |    / max(n), 4) AS winsorized_mean
         |FROM kd GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // q76: same (O·N − rT·cT)²/(rT·cT·N) integer-derived cell terms over
+    // the FULL r×c grid (zero cells included), same 1e6 quantization,
+    // IEEE sqrt for V — hash-exact
+    "q76_chi_square" ->
+      """WITH cells AS (
+        |  SELECT lang, source, CAST(count(*) AS BIGINT) AS o
+        |  FROM documents GROUP BY 1, 2
+        |), rt AS (
+        |  SELECT lang, CAST(sum(o) AS BIGINT) AS rt FROM cells GROUP BY 1
+        |), ct AS (
+        |  SELECT source, CAST(sum(o) AS BIGINT) AS ct FROM cells GROUP BY 1
+        |), tot AS (
+        |  SELECT CAST(sum(o) AS BIGINT) AS n,
+        |    (SELECT CAST(count(*) AS BIGINT) FROM rt) AS r,
+        |    (SELECT CAST(count(*) AS BIGINT) FROM ct) AS c
+        |  FROM cells
+        |), grid AS (
+        |  SELECT rt.rt, ct.ct, coalesce(cells.o, 0) AS o
+        |  FROM rt CROSS JOIN ct
+        |  LEFT JOIN cells ON cells.lang = rt.lang AND cells.source = ct.source
+        |), terms AS (
+        |  SELECT n, r, c,
+        |    CAST(round(CAST(o * n - rt * ct AS DOUBLE)
+        |      * CAST(o * n - rt * ct AS DOUBLE)
+        |      / CAST(rt * ct * n AS DOUBLE) * 1e6) AS BIGINT) AS term_q
+        |  FROM grid CROSS JOIN tot
+        |)
+        |SELECT n, r, c, (r - 1) * (c - 1) AS dof,
+        |  CAST(sum(term_q) AS BIGINT) AS chi2_q,
+        |  round(CAST(sum(term_q) AS DOUBLE) / 1e6, 4) AS chi2,
+        |  round(sqrt(CAST(sum(term_q) AS DOUBLE) / 1e6
+        |    / CAST(n * least(r - 1, c - 1) AS DOUBLE)), 4) AS cramers_v
+        |FROM terms GROUP BY n, r, c""".stripMargin,
     // q73: same row_number ranks (x desc, suppkey asc), same BIGINT d²
     // sum, one rounded division — hash-exact
     "q73_spearman" ->

@@ -1004,4 +1004,118 @@ object GraphOps {
          |LEFT JOIN d$rounds d ON d.node = h.source
          |ORDER BY h.source""".stripMargin
   }
+
+  /** g13 — sampled HARMONIC CENTRALITY over the host graph (Boldi &
+    * Vigna, "Axioms for Centrality" IM'14; sampled-pivot estimation per
+    * Eppstein & Wang SODA'01): H(v) = Σ 1/d(pivot, v) over a
+    * deterministic pivot sample — the centrality that handles
+    * disconnected graphs natively (unreachable pivots contribute 0, no
+    * ∞), which PageRank-family scores (g01/g06) only approximate via
+    * damping. Pivot distances come from the g12 BFS generalized to carry
+    * its seed: settled is keyed (seed, node), min-merge per key, so the
+    * oracle unrolls identically. 1/d terms are quantized to 1e6
+    * fixed-point LONGs before summation (the q74 discipline) — integer
+    * sums at any parallelism, one final rounded division for display.
+    *
+    * Scale: pivots are O(1) (4 here), so the frontier tables are |pivots|
+    * × hosts keyed scalars; exchanges carry (seed, node, dist) only.
+    */
+  def multiSourceHops(e0: DataFrame, seeds: DataFrame,
+                      rounds: Int = 4): DataFrame = {
+    val und = e0.select(col("src").as("a"), col("dst").as("b"))
+      .union(e0.select(col("dst").as("a"), col("src").as("b")))
+      .where(col("a") =!= col("b"))
+      .distinct().localCheckpoint()
+    var settled = seeds
+      .select(col("node").as("seed"), col("node"), lit(0L).as("dist"))
+      .localCheckpoint()
+    var frontier = settled
+    for (i <- 1 to rounds) {
+      val reached = frontier
+        .join(und, col("node") === col("a"))
+        .select(col("seed"), col("b").as("node")).distinct()
+      frontier = reached
+        .join(settled.select("seed", "node"), Seq("seed", "node"),
+          "left_anti")
+        .withColumn("dist", lit(i.toLong))
+        .localCheckpoint()
+      settled = settled.unionByName(frontier).localCheckpoint()
+    }
+    settled
+  }
+
+  /** g13 on the derived host graph: pivots = the 4 lexicographically
+    * smallest sources; h_q = Σ round(1e6/d) over reached pivots (d ≥ 1),
+    * h = h_q/1e6 rounded 4 dp; hosts reaching no pivot score 0.
+    */
+  def harmonicCentrality(spark: SparkSession, dir: String,
+                         rounds: Int = 4, nSeeds: Int = 4): DataFrame = {
+    val hosts = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("source")).distinct()
+    val seeds = hosts.orderBy("source").limit(nSeeds)
+      .select(col("source").as("node"))
+    val perHost = multiSourceHops(denseSourceEdges(spark, dir), seeds, rounds)
+      .where(col("dist") >= 1L)
+      .groupBy("node")
+      .agg(count(lit(1)).as("n_reached"),
+        sum(round(lit(1000000.0) / col("dist")).cast("long")).as("h_q"))
+    hosts
+      .join(perHost.withColumnRenamed("node", "source"), Seq("source"), "left")
+      .select(col("source"),
+        coalesce(col("n_reached"), lit(0L)).as("n_reached"),
+        coalesce(col("h_q"), lit(0L)).as("h_q"))
+      .withColumn("h", round(col("h_q").cast("double") / 1e6, 4))
+      .orderBy("source")
+  }
+
+  /** Unrolled DuckDB mirror of `harmonicCentrality` — the g12 oracle
+    * with a seed column carried through every round.
+    */
+  def harmonicOracleSql(rounds: Int = 4, nSeeds: Int = 4): String = {
+    val prefix =
+      s"""WITH docs AS (SELECT doc_id, source FROM documents),
+        |cnt AS (SELECT count(*) AS c FROM docs),
+        |cites AS (
+        |  SELECT source AS src, (doc_id * 17 + 3) % c AS cited FROM docs, cnt
+        |  UNION ALL
+        |  SELECT source, (doc_id * doc_id * 7 + doc_id * 31 + 5) % c
+        |  FROM docs, cnt),
+        |dedges AS (
+        |  SELECT DISTINCT a.src, b.source AS dst
+        |  FROM cites a JOIN docs b ON b.doc_id = a.cited
+        |  WHERE a.src <> b.source),
+        |und AS (
+        |  SELECT DISTINCT a, b FROM (
+        |    SELECT src AS a, dst AS b FROM dedges
+        |    UNION ALL
+        |    SELECT dst, src FROM dedges)
+        |  WHERE a <> b),
+        |seeds AS (SELECT DISTINCT source FROM documents
+        |  ORDER BY source LIMIT $nSeeds),
+        |d0 AS (SELECT source AS seed, source AS node,
+        |  CAST(0 AS BIGINT) AS dist FROM seeds)""".stripMargin
+    val steps = (1 to rounds).map { i =>
+      s"""d$i AS (
+         |  SELECT seed, node, min(dist) AS dist FROM (
+         |    SELECT seed, node, dist FROM d${i - 1}
+         |    UNION ALL
+         |    SELECT r.seed, u.b AS node, r.dist + 1 AS dist
+         |    FROM und u JOIN d${i - 1} r ON r.node = u.a)
+         |  GROUP BY seed, node)""".stripMargin
+    }.mkString(",\n", ",\n", ",\n")
+    prefix + steps +
+      s"""per AS (
+         |  SELECT node,
+         |    CAST(count(*) AS BIGINT) AS n_reached,
+         |    CAST(sum(CAST(round(1000000.0 / dist) AS BIGINT)) AS BIGINT)
+         |      AS h_q
+         |  FROM d$rounds WHERE dist >= 1 GROUP BY node)
+         |SELECT h.source,
+         |  coalesce(p.n_reached, 0) AS n_reached,
+         |  coalesce(p.h_q, 0) AS h_q,
+         |  round(CAST(coalesce(p.h_q, 0) AS DOUBLE) / 1e6, 4) AS h
+         |FROM (SELECT DISTINCT source FROM documents) h
+         |LEFT JOIN per p ON p.node = h.source
+         |ORDER BY h.source""".stripMargin
+  }
 }

@@ -61,4 +61,76 @@ object RecrawlOps {
         greatest(lit(1L), expr("n_obs div (n_changes + 1)")))
       .withColumn("next_due", lit(ObsEpochs.toLong) + col("revisit_interval"))
       .orderBy("page_id")
+
+  /** Epochs observed per host for the c90 changepoint screen. */
+  val CpEpochs = 24
+  /** Pages sampled per (host, epoch) — x_t counts changes among these. */
+  val CpDraws = 8
+  /** Planted shift point: shifted hosts jump 1/8 -> 6/8 after this. */
+  val CpShiftEpoch = 12
+  /** CUSUM reference value k (changes/epoch the drift term forgives). */
+  val CpRef = 3L
+  /** CUSUM alarm threshold h (cumulative excess changes above k). */
+  val CpThreshold = 8L
+
+  /** c90 — CUSUM CHANGEPOINT detection on per-host change rates (Page,
+    * Biometrika'54): c45 estimates each page's stationary rate, but the
+    * operational failure mode is the NON-stationary host — a site
+    * redesign or a CMS migration makes yesterday's revisit intervals
+    * wrong all at once, and a mean over the whole history dilutes the
+    * shift for many epochs. The one-sided CUSUM flags the shift within a
+    * few epochs of onset. The textbook recursion S_t = max(0, S_{t-1} +
+    * x_t − k) is sequential, so we use its exact closed form —
+    * S_t = cum_t − min(0, running_min(cum)) with cum = Σ(x − k) — which
+    * is two window passes over integers: parallel, order-free, and
+    * engine-exact (hence DuckDB-oracled). Alarm = first epoch with
+    * S_t ≥ h; the report carries pre/post-shift change totals so the
+    * verdict is auditable from its own row.
+    *
+    * Scale: the history is (host, epoch) rows — hosts × 24, tiny next to
+    * the fetch log it summarizes; both windows share the one
+    * hash-exchange on host, and the synthesis md5 draws are codegen'd
+    * per-row expressions (the c45 discipline; salt "cp:" namespaces
+    * them).
+    */
+  def hostChangeCounts(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("source").as("host")).distinct()
+      .withColumn("shifted",
+        conv(substring(md5(concat(lit("cp-shift:"), col("host"))), 1, 6),
+          16, 10).cast("long") % 3 === 0)
+      .select(col("host"), col("shifted"),
+        explode(sequence(lit(1L), lit(CpEpochs.toLong))).as("epoch"))
+      .select(col("host"), col("shifted"), col("epoch"),
+        explode(sequence(lit(1), lit(CpDraws))).as("i"))
+      .withColumn("rate",
+        when(col("shifted") && col("epoch") > CpShiftEpoch, lit(6L))
+          .otherwise(lit(1L)))
+      .withColumn("changed",
+        (conv(substring(md5(concat(lit("cp:"), col("host"), lit(":"),
+          col("epoch").cast("string"), lit(":"), col("i").cast("string"))),
+          1, 6), 16, 10).cast("long") % 8 < col("rate")).cast("long"))
+      .groupBy("host", "shifted", "epoch")
+      .agg(sum("changed").as("x"))
+
+  def changepointReport(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("host").orderBy("epoch")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val scored = hostChangeCounts(spark, dir)
+      .withColumn("cum", sum(col("x") - CpRef).over(w))
+      .withColumn("s", col("cum") - least(lit(0L), min("cum").over(w)))
+    // group on host alone (shifted is host-determined, recovered by max)
+    // so the distinct/window/agg chain shares ONE host exchange
+    scored.groupBy("host")
+      .agg(max("shifted").as("shifted"), max("s").as("max_s"),
+        min(when(col("s") >= CpThreshold, col("epoch"))).as("alarm_epoch"),
+        sum(when(col("epoch") <= CpShiftEpoch, col("x"))).as("pre_changes"),
+        sum(when(col("epoch") > CpShiftEpoch, col("x"))).as("post_changes"))
+      .withColumn("verdict",
+        when(col("alarm_epoch").isNotNull, lit("rate_shift"))
+          .otherwise(lit("stable")))
+      .orderBy("host")
+  }
 }

@@ -1345,4 +1345,47 @@ object Relational {
           .cast("double") / col("n"), 4).as("winsorized_mean"))
       .orderBy("l_returnflag")
   }
+
+  /** q76 — CHI-SQUARE independence test over the lang × source
+    * contingency table, with Cramér's V: the corpus-mix audit ("is the
+    * language mix independent of the source?") behind stratified
+    * sampling and drift alarms — a V drifting epoch-over-epoch means a
+    * source changed what it publishes. The per-cell term is rewritten as
+    * (O·N − rT·cT)²/(rT·cT·N) so numerator and denominator are
+    * integer-derived (zero cells of the FULL r×c grid included — their
+    * term is E itself); each term is quantized to a 1e6 fixed-point LONG
+    * before the sum (the q74 discipline — cell order cannot matter), and
+    * V's sqrt is IEEE-correctly-rounded in every engine, so one rounded
+    * expression each ships hash-exact.
+    *
+    * Scale: cells/rows/cols are tiny aggregates of one scan; the grid is
+    * r×c rows with every total broadcast — the corpus is read once.
+    */
+  def chiSquareMix(spark: SparkSession, dir: String): DataFrame = {
+    val cells = t(spark, dir, "documents")
+      .groupBy("lang", "source").agg(count(lit(1)).as("o"))
+    val rows = cells.groupBy("lang").agg(sum("o").as("rt"))
+    val cols = cells.groupBy("source").agg(sum("o").as("ct"))
+    val tot = cells.agg(sum("o").as("n"))
+      .crossJoin(rows.agg(count(lit(1)).as("r")))
+      .crossJoin(cols.agg(count(lit(1)).as("c")))
+    val grid = rows.crossJoin(cols)
+      .join(cells, Seq("lang", "source"), "left")
+      .withColumn("o", coalesce(col("o"), lit(0L)))
+      .crossJoin(broadcast(tot))
+      .withColumn("num",
+        (col("o") * col("n") - col("rt") * col("ct")).cast("double"))
+      .withColumn("term_q",
+        round(col("num") * col("num")
+          / (col("rt") * col("ct") * col("n")).cast("double") * 1e6)
+          .cast("long"))
+    grid.groupBy("n", "r", "c")
+      .agg(sum("term_q").as("chi2_q"))
+      .select(col("n"), col("r"), col("c"),
+        ((col("r") - 1) * (col("c") - 1)).as("dof"), col("chi2_q"),
+        round(col("chi2_q").cast("double") / 1e6, 4).as("chi2"),
+        round(sqrt(col("chi2_q").cast("double") / 1e6
+          / (col("n") * least(col("r") - 1, col("c") - 1)).cast("double")),
+          4).as("cramers_v"))
+  }
 }

@@ -803,6 +803,47 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("c90 changepoint: distinct/windows/agg share ONE host exchange; scan prunes to source") {
+    val p = finalPlan(graft.operators.RecrawlOps.changepointReport(
+      spark, "/root/testdata/sf0.001"))
+    // hosts.distinct partitions on host; the per-epoch count agg (host
+    // subset-satisfies its keys), both CUSUM windows, and the final
+    // groupBy(host) must all reuse that partitioning
+    val hashExchanges = p.linesIterator
+      .takeWhile(!_.contains("== Initial Plan =="))
+      .count(_.contains("Exchange hashpartitioning"))
+    assert(hashExchanges == 1,
+      s"expected 1 shared host exchange, got $hashExchanges:\n$p")
+    p.linesIterator.filter(_.contains("ReadSchema")).foreach { l =>
+      assert(!l.contains("text") && !l.contains("doc_id"),
+        s"c90 scan reads unused columns: $l")
+    }
+  }
+
+  test("g13 harmonic centrality: exchanges carry (seed,node,dist) scalars; no text read") {
+    val p = finalPlan(graft.operators.GraphOps.harmonicCentrality(
+      spark, "/root/testdata/sf0.001"))
+    p.linesIterator.filter(_.contains("Exchange")).foreach { l =>
+      assert(!l.contains("text#") && !l.contains("n_chars#"),
+        s"payload column on a centrality exchange: $l")
+    }
+    p.linesIterator.filter(_.contains("ReadSchema")).foreach { l =>
+      assert(!l.contains("text") && !l.contains("n_chars"),
+        s"g13 scan reads unused columns: $l")
+    }
+  }
+
+  test("q76 chi-square: every total reaches the grid by broadcast; scan prunes to lang+source") {
+    val p = finalPlan(graft.operators.Relational.chiSquareMix(
+      spark, "/root/testdata/sf0.001"))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"chi-square totals do not broadcast to the grid:\n$p")
+    p.linesIterator.filter(_.contains("ReadSchema")).foreach { l =>
+      assert(!l.contains("text") && !l.contains("n_chars") && !l.contains("doc_id"),
+        s"q76 scan reads unused columns: $l")
+    }
+  }
+
   test("t44 priority sample: tau side broadcasts; text never scanned or shuffled") {
     val p = finalPlan(graft.operators.TextOps.prioritySample(
       spark, "/root/testdata/sf0.001"))
