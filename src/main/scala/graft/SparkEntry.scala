@@ -346,6 +346,9 @@ object SparkEntry {
     // smallest per stratum) with deterministic md5 uniforms; emits the
     // reweighting threshold tau — oracled
     "t44_priority_sample" -> ((s, d) => TextOps.prioritySample(s, d)),
+    // t45: per-source KL divergence from the corpus unigram distribution
+    // — separable integer-log decomposition, BIGINT sums — oracled
+    "t45_source_kl" -> ((s, d) => TextOps.sourceKlDivergence(s, d)),
     "t09_corpus_curation" -> ((s, d) => TextOps.curatedCorpus(s, d)),
     "t10_span_clip" -> ((s, d) => TextOps.spanClippedCorpus(s, d)),
     "t11_multimodal_dedup" -> ((s, d) =>
@@ -2524,6 +2527,38 @@ object SparkEntry {
         |FROM ranked r LEFT JOIN tau t ON r.lang = t.lang
         |WHERE r.rn <= 8
         |ORDER BY r.lang, r.doc_id""".stripMargin,
+    // t45: same t38 tokenizer, same integer-log quantization (t42
+    // discipline), same separable decomposition — BIGINT sums both
+    // sides, one rounded division
+    "t45_source_kl" ->
+      """WITH toks AS (
+        |  SELECT source,
+        |    unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS tok
+        |  FROM documents
+        |), sc AS (
+        |  SELECT source, tok, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM toks WHERE tok <> '' GROUP BY 1, 2
+        |), cc AS (
+        |  SELECT source, tok, cnt,
+        |    CAST(sum(cnt) OVER (PARTITION BY tok) AS BIGINT) AS cntc
+        |  FROM sc
+        |), tot AS (
+        |  SELECT CAST(sum(cnt) AS BIGINT) AS tc FROM sc
+        |), per AS (
+        |  SELECT source,
+        |    CAST(sum(cnt * (CAST(round(log2(cnt) * 1e6) AS BIGINT)
+        |      - CAST(round(log2(cntc) * 1e6) AS BIGINT))) AS BIGINT)
+        |      AS part,
+        |    CAST(sum(cnt) AS BIGINT) AS t_tokens,
+        |    CAST(count(*) AS BIGINT) AS vocab
+        |  FROM cc GROUP BY source
+        |)
+        |SELECT source, t_tokens, vocab,
+        |  round(CAST(part + t_tokens
+        |      * (CAST(round(log2(tc) * 1e6) AS BIGINT)
+        |        - CAST(round(log2(t_tokens) * 1e6) AS BIGINT)) AS DOUBLE)
+        |    / (CAST(t_tokens AS DOUBLE) * 1e6), 4) AS kl_bits
+        |FROM per CROSS JOIN tot ORDER BY source""".stripMargin,
     // t13: benchmark decontamination — word-8-gram overlap vs the
     // deterministic benchmark slice (doc_id % 23). The oracle joins on
     // the n-gram STRINGS where Spark joins xxhash64 of the same strings

@@ -1711,6 +1711,50 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** t45 — per-source KL DIVERGENCE from the corpus unigram distribution
+    * (domain-shift audit, the distributional cousin of q76's categorical
+    * mix test): KL(p_source ‖ p_corpus) in bits says how far a source's
+    * vocabulary usage drifts from the corpus it feeds — the number an
+    * operator watches per epoch to catch a source pivoting content (the
+    * DSIR/t21 importance-weight family reads the same signal per doc).
+    * Exactness comes from two moves: (1) every log2 argument is an
+    * INTEGER count (the t42 discipline — never a ratio), quantized to a
+    * 1e6 fixed-point LONG; (2) the per-word sum SEPARATES —
+    * Σ cnt·(L(cnt)+L(T_c)−L(cnt_c)−L(T_s)) =
+    * Σ cnt·(L(cnt)−L(cnt_c)) + T_s·(L(T_c)−L(T_s)) — so the totals
+    * never touch the per-row terms and the whole statistic is BIGINT
+    * sums with ONE final rounded division. No smoothing is needed: the
+    * corpus contains each source, so cnt_c ≥ cnt_s > 0 for every term.
+    *
+    * Scale: corpus counts come from a window over the (source, tok)
+    * table — the corpus is tokenized ONCE and never re-scanned, and no
+    * vocab table needs to broadcast (unlike t14's filter, this stays
+    * correct when the vocabulary outgrows a broadcast); exchanges carry
+    * (source, tok, two longs).
+    */
+  def sourceKlDivergence(spark: SparkSession, dir: String): DataFrame = {
+    def lq(c: Column): Column = round(log(2.0, c) * 1e6).cast("long")
+    val sc = docs(spark, dir)
+      .select(col("source"),
+        explode(filter(split(lower(col("text")), "[^a-z0-9]+"),
+          t => t =!= "")).as("tok"))
+      .groupBy("source", "tok").agg(count(lit(1)).as("cnt"))
+    val cc = sc.withColumn("cntc",
+      sum("cnt").over(org.apache.spark.sql.expressions.Window
+        .partitionBy("tok")))
+    val tot = sc.agg(sum("cnt").as("tc"))
+    cc.groupBy("source")
+      .agg(sum(col("cnt") * (lq(col("cnt")) - lq(col("cntc")))).as("part"),
+        sum("cnt").as("t_tokens"), count(lit(1)).as("vocab"))
+      .crossJoin(broadcast(tot))
+      .select(col("source"), col("t_tokens"), col("vocab"),
+        round((col("part")
+          + col("t_tokens") * (lq(col("tc")) - lq(col("t_tokens"))))
+          .cast("double") / (col("t_tokens").cast("double") * 1e6), 4)
+          .as("kl_bits"))
+      .orderBy("source")
+  }
+
   /** t42 — BIGRAM-LM perplexity per document, integer-EXACT and therefore
     * DuckDB-oracled: the sequence-model upgrade of t14's unigram filter
     * (CCNet filters on a KenLM 5-gram; the bigram form is the smallest

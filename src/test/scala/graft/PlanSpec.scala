@@ -844,6 +844,22 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("t45 source KL: corpus tokenized ONCE (single documents scan); counts partial-agg before their exchange") {
+    val p = finalPlan(graft.operators.TextOps.sourceKlDivergence(
+      spark, "/root/testdata/sf0.001"))
+    // the separable decomposition means corpus counts come from a window
+    // over the (source, tok) table — a second tokenizing scan (or a
+    // self-join rebuilding it) would betray the shape
+    val lines = p.linesIterator
+      .takeWhile(!_.contains("== Initial Plan ==")).toSeq
+    val docScans = lines.count(l =>
+      l.contains("Scan parquet") && l.contains("documents"))
+    assert(docScans == 1, s"expected 1 documents scan, got $docScans:\n$p")
+    assert(lines.exists(l =>
+      l.contains("HashAggregate") && l.contains("partial_count")),
+      s"token counts do not map-side-combine:\n$p")
+  }
+
   test("t44 priority sample: tau side broadcasts; text never scanned or shuffled") {
     val p = finalPlan(graft.operators.TextOps.prioritySample(
       spark, "/root/testdata/sf0.001"))
