@@ -349,6 +349,9 @@ object SparkEntry {
     // t45: per-source KL divergence from the corpus unigram distribution
     // — separable integer-log decomposition, BIGINT sums — oracled
     "t45_source_kl" -> ((s, d) => TextOps.sourceKlDivergence(s, d)),
+    // t46: context-length operating curve — fit rate + truncation loss
+    // per candidate max-seq-len, all BIGINT — oracled
+    "t46_context_curve" -> ((s, d) => TextOps.contextLengthCurve(s, d)),
     "t09_corpus_curation" -> ((s, d) => TextOps.curatedCorpus(s, d)),
     "t10_span_clip" -> ((s, d) => TextOps.spanClippedCorpus(s, d)),
     "t11_multimodal_dedup" -> ((s, d) =>
@@ -2559,6 +2562,32 @@ object SparkEntry {
         |        - CAST(round(log2(t_tokens) * 1e6) AS BIGINT)) AS DOUBLE)
         |    / (CAST(t_tokens AS DOUBLE) * 1e6), 4) AS kl_bits
         |FROM per CROSS JOIN tot ORDER BY source""".stripMargin,
+    // t46: same t01 whitespace tokenizer; min/max/sum/integer-div over
+    // BIGINTs — hash-exact
+    "t46_context_curve" ->
+      """WITH n AS (
+        |  SELECT CAST(len(regexp_split_to_array(trim(text), '\s+'))
+        |    AS BIGINT) AS n
+        |  FROM documents
+        |), grid AS (
+        |  SELECT n.n, l.max_len
+        |  FROM n, (SELECT unnest([16, 32, 64, 128]) AS max_len) l
+        |), agg AS (
+        |  SELECT CAST(max_len AS BIGINT) AS max_len,
+        |    CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(CASE WHEN n <= max_len THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS fit_docs,
+        |    CAST(sum(n) AS BIGINT) AS total_tokens,
+        |    CAST(sum(least(n, max_len)) AS BIGINT) AS kept_tokens,
+        |    CAST(sum(greatest(n - max_len, 0)) AS BIGINT)
+        |      AS truncated_tokens
+        |  FROM grid GROUP BY 1
+        |)
+        |SELECT max_len, n_docs, fit_docs,
+        |  (10000 * fit_docs) // n_docs AS fit_bp,
+        |  total_tokens, kept_tokens, truncated_tokens,
+        |  (10000 * kept_tokens) // total_tokens AS kept_bp
+        |FROM agg ORDER BY max_len""".stripMargin,
     // t13: benchmark decontamination — word-8-gram overlap vs the
     // deterministic benchmark slice (doc_id % 23). The oracle joins on
     // the n-gram STRINGS where Spark joins xxhash64 of the same strings

@@ -1755,6 +1755,40 @@ object TextOps {
       .orderBy("source")
   }
 
+  /** t46 — CONTEXT-LENGTH operating curve: the economics of the
+    * max-sequence-length knob every training run sets before t17 packs a
+    * single shard — for each candidate length L, what fraction of docs
+    * fit whole, how many tokens survive truncate-to-L, and how many are
+    * thrown away. Too-short L silently discards the tails of long
+    * documents (and with them most long-range structure); too-long L
+    * pays attention cost for padding — this prices the trade ON THIS
+    * CORPUS, completing the estimator-audit rule (t41/t43/emb18/c89:
+    * every knob ships its measured curve). Token counts use the t01
+    * whitespace tokenizer (DuckDB parity established); everything
+    * downstream is min/max/sum/integer-div over BIGINTs — hash-exact.
+    *
+    * Scale: one scan to per-doc counts, a 4-way literal explode, one
+    * map-side-combined groupBy whose exchange carries (L, five longs).
+    */
+  def contextLengthCurve(spark: SparkSession, dir: String,
+                         lens: Seq[Long] = Seq(16L, 32L, 64L, 128L)): DataFrame =
+    docs(spark, dir)
+      .select(size(split(trim(col("text")), "\\s+")).cast("long").as("n"))
+      .select(col("n"), explode(array(lens.map(lit): _*)).as("max_len"))
+      .groupBy("max_len")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("n") <= col("max_len"), 1L).otherwise(0L))
+          .as("fit_docs"),
+        sum("n").as("total_tokens"),
+        sum(least(col("n"), col("max_len"))).as("kept_tokens"),
+        sum(greatest(col("n") - col("max_len"), lit(0L)))
+          .as("truncated_tokens"))
+      .select(col("max_len"), col("n_docs"), col("fit_docs"),
+        expr("(10000 * fit_docs) div n_docs").as("fit_bp"),
+        col("total_tokens"), col("kept_tokens"), col("truncated_tokens"),
+        expr("(10000 * kept_tokens) div total_tokens").as("kept_bp"))
+      .orderBy("max_len")
+
   /** t42 — BIGRAM-LM perplexity per document, integer-EXACT and therefore
     * DuckDB-oracled: the sequence-model upgrade of t14's unigram filter
     * (CCNet filters on a KenLM 5-gram; the bigram form is the smallest
