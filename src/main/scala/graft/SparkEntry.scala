@@ -132,6 +132,12 @@ object SparkEntry {
     // q76: chi-square independence + Cramér's V over lang × source —
     // integer-derived cell terms, 1e6 fixed-point sums — oracled
     "q76_chi_square" -> ((s, d) => Relational.chiSquareMix(s, d)),
+    // q77: exact Kendall tau-b from BIGINT pair counts (no tie-break
+    // policy needed, unlike q73's rho) — oracled
+    "q77_kendall" -> ((s, d) => Relational.kendallSupplier(s, d)),
+    // emb20: per-label embedding norm audit vs a planted 0.8f encoder
+    // drift — quantized norm² rollup, drift fraction in bp — oracled
+    "emb20_norm_audit" -> ((s, d) => operators.SimilarityOps.normAudit(s, d)),
     "q22_levenshtein" -> ((s, d) => Relational.levenshteinDocs(s, d)),
     "q23_percentile" -> ((s, d) => Relational.percentiles(s, d)),
     "q24_window_misc" -> ((s, d) => Relational.windowMisc(s, d)),
@@ -3203,6 +3209,60 @@ object SparkEntry {
         |  round(CAST(count(*) AS DOUBLE) * 1e9 / CAST(sum(qinv) AS DOUBLE), 4)
         |    AS hmean_qty
         |FROM per GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // q77: same per-supplier BIGINT aggregates, same pair-count
+    // definitions (dx·dy sign), IEEE sqrt denominator — hash-exact
+    "q77_kendall" ->
+      """WITH per AS (
+        |  SELECT l_returnflag, l_suppkey,
+        |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty,
+        |    CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+        |      AS BIGINT) AS cents
+        |  FROM lineitem GROUP BY 1, 2
+        |), pairs AS (
+        |  SELECT a.l_returnflag,
+        |    a.qty - b.qty AS dx, a.cents - b.cents AS dy
+        |  FROM per a JOIN per b
+        |    ON a.l_returnflag = b.l_returnflag AND a.l_suppkey < b.l_suppkey
+        |), cnt AS (
+        |  SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n0,
+        |    CAST(sum(CASE WHEN dx * dy > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS nc,
+        |    CAST(sum(CASE WHEN dx * dy < 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS nd,
+        |    CAST(sum(CASE WHEN dx = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |    CAST(sum(CASE WHEN dy = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n2
+        |  FROM pairs GROUP BY 1
+        |)
+        |SELECT l_returnflag, n0, nc, nd, n1, n2,
+        |  round(CAST(nc - nd AS DOUBLE)
+        |    / sqrt(CAST((n0 - n1) * (n0 - n2) AS DOUBLE)), 4) AS tau_b
+        |FROM cnt ORDER BY l_returnflag""".stripMargin,
+    // emb20: same sequential double fold (emb01 parity), same float
+    // drift plant (IEEE single multiply), same 1e6 quantization
+    "emb20_norm_audit" ->
+      """WITH planted AS (
+        |  SELECT label, vec_id,
+        |    CASE WHEN vec_id % 17 = 0
+        |      THEN list_transform(embedding, x -> x * CAST(0.8 AS FLOAT))
+        |      ELSE embedding END AS embedding
+        |  FROM embeddings
+        |), per AS (
+        |  SELECT CAST(label AS BIGINT) AS label,
+        |    CAST(round(list_aggregate(list_transform(embedding,
+        |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum') * 1e6)
+        |      AS BIGINT) AS n2q,
+        |    CAST(len(embedding) AS BIGINT) AS dim
+        |  FROM planted
+        |)
+        |SELECT label, CAST(count(*) AS BIGINT) AS n,
+        |  min(dim) AS min_dim, max(dim) AS max_dim,
+        |  min(n2q) AS min_n2q, max(n2q) AS max_n2q,
+        |  round(CAST(sum(n2q) AS DOUBLE) / count(*) / 1e6, 4) AS mean_norm2,
+        |  CAST(sum(CASE WHEN n2q < 990000 OR n2q > 1010000 THEN 1 ELSE 0
+        |    END) AS BIGINT) AS n_drifted,
+        |  (10000 * CAST(sum(CASE WHEN n2q < 990000 OR n2q > 1010000
+        |    THEN 1 ELSE 0 END) AS BIGINT)) // count(*) AS drifted_bp
+        |FROM per GROUP BY label ORDER BY label""".stripMargin,
     // q75: same rank ranges (tie order cannot matter — rank-range sums
     // select a fixed multiset of values), same integer sums, one rounded
     // division each — hash-exact

@@ -1346,6 +1346,46 @@ object Relational {
       .orderBy("l_returnflag")
   }
 
+  /** q77 — exact KENDALL tau-b rank correlation per group (the same
+    * supplier volume-vs-revenue question as q73's Spearman, under the
+    * statistic with the cleaner tie story): tau-b is DEFINED on pair
+    * counts — concordant, discordant, x-tied, y-tied — so unlike
+    * rho it needs no tie-break policy at all, and every count is a
+    * BIGINT; the denominator sqrt((n0−n1)(n0−n2)) is IEEE-correctly
+    * rounded in every engine, leaving ONE rounded division. Shipping
+    * both (q73+q77) lets c88-style calibrations cross-check their
+    * verdicts across rank statistics.
+    *
+    * Scale: the pair self-join is over per-ENTITY aggregates (suppliers
+    * per flag — bounded and tiny next to the fact table), never over
+    * rows; the exchanges carry (flag, suppkey, two longs).
+    */
+  def kendallSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val per = t(spark, dir, "lineitem")
+      .groupBy("l_returnflag", "l_suppkey")
+      .agg(sum(col("l_quantity").cast("long")).as("qty"),
+        sum(round(col("l_extendedprice") * 100).cast("long")).as("cents"))
+    val a = per.select(col("l_returnflag"), col("l_suppkey").as("ka"),
+      col("qty").as("xa"), col("cents").as("ya"))
+    val b = per.select(col("l_returnflag"), col("l_suppkey").as("kb"),
+      col("qty").as("xb"), col("cents").as("yb"))
+    val pairs = a.join(b, Seq("l_returnflag")).where(col("ka") < col("kb"))
+      .withColumn("dx", col("xa") - col("xb"))
+      .withColumn("dy", col("ya") - col("yb"))
+    pairs.groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n0"),
+        sum(when(col("dx") * col("dy") > 0, 1L).otherwise(0L)).as("nc"),
+        sum(when(col("dx") * col("dy") < 0, 1L).otherwise(0L)).as("nd"),
+        sum(when(col("dx") === 0, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("dy") === 0, 1L).otherwise(0L)).as("n2"))
+      .select(col("l_returnflag"), col("n0"), col("nc"), col("nd"),
+        col("n1"), col("n2"),
+        round((col("nc") - col("nd")).cast("double")
+          / sqrt(((col("n0") - col("n1")) * (col("n0") - col("n2")))
+            .cast("double")), 4).as("tau_b"))
+      .orderBy("l_returnflag")
+  }
+
   /** q76 — CHI-SQUARE independence test over the lang × source
     * contingency table, with Cramér's V: the corpus-mix audit ("is the
     * language mix independent of the source?") behind stratified

@@ -1210,4 +1210,46 @@ object SimilarityOps {
         round(col("cos"), 4).as("cos"))
       .orderBy("vec_a", "vec_b")
   }
+
+  /** emb20 — embedding NORM AUDIT per label, against a planted encoder
+    * drift: every cosine/IVF/LSH path in this family assumes consistent
+    * (here: unit) norms — an upstream encoder change that ships
+    * differently-scaled vectors silently corrupts dot-product ranking
+    * long before recall metrics notice. The audit: norm² per vector
+    * (the emb01 sequential double fold), quantized to a 1e6 fixed-point
+    * LONG (q74 discipline — group sums integer-exact), rolled up per
+    * label with min/max/mean and the out-of-band fraction in basis
+    * points. A deterministic drift plant (vec_id % 17 scaled by 0.8f —
+    * IEEE float multiply, identical in every engine) must surface at
+    * norm² = 0.64, giving the audit a non-vacuous detection target.
+    *
+    * Scale: one scan, per-row fold fused, one map-side-combined groupBy
+    * on ~|labels| keys; embeddings never shuffle.
+    */
+  def normAudit(spark: SparkSession, dir: String): DataFrame = {
+    val planted = emb(spark, dir).withColumn("embedding",
+      when(pmod(col("vec_id"), lit(17)) === 0,
+        transform(col("embedding"), x => x * lit(0.8f)))
+        .otherwise(col("embedding")))
+    val n2q = round(aggregate(col("embedding"), lit(0.0),
+      (acc, x) => acc + x.cast("double") * x.cast("double")) * 1e6)
+      .cast("long")
+    planted
+      .select(col("label").cast("long").as("label"), n2q.as("n2q"),
+        size(col("embedding")).cast("long").as("dim"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n"),
+        min("dim").as("min_dim"), max("dim").as("max_dim"),
+        min("n2q").as("min_n2q"), max("n2q").as("max_n2q"),
+        sum("n2q").as("sum_n2q"),
+        sum(when(col("n2q") < 990000L || col("n2q") > 1010000L, 1L)
+          .otherwise(0L)).as("n_drifted"))
+      .select(col("label"), col("n"), col("min_dim"), col("max_dim"),
+        col("min_n2q"), col("max_n2q"),
+        round(col("sum_n2q").cast("double") / col("n") / 1e6, 4)
+          .as("mean_norm2"),
+        col("n_drifted"),
+        expr("(10000 * n_drifted) div n").as("drifted_bp"))
+      .orderBy("label")
+  }
 }
