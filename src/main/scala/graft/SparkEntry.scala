@@ -243,6 +243,9 @@ object SparkEntry {
     // fixed-point 1/d terms (q74 discipline), integer sums — oracled
     "g13_harmonic_centrality" -> ((s, d) =>
       operators.GraphOps.harmonicCentrality(s, d)),
+    // g14: degree assortativity (Newman) — Pearson over edge-end degrees
+    // from exact BIGINT moments — oracled
+    "g14_assortativity" -> ((s, d) => operators.GraphOps.assortativity(s, d)),
     // c34: authority-weighted host budget allocation — largest-remainder
     // apportionment of the global fetch budget over PageRank (integer-exact)
     "c34_budget_allocation" -> ((s, d) => operators.GraphOps.budgetAllocation(s, d)),
@@ -358,6 +361,9 @@ object SparkEntry {
     // t46: context-length operating curve — fit rate + truncation loss
     // per candidate max-seq-len, all BIGINT — oracled
     "t46_context_curve" -> ((s, d) => TextOps.contextLengthCurve(s, d)),
+    // t47: cross-epoch vocabulary churn per lang — new types + OOV token
+    // mass in bp, one scan, one conditional agg — oracled
+    "t47_vocab_churn" -> ((s, d) => TextOps.vocabChurn(s, d)),
     "t09_corpus_curation" -> ((s, d) => TextOps.curatedCorpus(s, d)),
     "t10_span_clip" -> ((s, d) => TextOps.spanClippedCorpus(s, d)),
     "t11_multimodal_dedup" -> ((s, d) =>
@@ -425,6 +431,9 @@ object SparkEntry {
     // closed form cum - min(0, running_min(cum)) over integers — oracled
     "c90_rate_changepoint" -> ((s, d) =>
       operators.RecrawlOps.changepointReport(s, d)),
+    // c92: per-host freshness-SLA rollup — pages overdue vs their own
+    // c45 adaptive interval, in basis points — oracled
+    "c92_freshness_sla" -> ((s, d) => operators.RecrawlOps.freshnessSla(s, d)),
     // c35: rendezvous-hash crawler shard assignment — minimal-movement
     // host ownership across fleet resizes (argmin folds in-row, no
     // per-(host,shard) exchange)
@@ -3097,6 +3106,63 @@ object SparkEntry {
     // g13: the g12 oracle with the seed column carried through every
     // unrolled round; same 1e6 fixed-point 1/d quantization both sides
     "g13_harmonic_centrality" -> operators.GraphOps.harmonicOracleSql(),
+    // g14: the g12 edge derivation, then the same exact integer moments
+    "g14_assortativity" -> operators.GraphOps.assortativityOracleSql(),
+    // c92: identical md5 change draws + integer intervals (c45 parity),
+    // identical age round-robin, BIGINT rollup
+    "c92_freshness_sla" ->
+      """WITH hist AS (
+        |  SELECT doc_id AS page_id, source AS host,
+        |    unnest(generate_series(1, 16)) AS epoch
+        |  FROM documents
+        |), flagged AS (
+        |  SELECT page_id, host,
+        |    CASE WHEN ('0x' || substr(md5(CAST(page_id AS VARCHAR) || ':' ||
+        |      CAST(epoch AS VARCHAR)), 1, 6))::BIGINT % 8 < page_id % 8
+        |      THEN 1 ELSE 0 END AS changed
+        |  FROM hist
+        |), est AS (
+        |  SELECT page_id, host, CAST(count(*) AS BIGINT) AS n_obs,
+        |    CAST(sum(changed) AS BIGINT) AS n_changes
+        |  FROM flagged GROUP BY 1, 2
+        |), per AS (
+        |  SELECT host,
+        |    greatest(1, n_obs // (n_changes + 1)) AS ivl,
+        |    page_id % 5 AS age
+        |  FROM est
+        |)
+        |SELECT host, CAST(count(*) AS BIGINT) AS n_pages,
+        |  CAST(sum(CASE WHEN age > ivl THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_overdue,
+        |  (10000 * CAST(sum(CASE WHEN age > ivl THEN 1 ELSE 0 END)
+        |    AS BIGINT)) // count(*) AS overdue_bp,
+        |  min(ivl) AS min_interval, max(ivl) AS max_interval
+        |FROM per GROUP BY host ORDER BY host""".stripMargin,
+    // t47: same t38 tokenizer, same parity split, same conditional agg
+    "t47_vocab_churn" ->
+      """WITH toks AS (
+        |  SELECT lang, doc_id % 2 AS epoch,
+        |    unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS tok
+        |  FROM documents
+        |), per AS (
+        |  SELECT lang, tok,
+        |    CAST(sum(CASE WHEN epoch = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS cnt_prev,
+        |    CAST(sum(CASE WHEN epoch = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS cnt_cur
+        |  FROM toks WHERE tok <> '' GROUP BY 1, 2
+        |), cur AS (SELECT * FROM per WHERE cnt_cur > 0)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS cur_types,
+        |  CAST(sum(CASE WHEN cnt_prev = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS new_types,
+        |  (10000 * CAST(sum(CASE WHEN cnt_prev = 0 THEN 1 ELSE 0 END)
+        |    AS BIGINT)) // count(*) AS type_churn_bp,
+        |  CAST(sum(cnt_cur) AS BIGINT) AS cur_tokens,
+        |  CAST(sum(CASE WHEN cnt_prev = 0 THEN cnt_cur ELSE 0 END)
+        |    AS BIGINT) AS oov_tokens,
+        |  (10000 * CAST(sum(CASE WHEN cnt_prev = 0 THEN cnt_cur ELSE 0
+        |    END) AS BIGINT)) // CAST(sum(cnt_cur) AS BIGINT) AS oov_bp
+        |FROM cur GROUP BY lang ORDER BY lang""".stripMargin,
     // t42: same tokenization, same integer add-one bigram model, same
     // 1e-6 log2 quantization (the t39 discipline) — BIGINT sums both
     // sides, one final rounded division

@@ -1068,6 +1068,80 @@ object GraphOps {
       .orderBy("source")
   }
 
+  /** g14 — degree ASSORTATIVITY of the host graph (Newman, PRL'02):
+    * Pearson correlation between the degrees at the two ends of every
+    * undirected edge — positive means hubs link hubs (a crawl spreads
+    * fast but redundantly), negative means hubs link leaves (seed hubs
+    * and the frontier fans out). Computed from exact integer moments
+    * over the both-orientation edge list (the q67 discipline: n, Σx, Σy,
+    * Σx², Σy², Σxy all BIGINT), then ONE expression with two IEEE sqrts
+    * — hash-exact, hence oracled.
+    *
+    * Scale: degrees are one map-side agg of the edge list; the moment
+    * agg is a second; the only joins attach two host-sized degree
+    * tables to edges — exchanges carry (host, degree) scalars.
+    */
+  def assortativity(spark: SparkSession, dir: String): DataFrame = {
+    val e0 = denseSourceEdges(spark, dir)
+    val und = e0.select(col("src").as("a"), col("dst").as("b"))
+      .union(e0.select(col("dst").as("a"), col("src").as("b")))
+      .where(col("a") =!= col("b")).distinct()
+    val deg = und.groupBy("a").agg(count(lit(1)).as("d"))
+    val pts = und
+      .join(deg.select(col("a"), col("d").as("dx")), Seq("a"))
+      .join(deg.select(col("a").as("b"), col("d").as("dy")), Seq("b"))
+    pts.agg(count(lit(1)).as("n"),
+        sum("dx").as("sx"), sum("dy").as("sy"),
+        sum(col("dx") * col("dx")).as("sxx"),
+        sum(col("dy") * col("dy")).as("syy"),
+        sum(col("dx") * col("dy")).as("sxy"))
+      .select(col("n"), col("sx"), col("sy"), col("sxy"),
+        round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+          / (sqrt((col("n") * col("sxx") - col("sx") * col("sx"))
+              .cast("double"))
+            * sqrt((col("n") * col("syy") - col("sy") * col("sy"))
+              .cast("double"))), 4).as("assortativity"))
+  }
+
+  /** DuckDB mirror of `assortativity` — the g12 edge-derivation prefix,
+    * then the same integer moments.
+    */
+  def assortativityOracleSql(): String =
+    """WITH docs AS (SELECT doc_id, source FROM documents),
+      |cnt AS (SELECT count(*) AS c FROM docs),
+      |cites AS (
+      |  SELECT source AS src, (doc_id * 17 + 3) % c AS cited FROM docs, cnt
+      |  UNION ALL
+      |  SELECT source, (doc_id * doc_id * 7 + doc_id * 31 + 5) % c
+      |  FROM docs, cnt),
+      |dedges AS (
+      |  SELECT DISTINCT a.src, b.source AS dst
+      |  FROM cites a JOIN docs b ON b.doc_id = a.cited
+      |  WHERE a.src <> b.source),
+      |und AS (
+      |  SELECT DISTINCT a, b FROM (
+      |    SELECT src AS a, dst AS b FROM dedges
+      |    UNION ALL
+      |    SELECT dst, src FROM dedges)
+      |  WHERE a <> b),
+      |deg AS (SELECT a, CAST(count(*) AS BIGINT) AS d FROM und GROUP BY a),
+      |pts AS (
+      |  SELECT da.d AS dx, db.d AS dy
+      |  FROM und u JOIN deg da ON da.a = u.a JOIN deg db ON db.a = u.b),
+      |m AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(dx) AS BIGINT) AS sx, CAST(sum(dy) AS BIGINT) AS sy,
+      |    CAST(sum(dx * dx) AS BIGINT) AS sxx,
+      |    CAST(sum(dy * dy) AS BIGINT) AS syy,
+      |    CAST(sum(dx * dy) AS BIGINT) AS sxy
+      |  FROM pts)
+      |SELECT n, sx, sy, sxy,
+      |  round(CAST(n * sxy - sx * sy AS DOUBLE)
+      |    / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+      |      * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 4)
+      |    AS assortativity
+      |FROM m""".stripMargin
+
   /** Unrolled DuckDB mirror of `harmonicCentrality` — the g12 oracle
     * with a seed column carried through every round.
     */

@@ -40,8 +40,8 @@ object RecrawlOps {
     */
   def changeHistory(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/documents.parquet")
-      .select(col("doc_id").as("page_id"))
-      .select(col("page_id"),
+      .select(col("doc_id").as("page_id"), col("source").as("host"))
+      .select(col("page_id"), col("host"),
         explode(sequence(lit(1), lit(ObsEpochs))).as("epoch"))
       .withColumn("changed",
         conv(substring(md5(concat(col("page_id").cast("string"), lit(":"),
@@ -61,6 +61,38 @@ object RecrawlOps {
         greatest(lit(1L), expr("n_obs div (n_changes + 1)")))
       .withColumn("next_due", lit(ObsEpochs.toLong) + col("revisit_interval"))
       .orderBy("page_id")
+
+  /** c92 — FRESHNESS-SLA rollup per host: c45 sets each page's revisit
+    * interval; this is the dashboard row that says whether the crawler
+    * is KEEPING UP — per host, the fraction of pages whose age since
+    * last fetch exceeds their own adaptive interval (Cho & Garcia-
+    * Molina's freshness objective read as an SLA). Ages are synthesized
+    * deterministically (page_id % 5 — a 5-epoch fetch round-robin, the
+    * established no-RNG discipline); everything is BIGINT counts and
+    * integer division, hence oracled. A host with high overdue_bp needs
+    * budget (c34) before it needs priority retuning (c88).
+    *
+    * Scale: one history scan → per-page map-side agg → per-host rollup;
+    * exchanges carry (page/host, small longs) only.
+    */
+  def freshnessSla(spark: SparkSession, dir: String): DataFrame =
+    changeHistory(spark, dir)
+      .groupBy("page_id", "host")
+      .agg(count(lit(1)).cast("long").as("n_obs"),
+        sum(when(col("changed"), 1L).otherwise(0L)).as("n_changes"))
+      .withColumn("interval",
+        greatest(lit(1L), expr("n_obs div (n_changes + 1)")))
+      .withColumn("age", pmod(col("page_id"), lit(5L)))
+      .groupBy("host")
+      .agg(count(lit(1)).as("n_pages"),
+        sum(when(col("age") > col("interval"), 1L).otherwise(0L))
+          .as("n_overdue"),
+        min("interval").as("min_interval"),
+        max("interval").as("max_interval"))
+      .select(col("host"), col("n_pages"), col("n_overdue"),
+        expr("(10000 * n_overdue) div n_pages").as("overdue_bp"),
+        col("min_interval"), col("max_interval"))
+      .orderBy("host")
 
   /** Epochs observed per host for the c90 changepoint screen. */
   val CpEpochs = 24

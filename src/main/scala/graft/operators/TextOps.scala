@@ -1789,6 +1789,41 @@ object TextOps {
         expr("(10000 * kept_tokens) div total_tokens").as("kept_bp"))
       .orderBy("max_len")
 
+  /** t47 — cross-epoch VOCABULARY CHURN per language: how much of the
+    * current epoch's vocabulary (and token mass) is new relative to the
+    * previous epoch — the retraining trigger for every fixed-vocabulary
+    * consumer downstream (a BPE tokenizer, t14's LM vocab, t21's hashed
+    * features): high OOV token mass means those models are scoring text
+    * they have never seen. Epochs are a deterministic doc_id-parity
+    * split (even = previous, odd = current); per (lang, token) the two
+    * epoch counts come from ONE conditional aggregation over ONE scan,
+    * then a per-lang rollup counts new types and OOV token mass in basis
+    * points — all BIGINT, hence oracled.
+    *
+    * Scale: the same single-scan shape as t45 — no vocab broadcast, two
+    * map-side-combined groupBys, exchanges carry (lang, tok, counts).
+    */
+  def vocabChurn(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(col("lang"), pmod(col("doc_id"), lit(2L)).as("epoch"),
+        explode(filter(split(lower(col("text")), "[^a-z0-9]+"),
+          t => t =!= "")).as("tok"))
+      .groupBy("lang", "tok")
+      .agg(sum(when(col("epoch") === 0L, 1L).otherwise(0L)).as("cnt_prev"),
+        sum(when(col("epoch") === 1L, 1L).otherwise(0L)).as("cnt_cur"))
+      .where(col("cnt_cur") > 0)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("cur_types"),
+        sum(when(col("cnt_prev") === 0L, 1L).otherwise(0L)).as("new_types"),
+        sum("cnt_cur").as("cur_tokens"),
+        sum(when(col("cnt_prev") === 0L, col("cnt_cur")).otherwise(0L))
+          .as("oov_tokens"))
+      .select(col("lang"), col("cur_types"), col("new_types"),
+        expr("(10000 * new_types) div cur_types").as("type_churn_bp"),
+        col("cur_tokens"), col("oov_tokens"),
+        expr("(10000 * oov_tokens) div cur_tokens").as("oov_bp"))
+      .orderBy("lang")
+
   /** t42 — BIGRAM-LM perplexity per document, integer-EXACT and therefore
     * DuckDB-oracled: the sequence-model upgrade of t14's unigram filter
     * (CCNet filters on a KenLM 5-gram; the bigram form is the smallest
