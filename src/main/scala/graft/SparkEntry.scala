@@ -246,6 +246,17 @@ object SparkEntry {
     // g14: degree assortativity (Newman) — Pearson over edge-end degrees
     // from exact BIGINT moments — oracled
     "g14_assortativity" -> ((s, d) => operators.GraphOps.assortativity(s, d)),
+    // g15: directed-edge reciprocity — semi-join on the swapped key,
+    // integer bp — oracled
+    "g15_reciprocity" -> ((s, d) => operators.GraphOps.reciprocity(s, d)),
+    // t48: dup-cluster size histogram over t07's label table — the
+    // dedup ROI distribution (removable docs per size) — oracled
+    "t48_cluster_sizes" -> ((s, d) =>
+      operators.DedupResolve.clusterSizeHistogram(s, d)),
+    // c93: per-host byte-demand forecast — exact integer OLS (q68
+    // machinery) over synthesized fetch history — oracled
+    "c93_byte_forecast" -> ((s, d) =>
+      operators.RecrawlOps.byteDemandForecast(s, d)),
     // c34: authority-weighted host budget allocation — largest-remainder
     // apportionment of the global fetch budget over PageRank (integer-exact)
     "c34_budget_allocation" -> ((s, d) => operators.GraphOps.budgetAllocation(s, d)),
@@ -3108,6 +3119,60 @@ object SparkEntry {
     "g13_harmonic_centrality" -> operators.GraphOps.harmonicOracleSql(),
     // g14: the g12 edge derivation, then the same exact integer moments
     "g14_assortativity" -> operators.GraphOps.assortativityOracleSql(),
+    // g15: the g12 edge derivation, then the same reverse-edge count
+    "g15_reciprocity" -> operators.GraphOps.reciprocityOracleSql(),
+    // t48: t07's reachability CTE, then the same two group-bys
+    "t48_cluster_sizes" ->
+      (ngramPairSql +
+        """, edges AS (
+          |  SELECT doc_a AS src, doc_b AS dst FROM dup_pairs
+          |  UNION
+          |  SELECT doc_b AS src, doc_a AS dst FROM dup_pairs
+          |), reach AS (
+          |  SELECT src AS id, src AS node FROM edges
+          |  UNION
+          |  SELECT r.id, e.dst AS node FROM reach r JOIN edges e ON r.node = e.src
+          |), labels AS (
+          |  SELECT id AS doc_id, min(node) AS component FROM reach GROUP BY id
+          |), csizes AS (
+          |  SELECT component, CAST(count(*) AS BIGINT) AS cluster_size
+          |  FROM labels GROUP BY component
+          |)
+          |SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters,
+          |  cluster_size * CAST(count(*) AS BIGINT) AS n_docs,
+          |  (cluster_size - 1) * CAST(count(*) AS BIGINT) AS removable
+          |FROM csizes GROUP BY cluster_size ORDER BY cluster_size""".stripMargin),
+    // c93: identical md5 base/noise draws (t21/c45 parity), identical
+    // BIGINT moment combinations, one rounded division each
+    "c93_byte_forecast" ->
+      """WITH hosts AS (
+        |  SELECT DISTINCT source AS host FROM documents
+        |), seeded AS (
+        |  SELECT host,
+        |    ('0x' || substr(md5('bf:' || host), 1, 6))::BIGINT AS hh
+        |  FROM hosts
+        |), hist AS (
+        |  SELECT host,
+        |    CAST(e.e AS BIGINT) AS e,
+        |    10000 + (hh % 7) * 1000 * CAST(e.e AS BIGINT)
+        |      + ('0x' || substr(md5('bfn:' || host || ':' ||
+        |          CAST(e.e AS VARCHAR)), 1, 6))::BIGINT % 997 AS bytes
+        |  FROM seeded, (SELECT unnest(generate_series(1, 8)) AS e) e
+        |), m AS (
+        |  SELECT host, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(e) AS BIGINT) AS sx, CAST(sum(bytes) AS BIGINT) AS sy,
+        |    CAST(sum(e * e) AS BIGINT) AS sxx,
+        |    CAST(sum(e * bytes) AS BIGINT) AS sxy
+        |  FROM hist GROUP BY host
+        |)
+        |SELECT host, n, sy AS total_bytes,
+        |  round(CAST(n * sxy - sx * sy AS DOUBLE)
+        |    / CAST(n * sxx - sx * sx AS DOUBLE), 4)
+        |    AS slope_bytes_per_epoch,
+        |  round(CAST(sy * sxx - sx * sxy
+        |      + (n + 1) * (n * sxy - sx * sy) AS DOUBLE)
+        |    / CAST(n * sxx - sx * sx AS DOUBLE), 4) AS forecast_next_epoch
+        |FROM m ORDER BY host""".stripMargin,
     // c92: identical md5 change draws + integer intervals (c45 parity),
     // identical age round-robin, BIGINT rollup
     "c92_freshness_sla" ->

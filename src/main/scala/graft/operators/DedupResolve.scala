@@ -149,6 +149,25 @@ object DedupResolve {
     resolve(TextOps.nearDupNgramJaccard(spark, dir), "doc_a", "doc_b")
       .orderBy("doc_id")
 
+  /** t48 — dup-CLUSTER SIZE HISTOGRAM: the distribution behind the dedup
+    * ROI argument — "how much of the corpus sits in clusters of size k,
+    * and how many docs does resolution remove" (removable = n_docs −
+    * n_clusters per size; Σ removable is exactly what t08's corpus
+    * filter drops). Web dup clusters are heavy-tailed (one template can
+    * own thousands of pages), and the histogram is what justifies — or
+    * refutes — paying for cluster resolution at all. Two BIGINT
+    * group-bys over t07's label table, hence oracled by the same
+    * reachability CTE.
+    */
+  def clusterSizeHistogram(spark: SparkSession, dir: String): DataFrame =
+    resolveNgramDups(spark, dir)
+      .groupBy("component").agg(count(lit(1)).as("cluster_size"))
+      .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
+      .select(col("cluster_size"), col("n_clusters"),
+        (col("cluster_size") * col("n_clusters")).as("n_docs"),
+        ((col("cluster_size") - 1) * col("n_clusters")).as("removable"))
+      .orderBy("cluster_size")
+
   // ---- g08: INCREMENTAL connected components (persisted label store) --
   //
   // The dedup family's cluster state, given the SimIndex treatment: a

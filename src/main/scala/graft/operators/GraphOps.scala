@@ -1103,6 +1103,50 @@ object GraphOps {
               .cast("double"))), 4).as("assortativity"))
   }
 
+  /** g15 — RECIPROCITY of the directed host graph (the directed
+    * companion of g14): the fraction of directed edges whose reverse
+    * edge also exists — near 1 the "link graph" is really mutual
+    * syndication (crawling both directions buys nothing new); near 0 it
+    * is a genuine hierarchy worth rank-ordering (g02). One self-join of
+    * the directed edge list on the swapped key, three BIGINTs, one
+    * integer-bp division — oracled.
+    */
+  def reciprocity(spark: SparkSession, dir: String): DataFrame = {
+    val e = denseSourceEdges(spark, dir)
+      .select(col("src"), col("dst")).distinct()
+    val recip = e.join(
+      e.select(col("dst").as("src"), col("src").as("dst")),
+      Seq("src", "dst"), "left_semi")
+    e.agg(count(lit(1)).as("n_edges"))
+      .crossJoin(recip.agg(count(lit(1)).as("n_reciprocal")))
+      .select(col("n_edges"), col("n_reciprocal"),
+        expr("(10000 * n_reciprocal) div n_edges").as("reciprocity_bp"))
+  }
+
+  /** DuckDB mirror of `reciprocity` — the g12 edge-derivation prefix,
+    * then the same semi-join count.
+    */
+  def reciprocityOracleSql(): String =
+    """WITH docs AS (SELECT doc_id, source FROM documents),
+      |cnt AS (SELECT count(*) AS c FROM docs),
+      |cites AS (
+      |  SELECT source AS src, (doc_id * 17 + 3) % c AS cited FROM docs, cnt
+      |  UNION ALL
+      |  SELECT source, (doc_id * doc_id * 7 + doc_id * 31 + 5) % c
+      |  FROM docs, cnt),
+      |dedges AS (
+      |  SELECT DISTINCT a.src, b.source AS dst
+      |  FROM cites a JOIN docs b ON b.doc_id = a.cited
+      |  WHERE a.src <> b.source),
+      |r AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n_reciprocal
+      |  FROM dedges e WHERE EXISTS (
+      |    SELECT 1 FROM dedges x WHERE x.src = e.dst AND x.dst = e.src)),
+      |n AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM dedges)
+      |SELECT n_edges, n_reciprocal,
+      |  (10000 * n_reciprocal) // n_edges AS reciprocity_bp
+      |FROM n CROSS JOIN r""".stripMargin
+
   /** DuckDB mirror of `assortativity` — the g12 edge-derivation prefix,
     * then the same integer moments.
     */

@@ -94,6 +94,49 @@ object RecrawlOps {
         col("min_interval"), col("max_interval"))
       .orderBy("host")
 
+  /** c93 — per-host BYTE-DEMAND forecast by exact integer OLS (the q68
+    * machinery applied to capacity planning): c54 meters what each host
+    * SPENT; this fits bytes-per-epoch over the observed window and
+    * forecasts the next epoch, which is the number c34's allocation
+    * actually needs ahead of time. History is synthesized
+    * deterministically (per-host base + linear trend + an md5 noise
+    * term — the c45 discipline); slope and forecast are ratios of
+    * BIGINT moment combinations emitted as one rounded division each —
+    * hash-exact.
+    *
+    * Scale: |hosts|×epochs rows, one map-side moment agg per host.
+    */
+  val FcEpochs = 8
+
+  def byteDemandForecast(spark: SparkSession, dir: String): DataFrame = {
+    val hist = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("source").as("host")).distinct()
+      .withColumn("hh",
+        conv(substring(md5(concat(lit("bf:"), col("host"))), 1, 6), 16, 10)
+          .cast("long"))
+      .select(col("host"), col("hh"),
+        explode(sequence(lit(1L), lit(FcEpochs.toLong))).as("e"))
+      .withColumn("bytes",
+        lit(10000L) + (col("hh") % 7) * 1000L * col("e") +
+          conv(substring(md5(concat(lit("bfn:"), col("host"), lit(":"),
+            col("e").cast("string"))), 1, 6), 16, 10).cast("long") % 997)
+    val m = hist.groupBy("host")
+      .agg(count(lit(1)).as("n"), sum("e").as("sx"), sum("bytes").as("sy"),
+        sum(col("e") * col("e")).as("sxx"),
+        sum(col("e") * col("bytes")).as("sxy"))
+    m.select(col("host"), col("n"), col("sy").as("total_bytes"),
+        round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+          / (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"),
+          4).as("slope_bytes_per_epoch"),
+        // forecast(n+1) = (Σy·Σxx − Σx·Σxy + (n+1)·(nΣxy − ΣxΣy)) / (nΣxx − Σx²)
+        round((col("sy") * col("sxx") - col("sx") * col("sxy")
+          + (col("n") + 1) * (col("n") * col("sxy") - col("sx") * col("sy")))
+          .cast("double")
+          / (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"),
+          4).as("forecast_next_epoch"))
+      .orderBy("host")
+  }
+
   /** Epochs observed per host for the c90 changepoint screen. */
   val CpEpochs = 24
   /** Pages sampled per (host, epoch) — x_t counts changes among these. */
