@@ -135,6 +135,13 @@ object SparkEntry {
     // q77: exact Kendall tau-b from BIGINT pair counts (no tie-break
     // policy needed, unlike q73's rho) — oracled
     "q77_kendall" -> ((s, d) => Relational.kendallSupplier(s, d)),
+    // q78: Theil concentration index decomposed between/within source —
+    // integer-log sums; decomposition identity holds EXACTLY — oracled
+    "q78_theil" -> ((s, d) => Relational.theilDecomposition(s, d)),
+    // g16: global clustering coefficient — 3·triangles/wedges, BIGINT —
+    // oracled
+    "g16_transitivity" -> ((s, d) =>
+      operators.GraphOps.clusteringCoefficient(s, d)),
     // emb20: per-label embedding norm audit vs a planted 0.8f encoder
     // drift — quantized norm² rollup, drift fraction in bp — oracled
     "emb20_norm_audit" -> ((s, d) => operators.SimilarityOps.normAudit(s, d)),
@@ -3121,6 +3128,50 @@ object SparkEntry {
     "g14_assortativity" -> operators.GraphOps.assortativityOracleSql(),
     // g15: the g12 edge derivation, then the same reverse-edge count
     "g15_reciprocity" -> operators.GraphOps.reciprocityOracleSql(),
+    // g16: the g12 edge derivation; triangles enumerated once (x<y<z)
+    // where Spark folds g09's per-node counts /3 — same total
+    "g16_transitivity" -> operators.GraphOps.transitivityOracleSql(),
+    // q78: same integer-log quantization (t45 discipline), same three
+    // sums; the exact decomposition identity is hashed via the boolean
+    "q78_theil" ->
+      """WITH x AS (
+        |  SELECT source, greatest(n_chars, 1) AS x FROM documents
+        |), per AS (
+        |  SELECT source, CAST(sum(x) AS BIGINT) AS sg,
+        |    CAST(count(*) AS BIGINT) AS ng
+        |  FROM x GROUP BY source
+        |), tot AS (
+        |  SELECT CAST(sum(sg) AS BIGINT) AS s, CAST(sum(ng) AS BIGINT) AS n
+        |  FROM per
+        |), sums AS (
+        |  SELECT
+        |    CAST(sum(x.x * (CAST(round(log2(x.x) * 1e6) AS BIGINT)
+        |      + CAST(round(log2(t.n) * 1e6) AS BIGINT)
+        |      - CAST(round(log2(t.s) * 1e6) AS BIGINT))) AS BIGINT)
+        |      AS tq_total,
+        |    CAST(sum(x.x * (CAST(round(log2(x.x) * 1e6) AS BIGINT)
+        |      + CAST(round(log2(p.ng) * 1e6) AS BIGINT)
+        |      - CAST(round(log2(p.sg) * 1e6) AS BIGINT))) AS BIGINT)
+        |      AS tq_within,
+        |    max(t.s) AS s, max(t.n) AS n
+        |  FROM x JOIN per p ON p.source = x.source CROSS JOIN tot t
+        |), btw AS (
+        |  SELECT CAST(sum(p.sg * (CAST(round(log2(p.sg) * 1e6) AS BIGINT)
+        |    + CAST(round(log2(t.n) * 1e6) AS BIGINT)
+        |    - CAST(round(log2(p.ng) * 1e6) AS BIGINT)
+        |    - CAST(round(log2(t.s) * 1e6) AS BIGINT))) AS BIGINT)
+        |    AS tq_between
+        |  FROM per p CROSS JOIN tot t
+        |)
+        |SELECT n, s AS total_chars,
+        |  round(CAST(tq_total AS DOUBLE) / (CAST(s AS DOUBLE) * 1e6), 4)
+        |    AS theil_total,
+        |  round(CAST(tq_between AS DOUBLE) / (CAST(s AS DOUBLE) * 1e6), 4)
+        |    AS theil_between,
+        |  round(CAST(tq_within AS DOUBLE) / (CAST(s AS DOUBLE) * 1e6), 4)
+        |    AS theil_within,
+        |  tq_total = tq_between + tq_within AS decomposition_exact
+        |FROM sums CROSS JOIN btw""".stripMargin,
     // t48: t07's reachability CTE, then the same two group-bys
     "t48_cluster_sizes" ->
       (ngramPairSql +

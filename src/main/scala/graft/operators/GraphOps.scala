@@ -1103,6 +1103,65 @@ object GraphOps {
               .cast("double"))), 4).as("assortativity"))
   }
 
+  /** g16 — global CLUSTERING COEFFICIENT / transitivity of the host
+    * graph: 3·triangles / wedges — with g09's triangle count and g14's
+    * assortativity it completes the one-page structural profile a crawl
+    * operator reads before retuning seeds (high transitivity = tightly
+    * clustered communities, frontier re-discovers the same
+    * neighborhoods; low = tree-like expansion). Wedges = Σ d(d−1)/2
+    * over undirected degrees; triangle total = Σ per-node counts / 3
+    * (g09's table, already oracled). All BIGINT, one integer-bp ratio —
+    * oracled.
+    */
+  def clusteringCoefficient(spark: SparkSession, dir: String): DataFrame = {
+    val e0 = denseSourceEdges(spark, dir)
+    val und = e0.select(col("src").as("a"), col("dst").as("b"))
+      .union(e0.select(col("dst").as("a"), col("src").as("b")))
+      .where(col("a") =!= col("b")).distinct()
+    val wedges = und.groupBy("a").agg(count(lit(1)).as("d"))
+      .agg(sum(expr("(d * (d - 1)) div 2")).as("n_wedges"))
+    val tri = hostTriangles(spark, dir)
+      .agg((sum("n_triangles") / 3).cast("long").as("n_triangles"))
+    wedges.crossJoin(tri)
+      .select(col("n_wedges"), col("n_triangles"),
+        expr("(10000 * 3 * n_triangles) div n_wedges")
+          .as("transitivity_bp"))
+  }
+
+  /** DuckDB mirror of `clusteringCoefficient` — the g09 triangle oracle
+    * folded to a total plus the degree-wedge sum.
+    */
+  def transitivityOracleSql(): String =
+    """WITH docs AS (SELECT doc_id, source FROM documents),
+      |cnt AS (SELECT count(*) AS c FROM docs),
+      |cites AS (
+      |  SELECT source AS src, (doc_id * 17 + 3) % c AS cited FROM docs, cnt
+      |  UNION ALL
+      |  SELECT source, (doc_id * doc_id * 7 + doc_id * 31 + 5) % c
+      |  FROM docs, cnt),
+      |dedges AS (
+      |  SELECT DISTINCT a.src, b.source AS dst
+      |  FROM cites a JOIN docs b ON b.doc_id = a.cited
+      |  WHERE a.src <> b.source),
+      |und AS (
+      |  SELECT DISTINCT a, b FROM (
+      |    SELECT src AS a, dst AS b FROM dedges
+      |    UNION ALL
+      |    SELECT dst, src FROM dedges)
+      |  WHERE a <> b),
+      |deg AS (SELECT a, CAST(count(*) AS BIGINT) AS d FROM und GROUP BY a),
+      |w AS (SELECT CAST(sum((d * (d - 1)) // 2) AS BIGINT) AS n_wedges
+      |  FROM deg),
+      |tri AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n_triangles FROM (
+      |    SELECT u.a AS x, u.b AS y, v.b AS z
+      |    FROM und u JOIN und v ON v.a = u.b JOIN und t
+      |      ON t.a = u.a AND t.b = v.b
+      |    WHERE u.a < u.b AND u.b < v.b))
+      |SELECT n_wedges, n_triangles,
+      |  (10000 * 3 * n_triangles) // n_wedges AS transitivity_bp
+      |FROM w CROSS JOIN tri""".stripMargin
+
   /** g15 — RECIPROCITY of the directed host graph (the directed
     * companion of g14): the fraction of directed edges whose reverse
     * edge also exists — near 1 the "link graph" is really mutual

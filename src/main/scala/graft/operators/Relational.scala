@@ -1386,6 +1386,53 @@ object Relational {
       .orderBy("l_returnflag")
   }
 
+  /** q78 — THEIL INDEX of corpus concentration, DECOMPOSED into
+    * between-source and within-source components (Theil'67): c87's Jain
+    * index says HOW skewed the byte distribution is; Theil says WHERE
+    * the skew lives — a high between-source share means a few sources
+    * dominate (rebalance the source mix), a high within-source share
+    * means every source mixes giants and stubs (per-doc length caps
+    * help, source mixing does not). Exact in bits via the t45
+    * integer-log discipline: T_total = (1/S)·Σ x·(L(x)+L(n)−L(S)),
+    * T_between = (1/S)·Σ_g S_g·(L(S_g)+L(n)−L(n_g)−L(S)), T_within
+    * summed directly per group — and the three QUANTIZED sums satisfy
+    * total = between + within EXACTLY (the cross terms cancel
+    * term-by-term in the integer domain), which the oracle's hash
+    * compare therefore also pins.
+    *
+    * Scale: one scan; per-source totals broadcast back; exchanges carry
+    * (source, two longs).
+    */
+  def theilDecomposition(spark: SparkSession, dir: String): DataFrame = {
+    def lq(c: Column): Column = round(log(2.0, c) * 1e6).cast("long")
+    val x = t(spark, dir, "documents")
+      .select(col("source"), greatest(col("n_chars"), lit(1L)).as("x"))
+    val perSource = x.groupBy("source")
+      .agg(sum("x").as("sg"), count(lit(1)).as("ng"))
+    val tot = perSource.agg(sum("sg").as("s"), sum("ng").as("n"))
+    val joined = x.join(broadcast(perSource), Seq("source"))
+      .crossJoin(broadcast(tot))
+    val sums = joined.agg(
+      sum(col("x") * (lq(col("x")) + lq(col("n")) - lq(col("s"))))
+        .as("tq_total"),
+      sum(col("x") * (lq(col("x")) + lq(col("ng")) - lq(col("sg"))))
+        .as("tq_within"),
+      max("s").as("s"), max("n").as("n"))
+    val between = perSource.crossJoin(broadcast(tot))
+      .agg(sum(col("sg") * (lq(col("sg")) + lq(col("n")) - lq(col("ng"))
+        - lq(col("s")))).as("tq_between"))
+    sums.crossJoin(broadcast(between))
+      .select(col("n"), col("s").as("total_chars"),
+        round(col("tq_total").cast("double") / (col("s").cast("double") * 1e6),
+          4).as("theil_total"),
+        round(col("tq_between").cast("double")
+          / (col("s").cast("double") * 1e6), 4).as("theil_between"),
+        round(col("tq_within").cast("double")
+          / (col("s").cast("double") * 1e6), 4).as("theil_within"),
+        (col("tq_total") === col("tq_between") + col("tq_within"))
+          .as("decomposition_exact"))
+  }
+
   /** q76 — CHI-SQUARE independence test over the lang × source
     * contingency table, with Cramér's V: the corpus-mix audit ("is the
     * language mix independent of the source?") behind stratified
