@@ -260,6 +260,14 @@ object SparkEntry {
     // dedup ROI distribution (removable docs per size) — oracled
     "t48_cluster_sizes" -> ((s, d) =>
       operators.DedupResolve.clusterSizeHistogram(s, d)),
+    // t49: cluster-aware train/val/test split — clusters, not docs, are
+    // the assignment unit; zero cross-split dup pairs hashed — oracled
+    "t49_cluster_split" -> ((s, d) =>
+      operators.DedupResolve.clusterAwareSplit(s, d)),
+    // c94: throughput-ceiling classification — politeness vs budget vs
+    // demand-met per host, deterministic precedence — oracled
+    "c94_throughput_ceiling" -> ((s, d) =>
+      operators.HealthOps.throughputCeiling(s, d)),
     // c93: per-host byte-demand forecast — exact integer OLS (q68
     // machinery) over synthesized fetch history — oracled
     "c93_byte_forecast" -> ((s, d) =>
@@ -3172,6 +3180,69 @@ object SparkEntry {
         |    AS theil_within,
         |  tq_total = tq_between + tq_within AS decomposition_exact
         |FROM sums CROSS JOIN btw""".stripMargin,
+    // t49: t07's labels + the same md5 cluster-hash split; the zero
+    // cross-split pair count is part of the hashed result
+    "t49_cluster_split" ->
+      (ngramPairSql +
+        """, edges AS (
+          |  SELECT doc_a AS src, doc_b AS dst FROM dup_pairs
+          |  UNION
+          |  SELECT doc_b AS src, doc_a AS dst FROM dup_pairs
+          |), reach AS (
+          |  SELECT src AS id, src AS node FROM edges
+          |  UNION
+          |  SELECT r.id, e.dst AS node FROM reach r JOIN edges e ON r.node = e.src
+          |), labels AS (
+          |  SELECT id AS doc_id, min(node) AS component FROM reach GROUP BY id
+          |), sp AS (
+          |  SELECT c.doc_id,
+          |    coalesce(l.component, c.doc_id) AS component,
+          |    CASE ('0x' || substr(md5('split:' ||
+          |        CAST(coalesce(l.component, c.doc_id) AS VARCHAR)), 1, 6))
+          |        ::BIGINT % 10
+          |      WHEN 0 THEN 'test' WHEN 1 THEN 'val' ELSE 'train' END AS split
+          |  FROM corpus c LEFT JOIN labels l ON l.doc_id = c.doc_id
+          |), leak AS (
+          |  SELECT CAST(sum(CASE WHEN a.split <> b.split THEN 1 ELSE 0 END)
+          |    AS BIGINT) AS cross_split_dup_pairs
+          |  FROM dup_pairs p
+          |  JOIN sp a ON a.doc_id = p.doc_a
+          |  JOIN sp b ON b.doc_id = p.doc_b
+          |)
+          |SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+          |  CAST(count(DISTINCT component) AS BIGINT) AS n_clusters,
+          |  cross_split_dup_pairs
+          |FROM sp CROSS JOIN leak
+          |GROUP BY split, cross_split_dup_pairs ORDER BY split""".stripMargin),
+    // c94: identical md5 delay/budget draws; least() + deterministic
+    // precedence for the limiting factor — all integers and strings
+    "c94_throughput_ceiling" ->
+      """WITH demand AS (
+        |  SELECT source AS host, CAST(count(*) AS BIGINT) AS demand_urls
+        |  FROM documents GROUP BY source
+        |), params AS (
+        |  SELECT host, demand_urls,
+        |    1 + ('0x' || substr(md5('pd:' || host), 1, 6))::BIGINT % 5
+        |      AS delay_s,
+        |    200 + ('0x' || substr(md5('pb:' || host), 1, 6))::BIGINT % 800
+        |      AS budget_urls
+        |  FROM demand
+        |), c AS (
+        |  SELECT host, demand_urls, delay_s, budget_urls,
+        |    3600 // delay_s AS ceiling_urls,
+        |    least(demand_urls, 3600 // delay_s, budget_urls)
+        |      AS schedulable_urls
+        |  FROM params
+        |)
+        |SELECT host, demand_urls, delay_s, ceiling_urls, budget_urls,
+        |  schedulable_urls,
+        |  CASE WHEN schedulable_urls = ceiling_urls
+        |      AND ceiling_urls <= budget_urls
+        |      AND ceiling_urls <= demand_urls THEN 'politeness'
+        |    WHEN schedulable_urls = budget_urls
+        |      AND budget_urls <= demand_urls THEN 'budget'
+        |    ELSE 'demand_met' END AS limiting_factor
+        |FROM c ORDER BY host""".stripMargin,
     // t48: t07's reachability CTE, then the same two group-bys
     "t48_cluster_sizes" ->
       (ngramPairSql +

@@ -149,6 +149,48 @@ object DedupResolve {
     resolve(TextOps.nearDupNgramJaccard(spark, dir), "doc_a", "doc_b")
       .orderBy("doc_id")
 
+  /** t49 — CLUSTER-AWARE train/val/test SPLIT: the action form of t16's
+    * leakage check — assigning SPLITS BY DOC hash leaks near-duplicates
+    * across the train/eval boundary (the eval set then contains
+    * paraphrases of training documents and the benchmark is inflated);
+    * the correct unit of assignment is the dup CLUSTER. Every doc maps
+    * to an effective component (its t07 label, or itself if it never
+    * appeared in a dup pair), the component's md5 decides the split
+    * (~80/10/10, the t12 no-RNG discipline), and by construction no dup
+    * pair straddles splits — a property the report carries as a COUNTED
+    * column (cross_split_dup_pairs, joined from the pair table itself)
+    * rather than a comment, so the oracle's hash pins it at 0.
+    */
+  def clusterAwareSplit(spark: SparkSession, dir: String): DataFrame = {
+    val labels = resolveNgramDups(spark, dir)
+      .select(col("doc_id"), col("component"))
+    val assigned = TextOps.plantedCorpus(spark, dir)
+      .select(col("doc_id"))
+      .join(labels, Seq("doc_id"), "left")
+      .withColumn("component", coalesce(col("component"), col("doc_id")))
+      .withColumn("bucket",
+        conv(substring(md5(concat(lit("split:"),
+          col("component").cast("string"))), 1, 6), 16, 10)
+          .cast("long") % 10)
+      .withColumn("split",
+        when(col("bucket") === 0L, "test")
+          .when(col("bucket") === 1L, "val").otherwise("train"))
+    val pairs = TextOps.nearDupNgramJaccard(spark, dir)
+      .select(col("doc_a"), col("doc_b"))
+    val leakage = pairs
+      .join(assigned.select(col("doc_id").as("doc_a"),
+        col("split").as("split_a")), Seq("doc_a"))
+      .join(assigned.select(col("doc_id").as("doc_b"),
+        col("split").as("split_b")), Seq("doc_b"))
+      .agg(sum(when(col("split_a") =!= col("split_b"), 1L).otherwise(0L))
+        .as("cross_split_dup_pairs"))
+    assigned.groupBy("split")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct("component").as("n_clusters"))
+      .crossJoin(broadcast(leakage))
+      .orderBy("split")
+  }
+
   /** t48 — dup-CLUSTER SIZE HISTOGRAM: the distribution behind the dedup
     * ROI argument — "how much of the corpus sits in clusters of size k,
     * and how many docs does resolution remove" (removable = n_docs −

@@ -195,6 +195,43 @@ object HealthOps {
     * a 2-row stack + rollup; nothing wider than (host, 2 longs) ever
     * reaches an exchange.
     */
+  /** c94 — per-host THROUGHPUT CEILING classification: is each host's
+    * crawl rate limited by POLITENESS (its Crawl-delay caps legal
+    * fetches per epoch), by BUDGET (c34's allocation), or by nothing
+    * (demand met)? The one-line answer to "why is this host stale":
+    * politeness-limited hosts can't be fixed with budget — they need
+    * more epochs (c92's SLA shows the symptom, this names the cause);
+    * budget-limited ones reallocate. Delay/budget are md5-synthesized
+    * per host (the no-RNG discipline); ceiling = epoch_seconds/delay,
+    * schedulable = least of the three, limiting factor decided with a
+    * deterministic precedence (politeness before budget) so ties are
+    * engine-identical — all BIGINTs and strings, hence oracled.
+    */
+  def throughputCeiling(spark: SparkSession, dir: String): DataFrame = {
+    val demand = spark.read.parquet(s"$dir/documents.parquet")
+      .groupBy(col("source").as("host"))
+      .agg(count(lit(1)).as("demand_urls"))
+    val params = demand
+      .withColumn("delay_s",
+        lit(1L) + conv(substring(md5(concat(lit("pd:"), col("host"))), 1, 6),
+          16, 10).cast("long") % 5)
+      .withColumn("budget_urls",
+        lit(200L) + conv(substring(md5(concat(lit("pb:"), col("host"))),
+          1, 6), 16, 10).cast("long") % 800)
+      .withColumn("ceiling_urls", expr("3600 div delay_s"))
+      .withColumn("schedulable_urls",
+        least(col("demand_urls"), col("ceiling_urls"), col("budget_urls")))
+    params.select(col("host"), col("demand_urls"), col("delay_s"),
+        col("ceiling_urls"), col("budget_urls"), col("schedulable_urls"),
+        when(col("schedulable_urls") === col("ceiling_urls")
+          && col("ceiling_urls") <= col("budget_urls")
+          && col("ceiling_urls") <= col("demand_urls"), "politeness")
+          .when(col("schedulable_urls") === col("budget_urls")
+            && col("budget_urls") <= col("demand_urls"), "budget")
+          .otherwise("demand_met").as("limiting_factor"))
+      .orderBy("host")
+  }
+
   def budgetFairness(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/documents.parquet")
       .groupBy("source")
