@@ -264,6 +264,9 @@ object SparkEntry {
     // the assignment unit; zero cross-split dup pairs hashed — oracled
     "t49_cluster_split" -> ((s, d) =>
       operators.DedupResolve.clusterAwareSplit(s, d)),
+    // t50: mixture-weight solver — per-lang rates from target shares vs
+    // available supply, unmet mass surfaced, BIGINT bp — oracled
+    "t50_mixture_solver" -> ((s, d) => TextOps.mixtureSolver(s, d)),
     // c94: throughput-ceiling classification — politeness vs budget vs
     // demand-met per host, deterministic precedence — oracled
     "c94_throughput_ceiling" -> ((s, d) =>
@@ -3243,6 +3246,37 @@ object SparkEntry {
         |      AND budget_urls <= demand_urls THEN 'budget'
         |    ELSE 'demand_met' END AS limiting_factor
         |FROM c ORDER BY host""".stripMargin,
+    // t50: same integer bp arithmetic; en share fixed, remainder split
+    // by integer div — hash-exact
+    "t50_mixture_solver" ->
+      """WITH avail AS (
+        |  SELECT lang,
+        |    CAST(sum(greatest(n_chars, 1)) AS BIGINT) AS avail_tokens
+        |  FROM documents GROUP BY lang
+        |), tot AS (
+        |  SELECT CAST(sum(avail_tokens) AS BIGINT) AS t,
+        |    CAST(count(*) AS BIGINT) AS n_langs
+        |  FROM avail
+        |), solved AS (
+        |  SELECT lang, avail_tokens,
+        |    (t * 5000) // 10000 AS budget_tokens,
+        |    CASE WHEN lang = 'en' THEN 4000
+        |      ELSE (10000 - 4000) // (n_langs - 1) END AS share_bp
+        |  FROM avail CROSS JOIN tot
+        |), rated AS (
+        |  SELECT lang, avail_tokens, share_bp,
+        |    (budget_tokens * share_bp) // 10000 AS desired_tokens,
+        |    least(10000, (10000 * ((budget_tokens * share_bp) // 10000))
+        |      // avail_tokens) AS rate_bp
+        |  FROM solved
+        |)
+        |SELECT lang, avail_tokens, share_bp, desired_tokens, rate_bp,
+        |  (avail_tokens * rate_bp) // 10000 AS expected_tokens,
+        |  greatest(desired_tokens - (avail_tokens * rate_bp) // 10000, 0)
+        |    AS unmet_tokens,
+        |  rate_bp = 10000 AND desired_tokens > avail_tokens
+        |    AS supply_limited
+        |FROM rated ORDER BY lang""".stripMargin,
     // t48: t07's reachability CTE, then the same two group-bys
     "t48_cluster_sizes" ->
       (ngramPairSql +

@@ -1789,6 +1789,48 @@ object TextOps {
         expr("(10000 * kept_tokens) div total_tokens").as("kept_bp"))
       .orderBy("max_len")
 
+  /** t50 — corpus MIXTURE-WEIGHT SOLVER: the planning step BEFORE t15's
+    * sampler runs — given per-language target shares of a token budget
+    * (en 40%, the rest split evenly — the DoReMi-style mixture spec),
+    * derive each language's sampling rate from what the corpus actually
+    * HAS, and surface where the plan is infeasible (supply-limited
+    * languages whose available tokens fall short of their target; the
+    * unmet mass is the number that forces either a budget cut or a
+    * target renegotiation — hiding it behind silent renormalization is
+    * the classic mixture bug). Everything is BIGINT basis-point
+    * arithmetic with integer division — engine-exact, hence oracled.
+    *
+    * Scale: one scan to per-lang totals; the solver is |langs| rows of
+    * pure projection.
+    */
+  def mixtureSolver(spark: SparkSession, dir: String,
+                    budgetBp: Long = 5000L, enShareBp: Long = 4000L): DataFrame = {
+    val avail = docs(spark, dir).groupBy("lang")
+      .agg(sum(greatest(col("n_chars"), lit(1L))).as("avail_tokens"))
+    val tot = avail.agg(sum("avail_tokens").as("t"),
+      count(lit(1)).as("n_langs"))
+    avail.crossJoin(broadcast(tot))
+      .withColumn("budget_tokens", expr(s"(t * $budgetBp) div 10000"))
+      .withColumn("share_bp",
+        when(col("lang") === "en", lit(enShareBp))
+          .otherwise(expr(s"(10000 - $enShareBp) div (n_langs - 1)")))
+      .withColumn("desired_tokens",
+        expr("(budget_tokens * share_bp) div 10000"))
+      .withColumn("rate_bp",
+        least(lit(10000L),
+          expr("(10000 * desired_tokens) div avail_tokens")))
+      .withColumn("expected_tokens",
+        expr("(avail_tokens * rate_bp) div 10000"))
+      .select(col("lang"), col("avail_tokens"), col("share_bp"),
+        col("desired_tokens"), col("rate_bp"), col("expected_tokens"),
+        greatest(col("desired_tokens") - col("expected_tokens"), lit(0L))
+          .as("unmet_tokens"),
+        (col("rate_bp") === 10000L
+          && col("desired_tokens") > col("avail_tokens"))
+          .as("supply_limited"))
+      .orderBy("lang")
+  }
+
   /** t47 — cross-epoch VOCABULARY CHURN per language: how much of the
     * current epoch's vocabulary (and token mass) is new relative to the
     * previous epoch — the retraining trigger for every fixed-vocabulary

@@ -860,6 +860,42 @@ class PlanSpec extends AnyFunSuite {
       s"token counts do not map-side-combine:\n$p")
   }
 
+  test("q78 theil: per-source totals broadcast back; scan prunes to source+n_chars") {
+    val p = finalPlan(graft.operators.Relational.theilDecomposition(
+      spark, "/root/testdata/sf0.001"))
+    assert(p.contains("BroadcastHashJoin"),
+      s"per-source totals do not broadcast to the doc rows:\n$p")
+    p.linesIterator.filter(_.contains("ReadSchema")).foreach { l =>
+      assert(!l.contains("text") && !l.contains("doc_id"),
+        s"q78 scan reads unused columns: $l")
+    }
+  }
+
+  test("t49 cluster split: corpus text stays off the assignment exchanges") {
+    val p = finalPlan(graft.operators.DedupResolve.clusterAwareSplit(
+      spark, "/root/testdata/sf0.001"))
+    p.linesIterator.filter(_.contains("Exchange")).foreach { l =>
+      assert(!l.contains("text#"), s"text on a split-assignment exchange: $l")
+    }
+  }
+
+  test("c94 throughput ceiling: single documents scan pruned to source; map-side agg") {
+    val p = finalPlan(graft.operators.HealthOps.throughputCeiling(
+      spark, "/root/testdata/sf0.001"))
+    val lines = p.linesIterator
+      .takeWhile(!_.contains("== Initial Plan ==")).toSeq
+    assert(lines.count(l =>
+      l.contains("Scan parquet") && l.contains("documents")) == 1,
+      s"expected 1 documents scan:\n$p")
+    assert(lines.exists(l =>
+      l.contains("HashAggregate") && l.contains("partial_count")),
+      s"demand counts do not map-side-combine:\n$p")
+    p.linesIterator.filter(_.contains("ReadSchema")).foreach { l =>
+      assert(!l.contains("text") && !l.contains("n_chars"),
+        s"c94 scan reads unused columns: $l")
+    }
+  }
+
   test("t44 priority sample: tau side broadcasts; text never scanned or shuffled") {
     val p = finalPlan(graft.operators.TextOps.prioritySample(
       spark, "/root/testdata/sf0.001"))
