@@ -145,6 +145,23 @@ object SparkEntry {
     // emb20: per-label embedding norm audit vs a planted 0.8f encoder
     // drift — quantized norm² rollup, drift fraction in bp — oracled
     "emb20_norm_audit" -> ((s, d) => operators.SimilarityOps.normAudit(s, d)),
+    // q79: pairwise Mann-Whitney U across event types — doubled tied
+    // ranks keep every rank sum BIGINT; AUC in integer bp — oracled
+    "q79_mannwhitney" -> ((s, d) => Relational.mannWhitneyEvents(s, d)),
+    // g17: Broder bow-tie decomposition of the directed host graph —
+    // bounded-round fwd/bwd closures from the top-degree pivot — oracled
+    "g17_bowtie" -> ((s, d) => operators.GraphOps.bowTie(s, d)),
+    // q80: pairwise two-sample Kolmogorov-Smirnov — sup-gap numerator
+    // exact by cross-multiplication (BIGINT max) — oracled
+    "q80_ks_test" -> ((s, d) => Relational.ksEvents(s, d)),
+    // emb21: per-label centroid drift between encoder epochs — quantized
+    // per-dim sums, BIGINT deltas, single rounded RMS — oracled
+    "emb21_centroid_drift" -> ((s, d) =>
+      operators.SimilarityOps.centroidDrift(s, d)),
+    // c95: URL mortality/tombstone policy over synthesized fetch
+    // history — terminal-streak classification, per-host rollup — oracled
+    "c95_url_mortality" -> ((s, d) =>
+      operators.RecrawlOps.urlMortality(s, d)),
     "q22_levenshtein" -> ((s, d) => Relational.levenshteinDocs(s, d)),
     "q23_percentile" -> ((s, d) => Relational.percentiles(s, d)),
     "q24_window_misc" -> ((s, d) => Relational.windowMisc(s, d)),
@@ -267,6 +284,10 @@ object SparkEntry {
     // t50: mixture-weight solver — per-lang rates from target shares vs
     // available supply, unmet mass surfaced, BIGINT bp — oracled
     "t50_mixture_solver" -> ((s, d) => TextOps.mixtureSolver(s, d)),
+    // t51: dedup survivorship-bias audit — per-lang share shift and
+    // quantized KL(after||before) terms, BIGINT throughout — oracled
+    "t51_dedup_shift" -> ((s, d) =>
+      operators.DedupResolve.distributionShift(s, d)),
     // c94: throughput-ceiling classification — politeness vs budget vs
     // demand-met per host, deterministic precedence — oracled
     "c94_throughput_ceiling" -> ((s, d) =>
@@ -3142,6 +3163,92 @@ object SparkEntry {
     // g16: the g12 edge derivation; triangles enumerated once (x<y<z)
     // where Spark folds g09's per-node counts /3 — same total
     "g16_transitivity" -> operators.GraphOps.transitivityOracleSql(),
+    // g17: same thinned edges, pivot rule, and unrolled closures
+    "g17_bowtie" -> operators.GraphOps.bowTieOracleSql(),
+    // q79: same doubled-tied-rank histogram; z from identical integers
+    // with identical association
+    "q79_mannwhitney" ->
+      """WITH hist AS (
+        |  SELECT event_type, value, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+        |), types AS (SELECT DISTINCT event_type FROM hist),
+        |pairs AS (
+        |  SELECT a.event_type AS ta, b.event_type AS tb
+        |  FROM types a JOIN types b ON a.event_type < b.event_type
+        |), m AS (
+        |  SELECT ta, tb, value,
+        |    CAST(sum(CASE WHEN event_type = ta THEN cnt ELSE 0 END)
+        |      AS BIGINT) AS ca,
+        |    CAST(sum(CASE WHEN event_type = tb THEN cnt ELSE 0 END)
+        |      AS BIGINT) AS cb
+        |  FROM pairs JOIN hist ON event_type = ta OR event_type = tb
+        |  GROUP BY 1, 2, 3
+        |), r AS (
+        |  SELECT ta, tb, ca, cb, ca + cb AS t,
+        |    2 * sum(ca + cb) OVER (PARTITION BY ta, tb ORDER BY value
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      - (ca + cb) + 1 AS avg2
+        |  FROM m
+        |), g AS (
+        |  SELECT ta AS type_a, tb AS type_b,
+        |    CAST(sum(ca) AS BIGINT) AS n_a,
+        |    CAST(sum(cb) AS BIGINT) AS n_b,
+        |    CAST(sum(ca * avg2) AS BIGINT) AS r2_a,
+        |    CAST(sum(t * t * t - t) AS BIGINT) AS ties
+        |  FROM r GROUP BY 1, 2
+        |)
+        |SELECT type_a, type_b, n_a, n_b,
+        |  r2_a - n_a * (n_a + 1) AS u2_a,
+        |  (10000 * (r2_a - n_a * (n_a + 1))) // (2 * n_a * n_b) AS auc_bp,
+        |  round((CAST(r2_a - n_a * (n_a + 1) AS DOUBLE)
+        |      - CAST(n_a * n_b AS DOUBLE))
+        |    / (2.0 * sqrt((CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))
+        |      * ((CAST(n_a + n_b AS DOUBLE) + 1.0)
+        |        - CAST(ties AS DOUBLE) / (CAST(n_a + n_b AS DOUBLE)
+        |          * (CAST(n_a + n_b AS DOUBLE) - 1.0)))
+        |      / 12.0)), 4) AS z
+        |FROM g ORDER BY type_a, type_b""".stripMargin,
+    // q80: same merged histogram; sup-gap numerator cross-multiplied to
+    // a BIGINT max; D and c from identical integers
+    "q80_ks_test" ->
+      """WITH hist AS (
+        |  SELECT event_type, value, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+        |), types AS (SELECT DISTINCT event_type FROM hist),
+        |pairs AS (
+        |  SELECT a.event_type AS ta, b.event_type AS tb
+        |  FROM types a JOIN types b ON a.event_type < b.event_type
+        |), m AS (
+        |  SELECT ta, tb, value,
+        |    CAST(sum(CASE WHEN event_type = ta THEN cnt ELSE 0 END)
+        |      AS BIGINT) AS ca,
+        |    CAST(sum(CASE WHEN event_type = tb THEN cnt ELSE 0 END)
+        |      AS BIGINT) AS cb
+        |  FROM pairs JOIN hist ON event_type = ta OR event_type = tb
+        |  GROUP BY 1, 2, 3
+        |), c AS (
+        |  SELECT ta, tb, ca, cb,
+        |    sum(ca) OVER (PARTITION BY ta, tb ORDER BY value
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cuma,
+        |    sum(cb) OVER (PARTITION BY ta, tb ORDER BY value
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumb,
+        |    sum(ca) OVER (PARTITION BY ta, tb) AS na,
+        |    sum(cb) OVER (PARTITION BY ta, tb) AS nb
+        |  FROM m
+        |), g AS (
+        |  SELECT ta AS type_a, tb AS type_b,
+        |    CAST(max(na) AS BIGINT) AS n_a, CAST(max(nb) AS BIGINT) AS n_b,
+        |    CAST(max(abs(cuma * nb - cumb * na)) AS BIGINT) AS ks_num
+        |  FROM c GROUP BY 1, 2
+        |)
+        |SELECT type_a, type_b, n_a, n_b, ks_num,
+        |  round(CAST(ks_num AS DOUBLE)
+        |    / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)), 6) AS d,
+        |  round(CAST(ks_num AS DOUBLE)
+        |    / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))
+        |    * sqrt((CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))
+        |      / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))), 4) AS c_stat
+        |FROM g ORDER BY type_a, type_b""".stripMargin,
     // q78: same integer-log quantization (t45 discipline), same three
     // sums; the exact decomposition identity is hashed via the boolean
     "q78_theil" ->
@@ -3277,6 +3384,49 @@ object SparkEntry {
         |  rate_bp = 10000 AND desired_tokens > avail_tokens
         |    AS supply_limited
         |FROM rated ORDER BY lang""".stripMargin,
+    // t51: the t08 CTE prefix supplies the keep-list; same byte mass (strlen/octet_length)
+    // byte mass, integer bp shares, and quantized KL terms
+    "t51_dedup_shift" ->
+      (ngramPairSql +
+        """, edges AS (
+          |  SELECT doc_a AS src, doc_b AS dst FROM dup_pairs
+          |  UNION
+          |  SELECT doc_b AS src, doc_a AS dst FROM dup_pairs
+          |), reach AS (
+          |  SELECT src AS id, src AS node FROM edges
+          |  UNION
+          |  SELECT r.id, e.dst AS node FROM reach r JOIN edges e ON r.node = e.src
+          |), drops AS (
+          |  SELECT id FROM (SELECT id, min(node) AS comp FROM reach GROUP BY id)
+          |  WHERE id <> comp
+          |), lb AS (
+          |  SELECT d.lang, CAST(count(*) AS BIGINT) AS docs_before,
+          |    CAST(sum(strlen(c.text)) AS BIGINT) AS bytes_before
+          |  FROM corpus c JOIN documents d ON d.doc_id = c.doc_id % 1000000
+          |  GROUP BY 1
+          |), la AS (
+          |  SELECT d.lang, CAST(count(*) AS BIGINT) AS docs_after,
+          |    CAST(sum(strlen(c.text)) AS BIGINT) AS bytes_after
+          |  FROM corpus c JOIN documents d ON d.doc_id = c.doc_id % 1000000
+          |  WHERE c.doc_id NOT IN (SELECT id FROM drops)
+          |  GROUP BY 1
+          |), j AS (
+          |  SELECT * FROM lb JOIN la USING (lang)
+          |), tot AS (
+          |  SELECT CAST(sum(bytes_before) AS BIGINT) AS tot_before,
+          |    CAST(sum(bytes_after) AS BIGINT) AS tot_after
+          |  FROM j
+          |)
+          |SELECT lang, docs_before, docs_after, bytes_before, bytes_after,
+          |  (10000 * bytes_before) // tot_before AS share_before_bp,
+          |  (10000 * bytes_after) // tot_after AS share_after_bp,
+          |  (10000 * bytes_after) // tot_after
+          |    - (10000 * bytes_before) // tot_before AS shift_bp,
+          |  bytes_after * (CAST(round(log2(bytes_after) * 1e6) AS BIGINT)
+          |    - CAST(round(log2(tot_after) * 1e6) AS BIGINT)
+          |    - CAST(round(log2(bytes_before) * 1e6) AS BIGINT)
+          |    + CAST(round(log2(tot_before) * 1e6) AS BIGINT)) AS klq_term
+          |FROM j CROSS JOIN tot ORDER BY lang""".stripMargin),
     // t48: t07's reachability CTE, then the same two group-bys
     "t48_cluster_sizes" ->
       (ngramPairSql +
@@ -3329,6 +3479,40 @@ object SparkEntry {
         |      + (n + 1) * (n * sxy - sx * sy) AS DOUBLE)
         |    / CAST(n * sxx - sx * sx AS DOUBLE), 4) AS forecast_next_epoch
         |FROM m ORDER BY host""".stripMargin,
+    // c95: same md5-seeded attempt synthesis; terminal streak =
+    // FcEpochs - last success, classified and rolled up per host
+    "c95_url_mortality" ->
+      """WITH att AS (
+        |  SELECT doc_id, source AS host, CAST(e.e AS BIGINT) AS e,
+        |    ('0x' || substr(md5('mort:' || doc_id || ':' ||
+        |      CAST(e.e AS VARCHAR)), 1, 6))::BIGINT % 100 AS h
+        |  FROM documents, (SELECT unnest(generate_series(1, 8)) AS e) e
+        |), st AS (
+        |  SELECT doc_id, host, e,
+        |    CASE WHEN doc_id % 17 = 0 AND e >= 4 THEN 0
+        |         WHEN h < 15 THEN 0 ELSE 1 END AS ok
+        |  FROM att
+        |), per AS (
+        |  SELECT doc_id, host,
+        |    coalesce(max(CASE WHEN ok = 1 THEN e END), 0) AS last_ok
+        |  FROM st GROUP BY 1, 2
+        |), cls AS (
+        |  SELECT host, last_ok,
+        |    CASE WHEN 8 - last_ok >= 4 THEN 'tombstoned'
+        |         WHEN 8 - last_ok >= 2 THEN 'at_risk'
+        |         ELSE 'alive' END AS state
+        |  FROM per
+        |)
+        |SELECT host, CAST(count(*) AS BIGINT) AS n_urls,
+        |  CAST(sum(CASE WHEN state = 'tombstoned' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_tombstoned,
+        |  CAST(sum(CASE WHEN state = 'at_risk' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_at_risk,
+        |  (10000 * CAST(sum(CASE WHEN state = 'tombstoned' THEN 1 ELSE 0
+        |    END) AS BIGINT)) // count(*) AS dead_bp,
+        |  coalesce(min(CASE WHEN state = 'tombstoned' THEN last_ok + 1
+        |    END), -1) AS earliest_tombstone_epoch
+        |FROM cls GROUP BY host ORDER BY host""".stripMargin,
     // c92: identical md5 change draws + integer intervals (c45 parity),
     // identical age round-robin, BIGINT rollup
     "c92_freshness_sla" ->
@@ -3550,6 +3734,48 @@ object SparkEntry {
         |  (10000 * CAST(sum(CASE WHEN n2q < 990000 OR n2q > 1010000
         |    THEN 1 ELSE 0 END) AS BIGINT)) // count(*) AS drifted_bp
         |FROM per GROUP BY label ORDER BY label""".stripMargin,
+    // emb21: same quantized per-dim sums; parallel unnest zips the
+    // component with its 0-based dim index
+    "emb21_centroid_drift" ->
+      """WITH base AS (
+        |  SELECT CAST(label AS BIGINT) AS label,
+        |    CAST(unnest(range(0, len(embedding))) AS BIGINT) AS dim,
+        |    CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1e6)
+        |      AS BIGINT) AS xq
+        |  FROM embeddings
+        |), drift AS (
+        |  SELECT CAST(label AS BIGINT) AS label,
+        |    CAST(unnest(range(0, len(v))) AS BIGINT) AS dim,
+        |    CAST(round(CAST(unnest(v) AS DOUBLE) * 1e6) AS BIGINT) AS xq
+        |  FROM (
+        |    SELECT label,
+        |      CASE WHEN vec_id % 3 = 0
+        |        THEN list_transform(embedding,
+        |          x -> x * CAST(0.95 AS FLOAT) + CAST(0.02 AS FLOAT))
+        |        ELSE embedding END AS v
+        |    FROM embeddings)
+        |), a AS (
+        |  SELECT label, dim, CAST(sum(xq) AS BIGINT) AS sq_a,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM base GROUP BY 1, 2
+        |), b AS (
+        |  SELECT label, dim, CAST(sum(xq) AS BIGINT) AS sq_b
+        |  FROM drift GROUP BY 1, 2
+        |), j AS (
+        |  SELECT a.label, a.dim, a.n, b.sq_b - a.sq_a AS delta_q,
+        |    max(abs(b.sq_b - a.sq_a)) OVER (PARTITION BY a.label)
+        |      AS label_max
+        |  FROM a JOIN b ON a.label = b.label AND a.dim = b.dim
+        |)
+        |SELECT label, max(n) AS n, CAST(count(*) AS BIGINT) AS dims,
+        |  CAST(sum(delta_q * delta_q) AS BIGINT) AS l2q,
+        |  max(abs(delta_q)) AS max_abs_delta_q,
+        |  min(CASE WHEN abs(delta_q) = label_max THEN dim END)
+        |    AS worst_dim,
+        |  round(sqrt(CAST(sum(delta_q * delta_q) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE)) / (CAST(max(n) AS DOUBLE) * 1e6),
+        |    6) AS rms_drift
+        |FROM j GROUP BY label ORDER BY label""".stripMargin,
     // q75: same rank ranges (tie order cannot matter — rank-range sums
     // select a fixed multiset of values), same integer sums, one rounded
     // division each — hash-exact

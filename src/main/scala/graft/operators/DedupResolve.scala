@@ -371,4 +371,56 @@ object DedupResolve {
         col("n_chars").cast("long").as("n_chars"))
       .orderBy("doc_id")
   }
+
+  /** t51 — dedup SURVIVORSHIP-BIAS audit: does near-dup removal skew the
+    * corpus mix? Dedup is not mix-neutral — boilerplate-heavy or
+    * template-heavy languages lose disproportionally more mass, so the
+    * post-dedup language distribution silently drifts away from the one
+    * the mixture targets (t15/t50) were tuned against. Per language:
+    * doc and byte mass before (planted corpus) and after (t08's
+    * keep-list), both shares in integer basis points, the shift, and the
+    * per-language KL(after‖before) term in the t45/q78 integer-log
+    * discipline — the quantized terms are BIGINT-exact so the whole row
+    * joins the hash gate; Σ klq_term / (tot_after·1e6) is the drift in
+    * bits a caller reads off the summed column.
+    *
+    * Byte mass uses octet_length (UTF-8 bytes): identical in every
+    * engine, unlike character length where UTF-16 vs codepoint semantics
+    * diverge on CJK text. Scale: language comes from ONE key join of the
+    * id-only corpus against the documents table (planted ids map back by
+    * mod 1e6 — ids stay below it at every SF); the per-language tables
+    * are |langs| rows and the totals broadcast back.
+    */
+  def distributionShift(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.Column
+    def lq(c: Column): Column = round(log(2.0, c) * 1e6).cast("long")
+    val langOf = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id").as("bid"), col("lang"))
+    // byte mass is computed BEFORE the keep-list anti-join and the lang
+    // join, so text never rides an exchange — only (doc_id, bid, bytes)
+    val before = TextOps.plantedCorpus(spark, dir)
+      .select(col("doc_id"), pmod(col("doc_id"), lit(1000000L)).as("bid"),
+        octet_length(col("text")).cast("long").as("b"))
+    val after = filterCorpus(before, "doc_id",
+      TextOps.nearDupNgramJaccard(spark, dir), "doc_a", "doc_b")
+    def perLang(c: DataFrame, nCol: String, mCol: String): DataFrame =
+      c.join(langOf, "bid")
+        .groupBy("lang")
+        .agg(count(lit(1)).as(nCol), sum(col("b")).as(mCol))
+    val j = perLang(before, "docs_before", "bytes_before")
+      .join(perLang(after, "docs_after", "bytes_after"), Seq("lang"))
+    val tot = j.agg(sum("bytes_before").as("tot_before"),
+      sum("bytes_after").as("tot_after"))
+    j.crossJoin(broadcast(tot))
+      .select(col("lang"), col("docs_before"), col("docs_after"),
+        col("bytes_before"), col("bytes_after"),
+        expr("(10000 * bytes_before) div tot_before").as("share_before_bp"),
+        expr("(10000 * bytes_after) div tot_after").as("share_after_bp"),
+        (expr("(10000 * bytes_after) div tot_after")
+          - expr("(10000 * bytes_before) div tot_before")).as("shift_bp"),
+        (col("bytes_after") * (lq(col("bytes_after")) - lq(col("tot_after"))
+          - lq(col("bytes_before")) + lq(col("tot_before"))))
+          .as("klq_term"))
+      .orderBy("lang")
+  }
 }

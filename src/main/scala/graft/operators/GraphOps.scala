@@ -1295,4 +1295,142 @@ object GraphOps {
          |LEFT JOIN per p ON p.node = h.source
          |ORDER BY h.source""".stripMargin
   }
+
+  /** g17's edge derivation: the two citation maps of `denseSourceEdges`,
+    * each THINNED to a residue class (linear map on doc_id % 5 == 0,
+    * quadratic on doc_id % 6 == 1). The dense two-map graph is strongly
+    * connected at every SF — every host would classify as CORE and the
+    * decomposition below would be vacuous; thinning keeps the directed
+    * graph sparse enough that all four bow-tie classes are inhabited at
+    * sf0.001/0.01/0.1 (verified empirically). Integer-only arithmetic, so
+    * DuckDB derives the identical graph.
+    */
+  def thinSourceEdges(spark: SparkSession, dir: String): DataFrame = {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("source"))
+    val nDocs = docs.count()
+    val cites = docs
+      .where(pmod(col("doc_id"), lit(5L)) === 0L)
+      .select(col("source").as("src"),
+        ((col("doc_id") * 17L + 3L) % nDocs).as("cited"))
+      .unionByName(docs
+        .where(pmod(col("doc_id"), lit(6L)) === 1L)
+        .select(col("source").as("src"),
+          ((col("doc_id") * col("doc_id") * 7L + col("doc_id") * 31L + 5L)
+            % nDocs).as("cited")))
+    val b = docs.select(col("doc_id").as("cited_id"), col("source").as("dst"))
+    cites.join(b, cites("cited") === b("cited_id"))
+      .where(col("src") =!= col("dst"))
+      .select("src", "dst")
+      .distinct()
+  }
+
+  /** Directed reachable set from `seeds` within `rounds` hops: per round
+    * ONE equi-join frontier×edges + ONE distinct + ONE id-only anti-join
+    * against the settled set (the g12 shape, without distances).
+    * localCheckpoint bounds lineage; the driver sees nothing.
+    */
+  private def reachFrom(edges: DataFrame, seeds: DataFrame,
+                        rounds: Int): DataFrame = {
+    var settled = seeds.select("node").distinct().localCheckpoint()
+    var frontier = settled
+    for (_ <- 1 to rounds) {
+      val nxt = frontier.join(edges, col("node") === col("src"))
+        .select(col("dst").as("node")).distinct()
+        .join(settled, Seq("node"), "left_anti")
+        .localCheckpoint()
+      frontier = nxt
+      settled = settled.unionByName(nxt).localCheckpoint()
+    }
+    settled
+  }
+
+  /** g17 — BOW-TIE DECOMPOSITION of the directed host graph (Broder et
+    * al., WWW'00 "Graph structure in the Web"): pick the top-authority
+    * pivot (max out-degree, name tie-break), compute its forward- and
+    * backward-reachable sets within `rounds` hops, and classify every
+    * host: CORE = reachable both ways (the pivot's strongly-connected
+    * neighborhood), IN = reaches the core but is not reached by it (new
+    * sites linking in — a crawl seeded in the core never discovers them
+    * without out-of-band seeds), OUT = reached but cannot return
+    * (link sinks), OTHER = tendrils/disconnected. This is THE macro map
+    * a crawl planner reads before spending budget: IN-mass is
+    * discoverable only via sitemaps/feeds (c29/c39), OUT-mass can never
+    * feed PageRank back, and the CORE fraction bounds what link-following
+    * alone can reach.
+    *
+    * Bounded `rounds` is the g12/g13 discipline: the host graph's
+    * diameter is tiny next to its size, and a fixed unrolling keeps the
+    * DuckDB mirror exact. Scale: the graph is hosts-not-pages; per round
+    * one key join + distinct over id-only rows; the final classification
+    * is two left joins against host-count-sized sets.
+    */
+  def bowTie(spark: SparkSession, dir: String, rounds: Int = 6): DataFrame = {
+    val e = thinSourceEdges(spark, dir).localCheckpoint()
+    val pv = e.groupBy("src").agg(count(lit(1)).as("d"))
+      .orderBy(col("d").desc, col("src").asc).limit(1)
+      .select(col("src").as("node"))
+    val fwd = reachFrom(e, pv, rounds).select(col("node").as("fnode"))
+    val rev = e.select(col("dst").as("src"), col("src").as("dst"))
+    val bwd = reachFrom(rev, pv, rounds).select(col("node").as("bnode"))
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("source")).distinct()
+      .join(fwd, col("source") === col("fnode"), "left")
+      .join(bwd, col("source") === col("bnode"), "left")
+      .select(col("source"),
+        when(col("fnode").isNotNull && col("bnode").isNotNull, lit("core"))
+          .when(col("bnode").isNotNull, lit("in"))
+          .when(col("fnode").isNotNull, lit("out"))
+          .otherwise(lit("other")).as("component"))
+      .orderBy("source")
+  }
+
+  /** Unrolled DuckDB mirror of `bowTie`: same thinned edge derivation,
+    * same pivot rule, forward/backward closures as cumulative
+    * union-distinct steps.
+    */
+  def bowTieOracleSql(rounds: Int = 6): String = {
+    val prefix =
+      """WITH docs AS (SELECT doc_id, source FROM documents),
+        |cnt AS (SELECT count(*) AS c FROM docs),
+        |cites AS (
+        |  SELECT source AS src, (doc_id * 17 + 3) % c AS cited
+        |  FROM docs, cnt WHERE doc_id % 5 = 0
+        |  UNION ALL
+        |  SELECT source, (doc_id * doc_id * 7 + doc_id * 31 + 5) % c
+        |  FROM docs, cnt WHERE doc_id % 6 = 1),
+        |dedges AS (
+        |  SELECT DISTINCT a.src, b.source AS dst
+        |  FROM cites a JOIN docs b ON b.doc_id = a.cited
+        |  WHERE a.src <> b.source),
+        |pv AS (SELECT src AS node FROM (
+        |    SELECT src, count(*) AS d FROM dedges GROUP BY src)
+        |  ORDER BY d DESC, src LIMIT 1),
+        |f0 AS (SELECT node FROM pv),
+        |b0 AS (SELECT node FROM pv)""".stripMargin
+    val fSteps = (1 to rounds).map { i =>
+      s"""f$i AS (SELECT DISTINCT node FROM (
+         |  SELECT node FROM f${i - 1}
+         |  UNION ALL
+         |  SELECT e.dst AS node FROM dedges e
+         |  JOIN f${i - 1} r ON r.node = e.src))""".stripMargin
+    }
+    val bSteps = (1 to rounds).map { i =>
+      s"""b$i AS (SELECT DISTINCT node FROM (
+         |  SELECT node FROM b${i - 1}
+         |  UNION ALL
+         |  SELECT e.src AS node FROM dedges e
+         |  JOIN b${i - 1} r ON r.node = e.dst))""".stripMargin
+    }
+    prefix + (fSteps ++ bSteps).mkString(",\n", ",\n", "\n") +
+      s"""SELECT h.source,
+         |  CASE WHEN f.node IS NOT NULL AND b.node IS NOT NULL THEN 'core'
+         |       WHEN b.node IS NOT NULL THEN 'in'
+         |       WHEN f.node IS NOT NULL THEN 'out'
+         |       ELSE 'other' END AS component
+         |FROM (SELECT DISTINCT source FROM documents) h
+         |LEFT JOIN f$rounds f ON f.node = h.source
+         |LEFT JOIN b$rounds b ON b.node = h.source
+         |ORDER BY h.source""".stripMargin
+  }
 }

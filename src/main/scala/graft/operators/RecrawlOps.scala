@@ -208,4 +208,58 @@ object RecrawlOps {
           .otherwise(lit("stable")))
       .orderBy("host")
   }
+
+  /** c95 — URL MORTALITY / TOMBSTONE policy over a deterministic
+    * synthesized fetch history (the c93 md5 discipline): pages die —
+    * 404/410/parked — and a frontier that keeps rescheduling them burns
+    * budget forever (c83 bounds TRANSIENT retries; this is the
+    * complementary PERMANENT-death decision). Per URL, the terminal
+    * failure streak decides: trailing ≥ `DeadStreak` failures →
+    * tombstoned (dropped from the frontier, tombstone epoch = last
+    * success + 1), ≥ 2 → at-risk (next fetch decides), else alive. A
+    * planted death cohort (doc_id % 17 == 0 fails from epoch 4 on) must
+    * land entirely in the tombstoned class over the 15% transient-noise
+    * floor. Rolled up per host: counts per class, dead mass in integer
+    * bp, earliest tombstone epoch — the "this host is rotting" signal
+    * c86's parked-host detector reads at host granularity.
+    *
+    * Scale: ids-only scan → synthesized (url, epoch) attempts → ONE
+    * map-side-combined per-URL agg (no window: the trailing streak is
+    * FcEpochs − last-success epoch) → per-host rollup.
+    */
+  val DeadStreak = 4
+  def urlMortality(spark: SparkSession, dir: String): DataFrame = {
+    val attempts = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("source").as("host"))
+      .withColumn("e", explode(sequence(lit(1L), lit(FcEpochs.toLong))))
+      .withColumn("h",
+        conv(substring(md5(concat(lit("mort:"), col("doc_id"), lit(":"),
+          col("e").cast("string"))), 1, 6), 16, 10).cast("long") % 100L)
+      .withColumn("ok",
+        when(pmod(col("doc_id"), lit(17L)) === 0L && col("e") >= 4L, 0L)
+          .when(col("h") < 15L, 0L)
+          .otherwise(1L))
+    val perUrl = attempts.groupBy("doc_id", "host")
+      .agg(coalesce(max(when(col("ok") === 1L, col("e"))), lit(0L))
+        .as("last_ok"))
+      .withColumn("trailing_fail", lit(FcEpochs.toLong) - col("last_ok"))
+      .withColumn("state",
+        when(col("trailing_fail") >= DeadStreak.toLong, lit("tombstoned"))
+          .when(col("trailing_fail") >= 2L, lit("at_risk"))
+          .otherwise(lit("alive")))
+    perUrl.groupBy("host")
+      .agg(count(lit(1)).as("n_urls"),
+        sum(when(col("state") === "tombstoned", 1L).otherwise(0L))
+          .as("n_tombstoned"),
+        sum(when(col("state") === "at_risk", 1L).otherwise(0L))
+          .as("n_at_risk"),
+        min(when(col("state") === "tombstoned", col("last_ok") + 1L))
+          .as("earliest_tombstone_epoch"))
+      .select(col("host"), col("n_urls"), col("n_tombstoned"),
+        col("n_at_risk"),
+        expr("(10000 * n_tombstoned) div n_urls").as("dead_bp"),
+        coalesce(col("earliest_tombstone_epoch"), lit(-1L))
+          .as("earliest_tombstone_epoch"))
+      .orderBy("host")
+  }
 }

@@ -1475,4 +1475,118 @@ object Relational {
           / (col("n") * least(col("r") - 1, col("c") - 1)).cast("double")),
           4).as("cramers_v"))
   }
+
+  /** q79 — pairwise MANN-WHITNEY U rank-sum test (Mann & Whitney '47)
+    * across event types: "does event type A carry systematically larger
+    * values than type B?" — the distribution-free two-sample test behind
+    * every A/B readout where t-tests are wrong (crawl latencies, doc
+    * lengths, quality scores are all heavy-tailed). Exact by
+    * construction: the corpus compresses to a (type, value, count)
+    * histogram (q59 discipline — never a full-row sort), per-pair merged
+    * tied ranks are kept DOUBLED so average ranks stay integers
+    * (avg2 = 2·cum_incl − t + 1), and the rank sums, U (doubled), the
+    * tie term Σ(t³−t), and the AUC effect size in integer basis points
+    * (U/(n_a·n_b), the rank-biserial probability) are all BIGINT. The
+    * normal-approximation z (tie-corrected, no continuity correction) is
+    * the single rounded double, computed from the same integers in both
+    * engines with identical association.
+    *
+    * Scale: one scan → histogram (map-side combined); the pair list is
+    * |types|² and broadcasts to the histogram (BNLJ over a tiny build
+    * side); per-pair windows partition by (type_a, type_b) — value rows,
+    * not event rows, cross the exchanges.
+    */
+  def mannWhitneyEvents(spark: SparkSession, dir: String): DataFrame = {
+    val hist = t(spark, dir, "events")
+      .where(col("value").isNotNull)
+      .groupBy("event_type", "value").agg(count(lit(1)).as("cnt"))
+    val types = hist.select(col("event_type").as("ta")).distinct()
+    val pairs = types.crossJoin(types.select(col("ta").as("tb")))
+      .where(col("ta") < col("tb"))
+    val merged = broadcast(pairs)
+      .join(hist, col("event_type") === col("ta")
+        || col("event_type") === col("tb"))
+      .groupBy("ta", "tb", "value")
+      .agg(sum(when(col("event_type") === col("ta"), col("cnt"))
+          .otherwise(0L)).as("ca"),
+        sum(when(col("event_type") === col("tb"), col("cnt"))
+          .otherwise(0L)).as("cb"))
+      .withColumn("t", col("ca") + col("cb"))
+    val w = Window.partitionBy("ta", "tb").orderBy("value")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = merged
+      .withColumn("avg2", lit(2L) * sum("t").over(w) - col("t") + 1L)
+    ranked.groupBy("ta", "tb")
+      .agg(sum("ca").as("n_a"), sum("cb").as("n_b"),
+        sum(col("ca") * col("avg2")).as("r2_a"),
+        sum(col("t") * col("t") * col("t") - col("t")).as("ties"))
+      .withColumn("u2_a", col("r2_a") - col("n_a") * (col("n_a") + 1L))
+      .withColumn("n", col("n_a") + col("n_b"))
+      .select(col("ta").as("type_a"), col("tb").as("type_b"),
+        col("n_a"), col("n_b"), col("u2_a"),
+        expr("(10000 * u2_a) div (2 * n_a * n_b)").as("auc_bp"),
+        round((col("u2_a").cast("double") - (col("n_a") * col("n_b"))
+            .cast("double"))
+          / (lit(2.0) * sqrt((col("n_a").cast("double")
+              * col("n_b").cast("double"))
+            * ((col("n").cast("double") + 1.0)
+              - col("ties").cast("double")
+                / (col("n").cast("double")
+                  * (col("n").cast("double") - 1.0)))
+            / 12.0)), 4).as("z"))
+      .orderBy("type_a", "type_b")
+  }
+
+  /** q80 — pairwise two-sample KOLMOGOROV-SMIRNOV statistic across event
+    * types: q79 asks "is A systematically larger?" (location); KS asks
+    * "is A's distribution DIFFERENT at all?" (any shape divergence —
+    * the drift alarm for latency/quality/score distributions where the
+    * mean moves last). Exact by cross-multiplication: at every merged
+    * histogram value the ECDF gap |F_a − F_b| = |cum_a·n_b − cum_b·n_a|
+    * / (n_a·n_b), so the supremum's NUMERATOR is an integer max over
+    * integer terms (ks_num, hash-exact); D and the sample-size-scaled
+    * statistic c = D·sqrt(n_a·n_b/n) are single rounded doubles from
+    * the same integers. Same histogram + broadcast-pair shape as q79:
+    * value rows, never event rows, cross the exchanges.
+    */
+  def ksEvents(spark: SparkSession, dir: String): DataFrame = {
+    val hist = t(spark, dir, "events")
+      .where(col("value").isNotNull)
+      .groupBy("event_type", "value").agg(count(lit(1)).as("cnt"))
+    val types = hist.select(col("event_type").as("ta")).distinct()
+    val pairs = types.crossJoin(types.select(col("ta").as("tb")))
+      .where(col("ta") < col("tb"))
+    val merged = broadcast(pairs)
+      .join(hist, col("event_type") === col("ta")
+        || col("event_type") === col("tb"))
+      .groupBy("ta", "tb", "value")
+      .agg(sum(when(col("event_type") === col("ta"), col("cnt"))
+          .otherwise(0L)).as("ca"),
+        sum(when(col("event_type") === col("tb"), col("cnt"))
+          .otherwise(0L)).as("cb"))
+    val w = Window.partitionBy("ta", "tb").orderBy("value")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wp = Window.partitionBy("ta", "tb")
+    val cum = merged
+      .withColumn("cuma", sum("ca").over(w))
+      .withColumn("cumb", sum("cb").over(w))
+      .withColumn("na", sum("ca").over(wp))
+      .withColumn("nb", sum("cb").over(wp))
+      .withColumn("gap",
+        abs(col("cuma") * col("nb") - col("cumb") * col("na")))
+    cum.groupBy("ta", "tb")
+      .agg(max("na").as("n_a"), max("nb").as("n_b"),
+        max("gap").as("ks_num"))
+      .select(col("ta").as("type_a"), col("tb").as("type_b"),
+        col("n_a"), col("n_b"), col("ks_num"),
+        round(col("ks_num").cast("double")
+          / (col("n_a").cast("double") * col("n_b").cast("double")), 6)
+          .as("d"),
+        round(col("ks_num").cast("double")
+          / (col("n_a").cast("double") * col("n_b").cast("double"))
+          * sqrt((col("n_a").cast("double") * col("n_b").cast("double"))
+            / (col("n_a").cast("double") + col("n_b").cast("double"))), 4)
+          .as("c_stat"))
+      .orderBy("type_a", "type_b")
+  }
 }

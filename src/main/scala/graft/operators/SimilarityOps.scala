@@ -1252,4 +1252,55 @@ object SimilarityOps {
         expr("(10000 * n_drifted) div n").as("drifted_bp"))
       .orderBy("label")
   }
+
+  /** emb21 — per-label CENTROID DRIFT audit between two encoder epochs:
+    * emb20 catches per-VECTOR norm damage; this catches the systematic
+    * shift a partial re-encode leaves in the class geometry (an IVF/LSH
+    * index trained on epoch-A centroids degrades exactly as fast as the
+    * centroids move — this audit is the "retrain the index?" trigger,
+    * the S8b staleness question asked of the embedding space itself).
+    * Epoch B is a deterministic plant: every vec_id % 3 == 0 vector is
+    * re-encoded as x·0.95f + 0.02f (scale + bias drift, the classic
+    * fine-tune signature). Components are QUANTIZED to 1e6 fixed-point
+    * longs per (label, dim), so per-dim centroid-sum deltas are
+    * BIGINT-exact; Σ delta² and max|delta| ship as integers and the
+    * RMS drift is the single rounded double.
+    *
+    * Scale: posexplode is a narrow map (no shuffle until the (label,
+    * dim) agg — map-side combined, |labels|·dims rows); vectors never
+    * cross an exchange whole.
+    */
+  def centroidDrift(spark: SparkSession, dir: String): DataFrame = {
+    val base = emb(spark, dir)
+    val drifted = base.withColumn("embedding",
+      when(pmod(col("vec_id"), lit(3)) === 0,
+        transform(col("embedding"),
+          x => x * lit(0.95f) + lit(0.02f)))
+        .otherwise(col("embedding")))
+    def perDim(df: DataFrame, sCol: String): DataFrame =
+      df.select(col("label").cast("long").as("label"),
+          posexplode(col("embedding")).as(Seq("dim", "x")))
+        .select(col("label"), col("dim").cast("long").as("dim"),
+          round(col("x").cast("double") * 1e6).cast("long").as("xq"))
+        .groupBy("label", "dim")
+        .agg(sum("xq").as(sCol), count(lit(1)).as(s"n_$sCol"))
+    val j = perDim(base, "sq_a").join(perDim(drifted, "sq_b"),
+      Seq("label", "dim"))
+      .withColumn("delta_q", col("sq_b") - col("sq_a"))
+      .withColumn("label_max",
+        max(abs(col("delta_q"))).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("label")))
+    j.groupBy("label")
+      .agg(max("n_sq_a").as("n"), count(lit(1)).as("dims"),
+        sum(col("delta_q") * col("delta_q")).as("l2q"),
+        max(abs(col("delta_q"))).as("max_abs_delta_q"),
+        min(when(abs(col("delta_q")) === col("label_max"), col("dim")))
+          .as("worst_dim"))
+      .select(col("label"), col("n"), col("dims"), col("l2q"),
+        col("max_abs_delta_q"), col("worst_dim"),
+        round(sqrt(col("l2q").cast("double")
+          / col("dims").cast("double"))
+          / (col("n").cast("double") * 1e6), 6).as("rms_drift"))
+      .orderBy("label")
+  }
 }

@@ -896,6 +896,71 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q79 mann-whitney: pair list broadcasts onto the histogram; scan prunes to type+value") {
+    val p = finalPlan(graft.operators.Relational.mannWhitneyEvents(
+      spark, "/root/testdata/sf0.001"))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"type-pair list does not broadcast onto the histogram:\n$p")
+    p.linesIterator.filter(_.contains("ReadSchema")).foreach { l =>
+      assert(l.contains("struct<event_type:string,value:double>"),
+        s"q79 scan reads more than type+value: $l")
+    }
+  }
+
+  test("g17 bow-tie: documents scans prune to doc_id+source (no text/payload)") {
+    val p = finalPlan(graft.operators.GraphOps.bowTie(
+      spark, "/root/testdata/sf0.001"))
+    p.linesIterator.filter(_.contains("ReadSchema")).foreach { l =>
+      assert(!l.contains("text") && !l.contains("n_chars") && !l.contains("lang"),
+        s"g17 scan reads unused columns: $l")
+    }
+  }
+
+  test("t51 dedup shift: corpus text stays off the language-join exchanges") {
+    val p = finalPlan(graft.operators.DedupResolve.distributionShift(
+      spark, "/root/testdata/sf0.001"))
+    p.linesIterator.filter(_.contains("Exchange")).foreach { l =>
+      assert(!l.contains("text#"), s"text on a shift-audit exchange: $l")
+    }
+  }
+
+  test("q80 ks: pair list broadcasts onto the histogram; scan prunes to type+value") {
+    val p = finalPlan(graft.operators.Relational.ksEvents(
+      spark, "/root/testdata/sf0.001"))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"type-pair list does not broadcast onto the histogram:\n$p")
+    p.linesIterator.filter(_.contains("ReadSchema")).foreach { l =>
+      assert(l.contains("struct<event_type:string,value:double>"),
+        s"q80 scan reads more than type+value: $l")
+    }
+  }
+
+  test("emb21 centroid drift: whole vectors stay off the per-dim exchanges") {
+    val p = finalPlan(graft.operators.SimilarityOps.centroidDrift(
+      spark, "/root/testdata/sf0.001"))
+    p.linesIterator.filter(_.contains("Exchange")).foreach { l =>
+      assert(!l.contains("embedding#"),
+        s"full embedding on a per-dim exchange: $l")
+    }
+  }
+
+  test("c95 url mortality: single documents scan pruned to doc_id+source; map-side agg") {
+    val p = finalPlan(graft.operators.RecrawlOps.urlMortality(
+      spark, "/root/testdata/sf0.001"))
+    val lines = p.linesIterator
+      .takeWhile(!_.contains("== Initial Plan ==")).toSeq
+    assert(lines.count(l =>
+      l.contains("Scan parquet") && l.contains("documents")) == 1,
+      s"expected 1 documents scan:\n$p")
+    assert(lines.exists(l =>
+      l.contains("HashAggregate") && l.contains("partial_")),
+      s"per-URL agg does not map-side-combine:\n$p")
+    p.linesIterator.filter(_.contains("ReadSchema")).foreach { l =>
+      assert(!l.contains("text") && !l.contains("n_chars") && !l.contains("lang"),
+        s"c95 scan reads unused columns: $l")
+    }
+  }
+
   test("t44 priority sample: tau side broadcasts; text never scanned or shuffled") {
     val p = finalPlan(graft.operators.TextOps.prioritySample(
       spark, "/root/testdata/sf0.001"))
