@@ -162,6 +162,16 @@ object SparkEntry {
     // history — terminal-streak classification, per-host rollup — oracled
     "c95_url_mortality" -> ((s, d) =>
       operators.RecrawlOps.urlMortality(s, d)),
+    // q81: Benford first-digit audit — digit via decimal substring,
+    // embedded ppm constants, integer shares — oracled
+    "q81_benford" -> ((s, d) => Relational.benfordPrices(s, d)),
+    // t52: diversity-saturation curve — per-shard new-type yield from a
+    // single min-agg first-occurrence pass, BIGINT bp — oracled
+    "t52_diversity_curve" -> ((s, d) => TextOps.diversityCurve(s, d)),
+    // c96: Cho-Garcia-Molina change-rate estimator + revisit policy —
+    // pooled per-host k/n with capped corner, banded — oracled
+    "c96_change_rate" -> ((s, d) =>
+      operators.RecrawlOps.changeRatePolicy(s, d)),
     "q22_levenshtein" -> ((s, d) => Relational.levenshteinDocs(s, d)),
     "q23_percentile" -> ((s, d) => Relational.percentiles(s, d)),
     "q24_window_misc" -> ((s, d) => Relational.windowMisc(s, d)),
@@ -3249,6 +3259,35 @@ object SparkEntry {
         |    * sqrt((CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))
         |      / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))), 4) AS c_stat
         |FROM g ORDER BY type_a, type_b""".stripMargin,
+    // q81: same decimal-substring digit, same embedded ppm constants,
+    // same (O-E)^2/E association
+    "q81_benford" ->
+      """WITH cents AS (
+        |  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders
+        |), d AS (
+        |  SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS BIGINT)
+        |    AS digit
+        |  FROM cents WHERE cents > 0
+        |), obs AS (
+        |  SELECT digit, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY 1
+        |), tot AS (SELECT CAST(sum(n) AS BIGINT) AS nt FROM obs),
+        |bf AS (
+        |  SELECT * FROM (VALUES (1, 301030), (2, 176091), (3, 124939),
+        |    (4, 96910), (5, 79181), (6, 66947), (7, 57992), (8, 51153),
+        |    (9, 45757)) AS v(digit, exp_ppm)
+        |), j AS (
+        |  SELECT CAST(bf.digit AS BIGINT) AS digit,
+        |    coalesce(obs.n, 0) AS n,
+        |    CAST(bf.exp_ppm AS BIGINT) AS exp_ppm, nt,
+        |    CAST(nt * bf.exp_ppm AS DOUBLE) / 1e6 AS e
+        |  FROM bf LEFT JOIN obs ON obs.digit = bf.digit CROSS JOIN tot
+        |)
+        |SELECT digit, n, (1000000 * n) // nt AS obs_ppm, exp_ppm,
+        |  (1000000 * n) // nt - exp_ppm AS delta_ppm,
+        |  round((CAST(n AS DOUBLE) - e) * (CAST(n AS DOUBLE) - e) / e, 4)
+        |    AS chi2_term
+        |FROM j ORDER BY digit""".stripMargin,
     // q78: same integer-log quantization (t45 discipline), same three
     // sums; the exact decomposition identity is hashed via the boolean
     "q78_theil" ->
@@ -3427,6 +3466,44 @@ object SparkEntry {
           |    - CAST(round(log2(bytes_before) * 1e6) AS BIGINT)
           |    + CAST(round(log2(tot_before) * 1e6) AS BIGINT)) AS klq_term
           |FROM j CROSS JOIN tot ORDER BY lang""".stripMargin),
+    // t52: same word-3-gram shingles over RAW documents (no plant);
+    // first-occurrence min + cumulative window, BIGINT bp
+    "t52_diversity_curve" ->
+      """WITH toks AS (
+        |  SELECT doc_id, doc_id // 100 AS shard,
+        |    regexp_split_to_array(trim(text), '\s+') AS t
+        |  FROM documents
+        |), sh AS (
+        |  SELECT DISTINCT shard, t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+        |    AS sh
+        |  FROM (SELECT doc_id, shard, t,
+        |    unnest(generate_series(1, greatest(len(t)-2, 0))) AS i
+        |    FROM toks)
+        |), fo AS (
+        |  SELECT sh, min(shard) AS first_shard FROM sh GROUP BY sh
+        |), pershard AS (
+        |  SELECT shard, CAST(count(*) AS BIGINT) AS n_types
+        |  FROM sh GROUP BY shard
+        |), news AS (
+        |  SELECT first_shard AS shard, CAST(count(*) AS BIGINT)
+        |    AS n_new_types
+        |  FROM fo GROUP BY 1
+        |), nd AS (
+        |  SELECT doc_id // 100 AS shard, CAST(count(*) AS BIGINT)
+        |    AS n_docs
+        |  FROM documents GROUP BY 1
+        |)
+        |SELECT p.shard, nd.n_docs, p.n_types,
+        |  coalesce(nw.n_new_types, 0) AS n_new_types,
+        |  CAST(sum(coalesce(nw.n_new_types, 0)) OVER (ORDER BY p.shard
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS cum_types,
+        |  (10000 * coalesce(nw.n_new_types, 0)) // p.n_types
+        |    AS novelty_bp
+        |FROM pershard p
+        |JOIN nd ON nd.shard = p.shard
+        |LEFT JOIN news nw ON nw.shard = p.shard
+        |ORDER BY p.shard""".stripMargin,
     // t48: t07's reachability CTE, then the same two group-bys
     "t48_cluster_sizes" ->
       (ngramPairSql +
@@ -3513,6 +3590,42 @@ object SparkEntry {
         |  coalesce(min(CASE WHEN state = 'tombstoned' THEN last_ok + 1
         |    END), -1) AS earliest_tombstone_epoch
         |FROM cls GROUP BY host ORDER BY host""".stripMargin,
+    // c96: same md5 synthesis and tier thresholds; lambda/interval from
+    // the identical capped rational
+    "c96_change_rate" ->
+      """WITH vis AS (
+        |  SELECT doc_id, source AS host,
+        |    ('0x' || substr(md5('rvh:' || source), 1, 6))::BIGINT % 3
+        |      AS tier,
+        |    CAST(e.e AS BIGINT) AS e,
+        |    ('0x' || substr(md5('rv:' || doc_id || ':' ||
+        |      CAST(e.e AS VARCHAR)), 1, 6))::BIGINT % 100 AS h
+        |  FROM documents, (SELECT unnest(generate_series(1, 8)) AS e) e
+        |), ch AS (
+        |  SELECT host,
+        |    CASE WHEN h < (CASE tier WHEN 0 THEN 5 WHEN 1 THEN 25
+        |      ELSE 60 END) THEN 1 ELSE 0 END AS changed
+        |  FROM vis
+        |), per AS (
+        |  SELECT host,
+        |    CAST(count(*) // 8 AS BIGINT) AS n_urls,
+        |    CAST(count(*) AS BIGINT) AS n_visits,
+        |    CAST(sum(changed) AS BIGINT) AS k_sum
+        |  FROM ch GROUP BY host
+        |), capped AS (
+        |  SELECT *, least(k_sum, n_visits - 1) AS k_capped,
+        |    CAST(least(k_sum, n_visits - 1) AS DOUBLE)
+        |      / CAST(n_visits AS DOUBLE) AS x
+        |  FROM per
+        |)
+        |SELECT host, n_urls, n_visits, k_sum,
+        |  (10000 * k_sum) // n_visits AS change_bp,
+        |  round(-ln(1.0 - x), 4) AS lambda_per_epoch,
+        |  round(1.0 / -ln(1.0 - x), 4) AS revisit_epochs,
+        |  CASE WHEN (10000 * k_sum) // n_visits >= 4000 THEN 'hot'
+        |       WHEN (10000 * k_sum) // n_visits >= 1500 THEN 'warm'
+        |       ELSE 'cold' END AS band
+        |FROM capped ORDER BY host""".stripMargin,
     // c92: identical md5 change draws + integer intervals (c45 parity),
     // identical age round-robin, BIGINT rollup
     "c92_freshness_sla" ->

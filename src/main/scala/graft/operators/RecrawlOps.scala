@@ -262,4 +262,54 @@ object RecrawlOps {
           .as("earliest_tombstone_epoch"))
       .orderBy("host")
   }
+
+  /** c96 — CHANGE-RATE ESTIMATION + revisit-interval policy (Cho &
+    * Garcia-Molina, TOIT'03 "Effective page refresh policies"): pages
+    * change as Poisson processes with per-page rate λ; a crawler that
+    * only OBSERVES change/no-change per visit estimates λ̂ = −ln(1−k/n)
+    * (k of n visits showed a change — naive k/n underestimates because
+    * multiple changes between visits collapse into one observation),
+    * and the freshness-optimal revisit interval scales as 1/λ. Per
+    * host, over the md5-synthesized visit history (three planted
+    * change-rate tiers keyed off the host hash): pooled change counts
+    * (BIGINT), change share in bp, λ̂ per epoch and the implied revisit
+    * interval as the two rounded doubles, and an integer-thresholded
+    * hot/warm/cold band — the direct input to c25's recrawl scheduling
+    * and c34's budget split. The k = n corner (every visit changed) is
+    * deterministically capped one observation short so λ̂ stays finite.
+    *
+    * Scale: ids-only scan → synthesized visits → ONE map-side-combined
+    * host agg; no window, no join.
+    */
+  def changeRatePolicy(spark: SparkSession, dir: String): DataFrame = {
+    val visits = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("source").as("host"))
+      .withColumn("tier",
+        conv(substring(md5(concat(lit("rvh:"), col("host"))), 1, 6),
+          16, 10).cast("long") % 3L)
+      .withColumn("e", explode(sequence(lit(1L), lit(FcEpochs.toLong))))
+      .withColumn("h",
+        conv(substring(md5(concat(lit("rv:"), col("doc_id"), lit(":"),
+          col("e").cast("string"))), 1, 6), 16, 10).cast("long") % 100L)
+      .withColumn("changed",
+        when(col("h") < when(col("tier") === 0L, 5L)
+          .when(col("tier") === 1L, 25L).otherwise(60L), 1L)
+          .otherwise(0L))
+    val per = visits.groupBy("host")
+      .agg((count(lit(1)) / lit(FcEpochs.toLong)).cast("long").as("n_urls"),
+        count(lit(1)).as("n_visits"),
+        sum("changed").as("k_sum"))
+      .withColumn("k_capped", least(col("k_sum"), col("n_visits") - 1L))
+      .withColumn("x",
+        col("k_capped").cast("double") / col("n_visits").cast("double"))
+    per.select(col("host"), col("n_urls"), col("n_visits"), col("k_sum"),
+        expr("(10000 * k_sum) div n_visits").as("change_bp"),
+        round(-log(lit(1.0) - col("x")), 4).as("lambda_per_epoch"),
+        round(lit(1.0) / -log(lit(1.0) - col("x")), 4)
+          .as("revisit_epochs"),
+        when(expr("(10000 * k_sum) div n_visits") >= 4000L, lit("hot"))
+          .when(expr("(10000 * k_sum) div n_visits") >= 1500L, lit("warm"))
+          .otherwise(lit("cold")).as("band"))
+      .orderBy("host")
+  }
 }

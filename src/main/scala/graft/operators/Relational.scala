@@ -1589,4 +1589,45 @@ object Relational {
           .as("c_stat"))
       .orderBy("type_a", "type_b")
   }
+
+  /** q81 — BENFORD first-digit audit (Newcomb 1881 / Benford '38) over
+    * order totals: naturally-grown magnitudes follow P(d) = log10(1+1/d);
+    * synthetic, capped, or fabricated values don't — the classic
+    * anomaly screen for any "organic" numeric column (payment amounts,
+    * byte counts, fetch sizes). Engine-exact construction: the value
+    * becomes BIGINT cents, the first significant digit is a SUBSTRING of
+    * its decimal rendering (no float log10 anywhere near the data), the
+    * expected Benford shares are nine embedded ppm CONSTANTS (rounded
+    * log10(1+1/d)·1e6 — no libm call in either engine), and observed
+    * shares/deltas are integer ppm. The per-digit chi-square
+    * contribution (O−E)²/E is the single rounded double, from the same
+    * integers with the same association in both engines.
+    *
+    * Scale: one pruned scan → 9-row digit histogram (map-side combined);
+    * everything after is constant-size.
+    */
+  def benfordPrices(spark: SparkSession, dir: String): DataFrame = {
+    val benford = spark.createDataFrame(Seq(
+      (1L, 301030L), (2L, 176091L), (3L, 124939L), (4L, 96910L),
+      (5L, 79181L), (6L, 66947L), (7L, 57992L), (8L, 51153L),
+      (9L, 45757L))).toDF("digit", "exp_ppm")
+    val obs = t(spark, dir, "orders")
+      .select(round(col("o_totalprice") * 100).cast("long").as("cents"))
+      .where(col("cents") > 0L)
+      .select(substring(col("cents").cast("string"), 1, 1).cast("long")
+        .as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n"))
+    val tot = obs.agg(sum("n").as("nt"))
+    broadcast(benford).join(obs, Seq("digit"), "left")
+      .withColumn("n", coalesce(col("n"), lit(0L)))
+      .crossJoin(broadcast(tot))
+      .withColumn("e", (col("nt") * col("exp_ppm")).cast("double") / 1e6)
+      .select(col("digit"), col("n"),
+        expr("(1000000 * n) div nt").as("obs_ppm"), col("exp_ppm"),
+        (expr("(1000000 * n) div nt") - col("exp_ppm")).as("delta_ppm"),
+        round((col("n").cast("double") - col("e"))
+          * (col("n").cast("double") - col("e")) / col("e"), 4)
+          .as("chi2_term"))
+      .orderBy("digit")
+  }
 }

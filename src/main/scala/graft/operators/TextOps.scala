@@ -1943,4 +1943,50 @@ object TextOps {
           .as("bits_per_bigram"))
       .orderBy("doc_id")
   }
+
+  /** t52 — corpus DIVERSITY-SATURATION curve: as the corpus grows in
+    * acquisition order (doc_id shards of `shardSize`), how many NEW
+    * distinct word-3-grams does each shard still contribute? t28 scores
+    * a DOCUMENT's novelty against the finished corpus; this scores the
+    * GROWTH — the curve every "should we crawl more of this source?"
+    * decision reads: when new-type yield per shard flattens (Heaps'-law
+    * saturation), additional same-source data buys tokens but no
+    * diversity, and the budget belongs elsewhere (c34/c54). Per shard:
+    * docs, distinct types present, types whose corpus-FIRST occurrence
+    * is this shard, the cumulative type count, and new-type yield in
+    * integer basis points — all BIGINT.
+    *
+    * Scale: shingles explode once; first-occurrence is ONE min-agg per
+    * type (map-side combined, id+hash-sized rows — at 100 TB the string
+    * shingle would be the xxhash64 key, kept as text here only for the
+    * DuckDB mirror); the curve itself is |shards| rows through a
+    * single-partition window — a driver-sized aggregate, not a data
+    * exchange.
+    */
+  def diversityCurve(spark: SparkSession, dir: String,
+                     shardSize: Long = 100L): DataFrame = {
+    val sh = wordShingleStrings(docs(spark, dir).select("doc_id", "text"))
+      .withColumn("shard", expr(s"doc_id div $shardSize"))
+    val pres = sh.select(col("shard"), col("sh")).distinct()
+    val firstOcc = pres.groupBy("sh").agg(min("shard").as("first_shard"))
+    val perShard = pres.groupBy("shard").agg(count(lit(1)).as("n_types"))
+    val news = firstOcc.groupBy("first_shard")
+      .agg(count(lit(1)).as("n_new_types"))
+    val nDocs = docs(spark, dir)
+      .select(expr(s"doc_id div $shardSize").as("shard"))
+      .groupBy("shard").agg(count(lit(1)).as("n_docs"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy("shard")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    perShard
+      .join(nDocs, Seq("shard"))
+      .join(news.withColumnRenamed("first_shard", "shard"), Seq("shard"),
+        "left")
+      .withColumn("n_new_types", coalesce(col("n_new_types"), lit(0L)))
+      .withColumn("cum_types", sum("n_new_types").over(w))
+      .withColumn("novelty_bp", expr("(10000 * n_new_types) div n_types"))
+      .select("shard", "n_docs", "n_types", "n_new_types", "cum_types",
+        "novelty_bp")
+      .orderBy("shard")
+  }
 }

@@ -961,6 +961,42 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q81 benford: single orders scan pruned to o_totalprice; constants broadcast") {
+    val p = finalPlan(graft.operators.Relational.benfordPrices(
+      spark, "/root/testdata/sf0.001"))
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      s"benford constants/total do not broadcast:\n$p")
+    p.linesIterator.filter(_.contains("ReadSchema")).foreach { l =>
+      assert(l.contains("struct<o_totalprice:double>"),
+        s"q81 scan reads more than o_totalprice: $l")
+    }
+  }
+
+  test("t52 diversity curve: raw text stays off the type-count exchanges") {
+    val p = finalPlan(graft.operators.TextOps.diversityCurve(
+      spark, "/root/testdata/sf0.001"))
+    p.linesIterator.filter(_.contains("Exchange")).foreach { l =>
+      assert(!l.contains("text#"), s"text on a diversity exchange: $l")
+    }
+  }
+
+  test("c96 change rate: single documents scan pruned to doc_id+source; map-side agg") {
+    val p = finalPlan(graft.operators.RecrawlOps.changeRatePolicy(
+      spark, "/root/testdata/sf0.001"))
+    val lines = p.linesIterator
+      .takeWhile(!_.contains("== Initial Plan ==")).toSeq
+    assert(lines.count(l =>
+      l.contains("Scan parquet") && l.contains("documents")) == 1,
+      s"expected 1 documents scan:\n$p")
+    assert(lines.exists(l =>
+      l.contains("HashAggregate") && l.contains("partial_")),
+      s"per-host agg does not map-side-combine:\n$p")
+    p.linesIterator.filter(_.contains("ReadSchema")).foreach { l =>
+      assert(!l.contains("text") && !l.contains("n_chars") && !l.contains("lang"),
+        s"c96 scan reads unused columns: $l")
+    }
+  }
+
   test("t44 priority sample: tau side broadcasts; text never scanned or shuffled") {
     val p = finalPlan(graft.operators.TextOps.prioritySample(
       spark, "/root/testdata/sf0.001"))
