@@ -165,6 +165,17 @@ object SparkEntry {
     // q81: Benford first-digit audit — digit via decimal substring,
     // embedded ppm constants, integer shares — oracled
     "q81_benford" -> ((s, d) => Relational.benfordPrices(s, d)),
+    // q82: Theil-Sen robust slope — median pairwise rational under a
+    // fully deterministic order, exact dy/dx shipped — oracled
+    "q82_theil_sen" -> ((s, d) => Relational.theilSenSupplier(s, d)),
+    // g18: hop-distance histogram + effective diameter — all-source
+    // bounded BFS, cumulative bp, 90% flag — oracled
+    "g18_effective_diameter" -> ((s, d) =>
+      operators.GraphOps.distanceHistogram(s, d)),
+    // emb22: per-dim variance profile + participation-ratio effective
+    // dimensionality — exact integer moments per coordinate — oracled
+    "emb22_dim_variance" -> ((s, d) =>
+      operators.SimilarityOps.dimVarianceAudit(s, d)),
     // t52: diversity-saturation curve — per-shard new-type yield from a
     // single min-agg first-occurrence pass, BIGINT bp — oracled
     "t52_diversity_curve" -> ((s, d) => TextOps.diversityCurve(s, d)),
@@ -3175,6 +3186,38 @@ object SparkEntry {
     "g16_transitivity" -> operators.GraphOps.transitivityOracleSql(),
     // g17: same thinned edges, pivot rule, and unrolled closures
     "g17_bowtie" -> operators.GraphOps.bowTieOracleSql(),
+    // g18: all-source unrolled BFS + identical histogram arithmetic
+    "g18_effective_diameter" ->
+      operators.GraphOps.distanceHistogramOracleSql(),
+    // q82: same per-supplier integer basis, same deterministic
+    // (slope, dy, dx, pair) order, same lower-median pick
+    "q82_theil_sen" ->
+      """WITH per AS (
+        |  SELECT l_returnflag, l_suppkey,
+        |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty,
+        |    CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+        |      AS BIGINT) AS cents
+        |  FROM lineitem GROUP BY 1, 2
+        |), s AS (
+        |  SELECT a.l_returnflag,
+        |    b.qty - a.qty AS dx, b.cents - a.cents AS dy,
+        |    CAST(b.cents - a.cents AS DOUBLE)
+        |      / CAST(b.qty - a.qty AS DOUBLE) AS slope,
+        |    a.l_suppkey AS ka, b.l_suppkey AS kb
+        |  FROM per a JOIN per b ON a.l_returnflag = b.l_returnflag
+        |    AND a.l_suppkey < b.l_suppkey
+        |  WHERE b.qty - a.qty <> 0
+        |), r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY l_returnflag
+        |      ORDER BY slope, dy, dx, ka, kb) AS rn,
+        |    count(*) OVER (PARTITION BY l_returnflag) AS m
+        |  FROM s
+        |)
+        |SELECT l_returnflag, CAST(m AS BIGINT) AS n_pairs,
+        |  dy AS med_dy, dx AS med_dx,
+        |  round(slope, 6) AS theil_sen_slope
+        |FROM r WHERE rn = (m + 1) // 2
+        |ORDER BY l_returnflag""".stripMargin,
     // q79: same doubled-tied-rank histogram; z from identical integers
     // with identical association
     "q79_mannwhitney" ->
@@ -3889,6 +3932,40 @@ object SparkEntry {
         |    / CAST(count(*) AS DOUBLE)) / (CAST(max(n) AS DOUBLE) * 1e6),
         |    6) AS rms_drift
         |FROM j GROUP BY label ORDER BY label""".stripMargin,
+    // emb22: same quantized per-dim moments; variance/PR from identical
+    // integers with identical association
+    "emb22_dim_variance" ->
+      """WITH pd AS (
+        |  SELECT CAST(unnest(range(0, len(embedding))) AS BIGINT) AS dim,
+        |    CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1e6)
+        |      AS BIGINT) AS xq
+        |  FROM embeddings
+        |), m AS (
+        |  SELECT dim, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(xq) AS BIGINT) AS s_q,
+        |    CAST(sum(xq * xq) AS BIGINT) AS ss_q
+        |  FROM pd GROUP BY dim
+        |), v AS (
+        |  SELECT *,
+        |    CAST(ss_q AS DOUBLE) / CAST(n AS DOUBLE) / 1e12
+        |      - (CAST(s_q AS DOUBLE) / CAST(n AS DOUBLE) / 1e6)
+        |      * (CAST(s_q AS DOUBLE) / CAST(n AS DOUBLE) / 1e6)
+        |      AS variance
+        |  FROM m
+        |), q AS (
+        |  SELECT *, CAST(round(variance * 1e9) AS BIGINT) AS vq FROM v
+        |), t AS (
+        |  SELECT CAST(sum(vq) AS BIGINT) AS sv,
+        |    CAST(sum(vq * vq) AS BIGINT) AS svv
+        |  FROM q
+        |)
+        |SELECT dim, n, s_q, ss_q,
+        |  round(CAST(s_q AS DOUBLE) / CAST(n AS DOUBLE) / 1e6, 6) AS mean,
+        |  round(variance, 6) AS variance,
+        |  vq < 100000 AS dead,
+        |  round((CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE))
+        |    / CAST(svv AS DOUBLE), 4) AS effective_dims
+        |FROM q CROSS JOIN t ORDER BY dim""".stripMargin,
     // q75: same rank ranges (tie order cannot matter — rank-range sums
     // select a fixed multiset of values), same integer sums, one rounded
     // division each — hash-exact

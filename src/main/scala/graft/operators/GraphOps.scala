@@ -1296,6 +1296,102 @@ object GraphOps {
          |ORDER BY h.source""".stripMargin
   }
 
+  /** g18 — hop-DISTANCE HISTOGRAM + EFFECTIVE DIAMETER of the host
+    * graph (Leskovec-Kleinberg-Faloutsos KDD'05 shrinking-diameters
+    * metric): all-source bounded BFS (the g12/g13 kernel with every
+    * host as a seed — the host graph is small enough that all-pairs is
+    * the honest form; at larger graphs the standard estimator swaps in
+    * a seed sample, which is exactly `multiSourceHops` with fewer
+    * seeds) → ordered-pair count per distance, cumulative share in
+    * integer bp, and the effective-diameter flag on the first distance
+    * covering ≥90% of reachable pairs. The one-number companion to
+    * g13's per-node centrality: a growing effective diameter across
+    * crawl epochs means new content is arriving at the fringe, a
+    * shrinking one means densification — both retune the frontier's
+    * per-hop discovery budget.
+    *
+    * Scale: the BFS is per round one key join + distinct over
+    * (seed, node) id pairs; the histogram is ≤`rounds` rows through a
+    * single-partition window — driver-sized.
+    */
+  def distanceHistogram(spark: SparkSession, dir: String,
+                        rounds: Int = 6): DataFrame = {
+    val seeds = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("source")).distinct()
+      .select(col("source").as("node"))
+    val d = multiSourceHops(denseSourceEdges(spark, dir), seeds, rounds)
+      .where(col("dist") >= 1L)
+    val total = d.agg(count(lit(1)).as("total_pairs"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy("dist")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    d.groupBy("dist").agg(count(lit(1)).as("n_pairs"))
+      .withColumn("cum_pairs", sum("n_pairs").over(w))
+      .crossJoin(broadcast(total))
+      .select(col("dist"), col("n_pairs"), col("cum_pairs"),
+        col("total_pairs"),
+        expr("(10000 * cum_pairs) div total_pairs").as("cum_bp"),
+        (expr("(10000 * cum_pairs) div total_pairs") >= 9000L
+          && expr("(10000 * (cum_pairs - n_pairs)) div total_pairs")
+            < 9000L).as("is_effective_diameter"))
+      .orderBy("dist")
+  }
+
+  /** Unrolled DuckDB mirror of `distanceHistogram`: the g13 multi-seed
+    * steps with seeds = every host, then the same histogram arithmetic.
+    */
+  def distanceHistogramOracleSql(rounds: Int = 6): String = {
+    val prefix =
+      """WITH docs AS (SELECT doc_id, source FROM documents),
+        |cnt AS (SELECT count(*) AS c FROM docs),
+        |cites AS (
+        |  SELECT source AS src, (doc_id * 17 + 3) % c AS cited FROM docs, cnt
+        |  UNION ALL
+        |  SELECT source, (doc_id * doc_id * 7 + doc_id * 31 + 5) % c
+        |  FROM docs, cnt),
+        |dedges AS (
+        |  SELECT DISTINCT a.src, b.source AS dst
+        |  FROM cites a JOIN docs b ON b.doc_id = a.cited
+        |  WHERE a.src <> b.source),
+        |und AS (
+        |  SELECT DISTINCT a, b FROM (
+        |    SELECT src AS a, dst AS b FROM dedges
+        |    UNION ALL
+        |    SELECT dst, src FROM dedges)
+        |  WHERE a <> b),
+        |d0 AS (SELECT source AS seed, source AS node,
+        |  CAST(0 AS BIGINT) AS dist FROM (SELECT DISTINCT source FROM documents))"""
+        .stripMargin
+    val steps = (1 to rounds).map { i =>
+      s"""d$i AS (
+         |  SELECT seed, node, min(dist) AS dist FROM (
+         |    SELECT seed, node, dist FROM d${i - 1}
+         |    UNION ALL
+         |    SELECT r.seed, u.b AS node, r.dist + 1 AS dist
+         |    FROM und u JOIN d${i - 1} r ON r.node = u.a)
+         |  GROUP BY seed, node)""".stripMargin
+    }.mkString(",\n", ",\n", ",\n")
+    prefix + steps +
+      s"""reach AS (SELECT dist FROM d$rounds WHERE dist >= 1),
+         |tot AS (SELECT CAST(count(*) AS BIGINT) AS total_pairs FROM reach),
+         |hist AS (
+         |  SELECT dist, CAST(count(*) AS BIGINT) AS n_pairs
+         |  FROM reach GROUP BY dist
+         |), cum AS (
+         |  SELECT dist, n_pairs,
+         |    CAST(sum(n_pairs) OVER (ORDER BY dist
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |      AS BIGINT) AS cum_pairs
+         |  FROM hist
+         |)
+         |SELECT dist, n_pairs, cum_pairs, total_pairs,
+         |  (10000 * cum_pairs) // total_pairs AS cum_bp,
+         |  (10000 * cum_pairs) // total_pairs >= 9000
+         |    AND (10000 * (cum_pairs - n_pairs)) // total_pairs < 9000
+         |    AS is_effective_diameter
+         |FROM cum CROSS JOIN tot ORDER BY dist""".stripMargin
+  }
+
   /** g17's edge derivation: the two citation maps of `denseSourceEdges`,
     * each THINNED to a residue class (linear map on doc_id % 5 == 0,
     * quadratic on doc_id % 6 == 1). The dense two-map graph is strongly

@@ -1630,4 +1630,44 @@ object Relational {
           .as("chi2_term"))
       .orderBy("digit")
   }
+
+  /** q82 — THEIL-SEN robust slope per group (Theil '50 / Sen '68): the
+    * median of all pairwise slopes — the robust counterpart of q68's
+    * least-squares fit, immune to the outlier entities that drag OLS
+    * (one host with a byte-count spike bends q68's line; it moves
+    * Theil-Sen by one rank). Same per-supplier integer basis as
+    * q77's Kendall (volume vs revenue cents); each pairwise slope is a
+    * RATIONAL dy/dx whose double rendering is identical in both engines,
+    * the lower median is picked by row_number under a fully
+    * deterministic (slope, dy, dx, entity-pair) order, and the chosen
+    * pair's dy/dx ship as exact BIGINTs next to the rounded slope.
+    *
+    * Scale: pairs form over per-entity AGGREGATES (q77's shape — never
+    * over fact rows); exchanges carry (flag, key, two longs).
+    */
+  def theilSenSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val per = t(spark, dir, "lineitem")
+      .groupBy("l_returnflag", "l_suppkey")
+      .agg(sum(col("l_quantity").cast("long")).as("qty"),
+        sum(round(col("l_extendedprice") * 100).cast("long")).as("cents"))
+    val a = per.select(col("l_returnflag"), col("l_suppkey").as("ka"),
+      col("qty").as("xa"), col("cents").as("ya"))
+    val b = per.select(col("l_returnflag"), col("l_suppkey").as("kb"),
+      col("qty").as("xb"), col("cents").as("yb"))
+    val slopes = a.join(b, Seq("l_returnflag")).where(col("ka") < col("kb"))
+      .withColumn("dx", col("xb") - col("xa"))
+      .withColumn("dy", col("yb") - col("ya"))
+      .where(col("dx") =!= 0L)
+      .withColumn("slope", col("dy").cast("double") / col("dx").cast("double"))
+    val w = Window.partitionBy("l_returnflag")
+      .orderBy(col("slope"), col("dy"), col("dx"), col("ka"), col("kb"))
+    slopes
+      .withColumn("rn", row_number().over(w))
+      .withColumn("m", count(lit(1)).over(Window.partitionBy("l_returnflag")))
+      .where(col("rn") === expr("(m + 1) div 2"))
+      .select(col("l_returnflag"), col("m").as("n_pairs"),
+        col("dy").as("med_dy"), col("dx").as("med_dx"),
+        round(col("slope"), 6).as("theil_sen_slope"))
+      .orderBy("l_returnflag")
+  }
 }

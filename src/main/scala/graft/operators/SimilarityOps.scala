@@ -1303,4 +1303,48 @@ object SimilarityOps {
           / (col("n").cast("double") * 1e6), 6).as("rms_drift"))
       .orderBy("label")
   }
+
+  /** emb22 — per-DIMENSION VARIANCE profile + EFFECTIVE DIMENSIONALITY
+    * of the embedding space: dead dimensions (variance ≈ 0) waste index
+    * width, dominated ones defeat LSH hyperplanes and IVF residuals
+    * alike — this is the "is the encoder using its width?" audit read
+    * before sizing emb04/emb13's structures. Per dim: exact BIGINT
+    * moments of the 1e6-quantized components (Σxq, Σxq² — the q67/q68
+    * integer-moment discipline applied per coordinate), mean/variance as
+    * single rounded doubles from those integers, and a dead-dim flag.
+    * The effective-dimension count is the participation ratio
+    * (Σv)²/Σv² (Gao et al.'17 neural-dimensionality usage) over
+    * 1e9-quantized variances — integer sums, one rounded division,
+    * replicated per row so the result stays one table.
+    *
+    * Scale: posexplode is a narrow map; the only exchange carries
+    * (dim, xq); dims-row window is driver-sized.
+    */
+  def dimVarianceAudit(spark: SparkSession, dir: String): DataFrame = {
+    val perDim = emb(spark, dir)
+      .select(posexplode(col("embedding")).as(Seq("dim", "x")))
+      .select(col("dim").cast("long").as("dim"),
+        round(col("x").cast("double") * 1e6).cast("long").as("xq"))
+      .groupBy("dim")
+      .agg(count(lit(1)).as("n"), sum("xq").as("s_q"),
+        sum(col("xq") * col("xq")).as("ss_q"))
+      .withColumn("variance",
+        col("ss_q").cast("double") / col("n").cast("double") / 1e12
+          - (col("s_q").cast("double") / col("n").cast("double") / 1e6)
+          * (col("s_q").cast("double") / col("n").cast("double") / 1e6))
+      .withColumn("vq", round(col("variance") * 1e9).cast("long"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(1))
+    perDim
+      .withColumn("sv", sum("vq").over(w))
+      .withColumn("svv", sum(col("vq") * col("vq")).over(w))
+      .select(col("dim"), col("n"), col("s_q"), col("ss_q"),
+        round(col("s_q").cast("double") / col("n").cast("double") / 1e6, 6)
+          .as("mean"),
+        round(col("variance"), 6).as("variance"),
+        (col("vq") < 100000L).as("dead"),
+        round((col("sv").cast("double") * col("sv").cast("double"))
+          / col("svv").cast("double"), 4).as("effective_dims"))
+      .orderBy("dim")
+  }
 }

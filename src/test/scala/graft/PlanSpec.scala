@@ -997,6 +997,34 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q82 theil-sen: pairs form over per-supplier aggregates; scan pruned to 4 columns") {
+    val p = finalPlan(graft.operators.Relational.theilSenSupplier(
+      spark, "/root/testdata/sf0.001"))
+    p.linesIterator.filter(_.contains("ReadSchema")).foreach { l =>
+      assert(!l.contains("l_shipdate") && !l.contains("l_orderkey")
+        && !l.contains("l_discount"),
+        s"q82 scan reads unused columns: $l")
+    }
+  }
+
+  test("g18 effective diameter: documents scans prune to doc_id+source") {
+    val p = finalPlan(graft.operators.GraphOps.distanceHistogram(
+      spark, "/root/testdata/sf0.001"))
+    p.linesIterator.filter(_.contains("ReadSchema")).foreach { l =>
+      assert(!l.contains("text") && !l.contains("n_chars") && !l.contains("lang"),
+        s"g18 scan reads unused columns: $l")
+    }
+  }
+
+  test("emb22 dim variance: whole vectors stay off the per-dim exchanges") {
+    val p = finalPlan(graft.operators.SimilarityOps.dimVarianceAudit(
+      spark, "/root/testdata/sf0.001"))
+    p.linesIterator.filter(_.contains("Exchange")).foreach { l =>
+      assert(!l.contains("embedding#"),
+        s"full embedding on a per-dim exchange: $l")
+    }
+  }
+
   test("t44 priority sample: tau side broadcasts; text never scanned or shuffled") {
     val p = finalPlan(graft.operators.TextOps.prioritySample(
       spark, "/root/testdata/sf0.001"))
