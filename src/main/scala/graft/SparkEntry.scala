@@ -176,6 +176,17 @@ object SparkEntry {
     // dimensionality — exact integer moments per coordinate — oracled
     "emb22_dim_variance" -> ((s, d) =>
       operators.SimilarityOps.dimVarianceAudit(s, d)),
+    // q83: Mann-Kendall monotone-trend test on daily series — BIGINT S
+    // + tie-corrected variance, continuity-corrected z — oracled
+    "q83_mann_kendall" -> ((s, d) => Relational.mannKendallTrend(s, d)),
+    // t53: contamination overlap curve at n = 5/8/13 — the n-sweep that
+    // calibrates t13's single-n choice, integer bp — oracled
+    "t53_contamination_curve" -> ((s, d) =>
+      TextOps.contaminationCurve(s, d)),
+    // emb23: k-NN label purity on a probe sample — exact brute cosine,
+    // emb01 tie-break, per-label purity in bp — oracled
+    "emb23_knn_purity" -> ((s, d) =>
+      operators.SimilarityOps.knnLabelPurity(s, d)),
     // t52: diversity-saturation curve — per-shard new-type yield from a
     // single min-agg first-occurrence pass, BIGINT bp — oracled
     "t52_diversity_curve" -> ((s, d) => TextOps.diversityCurve(s, d)),
@@ -1068,6 +1079,50 @@ object SparkEntry {
     * Jaccard >= 0.5 pairs), ending open so callers append further CTEs.
     * RECURSIVE is declared here because the appended `reach` CTE needs it.
     */
+  /** DuckDB mirror of TextOps.contaminationCurve: the t13 bench/corpus
+    * fixture with one distinct-hit join block per n-gram length.
+    */
+  private def contaminationCurveOracleSql(ns: Seq[Int]): String = {
+    def block(n: Int): String =
+      s"""  SELECT $n AS ngram_n,
+         |    CAST(count(DISTINCT c.doc_id) AS BIGINT) AS n_flagged_docs,
+         |    CAST(count(*) AS BIGINT) AS n_hits
+         |  FROM (
+         |    SELECT DISTINCT doc_id,
+         |      array_to_string(list_slice(t, i, i + ${n - 1}), ' ') AS ng
+         |    FROM (SELECT doc_id, t,
+         |      unnest(generate_series(1, greatest(len(t) - ${n - 1}, 0))) AS i
+         |      FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+')
+         |        AS t FROM corpus))
+         |  ) c JOIN (
+         |    SELECT DISTINCT
+         |      array_to_string(list_slice(t, i, i + ${n - 1}), ' ') AS ng
+         |    FROM (SELECT t,
+         |      unnest(generate_series(1, greatest(len(t) - ${n - 1}, 0))) AS i
+         |      FROM (SELECT regexp_split_to_array(trim(text), '\\s+')
+         |        AS t FROM bench))
+         |  ) b USING (ng)""".stripMargin
+    """WITH bench AS (
+      |  SELECT doc_id, text FROM documents WHERE doc_id % 23 = 0
+      |), corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 2000000 AS doc_id,
+      |    array_to_string(list_slice(regexp_split_to_array(trim(text), '\s+'), 1, 20), ' ')
+      |      || ' then entirely novel commentary continues past the quotation' AS text
+      |  FROM documents WHERE doc_id % 23 = 0
+      |), tot AS (SELECT CAST(count(*) AS BIGINT) AS n_corpus_docs FROM corpus),
+      |hits AS (
+      |""".stripMargin +
+      ns.map(block).mkString("\n  UNION ALL\n") +
+      """
+        |)
+        |SELECT CAST(ngram_n AS BIGINT) AS ngram_n, n_corpus_docs,
+        |  n_flagged_docs, n_hits,
+        |  (10000 * n_flagged_docs) // n_corpus_docs AS flagged_bp
+        |FROM hits CROSS JOIN tot ORDER BY ngram_n""".stripMargin
+  }
+
   private val ngramPairSql: String =
     """WITH RECURSIVE corpus AS (
       |  SELECT doc_id, text FROM documents
@@ -2701,6 +2756,9 @@ object SparkEntry {
         |SELECT c.doc_id, count(*) AS n_hits
         |FROM cng c JOIN bng b USING (ng)
         |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin,
+    // t53: the t13 fixture swept over n = 5/8/13 — per-n distinct-hit
+    // join blocks unioned into the curve
+    "t53_contamination_curve" -> contaminationCurveOracleSql(Seq(5, 8, 13)),
     // t14: unigram-LM perplexity filter — gibberish plant construction,
     // Laplace arithmetic, and the rounded-then-compared flag mirrored
     // exactly (ln's last-ulp differences die in the 4 dp rounding; the
@@ -3218,6 +3276,43 @@ object SparkEntry {
         |  round(slope, 6) AS theil_sen_slope
         |FROM r WHERE rn = (m + 1) // 2
         |ORDER BY l_returnflag""".stripMargin,
+    // q83: same daily aggregation, pair signs, tie correction, and
+    // continuity-corrected z
+    "q83_mann_kendall" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(count(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1, 2
+        |), s AS (
+        |  SELECT a.event_type, CAST(sum(sign(b.x - a.x)) AS BIGINT) AS s
+        |  FROM daily a JOIN daily b ON a.event_type = b.event_type
+        |    AND a.day < b.day
+        |  GROUP BY 1
+        |), ties AS (
+        |  SELECT event_type,
+        |    CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_term,
+        |    CAST(sum(t) AS BIGINT) AS n
+        |  FROM (SELECT event_type, x, CAST(count(*) AS BIGINT) AS t
+        |    FROM daily GROUP BY 1, 2)
+        |  GROUP BY 1
+        |), j AS (
+        |  SELECT s.event_type, s.s, ties.n,
+        |    n * (n - 1) * (2 * n + 5) - tie_term AS var18
+        |  FROM s JOIN ties USING (event_type)
+        |), zt AS (
+        |  SELECT *, CASE
+        |    WHEN s > 0 THEN (CAST(s AS DOUBLE) - 1.0)
+        |      / sqrt(CAST(var18 AS DOUBLE) / 18.0)
+        |    WHEN s < 0 THEN (CAST(s AS DOUBLE) + 1.0)
+        |      / sqrt(CAST(var18 AS DOUBLE) / 18.0)
+        |    ELSE 0.0 END AS z
+        |  FROM j
+        |)
+        |SELECT event_type, n AS n_days, s, var18, round(z, 4) AS z,
+        |  CASE WHEN round(z, 4) >= 1.96 THEN 'rising'
+        |       WHEN round(z, 4) <= -1.96 THEN 'falling'
+        |       ELSE 'no_trend' END AS verdict
+        |FROM zt ORDER BY event_type""".stripMargin,
     // q79: same doubled-tied-rank histogram; z from identical integers
     // with identical association
     "q79_mannwhitney" ->
@@ -3966,6 +4061,40 @@ object SparkEntry {
         |  round((CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE))
         |    / CAST(svv AS DOUBLE), 4) AS effective_dims
         |FROM q CROSS JOIN t ORDER BY dim""".stripMargin,
+    // emb23: emb01's exact cosine + tie-break over the probe sample,
+    // per-label purity from the same integers
+    "emb23_knn_purity" ->
+      """WITH p AS (
+        |  SELECT vec_id AS probe_id, embedding AS pvec,
+        |    CAST(label AS BIGINT) AS probe_label
+        |  FROM embeddings WHERE vec_id % 29 = 0
+        |), scored AS (
+        |  SELECT p.probe_id, p.probe_label, e.vec_id,
+        |    CAST(e.label AS BIGINT) AS nlabel,
+        |    list_aggregate(list_transform(generate_series(1, len(e.embedding)),
+        |      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(p.pvec[i] AS DOUBLE)), 'sum')
+        |    / (sqrt(list_aggregate(list_transform(e.embedding,
+        |         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
+        |     * sqrt(list_aggregate(list_transform(p.pvec,
+        |         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))) AS cos
+        |  FROM embeddings e, p
+        |  WHERE e.vec_id <> p.probe_id
+        |), top AS (
+        |  SELECT * FROM (
+        |    SELECT probe_id, probe_label, nlabel,
+        |      row_number() OVER (PARTITION BY probe_id
+        |        ORDER BY cos DESC, vec_id ASC) AS rank
+        |    FROM scored)
+        |  WHERE rank <= 5
+        |)
+        |SELECT probe_label AS label,
+        |  CAST(count(DISTINCT probe_id) AS BIGINT) AS n_probes,
+        |  CAST(count(*) AS BIGINT) AS n_neighbors,
+        |  CAST(sum(CASE WHEN nlabel = probe_label THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_matches,
+        |  (10000 * CAST(sum(CASE WHEN nlabel = probe_label THEN 1 ELSE 0
+        |    END) AS BIGINT)) // count(*) AS purity_bp
+        |FROM top GROUP BY 1 ORDER BY label""".stripMargin,
     // q75: same rank ranges (tie order cannot matter — rank-range sums
     // select a fixed multiset of values), same integer sums, one rounded
     // division each — hash-exact

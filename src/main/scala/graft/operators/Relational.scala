@@ -1670,4 +1670,53 @@ object Relational {
         round(col("slope"), 6).as("theil_sen_slope"))
       .orderBy("l_returnflag")
   }
+
+  /** q83 — MANN-KENDALL trend test per event type (Mann '45 / Kendall):
+    * the non-parametric "is this daily series trending?" monitor —
+    * q82/q68 fit a slope ACROSS entities; MK asks the TIME question the
+    * drift alarms (c90 CUSUM catches level SHIFTS) don't: a slow
+    * monotone creep that never trips a changepoint. S = Σ_{i<j}
+    * sign(x_j − x_i) over the daily-count series is BIGINT-exact, the
+    * tie-corrected variance numerator 18·Var(S) = n(n−1)(2n+5) −
+    * Σt(t−1)(2t+5) is BIGINT-exact, and the continuity-corrected z
+    * ((S−1)/σ for S>0, (S+1)/σ for S<0) is the single rounded double;
+    * verdict thresholded at |z| ≥ 1.96 in a deterministic CASE.
+    *
+    * Scale: the pair join is over per-DAY aggregates (≤ series length,
+    * tiny next to the event table); one scan feeds the day counts.
+    */
+  def mannKendallTrend(spark: SparkSession, dir: String): DataFrame = {
+    val daily = t(spark, dir, "events")
+      .select(col("event_type"), to_date(col("ts")).as("day"))
+      .groupBy("event_type", "day").agg(count(lit(1)).as("x"))
+    val a = daily.select(col("event_type"), col("day").as("da"),
+      col("x").as("xa"))
+    val b = daily.select(col("event_type"), col("day").as("db"),
+      col("x").as("xb"))
+    val s = a.join(b, Seq("event_type")).where(col("da") < col("db"))
+      .groupBy("event_type")
+      .agg(sum(signum((col("xb") - col("xa")).cast("double")).cast("long"))
+        .as("s"))
+    val ties = daily.groupBy("event_type", "x")
+      .agg(count(lit(1)).as("t"))
+      .groupBy("event_type")
+      .agg(sum(col("t") * (col("t") - 1L) * (lit(2L) * col("t") + 5L))
+        .as("tie_term"), sum("t").as("n"))
+    s.join(ties, Seq("event_type"))
+      .withColumn("var18",
+        col("n") * (col("n") - 1L) * (lit(2L) * col("n") + 5L)
+          - col("tie_term"))
+      .withColumn("z",
+        when(col("s") > 0L, (col("s").cast("double") - 1.0)
+          / sqrt(col("var18").cast("double") / 18.0))
+          .when(col("s") < 0L, (col("s").cast("double") + 1.0)
+            / sqrt(col("var18").cast("double") / 18.0))
+          .otherwise(lit(0.0)))
+      .select(col("event_type"), col("n").as("n_days"), col("s"),
+        col("var18"), round(col("z"), 4).as("z"),
+        when(round(col("z"), 4) >= 1.96, lit("rising"))
+          .when(round(col("z"), 4) <= -1.96, lit("falling"))
+          .otherwise(lit("no_trend")).as("verdict"))
+      .orderBy("event_type")
+  }
 }

@@ -1347,4 +1347,43 @@ object SimilarityOps {
           / col("svv").cast("double"), 4).as("effective_dims"))
       .orderBy("dim")
   }
+
+  /** emb23 — k-NN LABEL PURITY: the classifier-free embedding-quality
+    * eval — for a deterministic probe sample, what fraction of each
+    * probe's k=5 exact cosine neighbors share its label? High purity
+    * means the space separates the classes (and label-blind ANN returns
+    * semantically-consistent neighbors); a label whose purity craters
+    * after an encoder swap is the regression emb20/emb21 can't see
+    * (norms and centroids can survive a topology change). Exact
+    * brute-force with the emb01 tie-break (cos desc, vec_id asc);
+    * per-label match counts are BIGINT and purity ships in integer bp.
+    *
+    * Scale: this is the exact-eval form — probes broadcast, the corpus
+    * scans once, and only (probe, cos) pairs reach the per-probe top-k
+    * window; the production path for full-corpus purity is the ANN
+    * family (emb02/04/13) feeding the same counter.
+    */
+  def knnLabelPurity(spark: SparkSession, dir: String,
+                     k: Int = 5, sampleMod: Long = 29L): DataFrame = {
+    val e = emb(spark, dir)
+    val probes = e.where(pmod(col("vec_id"), lit(sampleMod)) === 0L)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pvec"),
+        col("label").as("probe_label"))
+    val scored = e.join(broadcast(probes), col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("probe_label"), col("vec_id"),
+        col("label"), cosineCol(col("embedding"), col("pvec")).as("cos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("probe_id").orderBy(col("cos").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .groupBy("probe_label")
+      .agg(countDistinct("probe_id").as("n_probes"),
+        count(lit(1)).as("n_neighbors"),
+        sum(when(col("label") === col("probe_label"), 1L).otherwise(0L))
+          .as("n_matches"))
+      .select(col("probe_label").cast("long").as("label"), col("n_probes"),
+        col("n_neighbors"), col("n_matches"),
+        expr("(10000 * n_matches) div n_neighbors").as("purity_bp"))
+      .orderBy("label")
+  }
 }

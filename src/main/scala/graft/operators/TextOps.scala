@@ -1989,4 +1989,38 @@ object TextOps {
         "novelty_bp")
       .orderBy("shard")
   }
+
+  /** t53 — CONTAMINATION OVERLAP CURVE at multiple n-gram lengths: t13
+    * flags docs at one fixed n; this draws the n-sweep every released
+    * decontamination report publishes (GPT-3 ran 13-grams, smaller n
+    * over-flags common phrases, larger n misses edited quotes) — the
+    * calibration that justifies the chosen n. Per n ∈ {5, 8, 13}:
+    * corpus docs with ≥1 benchmark n-gram hit, total distinct (doc,
+    * n-gram) hits, and the flagged share of the corpus in integer bp —
+    * the planted 20-token quotes stay flagged at every n while
+    * common-phrase noise must fall away as n grows.
+    *
+    * Scale: per n one benchmark-side distinct (broadcast — the eval set
+    * is tiny by construction) + one hash-join over hashed n-grams;
+    * three single-row aggregates union into the curve.
+    */
+  def contaminationCurve(spark: SparkSession, dir: String,
+                         ns: Seq[Int] = Seq(5, 8, 13)): DataFrame = {
+    val corpus = leakedCorpus(spark, dir)
+    val bench = benchmarkDocs(spark, dir)
+    val total = corpus.agg(count(lit(1)).as("n_corpus_docs"))
+    ns.map { n =>
+      val bng = wordNgrams(bench, n).select("ng").distinct()
+      wordNgrams(corpus, n).join(broadcast(bng), Seq("ng"))
+        .agg(countDistinct(col("doc_id")).as("n_flagged_docs"),
+          count(lit(1)).as("n_hits"))
+        .withColumn("ngram_n", lit(n.toLong))
+    }.reduce(_ unionByName _)
+      .crossJoin(broadcast(total))
+      .select(col("ngram_n"), col("n_corpus_docs"), col("n_flagged_docs"),
+        col("n_hits"),
+        expr("(10000 * n_flagged_docs) div n_corpus_docs")
+          .as("flagged_bp"))
+      .orderBy("ngram_n")
+  }
 }

@@ -1025,6 +1025,30 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q83 mann-kendall: pairs form over per-day aggregates; scan pruned to type+ts") {
+    val p = finalPlan(graft.operators.Relational.mannKendallTrend(
+      spark, "/root/testdata/sf0.001"))
+    p.linesIterator.filter(_.contains("ReadSchema")).foreach { l =>
+      assert(!l.contains("props") && !l.contains("user_id")
+        && !l.contains("value"),
+        s"q83 scan reads unused columns: $l")
+    }
+  }
+
+  test("t53 contamination curve: benchmark n-gram sides broadcast") {
+    val p = finalPlan(graft.operators.TextOps.contaminationCurve(
+      spark, "/root/testdata/sf0.001"))
+    assert(p.contains("BroadcastHashJoin"),
+      s"benchmark n-gram set does not broadcast:\n$p")
+  }
+
+  test("emb23 knn purity: probe sample broadcasts; corpus never self-joins by shuffle") {
+    val p = finalPlan(graft.operators.SimilarityOps.knnLabelPurity(
+      spark, "/root/testdata/sf0.001"))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"probe sample does not broadcast:\n$p")
+  }
+
   test("t44 priority sample: tau side broadcasts; text never scanned or shuffled") {
     val p = finalPlan(graft.operators.TextOps.prioritySample(
       spark, "/root/testdata/sf0.001"))
