@@ -187,6 +187,17 @@ object SparkEntry {
     // emb01 tie-break, per-label purity in bp — oracled
     "emb23_knn_purity" -> ((s, d) =>
       operators.SimilarityOps.knnLabelPurity(s, d)),
+    // q84: Gumbel block-maxima fit + 100-day return level — exact
+    // integer moments, embedded constants — oracled
+    "q84_gumbel_return" -> ((s, d) => Relational.gumbelReturnLevel(s, d)),
+    // c97: Goh-Barabasi arrival burstiness per event type — exact gap
+    // moments, B = (sd-mean)/(sd+mean) — oracled
+    "c97_burstiness" -> ((s, d) =>
+      operators.PacingOps.arrivalBurstiness(s, d)),
+    // g19: co-citation host similarity — shared-destination self-join,
+    // integer Jaccard over out-neighbor sets — oracled
+    "g19_cocitation" -> ((s, d) =>
+      operators.GraphOps.cocitationSimilarity(s, d)),
     // t52: diversity-saturation curve — per-shard new-type yield from a
     // single min-agg first-occurrence pass, BIGINT bp — oracled
     "t52_diversity_curve" -> ((s, d) => TextOps.diversityCurve(s, d)),
@@ -3247,6 +3258,76 @@ object SparkEntry {
     // g18: all-source unrolled BFS + identical histogram arithmetic
     "g18_effective_diameter" ->
       operators.GraphOps.distanceHistogramOracleSql(),
+    // g19: same dense edges, shared-destination join, integer Jaccard
+    "g19_cocitation" -> operators.GraphOps.cocitationOracleSql(),
+    // q84: same daily-max cents, exact moments, embedded sqrt6/pi and
+    // Euler constants, identical association
+    "q84_gumbel_return" ->
+      """WITH mx AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |    max(CAST(round(value * 100) AS BIGINT)) AS mx
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+        |), m AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_blocks,
+        |    CAST(sum(mx) AS BIGINT) AS s,
+        |    CAST(sum(mx * mx) AS BIGINT) AS ss
+        |  FROM mx GROUP BY 1
+        |), f AS (
+        |  SELECT *,
+        |    CAST(s AS DOUBLE) / n_blocks AS mean_max,
+        |    sqrt((CAST(ss AS DOUBLE) / n_blocks
+        |      - (CAST(s AS DOUBLE) / n_blocks)
+        |      * (CAST(s AS DOUBLE) / n_blocks))
+        |      * CAST(n_blocks AS DOUBLE)
+        |      / (CAST(n_blocks AS DOUBLE) - 1.0)) AS sd
+        |  FROM m
+        |), g AS (
+        |  SELECT *, sd * 0.7796968012336793 AS beta,
+        |    mean_max - 0.5772156649015329 * (sd * 0.7796968012336793)
+        |      AS mu
+        |  FROM f
+        |)
+        |SELECT event_type, n_blocks, s, ss,
+        |  round(mean_max, 4) AS mean_max,
+        |  round(sd, 4) AS sd_max,
+        |  round(mu, 4) AS gumbel_mu,
+        |  round(beta, 4) AS gumbel_beta,
+        |  round(mu - beta * ln(-ln(1.0 - 1.0 / 100.0)), 4)
+        |    AS return_level_100d
+        |FROM g ORDER BY event_type""".stripMargin,
+    // c97: same (ts, event_id)-ordered gaps in exact ms; variance in
+    // doubles from the integer moments, B rounded before banding
+    "c97_burstiness" ->
+      """WITH t AS (
+        |  SELECT event_type, event_id, epoch_ms(ts) AS ms FROM events
+        |), g AS (
+        |  SELECT event_type,
+        |    ms - lag(ms) OVER (PARTITION BY event_type
+        |      ORDER BY ms, event_id) AS g
+        |  FROM t
+        |), m AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_gaps,
+        |    CAST(sum(g) AS BIGINT) AS s, CAST(sum(g * g) AS BIGINT) AS ss
+        |  FROM g WHERE g IS NOT NULL GROUP BY 1
+        |), f AS (
+        |  SELECT *, CAST(s AS DOUBLE) / n_gaps AS mean,
+        |    sqrt((CAST(ss AS DOUBLE) / n_gaps
+        |      - (CAST(s AS DOUBLE) / n_gaps)
+        |      * (CAST(s AS DOUBLE) / n_gaps))
+        |      * CAST(n_gaps AS DOUBLE)
+        |      / (CAST(n_gaps AS DOUBLE) - 1.0)) AS sd
+        |  FROM m
+        |), b AS (
+        |  SELECT *, round((sd - mean) / (sd + mean), 4) AS b FROM f
+        |)
+        |SELECT event_type, n_gaps, s, ss,
+        |  round(mean, 2) AS mean_gap_ms,
+        |  round(sd / mean, 4) AS cv,
+        |  b AS burstiness,
+        |  CASE WHEN b > 0.1 THEN 'bursty'
+        |       WHEN b < -0.1 THEN 'regular'
+        |       ELSE 'poisson_like' END AS verdict
+        |FROM b ORDER BY event_type""".stripMargin,
     // q82: same per-supplier integer basis, same deterministic
     // (slope, dy, dx, pair) order, same lower-median pick
     "q82_theil_sen" ->

@@ -1392,6 +1392,69 @@ object GraphOps {
          |FROM cum CROSS JOIN tot ORDER BY dist""".stripMargin
   }
 
+  /** g19 — CO-CITATION host similarity (bibliographic coupling, Kessler
+    * '63 / Small '73): hosts whose OUT-neighbor sets overlap heavily are
+    * structural twins — mirrors, syndication partners, or template
+    * networks — detected from links alone, the complement of q53's
+    * content-hash mirror detection (a mirror that rewrites its text
+    * still links like its twin). Exact Jaccard over out-neighbor sets:
+    * one self-join of the deduplicated edge list on the shared
+    * destination (never an all-pairs host join — pairs exist only where
+    * a common neighbor does), intersection counts and set sizes BIGINT,
+    * similarity in integer bp.
+    *
+    * Scale: the join key is the destination host, so skew follows
+    * popular destinations — the same key the frontier already salts;
+    * exchanges carry (host, host) pairs only.
+    */
+  def cocitationSimilarity(spark: SparkSession, dir: String): DataFrame = {
+    val e = denseSourceEdges(spark, dir)
+    val sizes = e.groupBy("src").agg(count(lit(1)).as("deg"))
+    val a = e.select(col("src").as("host_a"), col("dst"))
+    val b = e.select(col("src").as("host_b"), col("dst"))
+    a.join(b, Seq("dst")).where(col("host_a") < col("host_b"))
+      .groupBy("host_a", "host_b").agg(count(lit(1)).as("n_common"))
+      .join(sizes.select(col("src").as("host_a"), col("deg").as("deg_a")),
+        Seq("host_a"))
+      .join(sizes.select(col("src").as("host_b"), col("deg").as("deg_b")),
+        Seq("host_b"))
+      .select(col("host_a"), col("host_b"), col("deg_a"), col("deg_b"),
+        col("n_common"),
+        expr("(10000 * n_common) div (deg_a + deg_b - n_common)")
+          .as("jaccard_bp"))
+      .orderBy("host_a", "host_b")
+  }
+
+  /** DuckDB mirror of `cocitationSimilarity`: same dense edges, same
+    * shared-destination self-join and integer Jaccard.
+    */
+  def cocitationOracleSql(): String =
+    """WITH docs AS (SELECT doc_id, source FROM documents),
+      |cnt AS (SELECT count(*) AS c FROM docs),
+      |cites AS (
+      |  SELECT source AS src, (doc_id * 17 + 3) % c AS cited FROM docs, cnt
+      |  UNION ALL
+      |  SELECT source, (doc_id * doc_id * 7 + doc_id * 31 + 5) % c
+      |  FROM docs, cnt),
+      |dedges AS (
+      |  SELECT DISTINCT a.src, b.source AS dst
+      |  FROM cites a JOIN docs b ON b.doc_id = a.cited
+      |  WHERE a.src <> b.source),
+      |sizes AS (SELECT src, CAST(count(*) AS BIGINT) AS deg
+      |  FROM dedges GROUP BY src),
+      |pairs AS (
+      |  SELECT a.src AS host_a, b.src AS host_b,
+      |    CAST(count(*) AS BIGINT) AS n_common
+      |  FROM dedges a JOIN dedges b ON a.dst = b.dst AND a.src < b.src
+      |  GROUP BY 1, 2
+      |)
+      |SELECT host_a, host_b, sa.deg AS deg_a, sb.deg AS deg_b, n_common,
+      |  (10000 * n_common) // (sa.deg + sb.deg - n_common) AS jaccard_bp
+      |FROM pairs
+      |JOIN sizes sa ON sa.src = host_a
+      |JOIN sizes sb ON sb.src = host_b
+      |ORDER BY host_a, host_b""".stripMargin
+
   /** g17's edge derivation: the two citation maps of `denseSourceEdges`,
     * each THINNED to a residue class (linear map on doc_id % 5 == 0,
     * quadratic on doc_id % 6 == 1). The dense two-map graph is strongly

@@ -139,4 +139,50 @@ object PacingOps {
       .drop("adaptive_delay_ms")
       .as[RobotsEntry]
   }
+
+  /** c97 — arrival BURSTINESS audit (Goh & Barabási, EPL'08): the pacing
+    * decision c30 makes from latency has a twin on the DEMAND side —
+    * whether new work arrives smoothly (Poisson, B ≈ 0) or in bursts
+    * (B → 1, breaking any fixed per-epoch budget even when the MEAN rate
+    * fits). Per event type, inter-arrival gaps under a fully
+    * deterministic (ts, event_id) order are exact BIGINT milliseconds;
+    * their count/sum/sum-of-squares ship as exact integers and the
+    * coefficient of variation plus B = (σ−μ)/(σ+μ) are the rounded
+    * doubles (variance computed in doubles from the integer moments —
+    * the n·Σg² product would overflow BIGINT at sf0.1). Verdict bands
+    * on B rounded first, so the CASE is engine-stable.
+    *
+    * Scale: one pruned scan → per-type lag window (the only exchange
+    * carries type + two longs) → map-side-combined moment agg.
+    */
+  def arrivalBurstiness(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type").orderBy(col("ms"), col("event_id"))
+    val gaps = spark.read.parquet(s"$dir/events.parquet")
+      .select(col("event_type"), col("event_id"),
+        unix_millis(col("ts").cast("timestamp")).as("ms"))
+      .withColumn("prev", lag("ms", 1).over(w))
+      .where(col("prev").isNotNull)
+      .select(col("event_type"), (col("ms") - col("prev")).as("g"))
+    gaps.groupBy("event_type")
+      .agg(count(lit(1)).as("n_gaps"), sum("g").as("s"),
+        sum(col("g") * col("g")).as("ss"))
+      .withColumn("mean", col("s").cast("double") / col("n_gaps"))
+      .withColumn("sd",
+        sqrt((col("ss").cast("double") / col("n_gaps")
+          - (col("s").cast("double") / col("n_gaps"))
+          * (col("s").cast("double") / col("n_gaps")))
+          * col("n_gaps").cast("double")
+          / (col("n_gaps").cast("double") - 1.0)))
+      .withColumn("b",
+        round((col("sd") - col("mean")) / (col("sd") + col("mean")), 4))
+      .select(col("event_type"), col("n_gaps"), col("s"), col("ss"),
+        round(col("mean"), 2).as("mean_gap_ms"),
+        round(col("sd") / col("mean"), 4).as("cv"),
+        col("b").as("burstiness"),
+        when(col("b") > 0.1, lit("bursty"))
+          .when(col("b") < -0.1, lit("regular"))
+          .otherwise(lit("poisson_like")).as("verdict"))
+      .orderBy("event_type")
+  }
 }

@@ -1719,4 +1719,50 @@ object Relational {
           .otherwise(lit("no_trend")).as("verdict"))
       .orderBy("event_type")
   }
+
+  /** q84 — GUMBEL block-maxima fit + RETURN LEVEL (Gumbel '58 /
+    * Fisher-Tippett): extreme-value capacity planning — q23's
+    * percentiles describe the bulk, but "what daily maximum do we see
+    * once per 100 days?" is a tail question percentiles under-answer
+    * (the empirical max is one noisy draw; the EV fit pools every
+    * block). Daily maxima of the value column in BIGINT cents, method-
+    * of-moments Gumbel fit (β̂ = s·√6/π, μ̂ = m − γ·β̂, both constants
+    * embedded as literals — no libm constant generation), and the
+    * T-day return level μ̂ − β̂·ln(−ln(1−1/T)). Moments are exact
+    * integers; the four fitted numbers are rounded doubles computed
+    * with identical association in both engines.
+    *
+    * Scale: one scan → per-day max (map-side combined) → per-type
+    * 3-moment agg; everything after is |types| rows of projection.
+    */
+  def gumbelReturnLevel(spark: SparkSession, dir: String,
+                        retDays: Double = 100.0): DataFrame = {
+    val maxima = t(spark, dir, "events")
+      .where(col("value").isNotNull)
+      .select(col("event_type"), to_date(col("ts")).as("day"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .groupBy("event_type", "day").agg(max("cents").as("mx"))
+    maxima.groupBy("event_type")
+      .agg(count(lit(1)).as("n_blocks"), sum("mx").as("s"),
+        sum(col("mx") * col("mx")).as("ss"))
+      .withColumn("mean_max", col("s").cast("double") / col("n_blocks"))
+      .withColumn("sd",
+        sqrt((col("ss").cast("double") / col("n_blocks")
+          - (col("s").cast("double") / col("n_blocks"))
+          * (col("s").cast("double") / col("n_blocks")))
+          * col("n_blocks").cast("double")
+          / (col("n_blocks").cast("double") - 1.0)))
+      .withColumn("beta", col("sd") * 0.7796968012336793)
+      .withColumn("mu",
+        col("mean_max") - lit(0.5772156649015329) * col("beta"))
+      .select(col("event_type"), col("n_blocks"), col("s"), col("ss"),
+        round(col("mean_max"), 4).as("mean_max"),
+        round(col("sd"), 4).as("sd_max"),
+        round(col("mu"), 4).as("gumbel_mu"),
+        round(col("beta"), 4).as("gumbel_beta"),
+        round(col("mu") - col("beta")
+          * log(-log(lit(1.0) - lit(1.0) / retDays)), 4)
+          .as("return_level_100d"))
+      .orderBy("event_type")
+  }
 }

@@ -1049,6 +1049,38 @@ class PlanSpec extends AnyFunSuite {
       s"probe sample does not broadcast:\n$p")
   }
 
+  test("q84 gumbel: two-level agg map-side combines; scan pruned to type+ts+value") {
+    val p = finalPlan(graft.operators.Relational.gumbelReturnLevel(
+      spark, "/root/testdata/sf0.001"))
+    val lines = p.linesIterator
+      .takeWhile(!_.contains("== Initial Plan ==")).toSeq
+    assert(lines.exists(l =>
+      l.contains("HashAggregate") && l.contains("partial_")),
+      s"daily-max agg does not map-side-combine:\n$p")
+    p.linesIterator.filter(_.contains("ReadSchema")).foreach { l =>
+      assert(!l.contains("props") && !l.contains("user_id"),
+        s"q84 scan reads unused columns: $l")
+    }
+  }
+
+  test("c97 burstiness: the only exchange carries type + two longs (no props/value)") {
+    val p = finalPlan(graft.operators.PacingOps.arrivalBurstiness(
+      spark, "/root/testdata/sf0.001"))
+    p.linesIterator.filter(_.contains("Exchange")).foreach { l =>
+      assert(!l.contains("props#") && !l.contains("value#"),
+        s"payload on a burstiness exchange: $l")
+    }
+  }
+
+  test("g19 cocitation: documents scans prune to doc_id+source") {
+    val p = finalPlan(graft.operators.GraphOps.cocitationSimilarity(
+      spark, "/root/testdata/sf0.001"))
+    p.linesIterator.filter(_.contains("ReadSchema")).foreach { l =>
+      assert(!l.contains("text") && !l.contains("n_chars") && !l.contains("lang"),
+        s"g19 scan reads unused columns: $l")
+    }
+  }
+
   test("t44 priority sample: tau side broadcasts; text never scanned or shuffled") {
     val p = finalPlan(graft.operators.TextOps.prioritySample(
       spark, "/root/testdata/sf0.001"))
