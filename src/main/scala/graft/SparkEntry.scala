@@ -198,6 +198,16 @@ object SparkEntry {
     // integer Jaccard over out-neighbor sets — oracled
     "g19_cocitation" -> ((s, d) =>
       operators.GraphOps.cocitationSimilarity(s, d)),
+    // q85: Wald-Wolfowitz runs test — exact lower-median split, BIGINT
+    // run count, z-banded clustering verdict — oracled
+    "q85_runs_test" -> ((s, d) => Relational.runsTest(s, d)),
+    // t54: Hill tail-index of doc lengths per lang — quantized log
+    // excesses over adaptive top-k, one rounded division — oracled
+    "t54_tail_index" -> ((s, d) => TextOps.tailIndex(s, d)),
+    // emb24: margin-violation rate + mean margin — best-same vs
+    // best-diff cosine per probe, quantized margins — oracled
+    "emb24_margin_violations" -> ((s, d) =>
+      operators.SimilarityOps.marginViolations(s, d)),
     // t52: diversity-saturation curve — per-shard new-type yield from a
     // single min-agg first-occurrence pass, BIGINT bp — oracled
     "t52_diversity_curve" -> ((s, d) => TextOps.diversityCurve(s, d)),
@@ -2770,6 +2780,33 @@ object SparkEntry {
     // t53: the t13 fixture swept over n = 5/8/13 — per-n distinct-hit
     // join blocks unioned into the curve
     "t53_contamination_curve" -> contaminationCurveOracleSql(Seq(5, 8, 13)),
+    // t54: same adaptive top-k, per-term quantized natural logs
+    "t54_tail_index" ->
+      """WITH x AS (
+        |  SELECT lang, doc_id, greatest(n_chars, 1) AS x FROM documents
+        |), ranked AS (
+        |  SELECT *,
+        |    row_number() OVER (PARTITION BY lang ORDER BY x DESC, doc_id)
+        |      AS rn,
+        |    count(*) OVER (PARTITION BY lang) AS n
+        |  FROM x
+        |), withk AS (
+        |  SELECT *, least(10, n - 1) AS k,
+        |    max(CASE WHEN rn = least(10, n - 1) + 1 THEN x END)
+        |      OVER (PARTITION BY lang) AS xk
+        |  FROM ranked
+        |)
+        |SELECT lang, CAST(max(n) AS BIGINT) AS n_docs,
+        |  CAST(max(k) AS BIGINT) AS k, CAST(max(xk) AS BIGINT) AS x_k,
+        |  CAST(sum(CAST(round(ln(CAST(x AS DOUBLE)) * 1e6) AS BIGINT)
+        |    - CAST(round(ln(CAST(xk AS DOUBLE)) * 1e6) AS BIGINT))
+        |    AS BIGINT) AS sum_log_excess_q,
+        |  round(CAST(max(k) AS DOUBLE) * 1e6
+        |    / CAST(sum(CAST(round(ln(CAST(x AS DOUBLE)) * 1e6) AS BIGINT)
+        |      - CAST(round(ln(CAST(xk AS DOUBLE)) * 1e6) AS BIGINT))
+        |      AS DOUBLE), 4) AS hill_alpha
+        |FROM withk WHERE rn <= k
+        |GROUP BY lang ORDER BY lang""".stripMargin,
     // t14: unigram-LM perplexity filter — gibberish plant construction,
     // Laplace arithmetic, and the rounded-then-compared flag mirrored
     // exactly (ln's last-ulp differences die in the 4 dp rounding; the
@@ -3394,6 +3431,55 @@ object SparkEntry {
         |       WHEN round(z, 4) <= -1.96 THEN 'falling'
         |       ELSE 'no_trend' END AS verdict
         |FROM zt ORDER BY event_type""".stripMargin,
+    // q85: same lower-median split, lag transitions, and z association
+    "q85_runs_test" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(count(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1, 2
+        |), med AS (
+        |  SELECT *,
+        |    max(CASE WHEN rn = (n + 1) // 2 THEN x END)
+        |      OVER (PARTITION BY event_type) AS med
+        |  FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY event_type
+        |        ORDER BY x, day) AS rn,
+        |      count(*) OVER (PARTITION BY event_type) AS n
+        |    FROM daily)
+        |), signed AS (
+        |  SELECT event_type, day,
+        |    CASE WHEN x > med THEN 1 ELSE 0 END AS above
+        |  FROM med WHERE x <> med
+        |), runs AS (
+        |  SELECT event_type, above,
+        |    CASE WHEN lag(above) OVER (PARTITION BY event_type
+        |        ORDER BY day) IS DISTINCT FROM above THEN 1 ELSE 0 END
+        |      AS new_run
+        |  FROM signed
+        |), m AS (
+        |  SELECT event_type,
+        |    CAST(sum(new_run) AS BIGINT) AS r,
+        |    CAST(sum(above) AS BIGINT) AS n_plus,
+        |    CAST(sum(1 - above) AS BIGINT) AS n_minus
+        |  FROM runs GROUP BY 1
+        |), f AS (
+        |  SELECT *, n_plus + n_minus AS nn,
+        |    2.0 * n_plus * n_minus / CAST(n_plus + n_minus AS DOUBLE)
+        |      + 1.0 AS mu_r
+        |  FROM m
+        |), z AS (
+        |  SELECT *,
+        |    round((CAST(r AS DOUBLE) - mu_r)
+        |      / sqrt((mu_r - 1.0) * (mu_r - 2.0)
+        |        / (CAST(nn AS DOUBLE) - 1.0)), 4) AS z
+        |  FROM f
+        |)
+        |SELECT event_type, nn AS n_days_offmedian, n_plus, n_minus,
+        |  r AS n_runs, round(mu_r, 4) AS expected_runs, z,
+        |  CASE WHEN z <= -1.96 THEN 'clustered'
+        |       WHEN z >= 1.96 THEN 'alternating'
+        |       ELSE 'random' END AS verdict
+        |FROM z ORDER BY event_type""".stripMargin,
     // q79: same doubled-tied-rank histogram; z from identical integers
     // with identical association
     "q79_mannwhitney" ->
@@ -4176,6 +4262,45 @@ object SparkEntry {
         |  (10000 * CAST(sum(CASE WHEN nlabel = probe_label THEN 1 ELSE 0
         |    END) AS BIGINT)) // count(*) AS purity_bp
         |FROM top GROUP BY 1 ORDER BY label""".stripMargin,
+    // emb24: same exact cosine; per-probe best-same/best-diff maxima,
+    // margins quantized before the sum
+    "emb24_margin_violations" ->
+      """WITH p AS (
+        |  SELECT vec_id AS probe_id, embedding AS pvec,
+        |    CAST(label AS BIGINT) AS probe_label
+        |  FROM embeddings WHERE vec_id % 17 = 0
+        |), scored AS (
+        |  SELECT p.probe_id, p.probe_label,
+        |    CAST(e.label AS BIGINT) AS nlabel,
+        |    list_aggregate(list_transform(generate_series(1, len(e.embedding)),
+        |      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(p.pvec[i] AS DOUBLE)), 'sum')
+        |    / (sqrt(list_aggregate(list_transform(e.embedding,
+        |         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
+        |     * sqrt(list_aggregate(list_transform(p.pvec,
+        |         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))) AS cos
+        |  FROM embeddings e, p
+        |  WHERE e.vec_id <> p.probe_id
+        |), per AS (
+        |  SELECT probe_id, probe_label,
+        |    max(CASE WHEN nlabel = probe_label THEN cos END) AS best_same,
+        |    max(CASE WHEN nlabel <> probe_label THEN cos END) AS best_diff
+        |  FROM scored GROUP BY 1, 2
+        |), v AS (
+        |  SELECT probe_label,
+        |    CASE WHEN best_same IS NULL OR best_diff > best_same
+        |      THEN 1 ELSE 0 END AS violated,
+        |    CAST(round((coalesce(best_same, -1.0) - best_diff) * 1e6)
+        |      AS BIGINT) AS margin_q
+        |  FROM per
+        |)
+        |SELECT probe_label AS label, CAST(count(*) AS BIGINT) AS n_probes,
+        |  CAST(sum(violated) AS BIGINT) AS n_violated,
+        |  (10000 * CAST(sum(violated) AS BIGINT)) // count(*)
+        |    AS violation_bp,
+        |  CAST(sum(margin_q) AS BIGINT) AS sum_margin_q,
+        |  round(CAST(sum(margin_q) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+        |    / 1e6, 4) AS mean_margin
+        |FROM v GROUP BY 1 ORDER BY label""".stripMargin,
     // q75: same rank ranges (tie order cannot matter — rank-range sums
     // select a fixed multiset of values), same integer sums, one rounded
     // division each — hash-exact

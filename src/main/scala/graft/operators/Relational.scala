@@ -1765,4 +1765,60 @@ object Relational {
           .as("return_level_100d"))
       .orderBy("event_type")
   }
+
+  /** q85 — WALD-WOLFOWITZ RUNS TEST per event type (Wald & Wolfowitz
+    * '40): q83 asks "is the daily series trending?"; this asks the
+    * orthogonal randomness question — do above/below-median days
+    * CLUSTER (too few runs: regime-switching, weekly seasonality) or
+    * ALTERNATE (too many runs: negative feedback, load balancing
+    * artifacts)? The lower-median split comes off the exact daily
+    * counts (q59 lower-median discipline, no interpolation), the run
+    * count R is a BIGINT lag-transition sum, n₊/n₋ are BIGINTs, and
+    * the normal z = (R − μ_R)/σ_R with μ_R = 2n₊n₋/n + 1 is the single
+    * rounded double; verdict thresholded at ±1.96 on the rounded z.
+    *
+    * Scale: pairs never form — one per-day agg, one per-type window
+    * for the median and the lag, one moment agg; series rows only.
+    */
+  def runsTest(spark: SparkSession, dir: String): DataFrame = {
+    val daily = t(spark, dir, "events")
+      .select(col("event_type"), to_date(col("ts")).as("day"))
+      .groupBy("event_type", "day").agg(count(lit(1)).as("x"))
+    val wRank = Window.partitionBy("event_type").orderBy(col("x"), col("day"))
+    val wN = Window.partitionBy("event_type")
+    val med = daily
+      .withColumn("rn", row_number().over(wRank))
+      .withColumn("n", count(lit(1)).over(wN))
+      .withColumn("med",
+        max(when(col("rn") === expr("(n + 1) div 2"), col("x"))).over(wN))
+    val signed = med
+      .where(col("x") =!= col("med"))
+      .withColumn("above", (col("x") > col("med")).cast("long"))
+    val wSeq = Window.partitionBy("event_type").orderBy("day")
+    val runs = signed
+      .withColumn("prev", lag("above", 1).over(wSeq))
+      .withColumn("new_run",
+        when(col("prev").isNull || col("prev") =!= col("above"), 1L)
+          .otherwise(0L))
+    runs.groupBy("event_type")
+      .agg(sum("new_run").as("r"),
+        sum("above").as("n_plus"),
+        sum(lit(1L) - col("above")).as("n_minus"))
+      .withColumn("nn", col("n_plus") + col("n_minus"))
+      .withColumn("mu_r",
+        lit(2.0) * col("n_plus") * col("n_minus")
+          / col("nn").cast("double") + 1.0)
+      .withColumn("sigma_r",
+        sqrt((col("mu_r") - 1.0) * (col("mu_r") - 2.0)
+          / (col("nn").cast("double") - 1.0)))
+      .withColumn("z",
+        round((col("r").cast("double") - col("mu_r")) / col("sigma_r"), 4))
+      .select(col("event_type"), col("nn").as("n_days_offmedian"),
+        col("n_plus"), col("n_minus"), col("r").as("n_runs"),
+        round(col("mu_r"), 4).as("expected_runs"), col("z"),
+        when(col("z") <= -1.96, lit("clustered"))
+          .when(col("z") >= 1.96, lit("alternating"))
+          .otherwise(lit("random")).as("verdict"))
+      .orderBy("event_type")
+  }
 }

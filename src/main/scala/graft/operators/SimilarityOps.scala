@@ -1386,4 +1386,51 @@ object SimilarityOps {
         expr("(10000 * n_matches) div n_neighbors").as("purity_bp"))
       .orderBy("label")
   }
+
+  /** emb24 — MARGIN-VIOLATION rate: the metric-learning eval one level
+    * stricter than emb23's purity — for each probe, is its single best
+    * SAME-label neighbor closer than its best DIFFERENT-label neighbor?
+    * A violation means the nearest-neighbor decision boundary misfires
+    * at that point no matter what k is chosen; the per-label violation
+    * rate plus the mean margin (best-same − best-diff cosine) is the
+    * readout a retrieval-augmented pipeline checks before trusting
+    * label-conditioned ANN filters (emb11). Margins are quantized to
+    * 1e6 fixed-point longs per probe before summation (order-free);
+    * counts and the violation rate in bp are BIGINT.
+    *
+    * Scale: same exact-eval shape as emb23 — probes broadcast, corpus
+    * scans once, per-probe maxima are one map-side-combined agg (no
+    * top-k window even).
+    */
+  def marginViolations(spark: SparkSession, dir: String,
+                       sampleMod: Long = 17L): DataFrame = {
+    val e = emb(spark, dir)
+    val probes = e.where(pmod(col("vec_id"), lit(sampleMod)) === 0L)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pvec"),
+        col("label").as("probe_label"))
+    val scored = e.join(broadcast(probes), col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("probe_label"), col("label"),
+        cosineCol(col("embedding"), col("pvec")).as("cos"))
+    val per = scored.groupBy("probe_id", "probe_label")
+      .agg(max(when(col("label") === col("probe_label"), col("cos")))
+        .as("best_same"),
+        max(when(col("label") =!= col("probe_label"), col("cos")))
+          .as("best_diff"))
+      .withColumn("violated",
+        (col("best_same").isNull
+          || col("best_diff") > col("best_same")).cast("long"))
+      .withColumn("margin_q",
+        round((coalesce(col("best_same"), lit(-1.0)) - col("best_diff"))
+          * 1e6).cast("long"))
+    per.groupBy("probe_label")
+      .agg(count(lit(1)).as("n_probes"), sum("violated").as("n_violated"),
+        sum("margin_q").as("sum_margin_q"))
+      .select(col("probe_label").cast("long").as("label"), col("n_probes"),
+        col("n_violated"),
+        expr("(10000 * n_violated) div n_probes").as("violation_bp"),
+        col("sum_margin_q"),
+        round(col("sum_margin_q").cast("double")
+          / col("n_probes").cast("double") / 1e6, 4).as("mean_margin"))
+      .orderBy("label")
+  }
 }

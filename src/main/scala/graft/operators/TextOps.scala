@@ -2023,4 +2023,45 @@ object TextOps {
           .as("flagged_bp"))
       .orderBy("ngram_n")
   }
+
+  /** t54 — HILL TAIL-INDEX of the document-length distribution per
+    * language (Hill '75): the heavy-tail exponent α̂ = k / Σ ln(x_i/x_k)
+    * over the top-k order statistics — the number that sizes every
+    * skew defense in this engine (α < 2 means length variance is
+    * effectively unbounded: maxPartitionBytes, packing bins (t17), and
+    * salting fan-out must assume giants; α > 3 means the tail is tame
+    * and uniform splits suffice). Exact construction: lengths are
+    * BIGINTs, k adapts deterministically (min(10, n−1)), each log is
+    * quantized to a 1e6 fixed-point long BEFORE the sum (the t45
+    * discipline — summation order can't matter), x_k and the excess-log
+    * sum ship as integers, α̂ is the single rounded division.
+    *
+    * Scale: one pruned scan; per-lang top-k via rank window over
+    * (length, doc_id) — series rows only, no pairs.
+    */
+  def tailIndex(spark: SparkSession, dir: String): DataFrame = {
+    def lq(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      round(log(c.cast("double")) * 1e6).cast("long")
+    val x = docs(spark, dir)
+      .select(col("lang"), col("doc_id"),
+        greatest(col("n_chars"), lit(1L)).as("x"))
+    val wRank = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy(col("x").desc, col("doc_id").asc)
+    val wN = org.apache.spark.sql.expressions.Window.partitionBy("lang")
+    val ranked = x
+      .withColumn("rn", row_number().over(wRank))
+      .withColumn("n", count(lit(1)).over(wN))
+      .withColumn("k", least(lit(10L), col("n") - 1L))
+      .withColumn("xk",
+        max(when(col("rn") === col("k") + 1L, col("x"))).over(wN))
+    ranked.where(col("rn") <= col("k"))
+      .groupBy("lang")
+      .agg(max("n").as("n_docs"), max("k").as("k"), max("xk").as("x_k"),
+        sum(lq(col("x")) - lq(col("xk"))).as("sum_log_excess_q"))
+      .select(col("lang"), col("n_docs"), col("k"), col("x_k"),
+        col("sum_log_excess_q"),
+        round(col("k").cast("double") * 1e6
+          / col("sum_log_excess_q").cast("double"), 4).as("hill_alpha"))
+      .orderBy("lang")
+  }
 }

@@ -1081,6 +1081,39 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q85 runs test: no pair join — series rows only; scan pruned to type+ts") {
+    val p = finalPlan(graft.operators.Relational.runsTest(
+      spark, "/root/testdata/sf0.001"))
+    assert(!p.contains("CartesianProduct"),
+      s"runs test formed a pair join:\n$p")
+    p.linesIterator.filter(_.contains("ReadSchema")).foreach { l =>
+      assert(!l.contains("props") && !l.contains("user_id")
+        && !l.contains("value"),
+        s"q85 scan reads unused columns: $l")
+    }
+  }
+
+  test("t54 tail index: scan pruned to lang+doc_id+n_chars (no text)") {
+    val p = finalPlan(graft.operators.TextOps.tailIndex(
+      spark, "/root/testdata/sf0.001"))
+    p.linesIterator.filter(_.contains("ReadSchema")).foreach { l =>
+      assert(!l.contains("text") && !l.contains("source"),
+        s"t54 scan reads unused columns: $l")
+    }
+  }
+
+  test("emb24 margin violations: probes broadcast; per-probe maxima map-side-combine") {
+    val p = finalPlan(graft.operators.SimilarityOps.marginViolations(
+      spark, "/root/testdata/sf0.001"))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"probe sample does not broadcast:\n$p")
+    val lines = p.linesIterator
+      .takeWhile(!_.contains("== Initial Plan ==")).toSeq
+    assert(lines.exists(l =>
+      l.contains("HashAggregate") && l.contains("partial_")),
+      s"per-probe maxima do not map-side-combine:\n$p")
+  }
+
   test("t44 priority sample: tau side broadcasts; text never scanned or shuffled") {
     val p = finalPlan(graft.operators.TextOps.prioritySample(
       spark, "/root/testdata/sf0.001"))
