@@ -208,6 +208,17 @@ object SparkEntry {
     // best-diff cosine per probe, quantized margins — oracled
     "emb24_margin_violations" -> ((s, d) =>
       operators.SimilarityOps.marginViolations(s, d)),
+    // q86: ISO-weekday seasonality strength (correlation ratio) +
+    // peak-day lift, quantized between-group terms — oracled
+    "q86_seasonality" -> ((s, d) => Relational.weekdaySeasonality(s, d)),
+    // t55: dup × quality cross-tab with Haldane odds ratio — pipeline-
+    // ordering evidence, BIGINT cells — oracled
+    "t55_dup_quality" -> ((s, d) =>
+      operators.DedupResolve.dupQualityCrosstab(s, d)),
+    // emb25: anisotropy audit — off-diagonal covariance energy share in
+    // bp over quantized cross-moments — oracled
+    "emb25_anisotropy" -> ((s, d) =>
+      operators.SimilarityOps.anisotropyAudit(s, d)),
     // t52: diversity-saturation curve — per-shard new-type yield from a
     // single min-agg first-occurrence pass, BIGINT bp — oracled
     "t52_diversity_curve" -> ((s, d) => TextOps.diversityCurve(s, d)),
@@ -3480,6 +3491,53 @@ object SparkEntry {
         |       WHEN z >= 1.96 THEN 'alternating'
         |       ELSE 'random' END AS verdict
         |FROM z ORDER BY event_type""".stripMargin,
+    // q86: isodow == weekday()+1; same quantized between-group terms
+    // and lift/eta2 arithmetic
+    "q86_seasonality" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(count(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1, 2
+        |), d AS (
+        |  SELECT *, CAST(isodow(day) AS BIGINT) AS dow FROM daily
+        |), perdow AS (
+        |  SELECT event_type, dow, CAST(count(*) AS BIGINT) AS nd,
+        |    CAST(sum(x) AS BIGINT) AS sx
+        |  FROM d GROUP BY 1, 2
+        |), tot AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+        |    CAST(sum(x) AS BIGINT) AS sx_all,
+        |    CAST(sum(x * x) AS BIGINT) AS ssx_all
+        |  FROM d GROUP BY 1
+        |), j AS (
+        |  SELECT p.*, t.n_days, t.sx_all, t.ssx_all,
+        |    (10000 * p.sx * t.n_days) // (p.nd * t.sx_all) AS lift_bp,
+        |    CAST(round(CAST(p.sx AS DOUBLE) * CAST(p.sx AS DOUBLE)
+        |      / CAST(p.nd AS DOUBLE) * 1e6) AS BIGINT) AS ssb_term_q
+        |  FROM perdow p JOIN tot t USING (event_type)
+        |), jj AS (
+        |  SELECT *, max(lift_bp) OVER (PARTITION BY event_type)
+        |    AS max_lift
+        |  FROM j
+        |), g AS (
+        |  SELECT event_type, max(n_days) AS n_days,
+        |    max(sx_all) AS sx_all, max(ssx_all) AS ssx_all,
+        |    CAST(sum(ssb_term_q) AS BIGINT) AS ssb_q,
+        |    min(CASE WHEN lift_bp = max_lift THEN dow END) AS peak_dow,
+        |    CAST(max(max_lift) AS BIGINT) AS peak_lift_bp
+        |  FROM jj GROUP BY 1
+        |), f AS (
+        |  SELECT *, CAST(round(CAST(sx_all AS DOUBLE)
+        |    * CAST(sx_all AS DOUBLE) / CAST(n_days AS DOUBLE) * 1e6)
+        |    AS BIGINT) AS grand_q
+        |  FROM g
+        |)
+        |SELECT event_type, n_days, sx_all, ssb_q, grand_q,
+        |  round(CAST(ssb_q - grand_q AS DOUBLE)
+        |    / (CAST(ssx_all AS DOUBLE) * 1e6 - CAST(grand_q AS DOUBLE)),
+        |    4) AS eta2,
+        |  peak_dow, peak_lift_bp
+        |FROM f ORDER BY event_type""".stripMargin,
     // q79: same doubled-tied-rank histogram; z from identical integers
     // with identical association
     "q79_mannwhitney" ->
@@ -3771,6 +3829,51 @@ object SparkEntry {
           |    - CAST(round(log2(bytes_before) * 1e6) AS BIGINT)
           |    + CAST(round(log2(tot_before) * 1e6) AS BIGINT)) AS klq_term
           |FROM j CROSS JOIN tot ORDER BY lang""".stripMargin),
+    // t55: t08's drops CTE; same 2x2 cells and Haldane association
+    "t55_dup_quality" ->
+      (ngramPairSql +
+        """, edges AS (
+          |  SELECT doc_a AS src, doc_b AS dst FROM dup_pairs
+          |  UNION
+          |  SELECT doc_b AS src, doc_a AS dst FROM dup_pairs
+          |), reach AS (
+          |  SELECT src AS id, src AS node FROM edges
+          |  UNION
+          |  SELECT r.id, e.dst AS node FROM reach r JOIN edges e ON r.node = e.src
+          |), drops AS (
+          |  SELECT id FROM (SELECT id, min(node) AS comp FROM reach GROUP BY id)
+          |  WHERE id <> comp
+          |), q AS (
+          |  SELECT doc_id,
+          |    CASE WHEN len(regexp_split_to_array(trim(text), '\s+')) >= 30
+          |      THEN 1 ELSE 0 END AS pass
+          |  FROM corpus
+          |), c2 AS (
+          |  SELECT q.pass,
+          |    CASE WHEN d.id IS NOT NULL THEN 1 ELSE 0 END AS dropped
+          |  FROM q LEFT JOIN drops d ON d.id = q.doc_id
+          |), cells AS (
+          |  SELECT
+          |    CAST(sum(pass * (1 - dropped)) AS BIGINT) AS pass_kept,
+          |    CAST(sum(pass * dropped) AS BIGINT) AS pass_dropped,
+          |    CAST(sum((1 - pass) * (1 - dropped)) AS BIGINT) AS fail_kept,
+          |    CAST(sum((1 - pass) * dropped) AS BIGINT) AS fail_dropped
+          |  FROM c2
+          |)
+          |SELECT pass_kept, pass_dropped, fail_kept, fail_dropped,
+          |  (10000 * pass_dropped) // (pass_kept + pass_dropped)
+          |    AS pass_drop_bp,
+          |  (10000 * fail_dropped) // (fail_kept + fail_dropped)
+          |    AS fail_drop_bp,
+          |  round((CAST(fail_dropped AS DOUBLE) + 0.5)
+          |    * (CAST(pass_kept AS DOUBLE) + 0.5)
+          |    / ((CAST(fail_kept AS DOUBLE) + 0.5)
+          |      * (CAST(pass_dropped AS DOUBLE) + 0.5)), 4) AS odds_ratio,
+          |  round(ln((CAST(fail_dropped AS DOUBLE) + 0.5)
+          |    * (CAST(pass_kept AS DOUBLE) + 0.5)
+          |    / ((CAST(fail_kept AS DOUBLE) + 0.5)
+          |      * (CAST(pass_dropped AS DOUBLE) + 0.5))), 4) AS log_odds
+          |FROM cells""".stripMargin),
     // t52: same word-3-gram shingles over RAW documents (no plant);
     // first-occurrence min + cumulative window, BIGINT bp
     "t52_diversity_curve" ->
@@ -4301,6 +4404,57 @@ object SparkEntry {
         |  round(CAST(sum(margin_q) AS DOUBLE) / CAST(count(*) AS DOUBLE)
         |    / 1e6, 4) AS mean_margin
         |FROM v GROUP BY 1 ORDER BY label""".stripMargin,
+    // emb25: same quantized cross-moments; covariances quantized before
+    // the energy sums with identical association
+    "emb25_anisotropy" ->
+      """WITH comps AS (
+        |  SELECT vec_id,
+        |    CAST(unnest(range(0, len(embedding))) AS BIGINT) AS dim,
+        |    CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1e6)
+        |      AS BIGINT) AS xq
+        |  FROM embeddings
+        |), cm AS (
+        |  SELECT a.dim AS i, b.dim AS j, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(a.xq * b.xq) AS BIGINT) AS sij
+        |  FROM comps a JOIN comps b
+        |    ON a.vec_id = b.vec_id AND a.dim < b.dim
+        |  GROUP BY 1, 2
+        |), mom AS (
+        |  SELECT dim, CAST(sum(xq) AS BIGINT) AS s FROM comps GROUP BY 1
+        |), wm AS (
+        |  SELECT c.i, c.j,
+        |    CAST(round((CAST(c.sij AS DOUBLE) / c.n
+        |      - (CAST(mi.s AS DOUBLE) / c.n)
+        |      * (CAST(mj.s AS DOUBLE) / c.n)) / 1e12 * 1e7) AS BIGINT)
+        |      AS covq
+        |  FROM cm c
+        |  JOIN mom mi ON mi.dim = c.i
+        |  JOIN mom mj ON mj.dim = c.j
+        |), offa AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+        |    CAST(sum(covq * covq) AS BIGINT) AS off_energy_q
+        |  FROM wm
+        |), diag AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS dims,
+        |    CAST(sum(vq * vq) AS BIGINT) AS diag_energy_q
+        |  FROM (
+        |    SELECT dim,
+        |      CAST(round((CAST(ss AS DOUBLE) / n
+        |        - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n))
+        |        / 1e12 * 1e7) AS BIGINT) AS vq
+        |    FROM (SELECT dim, CAST(count(*) AS BIGINT) AS n,
+        |      CAST(sum(xq) AS BIGINT) AS s,
+        |      CAST(sum(xq * xq) AS BIGINT) AS ss
+        |      FROM comps GROUP BY 1))
+        |)
+        |SELECT dims, n_pairs, off_energy_q, diag_energy_q,
+        |  (10000 * off_energy_q) // (off_energy_q + diag_energy_q)
+        |    AS anisotropy_bp,
+        |  round(sqrt(CAST(off_energy_q AS DOUBLE)
+        |    / CAST(n_pairs AS DOUBLE)) / 1e7, 6) AS rms_offdiag_cov,
+        |  round(sqrt(CAST(diag_energy_q AS DOUBLE)
+        |    / CAST(dims AS DOUBLE)) / 1e7, 6) AS rms_variance
+        |FROM offa CROSS JOIN diag""".stripMargin,
     // q75: same rank ranges (tie order cannot matter — rank-range sums
     // select a fixed multiset of values), same integer sums, one rounded
     // division each — hash-exact

@@ -423,4 +423,54 @@ object DedupResolve {
           .as("klq_term"))
       .orderBy("lang")
   }
+
+  /** t55 — DUP × QUALITY cross-tab with odds ratio: are near-duplicates
+    * LOWER quality than the corpus they pollute? The empirical basis
+    * for dedup-before-quality vs quality-before-dedup pipeline ordering
+    * (if dups are quality-skewed, filtering first changes what dedup
+    * sees, and t51's survivorship shift compounds) — reported as the
+    * 2×2 of quality-pass (token count ≥ 30, the SQL-expressible core of
+    * the t01/t37 gates) × dropped-by-t08, with Haldane-corrected odds
+    * ratio and its log as the two rounded doubles; every cell count and
+    * the per-stratum drop rates in bp are BIGINT.
+    *
+    * Scale: quality is a per-row projection fused into the corpus scan;
+    * the drop flag is the t07 label table (dup-rate-sized) left-joined
+    * on id; one global 4-cell agg.
+    */
+  def dupQualityCrosstab(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = TextOps.plantedCorpus(spark, dir)
+      .select(col("doc_id"),
+        (size(split(trim(col("text")), "\\s+")) >= 30).cast("long")
+          .as("pass"))
+    val drops = resolve(TextOps.nearDupNgramJaccard(spark, dir),
+      "doc_a", "doc_b")
+      .where(!col("is_survivor"))
+      .select(col("doc_id").cast("long").as("doc_id"),
+        lit(1L).as("dropped"))
+    val cells = corpus.join(drops, Seq("doc_id"), "left")
+      .withColumn("dropped", coalesce(col("dropped"), lit(0L)))
+      .agg(
+        sum(col("pass") * (lit(1L) - col("dropped"))).as("pass_kept"),
+        sum(col("pass") * col("dropped")).as("pass_dropped"),
+        sum((lit(1L) - col("pass")) * (lit(1L) - col("dropped")))
+          .as("fail_kept"),
+        sum((lit(1L) - col("pass")) * col("dropped")).as("fail_dropped"))
+    cells.select(col("pass_kept"), col("pass_dropped"), col("fail_kept"),
+        col("fail_dropped"),
+        expr("(10000 * pass_dropped) div (pass_kept + pass_dropped)")
+          .as("pass_drop_bp"),
+        expr("(10000 * fail_dropped) div (fail_kept + fail_dropped)")
+          .as("fail_drop_bp"),
+        round((col("fail_dropped").cast("double") + 0.5)
+          * (col("pass_kept").cast("double") + 0.5)
+          / ((col("fail_kept").cast("double") + 0.5)
+            * (col("pass_dropped").cast("double") + 0.5)), 4)
+          .as("odds_ratio"),
+        round(log((col("fail_dropped").cast("double") + 0.5)
+          * (col("pass_kept").cast("double") + 0.5)
+          / ((col("fail_kept").cast("double") + 0.5)
+            * (col("pass_dropped").cast("double") + 0.5))), 4)
+          .as("log_odds"))
+  }
 }

@@ -1821,4 +1821,59 @@ object Relational {
           .otherwise(lit("random")).as("verdict"))
       .orderBy("event_type")
   }
+
+  /** q86 — DAY-OF-WEEK SEASONALITY strength per event type: the
+    * correlation ratio η² = SS_between/SS_total over ISO weekday groups
+    * of the daily series — q83/q85 detect trend and clustering; this
+    * quantifies the weekly CYCLE (the dominant periodicity in human
+    * traffic, and the one a recrawl scheduler should phase-lock to
+    * before c96's rate tiers mean anything). Daily counts are BIGINT;
+    * per-weekday and grand sums are exact; η² is the single rounded
+    * double from those integers, and the peak weekday's lift over the
+    * uniform share — (7·Σx_dow·n_days)/(n_dow·7·Σx) reduced to integer
+    * bp — plus its argmax (min-weekday tie-break) are integers.
+    *
+    * Scale: one pruned scan → per-day counts (map-side combined) →
+    * 7-row-per-type aggregates; no window over data rows.
+    */
+  def weekdaySeasonality(spark: SparkSession, dir: String): DataFrame = {
+    val daily = t(spark, dir, "events")
+      .select(col("event_type"), to_date(col("ts")).as("day"))
+      .groupBy("event_type", "day").agg(count(lit(1)).as("x"))
+      .withColumn("dow", weekday(col("day")).cast("long") + 1L)
+    val perDow = daily.groupBy("event_type", "dow")
+      .agg(count(lit(1)).as("nd"), sum("x").as("sx"))
+    val tot = daily.groupBy("event_type")
+      .agg(count(lit(1)).as("n_days"), sum("x").as("sx_all"),
+        sum(col("x") * col("x")).as("ssx_all"))
+    val wT = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type")
+    val j = perDow.join(tot, Seq("event_type"))
+      .withColumn("lift_bp",
+        expr("(10000 * sx * n_days) div (nd * sx_all)"))
+      .withColumn("max_lift", max("lift_bp").over(wT))
+      // quantized BEFORE the cross-weekday sum (order-free): sx² is an
+      // exact double (< 2^53), /nd and ·1e6 round identically in both
+      // engines, so the per-weekday term is a deterministic long
+      .withColumn("ssb_term_q",
+        round(col("sx").cast("double") * col("sx").cast("double")
+          / col("nd").cast("double") * 1e6).cast("long"))
+    j.groupBy("event_type")
+      .agg(max("n_days").as("n_days"), max("sx_all").as("sx_all"),
+        max("ssx_all").as("ssx_all"),
+        sum("ssb_term_q").as("ssb_q"),
+        min(when(col("lift_bp") === col("max_lift"), col("dow")))
+          .as("peak_dow"),
+        max("max_lift").as("peak_lift_bp"))
+      .withColumn("grand_q",
+        round(col("sx_all").cast("double") * col("sx_all").cast("double")
+          / col("n_days").cast("double") * 1e6).cast("long"))
+      .select(col("event_type"), col("n_days"), col("sx_all"),
+        col("ssb_q"), col("grand_q"),
+        round((col("ssb_q") - col("grand_q")).cast("double")
+          / (col("ssx_all").cast("double") * 1e6
+            - col("grand_q").cast("double")), 4).as("eta2"),
+        col("peak_dow"), col("peak_lift_bp"))
+      .orderBy("event_type")
+  }
 }

@@ -1433,4 +1433,69 @@ object SimilarityOps {
           / col("n_probes").cast("double") / 1e6, 4).as("mean_margin"))
       .orderBy("label")
   }
+
+  /** emb25 — ANISOTROPY / WHITENING audit: how much covariance energy
+    * lives OFF the diagonal? Contextual encoders are notoriously
+    * anisotropic (Ethayarajh, EMNLP'19) — embeddings occupy a narrow
+    * cone, cosine similarities inflate, and LSH hyperplanes (emb02) cut
+    * nearly-parallel directions; whitening fixes it, and THIS is the
+    * audit that says whether it's needed. Exact construction: the
+    * full cross-moment matrix S_ij = Σ xq_i·xq_j over 1e6-quantized
+    * components is BIGINT (i<j pairs via one per-vector self-join of
+    * the exploded coordinates); each covariance is quantized to a 1e9
+    * long BEFORE the energy sums (order-free), diagonal variance
+    * energy reuses the emb22 moments, and the anisotropy share
+    * off/(off+diag) ships in integer bp with the two RMS values as
+    * rounded doubles.
+    *
+    * Scale: the pair explosion is d²/2 per vector (narrow rows, no
+    * payload); the only exchanges carry (i, j, partial sums) —
+    * map-side combined to d²/2 rows total regardless of corpus size.
+    */
+  def anisotropyAudit(spark: SparkSession, dir: String): DataFrame = {
+    val comps = emb(spark, dir)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "x")))
+      .select(col("vec_id"), col("dim").cast("long").as("dim"),
+        round(col("x").cast("double") * 1e6).cast("long").as("xq"))
+    val a = comps.select(col("vec_id"), col("dim").as("i"), col("xq").as("xi"))
+    val b = comps.select(col("vec_id"), col("dim").as("j"), col("xq").as("xj"))
+    val cross = a.join(b, Seq("vec_id")).where(col("i") < col("j"))
+      .groupBy("i", "j")
+      .agg(count(lit(1)).as("n"), sum(col("xi") * col("xj")).as("sij"))
+    val moments = comps.groupBy("dim")
+      .agg(sum("xq").as("s"), count(lit(1)).as("nd"))
+    val withMeans = cross
+      .join(moments.select(col("dim").as("i"), col("s").as("si")), Seq("i"))
+      .join(moments.select(col("dim").as("j"), col("s").as("sj")), Seq("j"))
+      .withColumn("covq",
+        round((col("sij").cast("double") / col("n")
+          - (col("si").cast("double") / col("n"))
+          * (col("sj").cast("double") / col("n"))) / 1e12 * 1e7)
+          .cast("long"))
+    val off = withMeans.agg(count(lit(1)).as("n_pairs"),
+      sum(col("covq") * col("covq")).as("off_energy_q"))
+    val diag = emb(spark, dir)
+      .select(posexplode(col("embedding")).as(Seq("dim", "x")))
+      .select(col("dim").cast("long").as("dim"),
+        round(col("x").cast("double") * 1e6).cast("long").as("xq"))
+      .groupBy("dim")
+      .agg(count(lit(1)).as("n"), sum("xq").as("s"),
+        sum(col("xq") * col("xq")).as("ss"))
+      .withColumn("vq",
+        round((col("ss").cast("double") / col("n")
+          - (col("s").cast("double") / col("n"))
+          * (col("s").cast("double") / col("n"))) / 1e12 * 1e7)
+          .cast("long"))
+      .agg(count(lit(1)).as("dims"),
+        sum(col("vq") * col("vq")).as("diag_energy_q"))
+    off.crossJoin(broadcast(diag))
+      .select(col("dims"), col("n_pairs"), col("off_energy_q"),
+        col("diag_energy_q"),
+        expr("(10000 * off_energy_q) div (off_energy_q + diag_energy_q)")
+          .as("anisotropy_bp"),
+        round(sqrt(col("off_energy_q").cast("double")
+          / col("n_pairs").cast("double")) / 1e7, 6).as("rms_offdiag_cov"),
+        round(sqrt(col("diag_energy_q").cast("double")
+          / col("dims").cast("double")) / 1e7, 6).as("rms_variance"))
+  }
 }

@@ -1114,6 +1114,38 @@ class PlanSpec extends AnyFunSuite {
       s"per-probe maxima do not map-side-combine:\n$p")
   }
 
+  test("q86 seasonality: per-day counts map-side-combine; scan pruned to type+ts") {
+    val p = finalPlan(graft.operators.Relational.weekdaySeasonality(
+      spark, "/root/testdata/sf0.001"))
+    val lines = p.linesIterator
+      .takeWhile(!_.contains("== Initial Plan ==")).toSeq
+    assert(lines.exists(l =>
+      l.contains("HashAggregate") && l.contains("partial_")),
+      s"daily counts do not map-side-combine:\n$p")
+    p.linesIterator.filter(_.contains("ReadSchema")).foreach { l =>
+      assert(!l.contains("props") && !l.contains("user_id")
+        && !l.contains("value"),
+        s"q86 scan reads unused columns: $l")
+    }
+  }
+
+  test("t55 dup-quality crosstab: corpus text stays off the label-join exchanges") {
+    val p = finalPlan(graft.operators.DedupResolve.dupQualityCrosstab(
+      spark, "/root/testdata/sf0.001"))
+    p.linesIterator.filter(_.contains("Exchange")).foreach { l =>
+      assert(!l.contains("text#"), s"text on a crosstab exchange: $l")
+    }
+  }
+
+  test("emb25 anisotropy: cross-moment exchanges carry (i, j, partials) — no vectors") {
+    val p = finalPlan(graft.operators.SimilarityOps.anisotropyAudit(
+      spark, "/root/testdata/sf0.001"))
+    p.linesIterator.filter(_.contains("Exchange")).foreach { l =>
+      assert(!l.contains("embedding#"),
+        s"full embedding on a cross-moment exchange: $l")
+    }
+  }
+
   test("t44 priority sample: tau side broadcasts; text never scanned or shuffled") {
     val p = finalPlan(graft.operators.TextOps.prioritySample(
       spark, "/root/testdata/sf0.001"))
