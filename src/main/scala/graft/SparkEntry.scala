@@ -219,6 +219,27 @@ object SparkEntry {
     // bp over quantized cross-moments — oracled
     "emb25_anisotropy" -> ((s, d) =>
       operators.SimilarityOps.anisotropyAudit(s, d)),
+    // q87: ACF at lags 1 and 7 — denominator-cleared integer centering,
+    // exact num/den, one rounded division — oracled
+    "q87_autocorrelation" -> ((s, d) => Relational.autocorrelation(s, d)),
+    // c98: Lindley token-bucket backlog under a byte cap — prefix-scan
+    // closed form, BIGINT, drains/diverges verdicts — oracled
+    "c98_backlog_lindley" -> ((s, d) =>
+      operators.BandwidthOps.backlogLindley(s, d)),
+    // emb26: hubness audit — k-occurrence distribution of exact top-5
+    // lists, hub id, top-10 occupancy bp, exact Σocc² — oracled
+    "emb26_hubness" -> ((s, d) =>
+      operators.SimilarityOps.hubnessAudit(s, d)),
+    // g20: modularity of the g11 LPA partition — cleared-denominator
+    // BIGINT contributions, one rounded division — oracled
+    "g20_modularity" -> ((s, d) => operators.GraphOps.modularity(s, d)),
+    // t56: per-doc token entropy screen — quantized c·log2 c terms,
+    // integer-compared low-entropy flag — oracled
+    "t56_token_entropy" -> ((s, d) => TextOps.tokenEntropy(s, d)),
+    // c99: bloom-sidecar FPR capacity plan — standard-model curve over
+    // the seen-set forecast, ppm-rounded breach flag — oracled
+    "c99_bloom_capacity" -> ((s, d) =>
+      operators.HealthOps.bloomCapacityPlan(s, d)),
     // t52: diversity-saturation curve — per-shard new-type yield from a
     // single min-agg first-occurrence pass, BIGINT bp — oracled
     "t52_diversity_curve" -> ((s, d) => TextOps.diversityCurve(s, d)),
@@ -3308,6 +3329,56 @@ object SparkEntry {
       operators.GraphOps.distanceHistogramOracleSql(),
     // g19: same dense edges, shared-destination join, integer Jaccard
     "g19_cocitation" -> operators.GraphOps.cocitationOracleSql(),
+    // g20: g11's unrolled LPA + identical cleared-denominator arithmetic
+    "g20_modularity" -> operators.GraphOps.modularityOracleSql(),
+    // t56: t45's tokenizer; same quantized entropy terms and integer
+    // flag comparison
+    "t56_token_entropy" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS tok
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS c
+        |  FROM toks WHERE tok <> '' GROUP BY 1, 2
+        |), per AS (
+        |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+        |    CAST(count(*) AS BIGINT) AS vocab,
+        |    CAST(sum(c * CAST(round(log2(c) * 1e6) AS BIGINT)) AS BIGINT)
+        |      AS term_q
+        |  FROM c GROUP BY 1
+        |), h AS (
+        |  SELECT *, n_tokens * CAST(round(log2(n_tokens) * 1e6) AS BIGINT)
+        |    - term_q AS hq
+        |  FROM per
+        |)
+        |SELECT doc_id, n_tokens, vocab,
+        |  round(CAST(hq AS DOUBLE) / (CAST(n_tokens AS DOUBLE) * 1e6), 4)
+        |    AS entropy_bits,
+        |  hq < 4 * n_tokens * 1000000 AS low_entropy
+        |FROM h ORDER BY doc_id""".stripMargin,
+    // c99: same forecast shape and standard-model curve; breach compared
+    // on rounded integer ppm
+    "c99_bloom_capacity" ->
+      """WITH base AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_per_epoch FROM documents
+        |), g AS (
+        |  SELECT CAST(e.e AS BIGINT) AS epoch, n_per_epoch,
+        |    10 * n_per_epoch * 8 AS m_bits,
+        |    CAST(e.e AS BIGINT) * n_per_epoch AS n_keys
+        |  FROM base, (SELECT unnest(generate_series(1, 16)) AS e) e
+        |), f AS (
+        |  SELECT *,
+        |    pow(1.0 - exp((-7.0 * CAST(n_keys AS DOUBLE))
+        |      / CAST(m_bits AS DOUBLE)), 7.0) AS fpr
+        |  FROM g
+        |)
+        |SELECT epoch, n_keys, m_bits,
+        |  (10000 * n_keys * 10) // m_bits AS fill_bp,
+        |  CAST(round(fpr * 1e6) AS BIGINT) AS fpr_ppm,
+        |  round(fpr, 6) AS fpr,
+        |  CAST(round(fpr * 1e6) AS BIGINT) > 10000 AS over_budget
+        |FROM f ORDER BY epoch""".stripMargin,
     // q84: same daily-max cents, exact moments, embedded sqrt6/pi and
     // Euler constants, identical association
     "q84_gumbel_return" ->
@@ -3538,6 +3609,41 @@ object SparkEntry {
         |    4) AS eta2,
         |  peak_dow, peak_lift_bp
         |FROM f ORDER BY event_type""".stripMargin,
+    // q87: same integer centering and per-lag blocks
+    "q87_autocorrelation" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(count(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1, 2
+        |), cc AS (
+        |  SELECT event_type, day,
+        |    CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n,
+        |    CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) * x
+        |      - CAST(sum(x) OVER (PARTITION BY event_type) AS BIGINT)
+        |      AS c
+        |  FROM daily
+        |), l1 AS (
+        |  SELECT event_type, CAST(1 AS BIGINT) AS k,
+        |    CAST(max(n) AS BIGINT) AS n_days,
+        |    CAST(sum(CASE WHEN ck IS NOT NULL THEN c * ck ELSE 0 END)
+        |      AS BIGINT) AS num,
+        |    CAST(sum(c * c) AS BIGINT) AS den
+        |  FROM (SELECT *, lag(c, 1) OVER (PARTITION BY event_type
+        |    ORDER BY day) AS ck FROM cc)
+        |  GROUP BY 1
+        |), l7 AS (
+        |  SELECT event_type, CAST(7 AS BIGINT) AS k,
+        |    CAST(max(n) AS BIGINT) AS n_days,
+        |    CAST(sum(CASE WHEN ck IS NOT NULL THEN c * ck ELSE 0 END)
+        |      AS BIGINT) AS num,
+        |    CAST(sum(c * c) AS BIGINT) AS den
+        |  FROM (SELECT *, lag(c, 7) OVER (PARTITION BY event_type
+        |    ORDER BY day) AS ck FROM cc)
+        |  GROUP BY 1
+        |), u AS (SELECT * FROM l1 UNION ALL SELECT * FROM l7)
+        |SELECT event_type, k, n_days, num, den,
+        |  round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 4) AS acf
+        |FROM u ORDER BY event_type, k""".stripMargin,
     // q79: same doubled-tied-rank histogram; z from identical integers
     // with identical association
     "q79_mannwhitney" ->
@@ -3998,6 +4104,43 @@ object SparkEntry {
         |  coalesce(min(CASE WHEN state = 'tombstoned' THEN last_ok + 1
         |    END), -1) AS earliest_tombstone_epoch
         |FROM cls GROUP BY host ORDER BY host""".stripMargin,
+    // c98: c93's demand synthesis; Lindley backlog via the identical
+    // prefix-min closed form (null-skipping least/min = W0 = 0)
+    "c98_backlog_lindley" ->
+      """WITH hosts AS (SELECT DISTINCT source AS host FROM documents),
+        |hist AS (
+        |  SELECT host, CAST(e.e AS BIGINT) AS e,
+        |    10000 + (('0x' || substr(md5('bf:' || host), 1, 6))::BIGINT
+        |      % 7) * 1000 * CAST(e.e AS BIGINT)
+        |      + ('0x' || substr(md5('bfn:' || host || ':' ||
+        |        CAST(e.e AS VARCHAR)), 1, 6))::BIGINT % 997 AS demand
+        |  FROM hosts, (SELECT unnest(generate_series(1, 8)) AS e) e
+        |), c AS (
+        |  SELECT host, e, demand,
+        |    sum(demand) OVER (PARTITION BY host ORDER BY e
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      - 30000 * e AS drift
+        |  FROM hist
+        |), w AS (
+        |  SELECT host, e, demand, drift,
+        |    greatest(0, drift - least(0, min(drift) OVER (
+        |      PARTITION BY host ORDER BY e
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)))
+        |      AS w
+        |  FROM c
+        |)
+        |SELECT host, CAST(sum(demand) AS BIGINT) AS total_demand,
+        |  CAST(max(w) AS BIGINT) AS peak_backlog,
+        |  CAST(max(CASE WHEN e = 8 THEN w END) AS BIGINT)
+        |    AS final_backlog,
+        |  CAST(sum(CASE WHEN w > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS epochs_in_backlog,
+        |  CASE WHEN max(w) = 0 THEN 'never_queued'
+        |       WHEN max(CASE WHEN e = 8 THEN w END) = 0 THEN 'drains'
+        |       WHEN max(CASE WHEN e = 8 THEN w END) = max(w)
+        |         THEN 'diverging'
+        |       ELSE 'oscillating' END AS verdict
+        |FROM w GROUP BY host ORDER BY host""".stripMargin,
     // c96: same md5 synthesis and tier thresholds; lambda/interval from
     // the identical capped rational
     "c96_change_rate" ->
@@ -4455,6 +4598,45 @@ object SparkEntry {
         |  round(sqrt(CAST(diag_energy_q AS DOUBLE)
         |    / CAST(dims AS DOUBLE)) / 1e7, 6) AS rms_variance
         |FROM offa CROSS JOIN diag""".stripMargin,
+    // emb26: emb01's cosine + tie-break; k-occurrence counts and the
+    // same integer occupancy arithmetic
+    "emb26_hubness" ->
+      """WITH p AS (
+        |  SELECT vec_id AS probe_id, embedding AS pvec
+        |  FROM embeddings WHERE vec_id % 7 = 0
+        |), scored AS (
+        |  SELECT p.probe_id, e.vec_id,
+        |    list_aggregate(list_transform(generate_series(1, len(e.embedding)),
+        |      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(p.pvec[i] AS DOUBLE)), 'sum')
+        |    / (sqrt(list_aggregate(list_transform(e.embedding,
+        |         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
+        |     * sqrt(list_aggregate(list_transform(p.pvec,
+        |         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))) AS cos
+        |  FROM embeddings e, p
+        |  WHERE e.vec_id <> p.probe_id
+        |), top AS (
+        |  SELECT vec_id FROM (
+        |    SELECT probe_id, vec_id,
+        |      row_number() OVER (PARTITION BY probe_id
+        |        ORDER BY cos DESC, vec_id ASC) AS rank
+        |    FROM scored)
+        |  WHERE rank <= 5
+        |), occ AS (
+        |  SELECT vec_id, CAST(count(*) AS BIGINT) AS occ
+        |  FROM top GROUP BY 1
+        |), r AS (
+        |  SELECT *, row_number() OVER (ORDER BY occ DESC, vec_id ASC)
+        |    AS rn
+        |  FROM occ
+        |), np AS (SELECT CAST(count(*) AS BIGINT) AS n_probes FROM p)
+        |SELECT n_probes, CAST(sum(occ) AS BIGINT) AS n_slots,
+        |  CAST(count(*) AS BIGINT) AS n_distinct_neighbors,
+        |  max(occ) AS max_k_occurrence,
+        |  min(CASE WHEN rn = 1 THEN vec_id END) AS hub_vec_id,
+        |  (10000 * CAST(sum(CASE WHEN rn <= 10 THEN occ ELSE 0 END)
+        |    AS BIGINT)) // CAST(sum(occ) AS BIGINT) AS top10_share_bp,
+        |  CAST(sum(occ * occ) AS BIGINT) AS occ_sq_sum
+        |FROM r CROSS JOIN np GROUP BY n_probes""".stripMargin,
     // q75: same rank ranges (tie order cannot matter — rank-range sums
     // select a fixed multiset of values), same integer sums, one rounded
     // division each — hash-exact

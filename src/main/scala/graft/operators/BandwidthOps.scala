@@ -71,4 +71,66 @@ object BandwidthOps {
       .select("host", "est_bytes", "implied_budget", "n_scheduled")
       .orderBy("host")
   }
+
+  /** c98 — token-bucket BACKLOG under a per-epoch byte cap, by the
+    * LINDLEY recursion (Lindley '52: W_e = max(0, W_{e−1} + d_e − R)) —
+    * the queueing answer to "this host's demand fits ON AVERAGE, but
+    * does the backlog ever spike past what a crawl round can absorb?"
+    * (c93 forecasts the demand trend; c94 classifies the steady-state
+    * limiter; this computes the transient). The recursion looks
+    * inherently sequential, but has the exact prefix-scan closed form
+    * W_e = max(0, D_e − min(0, min_{k<e} D_k)) over the drift
+    * D_e = cumdemand_e − R·e — two cumulative windows per host, no
+    * iteration, no UDF, every value BIGINT (Spark's and DuckDB's
+    * null-skipping `least/min` make the first row's empty prefix
+    * behave as W_0 = 0 in both engines; golden-checked against the
+    * sequential recursion). Per host: peak backlog, final backlog,
+    * epochs-in-backlog, and a drains/oscillates/diverges verdict from
+    * integer comparisons.
+    *
+    * Scale: the window partitions by host and the series is epochs-long
+    * — frontier-sized data never enters; one scan of the synthesized
+    * demand (c93's md5 discipline, same seeds — the two audits read the
+    * same history).
+    */
+  def backlogLindley(spark: SparkSession, dir: String,
+                     capBytes: Long = 30000L): DataFrame = {
+    val hist = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("source").as("host")).distinct()
+      .withColumn("hh",
+        conv(substring(md5(concat(lit("bf:"), col("host"))), 1, 6), 16, 10)
+          .cast("long"))
+      .select(col("host"), col("hh"),
+        explode(sequence(lit(1L), lit(8L))).as("e"))
+      .withColumn("demand",
+        lit(10000L) + (col("hh") % 7) * 1000L * col("e") +
+          conv(substring(md5(concat(lit("bfn:"), col("host"), lit(":"),
+            col("e").cast("string"))), 1, 6), 16, 10).cast("long") % 997)
+    val wCum = org.apache.spark.sql.expressions.Window
+      .partitionBy("host").orderBy("e")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val wPrev = org.apache.spark.sql.expressions.Window
+      .partitionBy("host").orderBy("e")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        -1)
+    val backlog = hist
+      .withColumn("drift", sum("demand").over(wCum) - lit(capBytes) * col("e"))
+      .withColumn("w",
+        greatest(lit(0L),
+          col("drift") - least(lit(0L), min("drift").over(wPrev))))
+    backlog.groupBy("host")
+      .agg(sum("demand").as("total_demand"),
+        max("w").as("peak_backlog"),
+        max(when(col("e") === 8L, col("w"))).as("final_backlog"),
+        sum(when(col("w") > 0L, 1L).otherwise(0L)).as("epochs_in_backlog"))
+      .select(col("host"), col("total_demand"), col("peak_backlog"),
+        col("final_backlog"), col("epochs_in_backlog"),
+        when(col("peak_backlog") === 0L, lit("never_queued"))
+          .when(col("final_backlog") === 0L, lit("drains"))
+          .when(col("final_backlog") === col("peak_backlog"),
+            lit("diverging"))
+          .otherwise(lit("oscillating")).as("verdict"))
+      .orderBy("host")
+  }
 }

@@ -1455,6 +1455,115 @@ object GraphOps {
       |JOIN sizes sb ON sb.src = host_b
       |ORDER BY host_a, host_b""".stripMargin
 
+  /** g20 — MODULARITY of the detected community partition (Newman &
+    * Girvan '04): g11 finds communities; this scores whether the
+    * partition is REAL — Q near 0 means the "communities" are no denser
+    * than a degree-preserving random graph (and any community-based
+    * crawl budgeting built on them is noise), Q ≳ 0.3 means genuine
+    * mesoscale structure. INTEGER-EXACT by clearing denominators: over
+    * the symmetrized pair list (|pairs| = 2m), per community the degree
+    * sum d_c and intra-community pair count (= 2L_c) are BIGINT counts,
+    * the contribution q_num = 2m·2L_c − d_c² is BIGINT, and
+    * Q = Σq_num/(2m)² is the single rounded division.
+    *
+    * Scale: one label join onto the pair list (host-graph-sized);
+    * everything downstream is |communities| rows.
+    */
+  def modularity(spark: SparkSession, dir: String,
+                 rounds: Int = 4): DataFrame = {
+    val e = denseSourceEdges(spark, dir)
+    val und = e.select(col("src").as("a"), col("dst").as("b"))
+      .union(e.select(col("dst").as("a"), col("src").as("b")))
+      .where(col("a") =!= col("b"))
+      .distinct().localCheckpoint()
+    val labels = labelPropagation(e, rounds).localCheckpoint()
+    val la = labels.select(col("source").as("a"), col("community").as("ca"))
+    val lb = labels.select(col("source").as("b"), col("community").as("cb"))
+    val tm = und.agg(count(lit(1)).as("two_m"))
+    val per = und.join(la, Seq("a")).join(lb, Seq("b"))
+      .groupBy(col("ca").as("community"))
+      .agg(count(lit(1)).as("degree_sum"),
+        sum(when(col("ca") === col("cb"), 1L).otherwise(0L))
+          .as("intra_pairs"))
+    val nn = labels.groupBy(col("community"))
+      .agg(count(lit(1)).as("n_nodes"))
+    val q = per.join(nn, Seq("community")).crossJoin(broadcast(tm))
+      .withColumn("q_num",
+        col("two_m") * col("intra_pairs")
+          - col("degree_sum") * col("degree_sum"))
+    val tot = q.agg(sum("q_num").as("q_sum"))
+    q.crossJoin(broadcast(tot))
+      .select(col("community"), col("n_nodes"), col("degree_sum"),
+        col("intra_pairs"), col("q_num"),
+        round(col("q_sum").cast("double")
+          / (col("two_m").cast("double") * col("two_m").cast("double")),
+          4).as("modularity"))
+      .orderBy("community")
+  }
+
+  /** Unrolled DuckDB mirror of `modularity`: the g11 LPA steps, then the
+    * identical cleared-denominator arithmetic.
+    */
+  def modularityOracleSql(rounds: Int = 4): String = {
+    val prefix =
+      """WITH docs AS (SELECT doc_id, source FROM documents),
+        |cnt AS (SELECT count(*) AS c FROM docs),
+        |cites AS (
+        |  SELECT source AS src, (doc_id * 17 + 3) % c AS cited FROM docs, cnt
+        |  UNION ALL
+        |  SELECT source, (doc_id * doc_id * 7 + doc_id * 31 + 5) % c
+        |  FROM docs, cnt),
+        |dedges AS (
+        |  SELECT DISTINCT a.src, b.source AS dst
+        |  FROM cites a JOIN docs b ON b.doc_id = a.cited
+        |  WHERE a.src <> b.source),
+        |und AS (
+        |  SELECT DISTINCT a, b FROM (
+        |    SELECT src AS a, dst AS b FROM dedges
+        |    UNION ALL
+        |    SELECT dst, src FROM dedges)
+        |  WHERE a <> b),
+        |r0 AS (SELECT DISTINCT a AS node, a AS label FROM und)""".stripMargin
+    val steps = (1 to rounds).map { i =>
+      s"""v$i AS (
+         |  SELECT u.a AS node, r.label, count(*) AS c
+         |  FROM und u JOIN r${i - 1} r ON r.node = u.b
+         |  GROUP BY 1, 2),
+         |r$i AS (
+         |  SELECT node, label FROM (
+         |    SELECT node, label,
+         |      row_number() OVER (PARTITION BY node ORDER BY c DESC, label ASC) AS rn
+         |    FROM v$i)
+         |  WHERE rn = 1)""".stripMargin
+    }.mkString(",\n", ",\n", ",\n")
+    prefix + steps +
+      s"""lab AS (SELECT node, label FROM r$rounds),
+         |tm AS (SELECT CAST(count(*) AS BIGINT) AS two_m FROM und),
+         |per AS (
+         |  SELECT la.label AS community,
+         |    CAST(count(*) AS BIGINT) AS degree_sum,
+         |    CAST(sum(CASE WHEN la.label = lb.label THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS intra_pairs
+         |  FROM und u
+         |  JOIN lab la ON la.node = u.a
+         |  JOIN lab lb ON lb.node = u.b
+         |  GROUP BY 1
+         |), nn AS (
+         |  SELECT label AS community, CAST(count(*) AS BIGINT) AS n_nodes
+         |  FROM lab GROUP BY 1
+         |), q AS (
+         |  SELECT p.community, nn.n_nodes, p.degree_sum, p.intra_pairs,
+         |    two_m * p.intra_pairs - p.degree_sum * p.degree_sum AS q_num,
+         |    two_m
+         |  FROM per p JOIN nn USING (community) CROSS JOIN tm
+         |), tot AS (SELECT CAST(sum(q_num) AS BIGINT) AS q_sum FROM q)
+         |SELECT community, n_nodes, degree_sum, intra_pairs, q_num,
+         |  round(CAST(q_sum AS DOUBLE)
+         |    / (CAST(two_m AS DOUBLE) * CAST(two_m AS DOUBLE)), 4)
+         |    AS modularity
+         |FROM q CROSS JOIN tot ORDER BY community""".stripMargin
+  }
+
   /** g17's edge derivation: the two citation maps of `denseSourceEdges`,
     * each THINNED to a residue class (linear map on doc_id % 5 == 0,
     * quadratic on doc_id % 6 == 1). The dense two-map graph is strongly

@@ -246,4 +246,48 @@ object HealthOps {
           (col("n_hosts") * col("sxx")).cast("double"), 6).as("jain_index"),
         expr("mx * 10000 div sx").as("top_share_bp"))
       .orderBy("measure")
+
+  /** c99 — BLOOM-SIDECAR CAPACITY PLAN: the S4 seen-filter's false-
+    * positive rate is not a constant — it climbs as the seen set grows
+    * into the fixed bit array, and a bloom FP means a URL is silently
+    * NEVER fetched (the one non-recoverable error class in the dedupe
+    * path), so the epoch at which FPR crosses budget is a number the
+    * operator must know BEFORE it happens. Per future epoch e (seen-set
+    * forecast n_e = e·|corpus| — every epoch contributes a corpus-sized
+    * URL batch, matching the crawl pipeline's growth shape): the
+    * standard-model FPR (1 − e^(−k·n/m))^k for the sidecar geometry
+    * (bits/key at plan capacity, k hash functions), bit-fill in integer
+    * bp, and the breach flag against `fprBudgetPpm` — compared on the
+    * 1e-6-ROUNDED integer ppm so the verdict never sits on a float
+    * boundary. Exact integers everywhere except the one exp() whose
+    * rounding both engines share.
+    *
+    * Scale: |epochs| rows of pure projection off one count — a plan, not
+    * a scan.
+    */
+  def bloomCapacityPlan(spark: SparkSession, dir: String,
+                        bitsPerKey: Long = 10L, kHashes: Long = 7L,
+                        planEpochs: Long = 8L,
+                        horizonEpochs: Long = 16L,
+                        fprBudgetPpm: Long = 10000L): DataFrame = {
+    val base = spark.read.parquet(s"$dir/documents.parquet")
+      .agg(count(lit(1)).as("n_per_epoch"))
+    base
+      .withColumn("e", explode(sequence(lit(1L), lit(horizonEpochs))))
+      .withColumn("m_bits", lit(bitsPerKey) * col("n_per_epoch")
+        * lit(planEpochs))
+      .withColumn("n_keys", col("e") * col("n_per_epoch"))
+      .withColumn("fpr",
+        pow(lit(1.0) - exp((-lit(kHashes.toDouble)
+          * col("n_keys").cast("double"))
+          / col("m_bits").cast("double")), kHashes.toDouble))
+      .withColumn("fpr_ppm", round(col("fpr") * 1e6).cast("long"))
+      .select(col("e").as("epoch"), col("n_keys"), col("m_bits"),
+        expr("(10000 * n_keys * " + bitsPerKey + ") div m_bits")
+          .as("fill_bp"),
+        col("fpr_ppm"),
+        round(col("fpr"), 6).as("fpr"),
+        (col("fpr_ppm") > fprBudgetPpm).as("over_budget"))
+      .orderBy("epoch")
+  }
 }

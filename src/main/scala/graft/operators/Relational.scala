@@ -1876,4 +1876,45 @@ object Relational {
         col("peak_dow"), col("peak_lift_bp"))
       .orderBy("event_type")
   }
+
+  /** q87 — sample AUTOCORRELATION of the daily series at lags 1 and 7:
+    * the ACF is THE first time-series diagnostic — lag-1 says whether
+    * yesterday predicts today (momentum vs mean-reversion feeds c96's
+    * revisit intervals), lag-7 confirms or refutes q86's weekly cycle
+    * through a different statistic. INTEGER-EXACT by clearing
+    * denominators: centering on the rational mean S/n becomes
+    * c_t = n·x_t − S (BIGINT), so numerator Σ c_t·c_{t−k} and
+    * denominator Σ c_t² are exact integer sums shipped alongside the
+    * one rounded division r_k = num/den.
+    *
+    * Scale: per-type windows over the daily series (series rows only);
+    * the two lags share one centered table.
+    */
+  def autocorrelation(spark: SparkSession, dir: String,
+                      lags: Seq[Int] = Seq(1, 7)): DataFrame = {
+    val daily = t(spark, dir, "events")
+      .select(col("event_type"), to_date(col("ts")).as("day"))
+      .groupBy("event_type", "day").agg(count(lit(1)).as("x"))
+    val wT = Window.partitionBy("event_type")
+    val wSeq = Window.partitionBy("event_type").orderBy("day")
+    val centered = daily
+      .withColumn("n", count(lit(1)).over(wT))
+      .withColumn("s", sum("x").over(wT))
+      .withColumn("c", col("n") * col("x") - col("s"))
+    lags.map { k =>
+      centered
+        .withColumn("ck", lag("c", k).over(wSeq))
+        .groupBy("event_type")
+        .agg(max("n").as("n_days"),
+          sum(when(col("ck").isNotNull, col("c") * col("ck"))
+            .otherwise(0L)).as("num"),
+          sum(col("c") * col("c")).as("den"))
+        .withColumn("k", lit(k.toLong))
+    }.reduce(_ unionByName _)
+      .select(col("event_type"), col("k"), col("n_days"), col("num"),
+        col("den"),
+        round(col("num").cast("double") / col("den").cast("double"), 4)
+          .as("acf"))
+      .orderBy("event_type", "k")
+  }
 }

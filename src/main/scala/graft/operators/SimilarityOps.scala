@@ -1498,4 +1498,53 @@ object SimilarityOps {
         round(sqrt(col("diag_energy_q").cast("double")
           / col("dims").cast("double")) / 1e7, 6).as("rms_variance"))
   }
+
+  /** emb26 — HUBNESS audit (Radovanović et al., JMLR'10): in high
+    * dimensions some vectors become HUBS — they appear in a huge share
+    * of everyone's k-NN lists — and hubs poison ANN-driven dedup/
+    * retrieval (emb09/emb11): one hub bridges unrelated dup clusters
+    * the way a stop-shingle bridges documents (the df-cap problem, in
+    * embedding space). Over the deterministic probe sample's exact
+    * top-5 lists (emb01 tie-break): the k-occurrence distribution of
+    * neighbors — distinct neighbors, max occurrence, the hub's id
+    * (min-id tie-break), occupancy of the top-10 most-occurring
+    * neighbors in integer bp, and the exact Σocc² second moment (the
+    * hubness skew numerator). All BIGINT.
+    *
+    * Scale: probe×corpus exact eval as emb23/24; the occurrence count
+    * is a neighbor-id groupBy (id-only rows); top-10 share via one
+    * ordered window over the occurrence table (distinct-neighbor-
+    * sized).
+    */
+  def hubnessAudit(spark: SparkSession, dir: String,
+                   k: Int = 5, sampleMod: Long = 7L): DataFrame = {
+    val e = emb(spark, dir)
+    val probes = e.where(pmod(col("vec_id"), lit(sampleMod)) === 0L)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pvec"))
+    val scored = e.join(broadcast(probes), col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"),
+        cosineCol(col("embedding"), col("pvec")).as("cos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("probe_id").orderBy(col("cos").desc, col("vec_id").asc)
+    val top = scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+    val occ = top.groupBy("vec_id").agg(count(lit(1)).as("occ"))
+    val wOcc = org.apache.spark.sql.expressions.Window
+      .orderBy(col("occ").desc, col("vec_id").asc)
+    val ranked = occ.withColumn("rn", row_number().over(wOcc))
+    val nProbes = probes.count()
+    ranked.agg(
+        count(lit(1)).as("n_distinct_neighbors"),
+        sum("occ").as("n_slots"),
+        max("occ").as("max_k_occurrence"),
+        min(when(col("rn") === 1L, col("vec_id"))).as("hub_vec_id"),
+        sum(when(col("rn") <= 10L, col("occ")).otherwise(0L))
+          .as("top10_occ"),
+        sum(col("occ") * col("occ")).as("occ_sq_sum"))
+      .select(lit(nProbes).as("n_probes"), col("n_slots"),
+        col("n_distinct_neighbors"), col("max_k_occurrence"),
+        col("hub_vec_id"),
+        expr("(10000 * top10_occ) div n_slots").as("top10_share_bp"),
+        col("occ_sq_sum"))
+  }
 }

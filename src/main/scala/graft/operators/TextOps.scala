@@ -2064,4 +2064,41 @@ object TextOps {
           / col("sum_log_excess_q").cast("double"), 4).as("hill_alpha"))
       .orderBy("lang")
   }
+
+  /** t56 — per-document TOKEN ENTROPY screen: the unigram-entropy
+    * quality gate between t38 (type/token ratios — counts, no
+    * distribution shape) and t42 (bigram perplexity — needs a trained
+    * LM): a doc whose token distribution has abnormally LOW entropy is
+    * repetitive boilerplate (one token dominating), abnormally high
+    * entropy relative to its length is shuffled junk — both pass
+    * length/TTR gates. Exact q69 discipline per doc: token counts are
+    * BIGINT, each c·log2(c) term is quantized to a 1e-6 fixed-point
+    * long so the per-doc sum is an integer sum, H = log2(n) −
+    * Σc·log2(c)/n is one rounded double, and the low-entropy flag
+    * compares INTEGERS (n·lq(n) − Σc·lq(c) < threshold·n·1e6) so the
+    * verdict never sits on a float boundary.
+    *
+    * Scale: explode → per-(doc, token) counts → per-doc sum — all
+    * map-side combined; no joins, no windows.
+    */
+  def tokenEntropy(spark: SparkSession, dir: String,
+                   minBits: Long = 4L): DataFrame = {
+    def lq(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      round(log(2.0, c) * 1e6).cast("long")
+    val counts = docs(spark, dir)
+      .select(col("doc_id"),
+        explode(filter(split(lower(col("text")), "[^a-z0-9]+"),
+          t => t =!= "")).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+    counts.groupBy("doc_id")
+      .agg(sum("c").as("n_tokens"), count(lit(1)).as("vocab"),
+        sum(col("c") * lq(col("c"))).as("term_q"))
+      .withColumn("hq", col("n_tokens") * lq(col("n_tokens")) - col("term_q"))
+      .select(col("doc_id"), col("n_tokens"), col("vocab"),
+        round(col("hq").cast("double")
+          / (col("n_tokens").cast("double") * 1e6), 4).as("entropy_bits"),
+        (col("hq") < lit(minBits) * col("n_tokens") * 1000000L)
+          .as("low_entropy"))
+      .orderBy("doc_id")
+  }
 }

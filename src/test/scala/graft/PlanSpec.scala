@@ -1146,6 +1146,65 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q87 autocorrelation: no pair join; scan pruned to type+ts") {
+    val p = finalPlan(graft.operators.Relational.autocorrelation(
+      spark, "/root/testdata/sf0.001"))
+    assert(!p.contains("CartesianProduct"),
+      s"acf formed a pair join:\n$p")
+    p.linesIterator.filter(_.contains("ReadSchema")).foreach { l =>
+      assert(!l.contains("props") && !l.contains("user_id")
+        && !l.contains("value"),
+        s"q87 scan reads unused columns: $l")
+    }
+  }
+
+  test("c98 lindley backlog: windows partition by host; scan pruned to source") {
+    val p = finalPlan(graft.operators.BandwidthOps.backlogLindley(
+      spark, "/root/testdata/sf0.001"))
+    p.linesIterator.filter(_.contains("ReadSchema")).foreach { l =>
+      assert(!l.contains("text") && !l.contains("n_chars") && !l.contains("lang"),
+        s"c98 scan reads unused columns: $l")
+    }
+  }
+
+  test("emb26 hubness: probes broadcast; occurrence counting is id-only") {
+    val p = finalPlan(graft.operators.SimilarityOps.hubnessAudit(
+      spark, "/root/testdata/sf0.001"))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"probe sample does not broadcast:\n$p")
+  }
+
+  test("g20 modularity: documents scans prune to doc_id+source") {
+    val p = finalPlan(graft.operators.GraphOps.modularity(
+      spark, "/root/testdata/sf0.001"))
+    p.linesIterator.filter(_.contains("ReadSchema")).foreach { l =>
+      assert(!l.contains("text") && !l.contains("n_chars") && !l.contains("lang"),
+        s"g20 scan reads unused columns: $l")
+    }
+  }
+
+  test("t56 token entropy: per-doc counts map-side-combine; text off exchanges") {
+    val p = finalPlan(graft.operators.TextOps.tokenEntropy(
+      spark, "/root/testdata/sf0.001"))
+    val lines = p.linesIterator
+      .takeWhile(!_.contains("== Initial Plan ==")).toSeq
+    assert(lines.exists(l =>
+      l.contains("HashAggregate") && l.contains("partial_")),
+      s"token counts do not map-side-combine:\n$p")
+    p.linesIterator.filter(_.contains("Exchange")).foreach { l =>
+      assert(!l.contains("text#"), s"text on an entropy exchange: $l")
+    }
+  }
+
+  test("c99 bloom capacity: one count agg — a plan, not a scan of rows") {
+    val p = finalPlan(graft.operators.HealthOps.bloomCapacityPlan(
+      spark, "/root/testdata/sf0.001"))
+    p.linesIterator.filter(_.contains("ReadSchema")).foreach { l =>
+      assert(l.contains("struct<>"),
+        s"c99 reads row data where a count suffices: $l")
+    }
+  }
+
   test("t44 priority sample: tau side broadcasts; text never scanned or shuffled") {
     val p = finalPlan(graft.operators.TextOps.prioritySample(
       spark, "/root/testdata/sf0.001"))
