@@ -240,6 +240,12 @@ object SparkEntry {
     // the seen-set forecast, ppm-rounded breach flag — oracled
     "c99_bloom_capacity" -> ((s, d) =>
       operators.HealthOps.bloomCapacityPlan(s, d)),
+    // q89: Fisher dispersion-index Poissonness test — one exact
+    // rational statistic, verdict on rounded values — oracled
+    "q89_dispersion" -> ((s, d) => Relational.dispersionTest(s, d)),
+    // t57: shingle-WIDTH dedup calibration sweep (the axis t41's
+    // threshold sweep doesn't cover) vs planted truth — oracled
+    "t57_shingle_sweep" -> ((s, d) => TextOps.shingleSizeSweep(s, d)),
     // t52: diversity-saturation curve — per-shard new-type yield from a
     // single min-agg first-occurrence pass, BIGINT bp — oracled
     "t52_diversity_curve" -> ((s, d) => TextOps.diversityCurve(s, d)),
@@ -1174,6 +1180,79 @@ object SparkEntry {
         |  n_flagged_docs, n_hits,
         |  (10000 * n_flagged_docs) // n_corpus_docs AS flagged_bp
         |FROM hits CROSS JOIN tot ORDER BY ngram_n""".stripMargin
+  }
+
+  /** DuckDB mirror of TextOps.shingleSizeSweep: one inverted-index +
+    * df-cap + gate + truth-compare block per shingle width.
+    */
+  private def shingleSweepOracleSql(ws: Seq[Int]): String = {
+    def block(w: Int): String =
+      s"""  SELECT $w AS w,
+         |    (SELECT CAST(count(*) AS BIGINT) FROM scored$w)
+         |      AS n_candidates,
+         |    (SELECT CAST(sum(CASE WHEN n_inter * 2 >= sa + sb - n_inter
+         |      THEN 1 ELSE 0 END) AS BIGINT) FROM scored$w)
+         |      AS n_predicted,
+         |    CAST(sum(CASE WHEN pred = 1 AND is_true = 1 THEN 1 ELSE 0
+         |      END) AS BIGINT) AS tp,
+         |    CAST(sum(CASE WHEN pred = 1 AND is_true IS NULL THEN 1
+         |      ELSE 0 END) AS BIGINT) AS fp,
+         |    CAST(sum(CASE WHEN pred IS NULL AND is_true = 1 THEN 1
+         |      ELSE 0 END) AS BIGINT) AS fn
+         |  FROM (
+         |    SELECT d.pred, t.is_true
+         |    FROM (
+         |      SELECT doc_a, doc_b, 1 AS pred FROM scored$w
+         |      WHERE n_inter * 2 >= sa + sb - n_inter
+         |    ) d
+         |    FULL OUTER JOIN truth t
+         |      ON t.doc_a = d.doc_a AND t.doc_b = d.doc_b)""".stripMargin
+    def shingleCte(w: Int): String =
+      s"""sh$w AS (
+         |  SELECT DISTINCT doc_id,
+         |    array_to_string(list_slice(t, i, i + ${w - 1}), ' ') AS sh
+         |  FROM (SELECT doc_id, t,
+         |    unnest(generate_series(1, greatest(len(t) - ${w - 1}, 0))) AS i
+         |    FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+')
+         |      AS t FROM corpus))
+         |), sz$w AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS sz
+         |  FROM sh$w GROUP BY doc_id
+         |), scored$w AS (
+         |  SELECT p.doc_a, p.doc_b, p.n_inter, sa.sz AS sa, sb.sz AS sb
+         |  FROM (
+         |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |      CAST(count(*) AS BIGINT) AS n_inter
+         |    FROM (SELECT doc_id, sh FROM sh$w WHERE sh NOT IN
+         |      (SELECT sh FROM sh$w GROUP BY sh HAVING count(*) > 64)) a
+         |    JOIN (SELECT doc_id, sh FROM sh$w WHERE sh NOT IN
+         |      (SELECT sh FROM sh$w GROUP BY sh HAVING count(*) > 64)) b
+         |      ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |    GROUP BY 1, 2) p
+         |  JOIN sz$w sa ON p.doc_a = sa.doc_id
+         |  JOIN sz$w sb ON p.doc_b = sb.doc_id
+         |)""".stripMargin
+    """WITH corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000 AS doc_id, text || ' appended revision marker tokens' AS text
+      |  FROM documents WHERE doc_id % 20 = 0
+      |), truth AS (
+      |  SELECT doc_id AS doc_a, doc_id + 1000000 AS doc_b,
+      |    CAST(1 AS BIGINT) AS is_true
+      |  FROM documents WHERE doc_id % 20 = 0
+      |), """.stripMargin +
+      ws.map(shingleCte).mkString(",\n") +
+      ",\nsweep AS (\n" + ws.map(block).mkString("\n  UNION ALL\n") +
+      """
+        |)
+        |SELECT CAST(w AS BIGINT) AS w, n_candidates, n_predicted,
+        |  tp, fp, fn,
+        |  round(CAST(tp AS DOUBLE)
+        |    / CAST(greatest(tp + fp, 1) AS DOUBLE), 6) AS prec,
+        |  round(CAST(tp AS DOUBLE)
+        |    / CAST(greatest(tp + fn, 1) AS DOUBLE), 6) AS rec
+        |FROM sweep ORDER BY w""".stripMargin
   }
 
   private val ngramPairSql: String =
@@ -2812,6 +2891,38 @@ object SparkEntry {
     // t53: the t13 fixture swept over n = 5/8/13 — per-n distinct-hit
     // join blocks unioned into the curve
     "t53_contamination_curve" -> contaminationCurveOracleSql(Seq(5, 8, 13)),
+    // t57: per-width inverted-index blocks, same df-cap and J >= 1/3
+    // gate, same truth compare
+    "t57_shingle_sweep" -> shingleSweepOracleSql(Seq(2, 3, 5)),
+    // q89: same cleared rational T = (n·Σx² − (Σx)²)/Σx and rounded
+    // band comparison
+    "q89_dispersion" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(count(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1, 2
+        |), m AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(x) AS BIGINT) AS sx,
+        |    CAST(sum(x * x) AS BIGINT) AS sxx
+        |  FROM daily GROUP BY 1
+        |), f AS (
+        |  SELECT *, n * sxx - sx * sx AS num,
+        |    round(CAST(n * sxx - sx * sx AS DOUBLE)
+        |      / CAST(sx AS DOUBLE), 4) AS t_stat,
+        |    round((CAST(n AS DOUBLE) - 1.0)
+        |      + 2.0 * sqrt(2.0 * (CAST(n AS DOUBLE) - 1.0)), 4) AS hi,
+        |    round((CAST(n AS DOUBLE) - 1.0)
+        |      - 2.0 * sqrt(2.0 * (CAST(n AS DOUBLE) - 1.0)), 4) AS lo
+        |  FROM m
+        |)
+        |SELECT event_type, n AS n_days, sx, num, t_stat,
+        |  round(CAST(num AS DOUBLE) / CAST(sx AS DOUBLE)
+        |    / (CAST(n AS DOUBLE) - 1.0), 4) AS dispersion,
+        |  CASE WHEN t_stat > hi THEN 'overdispersed'
+        |       WHEN t_stat < lo THEN 'underdispersed'
+        |       ELSE 'poisson_consistent' END AS verdict
+        |FROM f ORDER BY event_type""".stripMargin,
     // t54: same adaptive top-k, per-term quantized natural logs
     "t54_tail_index" ->
       """WITH x AS (

@@ -1917,4 +1917,42 @@ object Relational {
           .as("acf"))
       .orderBy("event_type", "k")
   }
+
+  /** q89 — POISSON DISPERSION INDEX test per event type (Fisher '50
+    * index-of-dispersion): c96's change-rate estimator and every
+    * Poisson-thinning assumption downstream are only valid if arrivals
+    * ARE Poisson — this is the test that licenses them. The statistic
+    * T = (n−1)·s²/x̄ collapses to ONE exact rational
+    * (n·Σx² − (Σx)²)/Σx over the daily counts; T ≈ n−1 under Poisson,
+    * T ≫ n−1 is overdispersion (clumping — c97's burstiness seen
+    * through a χ² lens), T ≪ n−1 underdispersion. Numerator and
+    * denominator ship as BIGINTs; T, the dispersion ratio D = T/(n−1),
+    * and the ±2σ normal band on χ²_{n−1} are rounded doubles with the
+    * verdict compared on the ROUNDED values.
+    *
+    * Scale: one pruned scan → per-day counts → per-type 3-moment agg.
+    */
+  def dispersionTest(spark: SparkSession, dir: String): DataFrame = {
+    val daily = t(spark, dir, "events")
+      .select(col("event_type"), to_date(col("ts")).as("day"))
+      .groupBy("event_type", "day").agg(count(lit(1)).as("x"))
+    daily.groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("x").as("sx"),
+        sum(col("x") * col("x")).as("sxx"))
+      .withColumn("num", col("n") * col("sxx") - col("sx") * col("sx"))
+      .withColumn("t_stat",
+        round(col("num").cast("double") / col("sx").cast("double"), 4))
+      .withColumn("hi", round((col("n").cast("double") - 1.0)
+        + lit(2.0) * sqrt(lit(2.0) * (col("n").cast("double") - 1.0)), 4))
+      .withColumn("lo", round((col("n").cast("double") - 1.0)
+        - lit(2.0) * sqrt(lit(2.0) * (col("n").cast("double") - 1.0)), 4))
+      .select(col("event_type"), col("n").as("n_days"), col("sx"),
+        col("num"), col("t_stat"),
+        round(col("num").cast("double") / col("sx").cast("double")
+          / (col("n").cast("double") - 1.0), 4).as("dispersion"),
+        when(col("t_stat") > col("hi"), lit("overdispersed"))
+          .when(col("t_stat") < col("lo"), lit("underdispersed"))
+          .otherwise(lit("poisson_consistent")).as("verdict"))
+      .orderBy("event_type")
+  }
 }

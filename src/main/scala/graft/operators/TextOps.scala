@@ -2101,4 +2101,69 @@ object TextOps {
           .as("low_entropy"))
       .orderBy("doc_id")
   }
+
+  /** t57 — SHINGLE-SIZE dedup calibration sweep: t41 sweeps the Jaccard
+    * THRESHOLD at fixed 3-gram shingles; this sweeps the other design
+    * axis — the shingle width w ∈ {2, 3, 5} — at the engine's fixed
+    * gate (J ≥ 1/3, t05's 2·inter ≥ |A|+|B|−inter form). Small w makes
+    * common phrases shingle-collide (recall up, precision down); large
+    * w makes any edit break shared shingles (precision up, recall
+    * down); the sweep against the planted revision truth is the
+    * empirical basis for the engine's w = 3 default. Per w: candidate
+    * and predicted-dup pair counts, tp/fp/fn as BIGINTs, P/R as single
+    * rounded divisions. Same inverted-index + df-cap shape as t05 at
+    * every w — the sweep changes the kernel parameter, not the plan.
+    */
+  def shingleSizeSweep(spark: SparkSession, dir: String,
+                       widths: Seq[Int] = Seq(2, 3, 5)): DataFrame = {
+    val corpus = plantedCorpus(spark, dir)
+    val truth = docs(spark, dir)
+      .where(pmod(col("doc_id"), lit(20)) === 0)
+      .select(col("doc_id").as("doc_a"),
+        (col("doc_id") + 1000000L).as("doc_b"))
+    widths.map { wdt =>
+      val sh = wordNgrams(corpus, wdt)
+        .withColumnRenamed("ng", "sh")
+      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+      val hot = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+        .where(col("df") > 64).select("sh")
+      val idx = sh.join(hot, Seq("sh"), "left_anti")
+      val pairs = idx.as("a").join(idx.as("b"), Seq("sh"))
+        .where(col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("n_inter"))
+      val dup = pairs
+        .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sa")),
+          Seq("doc_a"))
+        .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("sb")),
+          Seq("doc_b"))
+        .withColumn("is_dup",
+          (col("n_inter") * 2 >= col("sa") + col("sb") - col("n_inter"))
+            .cast("long"))
+      val volumes = dup.agg(count(lit(1)).as("n_candidates"),
+        sum("is_dup").as("n_predicted"))
+      val joined = dup.where(col("is_dup") === 1L)
+        .select(col("doc_a"), col("doc_b"), lit(1L).as("pred"))
+        .join(truth.withColumn("is_true", lit(1L)),
+          Seq("doc_a", "doc_b"), "full_outer")
+      joined.agg(
+          sum(when(col("pred") === 1L && col("is_true") === 1L, 1L)
+            .otherwise(0L)).as("tp"),
+          sum(when(col("pred") === 1L && col("is_true").isNull, 1L)
+            .otherwise(0L)).as("fp"),
+          sum(when(col("pred").isNull && col("is_true") === 1L, 1L)
+            .otherwise(0L)).as("fn"))
+        .crossJoin(broadcast(volumes))
+        .withColumn("w", lit(wdt.toLong))
+    }.reduce(_ unionByName _)
+      .select(col("w"), col("n_candidates"), col("n_predicted"),
+        col("tp"), col("fp"), col("fn"),
+        round(col("tp").cast("double")
+          / greatest(col("tp") + col("fp"), lit(1L)).cast("double"), 6)
+          .as("prec"),
+        round(col("tp").cast("double")
+          / greatest(col("tp") + col("fn"), lit(1L)).cast("double"), 6)
+          .as("rec"))
+      .orderBy("w")
+  }
 }

@@ -1205,6 +1205,29 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q89 dispersion: two-level agg map-side combines; scan pruned to type+ts") {
+    val p = finalPlan(graft.operators.Relational.dispersionTest(
+      spark, "/root/testdata/sf0.001"))
+    val lines = p.linesIterator
+      .takeWhile(!_.contains("== Initial Plan ==")).toSeq
+    assert(lines.exists(l =>
+      l.contains("HashAggregate") && l.contains("partial_")),
+      s"daily counts do not map-side-combine:\n$p")
+    p.linesIterator.filter(_.contains("ReadSchema")).foreach { l =>
+      assert(!l.contains("props") && !l.contains("user_id")
+        && !l.contains("value"),
+        s"q89 scan reads unused columns: $l")
+    }
+  }
+
+  test("t57 shingle sweep: raw text stays off the pair exchanges at every width") {
+    val p = finalPlan(graft.operators.TextOps.shingleSizeSweep(
+      spark, "/root/testdata/sf0.001"))
+    p.linesIterator.filter(_.contains("Exchange")).foreach { l =>
+      assert(!l.contains("text#"), s"text on a sweep exchange: $l")
+    }
+  }
+
   test("t44 priority sample: tau side broadcasts; text never scanned or shuffled") {
     val p = finalPlan(graft.operators.TextOps.prioritySample(
       spark, "/root/testdata/sf0.001"))
