@@ -246,6 +246,11 @@ object SparkEntry {
     // t57: shingle-WIDTH dedup calibration sweep (the axis t41's
     // threshold sweep doesn't cover) vs planted truth — oracled
     "t57_shingle_sweep" -> ((s, d) => TextOps.shingleSizeSweep(s, d)),
+    // c100: canonicalization rule attribution — per-rule fire counts
+    // over the raw frontier; sound+complete vs canon_url (spec-gated;
+    // the kernel is not SQL-expressible)
+    "c100_canon_attribution" -> ((s, _) =>
+      operators.CanonicalOps.ruleAttribution(s)),
     // t52: diversity-saturation curve — per-shard new-type yield from a
     // single min-agg first-occurrence pass, BIGINT bp — oracled
     "t52_diversity_curve" -> ((s, d) => TextOps.diversityCurve(s, d)),

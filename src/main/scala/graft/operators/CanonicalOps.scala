@@ -69,4 +69,65 @@ object CanonicalOps {
         col("n_hops"), col("exceeded"), col("n_aliases"))
       .orderBy("doc_id")
   }
+
+  /** c100 — canonicalization RULE ATTRIBUTION: c01 reports THAT URLs
+    * change under P1's canonicalizer; this reports WHY — per-rule fire
+    * counts (fragment strip, host case-fold, default-port strip,
+    * dot-segment removal, tracking-param removal, query reorder) over a
+    * raw frontier, the observability table that tells an operator which
+    * upstream emitters produce the mess (a spike in tracking-param
+    * fires = a new feed wrapper; a spike in dot-segments = a broken
+    * relative-link resolver). The classifier reads the RAW string with
+    * pure column predicates — deliberately INDEPENDENT of the kernel —
+    * and CanonicalSpec pins the attribution sound and complete against
+    * `canon_url` on the frontier generator: every URL any rule flags
+    * changes, every changed URL is flagged by some rule.
+    *
+    * Scale: one narrow map over the frontier + one map-side-combined
+    * 8-counter agg; the stacked result is 8 rows.
+    */
+  def ruleAttribution(spark: SparkSession, n: Long = 4000): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val flagged = ruleFlags(graft.sources.Gen.seeds(spark, n).toDF())
+    flagged.agg(
+        count(lit(1)).as("total"),
+        sum(when(col("changed"), 1L).otherwise(0L)).as("chg"),
+        sum(when(col("r_fragment"), 1L).otherwise(0L)).as("f"),
+        sum(when(col("r_host_case"), 1L).otherwise(0L)).as("hc"),
+        sum(when(col("r_default_port"), 1L).otherwise(0L)).as("dp"),
+        sum(when(col("r_dot_segments"), 1L).otherwise(0L)).as("ds"),
+        sum(when(col("r_tracking"), 1L).otherwise(0L)).as("tr"),
+        sum(when(col("r_param_order"), 1L).otherwise(0L)).as("po"))
+      .select(expr("stack(8, 'total', total, 'changed', chg, " +
+        "'fragment', f, 'host_case', hc, 'default_port', dp, " +
+        "'dot_segments', ds, 'tracking_params', tr, 'param_order', po) " +
+        "AS (rule, n_fired)"), col("total"))
+      .select(col("rule"), col("n_fired"),
+        expr("(10000 * n_fired) div total").as("share_bp"))
+      .orderBy("rule")
+  }
+
+  /** The raw-string rule classifier + the kernel's verdict, per URL. */
+  def ruleFlags(seeds: DataFrame): DataFrame = {
+    val trackingRe =
+      "(\\?|&)(utm_[^=&]*|gclid|fbclid|igshid|mc_cid|mc_eid|yclid|" +
+        "msclkid|ref_src|ref|spm|_ga)="
+    seeds
+      .withColumn("canon", expr("canon_url(url)"))
+      .withColumn("changed", col("canon") =!= col("url"))
+      .withColumn("auth",
+        regexp_extract(col("url"), "^[a-zA-Z]+://([^/#?]*)", 1))
+      .withColumn("q", regexp_extract(col("url"), "\\?([^#]*)", 1))
+      .withColumn("qp", filter(split(col("q"), "&"), p => p =!= ""))
+      .withColumn("r_fragment", col("url").contains("#"))
+      .withColumn("r_host_case", col("auth") =!= lower(col("auth")))
+      .withColumn("r_default_port",
+        col("url").rlike("^http://[^/?#]*:80([/?#]|$)")
+          || col("url").rlike("^https://[^/?#]*:443([/?#]|$)"))
+      .withColumn("r_dot_segments",
+        col("url").rlike("/\\.\\.?(/|$)"))
+      .withColumn("r_tracking", col("url").rlike(trackingRe))
+      .withColumn("r_param_order",
+        size(col("qp")) > 1 && !(col("qp") === array_sort(col("qp"))))
+  }
 }

@@ -76,4 +76,28 @@ class CanonicalSpec extends AnyFunSuite {
       assert(got(u), s"cycle base $u must stay hop-exceeded; its tag is invisible")
     }
   }
+
+  test("c100 rule attribution is SOUND and COMPLETE vs the canon_url kernel on the frontier") {
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val flags = CanonicalOps.ruleFlags(
+      graft.sources.Gen.seeds(spark, 4000).toDF()).collect()
+    flags.foreach { r =>
+      val anyRule = Seq("r_fragment", "r_host_case", "r_default_port",
+        "r_dot_segments", "r_tracking", "r_param_order")
+        .exists(c => r.getAs[Boolean](c))
+      val changed = r.getAs[Boolean]("changed")
+      assert(anyRule == changed,
+        s"attribution mismatch for ${r.getAs[String]("url")}: " +
+          s"rules=$anyRule changed=$changed")
+    }
+    // every rule must actually fire somewhere on the generator's mix
+    val att = CanonicalOps.ruleAttribution(spark).collect()
+      .map(r => r.getAs[String]("rule") -> r.getAs[Long]("n_fired")).toMap
+    Seq("fragment", "host_case", "default_port", "dot_segments",
+      "tracking_params", "param_order").foreach { rule =>
+      assert(att(rule) > 0L, s"rule $rule never fires on the frontier mix")
+    }
+    assert(att("changed") > 0L && att("changed") < att("total"),
+      "the generator mix must contain both clean and canonicalizing URLs")
+  }
 }
