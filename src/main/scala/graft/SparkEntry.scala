@@ -251,6 +251,13 @@ object SparkEntry {
     // the kernel is not SQL-expressible)
     "c100_canon_attribution" -> ((s, _) =>
       operators.CanonicalOps.ruleAttribution(s)),
+    // t58: dedup idempotence — t05's pair kernel on t08's kept corpus;
+    // the residual is the df-cap blind-spot measure — oracled
+    "t58_dedup_idempotence" -> ((s, d) => TextOps.dedupIdempotence(s, d)),
+    // c101: STREAMING Lindley backlog — c98's recursion as keyed state
+    // over demand micro-batches; StreamingSpec pins == batch closed form
+    "c101_stream_backlog" -> ((s, d) =>
+      graft.streaming.StreamingJobs.backlogDemo(s, d)),
     // t52: diversity-saturation curve — per-shard new-type yield from a
     // single min-agg first-occurrence pass, BIGINT bp — oracled
     "t52_diversity_curve" -> ((s, d) => TextOps.diversityCurve(s, d)),
@@ -2899,6 +2906,51 @@ object SparkEntry {
     // t57: per-width inverted-index blocks, same df-cap and J >= 1/3
     // gate, same truth compare
     "t57_shingle_sweep" -> shingleSweepOracleSql(Seq(2, 3, 5)),
+    // t58: t08's drops CTE, then the full t05 kernel re-run on the kept
+    // corpus (df-cap recomputed on the smaller corpus, as in Spark)
+    "t58_dedup_idempotence" ->
+      (ngramPairSql +
+        """, edges AS (
+          |  SELECT doc_a AS src, doc_b AS dst FROM dup_pairs
+          |  UNION
+          |  SELECT doc_b AS src, doc_a AS dst FROM dup_pairs
+          |), reach AS (
+          |  SELECT src AS id, src AS node FROM edges
+          |  UNION
+          |  SELECT r.id, e.dst AS node FROM reach r JOIN edges e ON r.node = e.src
+          |), drops AS (
+          |  SELECT id FROM (SELECT id, min(node) AS comp FROM reach GROUP BY id)
+          |  WHERE id <> comp
+          |), kept AS (
+          |  SELECT doc_id, text FROM corpus
+          |  WHERE doc_id NOT IN (SELECT id FROM drops)
+          |), ktoks AS (
+          |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+          |  FROM kept
+          |), ksh AS (
+          |  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
+          |  FROM (SELECT doc_id, t,
+          |    unnest(generate_series(1, greatest(len(t)-2, 0))) AS i FROM ktoks)
+          |), ksizes AS (
+          |  SELECT doc_id, count(*) AS sz FROM ksh GROUP BY doc_id
+          |), kidx AS (
+          |  SELECT doc_id, sh FROM ksh
+          |  WHERE sh NOT IN (SELECT sh FROM ksh GROUP BY sh HAVING count(*) > 64)
+          |), kpairs AS (
+          |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+          |  FROM kidx a JOIN kidx b ON a.sh = b.sh AND a.doc_id < b.doc_id
+          |  GROUP BY 1, 2
+          |), kdup AS (
+          |  SELECT doc_a, doc_b FROM kpairs
+          |  JOIN ksizes sa ON doc_a = sa.doc_id
+          |  JOIN ksizes sb ON doc_b = sb.doc_id
+          |  WHERE n_inter * 2 >= sa.sz + sb.sz - n_inter
+          |), nk AS (SELECT CAST(count(*) AS BIGINT) AS n_docs_kept FROM kept),
+          |res AS (SELECT CAST(count(*) AS BIGINT) AS n_second_pass_pairs FROM kdup)
+          |SELECT n_docs_kept, n_second_pass_pairs,
+          |  (10000 * n_second_pass_pairs) // n_docs_kept AS residual_bp,
+          |  n_second_pass_pairs = 0 AS is_fixpoint
+          |FROM nk CROSS JOIN res""".stripMargin),
     // q89: same cleared rational T = (n·Σx² − (Σx)²)/Σx and rounded
     // band comparison
     "q89_dispersion" ->

@@ -2166,4 +2166,30 @@ object TextOps {
           .as("rec"))
       .orderBy("w")
   }
+
+  /** t58 — dedup IDEMPOTENCE / second-pass RESIDUAL audit: is one dedup
+    * pass enough? Formally it need NOT be — the df-cap is computed on
+    * the corpus the pass sees, so shingles that were over-cap (dropped
+    * from the index) in pass 1 can fall UNDER the cap once duplicates
+    * are removed, surfacing candidate pairs the first pass was blind
+    * to. This audit runs t05's pair kernel on t08's kept corpus and
+    * reports the residual: zero = the pipeline is a fixpoint at this
+    * corpus (ship one pass), nonzero = the measured argument for a
+    * second pass (or a df-cap chosen on pre-dedup counts). One row,
+    * all BIGINT + one flag.
+    */
+  def dedupIdempotence(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = plantedCorpus(spark, dir)
+    val kept = DedupResolve.filterCorpus(corpus, "doc_id",
+      nearDupNgramJaccard(spark, dir), "doc_a", "doc_b")
+    val nKept = kept.agg(count(lit(1)).as("n_docs_kept"))
+    val residual = ngramJaccardPairs(kept)
+      .agg(count(lit(1)).as("n_second_pass_pairs"))
+    nKept.crossJoin(broadcast(residual))
+      .select(col("n_docs_kept"), col("n_second_pass_pairs"),
+        expr("(10000 * n_second_pass_pairs) div n_docs_kept")
+          .as("residual_bp"),
+        (col("n_second_pass_pairs") === 0L).as("is_fixpoint"))
+  }
+
 }

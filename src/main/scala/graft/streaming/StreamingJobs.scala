@@ -6,6 +6,8 @@ import graft.model.{Scheduled, Seed}
   * constructor for codegen).
   */
 final case class HostState(nextSlot: Int)
+final case class BacklogState(w: Long, peak: Long, inBacklog: Long,
+    total: Long, lastEpoch: Long)
 final case class RetryState(lastEpoch: Int, lastStatus: String, nTransient: Long)
 final case class RetryVerdict(image_id: String, last_epoch: Int,
     last_status: String, n_transient: Long, due: Boolean)
@@ -917,5 +919,88 @@ object StreamingJobs {
       q.processAllAvailable()
     } finally q.stop()
     spark.table(name).orderBy("url_hash", "path")
+  }
+
+  /** c101 — STREAMING Lindley backlog: c98's token-bucket recursion as
+    * keyed state — per-epoch demand rows arrive as a stream and each
+    * host's W advances by the textbook W ← max(0, W + d − R) (the
+    * sequential form the batch prefix-scan was proven equal to), so the
+    * backlog monitor runs ONLINE while c98 remains the at-rest audit.
+    * mapGroupsWithState keeps (w, peak, in-backlog, total) per host;
+    * every micro-batch emits the host's running summary and the demo
+    * reads the LAST update — StreamingSpec pins it equal to the batch
+    * closed form on the identical synthesized demand, column for
+    * column. State is one 5-long tuple per host — bounded by the host
+    * universe, the same budget as the politeness state.
+    */
+  def streamingBacklog(entries: Dataset[(String, Long, Long)],
+                       capBytes: Long): DataFrame = {
+    val spark = entries.sparkSession
+    import spark.implicits._
+    entries.groupByKey(_._1)
+      .mapGroupsWithState[BacklogState, (String, Long, Long, Long, Long)](
+        GroupStateTimeout.NoTimeout()) {
+        case (host, it, state) =>
+          val p = state.getOption.getOrElse(BacklogState(0L, 0L, 0L, 0L, 0L))
+          var w = p.w; var peak = p.peak; var inb = p.inBacklog
+          var tot = p.total; var last = p.lastEpoch
+          it.toSeq.sortBy(_._2).foreach { case (_, e, d) =>
+            tot += d
+            w = math.max(0L, w + d - capBytes)
+            if (w > peak) peak = w
+            if (w > 0L) inb += 1L
+            last = e
+          }
+          state.update(BacklogState(w, peak, inb, tot, last))
+          (host, tot, peak, w, inb)
+      }
+      .toDF("host", "total_demand", "peak_backlog", "final_backlog",
+        "epochs_in_backlog")
+  }
+
+  /** Driver-contract wrapper: streamingBacklog over a MemoryStream of
+    * the SAME md5-synthesized demand history c98 audits (locally
+    * generated with the identical kernel), epochs 1-3 / 4-6 / 7-8 as
+    * three micro-batches; returns the last update per host.
+    */
+  def backlogDemo(spark: SparkSession, dir: String,
+                  capBytes: Long = 30000L): DataFrame =
+    withFewStatePartitions(spark) { backlogDemoImpl(spark, dir, capBytes) }
+
+  private[graft] def demandLocal(host: String, e: Long): Long = {
+    def h6(s: String): Long = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).take(3).map("%02x".format(_))
+        .mkString, 16)
+    10000L + (h6(s"bf:$host") % 7L) * 1000L * e +
+      h6(s"bfn:$host:$e") % 997L
+  }
+
+  private def backlogDemoImpl(spark: SparkSession, dir: String,
+                              capBytes: Long): DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val hosts = spark.read.parquet(s"$dir/documents.parquet")
+      .select("source").distinct().collect().map(_.getString(0)).sorted
+    def wave(es: Range): IndexedSeq[(String, Long, Long)] =
+      for { e <- es; h <- hosts.toIndexedSeq }
+        yield (h, e.toLong, demandLocal(h, e.toLong))
+    val stream = MemoryStream[(String, Long, Long)]
+    val out = streamingBacklog(stream.toDS(), capBytes)
+    val name = "stream_backlog"
+    val q = out.writeStream.outputMode(OutputMode.Update())
+      .option("checkpointLocation", ckptDir(name))
+      .format("memory").queryName(name).start()
+    try {
+      stream.addData(wave(1 to 3)); q.processAllAvailable()
+      stream.addData(wave(4 to 6)); q.processAllAvailable()
+      stream.addData(wave(7 to 8)); q.processAllAvailable()
+    } finally q.stop()
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("host")
+      .orderBy(col("total_demand").desc)
+    spark.table(name)
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1).drop("rn")
+      .orderBy("host")
   }
 }

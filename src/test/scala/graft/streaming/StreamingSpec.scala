@@ -309,4 +309,23 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.values.exists(v => v._2 == "parsed" && v._3 == 1L),
       "no single-failure recovery row")
   }
+
+  test("c101 streaming lindley backlog == c98 batch closed form, column for column") {
+    val dir = "/root/testdata/sf0.001"
+    val streamed = StreamingJobs.backlogDemo(spark, dir).collect()
+      .map(r => r.getAs[String]("host") ->
+        (r.getAs[Long]("total_demand"), r.getAs[Long]("peak_backlog"),
+          r.getAs[Long]("final_backlog"),
+          r.getAs[Long]("epochs_in_backlog"))).toMap
+    val batch = graft.operators.BandwidthOps.backlogLindley(spark, dir)
+      .collect()
+      .map(r => r.getAs[String]("host") ->
+        (r.getAs[Long]("total_demand"), r.getAs[Long]("peak_backlog"),
+          r.getAs[Long]("final_backlog"),
+          r.getAs[Long]("epochs_in_backlog"))).toMap
+    assert(streamed == batch, "stream keyed state != batch prefix-scan")
+    // non-vacuity: the synthesized demand realizes queued AND idle hosts
+    assert(batch.values.exists(_._2 > 0L), "no host ever queues")
+    assert(batch.values.exists(_._2 == 0L), "every host queues")
+  }
 }
