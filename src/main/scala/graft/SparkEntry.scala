@@ -258,6 +258,13 @@ object SparkEntry {
     // over demand micro-batches; StreamingSpec pins == batch closed form
     "c101_stream_backlog" -> ((s, d) =>
       graft.streaming.StreamingJobs.backlogDemo(s, d)),
+    // t59: tokenizer fertility per language — codegen'd bpe_token_count
+    // vs whitespace words, RE2-mirrorable regex kernel — oracled
+    "t59_tokenizer_fertility" -> ((s, d) =>
+      TextOps.tokenizerFertility(s, d)),
+    // q90: Jarque-Bera log-normality of doc lengths — quantized logs,
+    // BIGINT power sums, rounded-JB verdict — oracled
+    "q90_jarque_bera" -> ((s, d) => Relational.jarqueBeraLengths(s, d)),
     // t52: diversity-saturation curve — per-shard new-type yield from a
     // single min-agg first-occurrence pass, BIGINT bp — oracled
     "t52_diversity_curve" -> ((s, d) => TextOps.diversityCurve(s, d)),
@@ -2951,6 +2958,78 @@ object SparkEntry {
           |  (10000 * n_second_pass_pairs) // n_docs_kept AS residual_bp,
           |  n_second_pass_pairs = 0 AS is_fixpoint
           |FROM nk CROSS JOIN res""".stripMargin),
+    // t59: same GPT-2-subset regex in RE2 (leftmost-first in both
+    // engines), same integer bp arithmetic
+    "t59_tokenizer_fertility" ->
+      """WITH deco AS (
+        |  SELECT lang,
+        |    text || ' (rev ' || doc_id || '.7, it''s v2!)' AS text
+        |  FROM documents
+        |), per AS (
+        |  SELECT lang,
+        |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+        |      AS words,
+        |    CAST(len(regexp_extract_all(text,
+        |      '''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+'))
+        |      AS BIGINT) AS bpe,
+        |    CAST(strlen(text) AS BIGINT) AS bytes
+        |  FROM deco
+        |)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(words) AS BIGINT) AS words,
+        |  CAST(sum(bpe) AS BIGINT) AS bpe_tokens,
+        |  CAST(sum(bytes) AS BIGINT) AS bytes,
+        |  (10000 * CAST(sum(bpe) AS BIGINT)) // CAST(sum(words) AS BIGINT)
+        |    AS fertility_bp,
+        |  (10000 * CAST(sum(bytes) AS BIGINT)) // CAST(sum(bpe) AS BIGINT)
+        |    AS bytes_per_token_bp
+        |FROM per GROUP BY lang ORDER BY lang""".stripMargin,
+    // q90: same 1e2-quantized logs, BIGINT power sums, identical
+    // central-moment association
+    "q90_jarque_bera" ->
+      """WITH x AS (
+        |  SELECT lang,
+        |    CAST(round(log2(greatest(n_chars, 1)) * 100) AS BIGINT) AS x
+        |  FROM documents
+        |), m AS (
+        |  SELECT lang, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(x) AS BIGINT) AS s1,
+        |    CAST(sum(x * x) AS BIGINT) AS s2,
+        |    CAST(sum(x * x * x) AS BIGINT) AS s3,
+        |    CAST(sum(x * x * x * x) AS BIGINT) AS s4
+        |  FROM x GROUP BY 1
+        |), f AS (
+        |  SELECT *,
+        |    CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+        |    CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
+        |      - (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+        |      * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) AS m2
+        |  FROM m
+        |), g AS (
+        |  SELECT *,
+        |    CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE)
+        |      - 3.0 * mean * (CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE))
+        |      + 2.0 * mean * mean * mean AS m3,
+        |    CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE)
+        |      - 4.0 * mean * (CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE))
+        |      + 6.0 * mean * mean
+        |        * (CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE))
+        |      - 3.0 * mean * mean * mean * mean AS m4
+        |  FROM f
+        |), h AS (
+        |  SELECT *, m3 / sqrt(m2 * m2 * m2) AS skew,
+        |    m4 / (m2 * m2) - 3.0 AS exk
+        |  FROM g
+        |), z AS (
+        |  SELECT *, round(CAST(n AS DOUBLE) / 6.0
+        |    * (skew * skew + exk * exk / 4.0), 4) AS jb
+        |  FROM h
+        |)
+        |SELECT lang, n, s1, s2, s3, s4,
+        |  round(skew, 4) AS skewness, round(exk, 4) AS ex_kurtosis, jb,
+        |  CASE WHEN jb > 5.991 THEN 'non_normal'
+        |       ELSE 'lognormal_consistent' END AS verdict
+        |FROM z ORDER BY lang""".stripMargin,
     // q89: same cleared rational T = (n·Σx² − (Σx)²)/Σx and rounded
     // band comparison
     "q89_dispersion" ->

@@ -1955,4 +1955,49 @@ object Relational {
           .otherwise(lit("poisson_consistent")).as("verdict"))
       .orderBy("event_type")
   }
+
+  /** q90 — JARQUE-BERA log-normality test of document lengths per
+    * language (Jarque & Bera '80): t54's Hill index assumes a POWER
+    * tail; the competing (and for web text, common) hypothesis is a
+    * LOG-NORMAL body — JB on the log-lengths separates them, and the
+    * answer decides whether capacity planning extrapolates with q84's
+    * extreme-value machinery (heavy tail) or a lognormal σ (tame).
+    * Engine-exact: logs are quantized to 1e2 fixed-point longs, the
+    * four raw power sums are BIGINT (the 1e2 scale is what keeps Σxq⁴
+    * inside BIGINT at sf0.1), central moments / skewness / excess
+    * kurtosis / JB are doubles computed from those integers with
+    * identical association, and the verdict compares the ROUNDED JB to
+    * the χ²₂ 95% point.
+    */
+  def jarqueBeraLengths(spark: SparkSession, dir: String): DataFrame = {
+    val xq = round(log(2.0, greatest(col("n_chars"), lit(1L))) * 100)
+      .cast("long")
+    val m = t(spark, dir, "documents")
+      .select(col("lang"), xq.as("x"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n"), sum("x").as("s1"),
+        sum(col("x") * col("x")).as("s2"),
+        sum(col("x") * col("x") * col("x")).as("s3"),
+        sum(col("x") * col("x") * col("x") * col("x")).as("s4"))
+    val nD = col("n").cast("double")
+    val mean = col("s1").cast("double") / nD
+    val m2 = col("s2").cast("double") / nD - mean * mean
+    val m3 = (col("s3").cast("double") / nD) -
+      lit(3.0) * mean * (col("s2").cast("double") / nD) +
+      lit(2.0) * mean * mean * mean
+    val m4 = (col("s4").cast("double") / nD) -
+      lit(4.0) * mean * (col("s3").cast("double") / nD) +
+      lit(6.0) * mean * mean * (col("s2").cast("double") / nD) -
+      lit(3.0) * mean * mean * mean * mean
+    val skew = m3 / sqrt(m2 * m2 * m2)
+    val exk = m4 / (m2 * m2) - lit(3.0)
+    val jb = nD / lit(6.0) * (skew * skew + exk * exk / lit(4.0))
+    m.withColumn("jb", round(jb, 4))
+      .select(col("lang"), col("n"), col("s1"), col("s2"), col("s3"),
+        col("s4"), round(skew, 4).as("skewness"),
+        round(exk, 4).as("ex_kurtosis"), col("jb"),
+        when(col("jb") > 5.991, lit("non_normal"))
+          .otherwise(lit("lognormal_consistent")).as("verdict"))
+      .orderBy("lang")
+  }
 }

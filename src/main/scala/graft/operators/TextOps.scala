@@ -2192,4 +2192,39 @@ object TextOps {
         (col("n_second_pass_pairs") === 0L).as("is_fixpoint"))
   }
 
+  /** t59 — TOKENIZER FERTILITY per language: BPE-ish tokens per
+    * whitespace word, the metric behind every "CJK costs 3× the tokens"
+    * budget argument — fertility decides how many RAW bytes a language
+    * needs per TRAINED token, so the t50 mixture solver's per-language
+    * budgets are only comparable after dividing by it. The Spark side
+    * runs the 2.9e codegen'd `bpe_token_count` Expression; the kernel
+    * is a pure leftmost-first regex (the GPT-2 pattern subset), which
+    * RE2 replicates exactly, so the whole row joins the hard oracle
+    * gate. Per language: docs, whitespace words, BPE tokens, bytes;
+    * fertility and bytes-per-token in integer basis points.
+    *
+    * Scale: one scan, everything per-row codegen, one map-side agg.
+    */
+  def tokenizerFertility(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    // the raw fixture is pure space-separated letter-words (fertility
+    // would be exactly 1.0 everywhere); the deterministic decoration
+    // adds the punctuation/number/contraction mass real web text has,
+    // identically in both engines
+    docs(spark, dir)
+      .withColumn("text",
+        concat(col("text"), lit(" (rev "), col("doc_id"), lit(".7, it's v2!)")))
+      .select(col("lang"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("words"),
+        expr("bpe_token_count(text)").cast("long").as("bpe"),
+        octet_length(col("text")).cast("long").as("bytes"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum("words").as("words"),
+        sum("bpe").as("bpe_tokens"), sum("bytes").as("bytes"))
+      .select(col("lang"), col("n_docs"), col("words"), col("bpe_tokens"),
+        col("bytes"),
+        expr("(10000 * bpe_tokens) div words").as("fertility_bp"),
+        expr("(10000 * bytes) div bpe_tokens").as("bytes_per_token_bp"))
+      .orderBy("lang")
+  }
 }

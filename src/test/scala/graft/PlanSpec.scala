@@ -1228,6 +1228,27 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("t59 fertility: per-row codegen (no UDF fallback); one map-side agg") {
+    val p = finalPlan(graft.operators.TextOps.tokenizerFertility(
+      spark, "/root/testdata/sf0.001"))
+    assert(!p.contains("BatchEvalPython") && !p.toLowerCase.contains("scalaudf"),
+      s"bpe_token_count fell back to a UDF:\n$p")
+    val lines = p.linesIterator
+      .takeWhile(!_.contains("== Initial Plan ==")).toSeq
+    assert(lines.exists(l =>
+      l.contains("HashAggregate") && l.contains("partial_")),
+      s"fertility counts do not map-side-combine:\n$p")
+  }
+
+  test("q90 jarque-bera: scan pruned to lang+n_chars (no text)") {
+    val p = finalPlan(graft.operators.Relational.jarqueBeraLengths(
+      spark, "/root/testdata/sf0.001"))
+    p.linesIterator.filter(_.contains("ReadSchema")).foreach { l =>
+      assert(!l.contains("text") && !l.contains("source") && !l.contains("doc_id"),
+        s"q90 scan reads unused columns: $l")
+    }
+  }
+
   test("t44 priority sample: tau side broadcasts; text never scanned or shuffled") {
     val p = finalPlan(graft.operators.TextOps.prioritySample(
       spark, "/root/testdata/sf0.001"))
