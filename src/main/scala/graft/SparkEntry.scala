@@ -265,6 +265,10 @@ object SparkEntry {
     // q90: Jarque-Bera log-normality of doc lengths — quantized logs,
     // BIGINT power sums, rounded-JB verdict — oracled
     "q90_jarque_bera" -> ((s, d) => Relational.jarqueBeraLengths(s, d)),
+    // g21: PageRank stability under deterministic edge dropout —
+    // Spearman rho + top-5 overlap between full and thinned ranks — oracled
+    "g21_rank_stability" -> ((s, d) =>
+      operators.GraphOps.rankStability(s, d)),
     // t52: diversity-saturation curve — per-shard new-type yield from a
     // single min-agg first-occurrence pass, BIGINT bp — oracled
     "t52_diversity_curve" -> ((s, d) => TextOps.diversityCurve(s, d)),
@@ -3578,6 +3582,9 @@ object SparkEntry {
     "g19_cocitation" -> operators.GraphOps.cocitationOracleSql(),
     // g20: g11's unrolled LPA + identical cleared-denominator arithmetic
     "g20_modularity" -> operators.GraphOps.modularityOracleSql(),
+    // g21: the g01 chain twice (thinned citing set), identical rank
+    // join and rho arithmetic
+    "g21_rank_stability" -> operators.GraphOps.rankStabilityOracleSql(),
     // t56: t45's tokenizer; same quantized entropy terms and integer
     // flag comparison
     "t56_token_entropy" ->

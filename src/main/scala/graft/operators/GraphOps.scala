@@ -1455,6 +1455,137 @@ object GraphOps {
       |JOIN sizes sb ON sb.src = host_b
       |ORDER BY host_a, host_b""".stripMargin
 
+  /** g21 — PageRank STABILITY under edge dropout: is the authority
+    * ranking a property of the GRAPH or an artifact of a few links? A
+    * quarter of the citing documents (doc_id % 4 == 0) is deterministically
+    * removed, PageRank reruns on the thinned graph, and the two rankings
+    * are compared — Spearman ρ over the common hosts (q73 discipline:
+    * integer Σd² over deterministic (rank desc, name) positions) and the
+    * top-5 overlap. ρ ≈ 1 means g01/g02's rank-ordered crawling is robust
+    * to link churn between refreshes; a fragile ρ means authority should
+    * be smoothed (g03's warm start) before it steers budget. The cited-id
+    * modulus keeps the FULL doc count, so the thinned graph is a strict
+    * edge-subset, not a re-randomization.
+    *
+    * Scale: two host-graph PageRanks + one |hosts|-row join — the
+    * expensive thing (the corpus scan) happens once per chain.
+    */
+  def rankStability(spark: SparkSession, dir: String,
+                    iters: Int = 10, damping: Double = 0.85): DataFrame = {
+    val base = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("source"))
+    val nDocs = base.count()
+    def edgesOf(citing: DataFrame): DataFrame = {
+      val b = base.select(col("doc_id").as("cited_id"),
+        col("source").as("dst"))
+      citing
+        .select(col("source").as("src"),
+          ((col("doc_id") * 17L + 3L) % nDocs).as("cited"))
+        .join(b, col("cited") === col("cited_id"))
+        .where(col("src") =!= col("dst"))
+        .select("src", "dst").distinct()
+    }
+    val prFull = pageRank(spark, edgesOf(base), iters, damping)
+      .select(col("node"), col("pagerank").as("pr_full"))
+    val prDrop = pageRank(spark,
+      edgesOf(base.where(pmod(col("doc_id"), lit(4L)) =!= 0L)),
+      iters, damping)
+      .select(col("node"), col("pagerank").as("pr_drop"))
+    val j = prFull.join(prDrop, Seq("node"))
+    val wF = org.apache.spark.sql.expressions.Window
+      .orderBy(col("pr_full").desc, col("node").asc)
+    val wD = org.apache.spark.sql.expressions.Window
+      .orderBy(col("pr_drop").desc, col("node").asc)
+    val ranked = j
+      .withColumn("rf", row_number().over(wF).cast("long"))
+      .withColumn("rd", row_number().over(wD).cast("long"))
+      .withColumn("d2",
+        (col("rf") - col("rd")) * (col("rf") - col("rd")))
+    ranked.agg(count(lit(1)).as("n_common"),
+        sum("d2").as("sum_d2"),
+        sum(when(col("rf") <= 5L && col("rd") <= 5L, 1L).otherwise(0L))
+          .as("top5_overlap"))
+      .select(col("n_common"), col("sum_d2"), col("top5_overlap"),
+        round(lit(1.0) - lit(6.0) * col("sum_d2").cast("double")
+          / (col("n_common").cast("double")
+            * (col("n_common").cast("double")
+              * col("n_common").cast("double") - 1.0)), 4)
+          .as("spearman_rho"))
+  }
+
+  /** DuckDB mirror of `rankStability`: the g01 chain twice (thinned
+    * citing set for the second), then the identical rank join + ρ.
+    */
+  def rankStabilityOracleSql(iters: Int = 10,
+                             damping: Double = 0.85): String = {
+    def chain(prefix: String, filterClause: String): String = {
+      val base =
+        s"""${prefix}edges AS MATERIALIZED (
+           |  SELECT DISTINCT a.source AS src, b.source AS dst
+           |  FROM docs a, cnt, docs b
+           |  WHERE b.doc_id = (a.doc_id * 17 + 3) % cnt.c
+           |    AND a.source <> b.source$filterClause),
+           |${prefix}nodes AS MATERIALIZED (
+           |  SELECT src AS node FROM ${prefix}edges
+           |  UNION SELECT dst FROM ${prefix}edges),
+           |${prefix}nn AS MATERIALIZED (
+           |  SELECT CAST(count(*) AS DOUBLE) AS n FROM ${prefix}nodes),
+           |${prefix}outdeg AS MATERIALIZED (
+           |  SELECT src, CAST(count(*) AS DOUBLE) AS deg
+           |  FROM ${prefix}edges GROUP BY src),
+           |${prefix}r0 AS MATERIALIZED (
+           |  SELECT node, round(CAST(1.0 AS DOUBLE) / ${prefix}nn.n, 10)
+           |    AS rank
+           |  FROM ${prefix}nodes, ${prefix}nn)""".stripMargin
+      val steps = (1 to iters).map { k =>
+        val p = k - 1
+        s"""${prefix}r$k AS MATERIALIZED (
+           |  SELECT nd.node,
+           |         round(CAST(${1.0 - damping} AS DOUBLE) / ${prefix}nn.n
+           |               + CAST($damping AS DOUBLE) *
+           |                 (COALESCE(c.contrib, 0) + dang.d / ${prefix}nn.n), 10) AS rank
+           |  FROM ${prefix}nodes nd
+           |  CROSS JOIN ${prefix}nn
+           |  CROSS JOIN (SELECT COALESCE(sum(r.rank), 0) AS d
+           |              FROM ${prefix}r$p r
+           |              LEFT JOIN ${prefix}outdeg o ON r.node = o.src
+           |              WHERE o.src IS NULL) dang
+           |  LEFT JOIN (SELECT e.dst AS node, sum(r.rank / o.deg) AS contrib
+           |             FROM ${prefix}r$p r
+           |             JOIN ${prefix}outdeg o ON r.node = o.src
+           |             JOIN ${prefix}edges e ON e.src = r.node
+           |             GROUP BY e.dst) c ON nd.node = c.node)""".stripMargin
+      }
+      (base +: steps).mkString(",\n")
+    }
+    s"""WITH docs AS MATERIALIZED (SELECT doc_id, source FROM documents),
+       |cnt AS MATERIALIZED (SELECT count(*) AS c FROM docs),
+       |""".stripMargin +
+      chain("", "") + ",\n" +
+      chain("d_", " AND a.doc_id % 4 <> 0") + ",\n" +
+      s"""jj AS (
+         |  SELECT f.node, round(f.rank, 6) AS pr_full,
+         |    round(g.rank, 6) AS pr_drop
+         |  FROM r$iters f JOIN d_r$iters g ON f.node = g.node
+         |), rk AS (
+         |  SELECT node,
+         |    CAST(row_number() OVER (ORDER BY pr_full DESC, node ASC)
+         |      AS BIGINT) AS rf,
+         |    CAST(row_number() OVER (ORDER BY pr_drop DESC, node ASC)
+         |      AS BIGINT) AS rd
+         |  FROM jj
+         |)
+         |SELECT CAST(count(*) AS BIGINT) AS n_common,
+         |  CAST(sum((rf - rd) * (rf - rd)) AS BIGINT) AS sum_d2,
+         |  CAST(sum(CASE WHEN rf <= 5 AND rd <= 5 THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS top5_overlap,
+         |  round(1.0 - 6.0 * CAST(sum((rf - rd) * (rf - rd)) AS DOUBLE)
+         |    / (CAST(count(*) AS DOUBLE)
+         |      * (CAST(count(*) AS DOUBLE) * CAST(count(*) AS DOUBLE)
+         |        - 1.0)), 4) AS spearman_rho
+         |FROM rk""".stripMargin
+  }
+
   /** g20 — MODULARITY of the detected community partition (Newman &
     * Girvan '04): g11 finds communities; this scores whether the
     * partition is REAL — Q near 0 means the "communities" are no denser

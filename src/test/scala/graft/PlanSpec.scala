@@ -1249,6 +1249,15 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("g21 rank stability: documents scans prune to doc_id+source") {
+    val p = finalPlan(graft.operators.GraphOps.rankStability(
+      spark, "/root/testdata/sf0.001", iters = 3))
+    p.linesIterator.filter(_.contains("ReadSchema")).foreach { l =>
+      assert(!l.contains("text") && !l.contains("n_chars") && !l.contains("lang"),
+        s"g21 scan reads unused columns: $l")
+    }
+  }
+
   test("t44 priority sample: tau side broadcasts; text never scanned or shuffled") {
     val p = finalPlan(graft.operators.TextOps.prioritySample(
       spark, "/root/testdata/sf0.001"))
