@@ -269,6 +269,9 @@ object SparkEntry {
     // Spearman rho + top-5 overlap between full and thinned ranks — oracled
     "g21_rank_stability" -> ((s, d) =>
       operators.GraphOps.rankStability(s, d)),
+    // q91: Ljung-Box portmanteau lags 1-6 — q87's integer machinery,
+    // fixed six-term association, chi-square-banded verdict — oracled
+    "q91_ljung_box" -> ((s, d) => Relational.ljungBox(s, d)),
     // t52: diversity-saturation curve — per-shard new-type yield from a
     // single min-agg first-occurrence pass, BIGINT bp — oracled
     "t52_diversity_curve" -> ((s, d) => TextOps.diversityCurve(s, d)),
@@ -3034,6 +3037,65 @@ object SparkEntry {
         |  CASE WHEN jb > 5.991 THEN 'non_normal'
         |       ELSE 'lognormal_consistent' END AS verdict
         |FROM z ORDER BY lang""".stripMargin,
+    // q91: same centering, one window pass for all six lags, identical
+    // six-term Q association
+    "q91_ljung_box" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(count(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1, 2
+        |), cc AS (
+        |  SELECT event_type, day,
+        |    CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n,
+        |    CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) * x
+        |      - CAST(sum(x) OVER (PARTITION BY event_type) AS BIGINT)
+        |      AS c
+        |  FROM daily
+        |), lagd AS (
+        |  SELECT *,
+        |    lag(c, 1) OVER w AS ck1, lag(c, 2) OVER w AS ck2,
+        |    lag(c, 3) OVER w AS ck3, lag(c, 4) OVER w AS ck4,
+        |    lag(c, 5) OVER w AS ck5, lag(c, 6) OVER w AS ck6
+        |  FROM cc
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY day)
+        |), m AS (
+        |  SELECT event_type, CAST(max(n) AS BIGINT) AS n_days,
+        |    CAST(sum(c * c) AS BIGINT) AS den,
+        |    CAST(sum(CASE WHEN ck1 IS NOT NULL THEN c * ck1 ELSE 0 END) AS BIGINT) AS num1,
+        |    CAST(sum(CASE WHEN ck2 IS NOT NULL THEN c * ck2 ELSE 0 END) AS BIGINT) AS num2,
+        |    CAST(sum(CASE WHEN ck3 IS NOT NULL THEN c * ck3 ELSE 0 END) AS BIGINT) AS num3,
+        |    CAST(sum(CASE WHEN ck4 IS NOT NULL THEN c * ck4 ELSE 0 END) AS BIGINT) AS num4,
+        |    CAST(sum(CASE WHEN ck5 IS NOT NULL THEN c * ck5 ELSE 0 END) AS BIGINT) AS num5,
+        |    CAST(sum(CASE WHEN ck6 IS NOT NULL THEN c * ck6 ELSE 0 END) AS BIGINT) AS num6
+        |  FROM lagd GROUP BY 1
+        |), z AS (
+        |  SELECT *, round(CAST(n_days AS DOUBLE)
+        |    * (CAST(n_days AS DOUBLE) + 2.0)
+        |    * ((CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))
+        |        * (CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))
+        |        / (CAST(n_days AS DOUBLE) - 1.0)
+        |      + (CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE))
+        |        * (CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE))
+        |        / (CAST(n_days AS DOUBLE) - 2.0)
+        |      + (CAST(num3 AS DOUBLE) / CAST(den AS DOUBLE))
+        |        * (CAST(num3 AS DOUBLE) / CAST(den AS DOUBLE))
+        |        / (CAST(n_days AS DOUBLE) - 3.0)
+        |      + (CAST(num4 AS DOUBLE) / CAST(den AS DOUBLE))
+        |        * (CAST(num4 AS DOUBLE) / CAST(den AS DOUBLE))
+        |        / (CAST(n_days AS DOUBLE) - 4.0)
+        |      + (CAST(num5 AS DOUBLE) / CAST(den AS DOUBLE))
+        |        * (CAST(num5 AS DOUBLE) / CAST(den AS DOUBLE))
+        |        / (CAST(n_days AS DOUBLE) - 5.0)
+        |      + (CAST(num6 AS DOUBLE) / CAST(den AS DOUBLE))
+        |        * (CAST(num6 AS DOUBLE) / CAST(den AS DOUBLE))
+        |        / (CAST(n_days AS DOUBLE) - 6.0)), 4) AS q_stat
+        |  FROM m
+        |)
+        |SELECT event_type, n_days, den, num1, num2, num3, num4, num5,
+        |  num6, q_stat,
+        |  CASE WHEN q_stat > 12.5916 THEN 'autocorrelated'
+        |       ELSE 'white_noise' END AS verdict
+        |FROM z ORDER BY event_type""".stripMargin,
     // q89: same cleared rational T = (n·Σx² − (Σx)²)/Σx and rounded
     // band comparison
     "q89_dispersion" ->

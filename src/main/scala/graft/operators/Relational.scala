@@ -2000,4 +2000,51 @@ object Relational {
           .otherwise(lit("lognormal_consistent")).as("verdict"))
       .orderBy("lang")
   }
+
+  /** q91 — LJUNG-BOX portmanteau test over lags 1..6 (Ljung & Box '78):
+    * q87 reads single lags; the portmanteau asks the JOINT question —
+    * "is this series white noise at all?" — the one-number gate a
+    * forecasting model (c93's OLS, c96's Poisson) must pass on its
+    * residual series before its predictions mean anything. Built on
+    * q87's denominator-cleared integer machinery: one window pass
+    * carries all six lags, each autocorrelation is an exact integer
+    * num_k over the shared den, and Q = n(n+2)·Σ r_k²/(n−k) is written
+    * as an explicit six-term expression so the summation ORDER is fixed
+    * in both engines; verdict compares rounded Q to the χ²₆ 95% point.
+    */
+  def ljungBox(spark: SparkSession, dir: String): DataFrame = {
+    val daily = t(spark, dir, "events")
+      .select(col("event_type"), to_date(col("ts")).as("day"))
+      .groupBy("event_type", "day").agg(count(lit(1)).as("x"))
+    val wT = Window.partitionBy("event_type")
+    val wSeq = Window.partitionBy("event_type").orderBy("day")
+    var centered = daily
+      .withColumn("n", count(lit(1)).over(wT))
+      .withColumn("s", sum("x").over(wT))
+      .withColumn("c", col("n") * col("x") - col("s"))
+    (1 to 6).foreach { k =>
+      centered = centered.withColumn(s"ck$k", lag("c", k).over(wSeq))
+    }
+    val aggCols = Seq(max("n").as("n_days"),
+      sum(col("c") * col("c")).as("den")) ++
+      (1 to 6).map(k =>
+        sum(when(col(s"ck$k").isNotNull, col("c") * col(s"ck$k"))
+          .otherwise(0L)).as(s"num$k"))
+    val aggd = centered.groupBy("event_type")
+      .agg(aggCols.head, aggCols.tail: _*)
+    val nD = col("n_days").cast("double")
+    def rk2(k: Int): Column = {
+      val r = col(s"num$k").cast("double") / col("den").cast("double")
+      r * r / (nD - k.toDouble)
+    }
+    val q = nD * (nD + 2.0) *
+      (rk2(1) + rk2(2) + rk2(3) + rk2(4) + rk2(5) + rk2(6))
+    aggd.withColumn("q_stat", round(q, 4))
+      .select((Seq(col("event_type"), col("n_days"), col("den")) ++
+        (1 to 6).map(k => col(s"num$k")) ++
+        Seq(col("q_stat"),
+          when(col("q_stat") > 12.5916, lit("autocorrelated"))
+            .otherwise(lit("white_noise")).as("verdict"))): _*)
+      .orderBy("event_type")
+  }
 }

@@ -1258,6 +1258,21 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q91 ljung-box: one window pass carries all six lags (single sort exchange family)") {
+    val p = finalPlan(graft.operators.Relational.ljungBox(
+      spark, "/root/testdata/sf0.001"))
+    val lines = p.linesIterator
+      .takeWhile(!_.contains("== Initial Plan ==")).toSeq
+    val windows = lines.count(_.trim.startsWith("Window"))
+    assert(windows <= 2,
+      s"expected the six lags to share windows (<=2 Window nodes), got $windows:\n$p")
+    p.linesIterator.filter(_.contains("ReadSchema")).foreach { l =>
+      assert(!l.contains("props") && !l.contains("user_id")
+        && !l.contains("value"),
+        s"q91 scan reads unused columns: $l")
+    }
+  }
+
   test("t44 priority sample: tau side broadcasts; text never scanned or shuffled") {
     val p = finalPlan(graft.operators.TextOps.prioritySample(
       spark, "/root/testdata/sf0.001"))
