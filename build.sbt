@@ -26,5 +26,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 295 sequential queries in one local-mode JVM: an 8g heap left the
+  // old-gen near-full late in the bench (GC-bound tail, see
+  // OPTIMIZATION_r06.md); the sandbox has 128 GiB, a real cluster sizes
+  // driver+executor memory separately anyway
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )

@@ -7,10 +7,12 @@ import org.apache.spark.sql.SparkSession
   * count so fixed-overhead (many tiny actions) separates from real work.
   */
 object ProbeSlow {
+  val stageAgg = new java.util.concurrent.ConcurrentHashMap[String, (Int, Int)]
+
   def main(args: Array[String]): Unit = {
     val spark = SparkEnv.applyCommon(SparkSession.builder()
-      .master("local[16]")
-      .config("spark.sql.shuffle.partitions", 16))
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000).count()
@@ -28,6 +30,11 @@ object ProbeSlow {
       }
       override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
         tasks.incrementAndGet()
+      override def onStageCompleted(s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        val info = s.stageInfo
+        val site = s"${info.name} [nt=${info.numTasks}]"
+        ProbeSlow.stageAgg.merge(site, (info.numTasks, 1), (a, b) => (a._1 + b._1, a._2 + b._2))
+      }
     })
     def time(name: String)(f: => Long): Unit = {
       jobs.set(0); tasks.set(0); jobMs.set(0)
@@ -37,11 +44,20 @@ object ProbeSlow {
       Thread.sleep(300)
       println(f"[probe] $name%-28s wall=$wall%7.2fs rows=$n%6d jobs=${jobs.get}%4d tasks=${tasks.get}%6d inJobMs=${jobMs.get}%6d")
     }
-    time("c53_vacuum")(operators.RetentionOps.vacuumDemo(spark).count())
-    time("c44_aging")(operators.CrawlPipeline.agingDemo(spark).count())
-    time("c51_revalidation")(operators.RevalidationOps.revalidationDemo(spark).count())
-    time("c54_byte_budget")(operators.BandwidthOps.bandwidthDemo(spark).count())
-    time("c44_aging_warm")(operators.CrawlPipeline.agingDemo(spark).count())
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val names = if (args.nonEmpty) args.toSeq else Seq(
+      "c44_priority_aging", "c85_host_health", "c51_revalidation",
+      "c34_budget_allocation", "c54_byte_budget", "c67_payload_gate",
+      "c83_failure_retry", "c53_vacuum", "c44_priority_aging")
+    names.foreach { n =>
+      val fn = SparkEntry.queries.getOrElse(n, sys.error(s"unknown query: $n"))
+      time(n)(fn(spark, sfDir).count())
+    }
+    import scala.jdk.CollectionConverters._
+    println("[probe] -- stages by total tasks --")
+    stageAgg.asScala.toSeq.sortBy(-_._2._1).take(30).foreach { case (site, (t, c)) =>
+      println(f"[probe] tasks=$t%6d stages=$c%4d  $site")
+    }
     spark.stop()
   }
 }

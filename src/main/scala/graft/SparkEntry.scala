@@ -899,7 +899,7 @@ object SparkEntry {
     // (PlanSpec-pinned); rows out = surviving frontier per host
     "c23_bucketed_seen" -> ((s, _) => {
       import s.implicits._
-      val tmp = java.nio.file.Files.createTempDirectory("graft-c23").toString
+      val tmp = graft.SparkEnv.scratchDir("graft-c23")
       val frontier = FrontierJob.canonicalizeFrontier(Gen.seeds(s, 20000)).toDF()
       val seen = frontier.where(pmod(col("url_hash"), lit(4)) === 0)
         .select(col("url_hash"), col("host"), lit(0).as("first_epoch"))
@@ -935,7 +935,7 @@ object SparkEntry {
       // re-shingling it — the crawl-loop "is this doc a copy of an earlier
       // one" semantic; golden-equality vs full recompute is pinned in
       // SimIndexSpec
-      val root = java.nio.file.Files.createTempDirectory("graft-c16").toString
+      val root = graft.SparkEnv.scratchDir("graft-c16")
       val docs = s.read.parquet(s"$d/documents.parquet").select("doc_id", "text")
       val e0 = docs.where(pmod(col("doc_id"), lit(2)) === 0)
       val e1 = docs.where(pmod(col("doc_id"), lit(2)) === 1)
@@ -973,7 +973,7 @@ object SparkEntry {
       // window keys — cross-epoch exact-copy gate at window granularity,
       // no re-hashing of epoch 0; incremental == full recompute is pinned
       // in SuffixSpec
-      val root = java.nio.file.Files.createTempDirectory("graft-c56").toString
+      val root = graft.SparkEnv.scratchDir("graft-c56")
       val corpus = TextOps.spanCorpus(s, d)
       val e0 = corpus.where(col("doc_id") < 2000000L)
       val e1 = corpus.where(col("doc_id") >= 2000000L)
@@ -1002,7 +1002,7 @@ object SparkEntry {
       // epoch-1 images probe the PERSISTED epoch-0 block index without
       // re-blocking it — the c16/D10 pattern applied to the image payload;
       // incremental == full-recompute golden is pinned in SimIndexSpec
-      val root = java.nio.file.Files.createTempDirectory("graft-c19").toString
+      val root = graft.SparkEnv.scratchDir("graft-c19")
       val base = diffHistory(s, 60).where(col("epoch") === 2)
         .select("image_id", "phash")
       val e0 = base.where(pmod(xxhash64(col("image_id")), lit(2)) === 0)
@@ -1020,7 +1020,7 @@ object SparkEntry {
       // + disjoint never-matching entries) broadcasts against the
       // corpus-so-far's block table; flagged corpus images must be held
       // out of training (brute-mirror golden in SimIndexSpec)
-      val root = java.nio.file.Files.createTempDirectory("graft-c65").toString
+      val root = graft.SparkEnv.scratchDir("graft-c65")
       val base = diffHistory(s, 60).where(col("epoch") === 2)
         .select("image_id", "phash")
       val e0 = base.where(pmod(xxhash64(col("image_id")), lit(2)) === 0)
@@ -1042,7 +1042,7 @@ object SparkEntry {
       // WITHOUT the deleted docs (and with the df-cap maintained) while
       // the index files stay untouched; merge-on-read == rebuilt-from-
       // filtered-corpus and compaction goldens are pinned in ForgetSpec
-      val root = java.nio.file.Files.createTempDirectory("graft-c72").toString
+      val root = graft.SparkEnv.scratchDir("graft-c72")
       val docs = s.read.parquet(s"$d/documents.parquet").select("doc_id", "text")
       val e0 = docs.where(pmod(col("doc_id"), lit(2)) === 0)
       val e1 = docs.where(pmod(col("doc_id"), lit(2)) === 1)
@@ -1065,7 +1065,7 @@ object SparkEntry {
       // the merge-on-read probe answers without the deleted vectors while
       // the bucket files stay untouched; merge-on-read == rebuilt and
       // compaction goldens are pinned in ForgetSpec
-      val root = java.nio.file.Files.createTempDirectory("graft-c79").toString
+      val root = graft.SparkEnv.scratchDir("graft-c79")
       val base = s.read.parquet(s"$d/embeddings.parquet")
         .select("vec_id", "embedding")
       val e0 = base.where(pmod(col("vec_id"), lit(2)) === 0)
@@ -1088,7 +1088,7 @@ object SparkEntry {
       // through the persisted phash index: dups of EXISTING content drop
       // regardless of hash order, new-new dup groups keep their min —
       // union-find-mirror golden in ImageOpsSpec
-      val root = java.nio.file.Files.createTempDirectory("graft-c20").toString
+      val root = graft.SparkEnv.scratchDir("graft-c20")
       val base = diffHistory(s, 60).where(col("epoch") === 2)
         .select("image_id", "phash")
       val e0 = base.where(pmod(xxhash64(col("image_id")), lit(2)) === 0)

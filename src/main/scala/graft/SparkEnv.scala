@@ -17,9 +17,31 @@ object SparkEnv {
     } else None
   }
 
+  /** Scratch root for demo pipeline state (per-epoch parquet, indexes,
+    * manifests): the fast local dir (tmpfs) when available, else the JVM
+    * temp dir. Same rationale as the streaming checkpoint placement in
+    * StreamingJobs.ckptDir — java.io.tmpdir sits on the slow root disk and
+    * the demos' many tiny state writes/commits were disk-bound there. A
+    * real deployment points scratch at fast local storage or a DFS; the
+    * directory choice is deployment config, not semantics.
+    */
+  def scratchDir(prefix: String): String = localDir match {
+    case Some(d) =>
+      java.nio.file.Files
+        .createTempDirectory(java.nio.file.Paths.get(d), prefix).toString
+    case None => java.nio.file.Files.createTempDirectory(prefix).toString
+  }
+
   def applyCommon(b: org.apache.spark.sql.SparkSession.Builder): org.apache.spark.sql.SparkSession.Builder = {
     localDir.foreach(d => b.config("spark.local.dir", d))
     b.config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // Let AQE re-optimize (coalesce) the output partitioning of cached
+      // plans: the pipeline demos persist frontier/dedupe intermediates,
+      // and with the default (false) every downstream stage of a cached
+      // plan is pinned to spark.sql.shuffle.partitions tasks regardless of
+      // data size — at demo scale that is 32 tasks per scan for a few
+      // hundred rows (guide §2.4/§2.2: fewer, larger partitions).
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
   }
 }

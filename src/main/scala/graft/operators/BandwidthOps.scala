@@ -57,7 +57,7 @@ object BandwidthOps {
   def bandwidthDemo(spark: SparkSession, epochs: Int = 2,
                     seedsPerEpoch: Int = 200,
                     bytesPerHost: Long = 24000L): DataFrame = {
-    val root = java.nio.file.Files.createTempDirectory("graft-c54").toString
+    val root = graft.SparkEnv.scratchDir("graft-c54")
     CrawlPipeline.run(spark, root, untilEpoch = epochs, seedsPerEpoch = seedsPerEpoch,
       cfg0 = FrontierJob.Config(epoch = 0, globalBudget = 4000),
       byteBudgetPerHost = bytesPerHost)

@@ -187,7 +187,7 @@ object CrawlPipeline {
     * (parsed / invalid_payload / fetch_failed / parse_failed counts).
     */
   def payloadGateDemo(spark: SparkSession): DataFrame = {
-    val root = java.nio.file.Files.createTempDirectory("graft-c67demo").toString
+    val root = graft.SparkEnv.scratchDir("graft-c67demo")
     // trimmed demo scale (c44/c51 precedent): ~8 expected damage rows
     // per epoch at 1/32 — the ledger stays non-vacuous (all four statuses
     // realized per epoch, probed 8 rows) and the wall drops ~1 s; the
@@ -228,7 +228,7 @@ object CrawlPipeline {
     */
   def agingDemo(spark: SparkSession, epochs: Int = 1, seedsPerEpoch: Int = 400,
                 budget: Int = 100): org.apache.spark.sql.DataFrame = {
-    val root = java.nio.file.Files.createTempDirectory("graft-c44").toString
+    val root = graft.SparkEnv.scratchDir("graft-c44")
     run(spark, root, untilEpoch = epochs, seedsPerEpoch = seedsPerEpoch,
       cfg0 = FrontierJob.Config(epoch = 0, globalBudget = budget),
       aging = true, agingBoost = 2.0)
@@ -252,7 +252,7 @@ object CrawlPipeline {
     */
   def retryDemo(spark: SparkSession, epochs: Int = 2,
                 seedsPerEpoch: Int = 400, retryMax: Int = 2): DataFrame = {
-    val root = java.nio.file.Files.createTempDirectory("graft-c83").toString
+    val root = graft.SparkEnv.scratchDir("graft-c83")
     run(spark, root, untilEpoch = epochs, seedsPerEpoch = seedsPerEpoch,
       cfg0 = FrontierJob.Config(epoch = 0, globalBudget = 10000),
       outlinkFanout = 0, retryFailures = true, retryMax = retryMax)
@@ -467,12 +467,19 @@ object CrawlPipeline {
         else
           FrontierJob.dedupeAgainstSeen(frontier.drop("n_raw"), seen, sidecars, numBuckets)
         ).persist()
-      val rawCounts = frontier
+      // one action for both sides of the dedupe ledger (raw candidates and
+      // survivors per fetch partition) — the former two collects were two
+      // full job launches per epoch for <=fetchPartitions rows each
+      val rawAndSurv = frontier
         .groupBy(pidCol.as("partition_id")).agg(sum("n_raw").as("n_raw"))
-        .as[(Int, Long)].collect().toMap
-      val survCounts = deduped
-        .groupBy(pidCol.as("partition_id")).agg(count(lit(1)).as("n"))
-        .as[(Int, Long)].collect().toMap
+        .join(
+          deduped.groupBy(pidCol.as("partition_id")).agg(count(lit(1)).as("n")),
+          Seq("partition_id"), "full_outer")
+        .as[(Int, Option[Long], Option[Long])].collect()
+      val rawCounts = rawAndSurv
+        .collect { case (pid, Some(raw), _) => pid -> raw }.toMap
+      val survCounts = rawAndSurv
+        .collect { case (pid, _, Some(n)) => pid -> n }.toMap
       val dedupeCounts = rawCounts.map { case (pid, raw) =>
         pid -> (raw - survCounts.getOrElse(pid, 0L))
       }.filter(_._2 > 0L)
@@ -608,6 +615,19 @@ object CrawlPipeline {
       }
       frontier.unpersist()
       deduped.unpersist()
+      // counted here (off the persisted df — same single action as before,
+      // moved ahead of the fetch) so the snapshot write can size its output
+      // files from the epoch's actual row count (guide §6)
+      val nScheduled = scheduled.count()
+      // target ~32k snapshot rows per output file; when the epoch is big
+      // enough that the wave's own partitioning already meets the target,
+      // pass 0 (no rebalance) so a full-scale epoch never pays an extra
+      // payload exchange just to re-bin files it would emit anyway
+      val snapshotWriteParts = {
+        val target = math.max(1L,
+          math.min(fetchPartitions.toLong, nScheduled / 32768L + 1L)).toInt
+        if (target >= fetchPartitions) 0 else target
+      }
       // fetch + snapshot data write (NOT yet committed — the manifest goes
       // last, after every piece of this epoch's state is at rest, so a
       // crash at ANY point here leaves an uncommitted epoch that resume
@@ -619,7 +639,8 @@ object CrawlPipeline {
       // invalid_payload (auditable), never in the parsed contract view
       val fetched =
         if (!payloadValidation) fetched0 else validateFetched(fetched0, epoch)
-      val summary = Snapshots.writeEpochFetched(fetched, root, epoch, dedupeCounts)
+      val summary = Snapshots.writeEpochFetched(fetched, root, epoch, dedupeCounts,
+        writePartitions = snapshotWriteParts)
       // c50: persist this epoch's AIMD backoff state from the at-rest fetch
       // log BEFORE the manifest commit (sibling-state discipline — resume
       // recomputes it idempotently from the same committed rows)
@@ -756,7 +777,6 @@ object CrawlPipeline {
       } else Snapshots.writeLatest(spark, root, epoch)
       val nRevised = spark.read.parquet(s"$root/revisions/epoch=$epoch")
         .where(col("change").startsWith("revised")).count()
-      val nScheduled = scheduled.count()
       scheduled.unpersist()
       // the atomic commit point: everything above is now at rest
       Snapshots.commitManifest(root, epoch, summary.n_rows, summary.n_partitions)

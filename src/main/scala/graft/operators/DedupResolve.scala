@@ -278,7 +278,7 @@ object DedupResolve {
     * proves store == from-scratch.
     */
   def resolveNgramDupsIncremental(spark: SparkSession, dir: String): DataFrame = {
-    val root = java.nio.file.Files.createTempDirectory("graft-g08").toString
+    val root = graft.SparkEnv.scratchDir("graft-g08")
     val pairs = TextOps.nearDupNgramJaccard(spark, dir)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     updateLabels(spark, root, 0,

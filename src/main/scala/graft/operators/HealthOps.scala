@@ -107,7 +107,7 @@ object HealthOps {
     */
   def hostHealthDemo(spark: SparkSession, epochs: Int = 2,
                      seedsPerEpoch: Int = 500): DataFrame = {
-    val root = java.nio.file.Files.createTempDirectory("graft-c85").toString
+    val root = graft.SparkEnv.scratchDir("graft-c85")
     CrawlPipeline.run(spark, root, untilEpoch = epochs,
       seedsPerEpoch = seedsPerEpoch,
       cfg0 = FrontierJob.Config(epoch = 0, globalBudget = 10000),
@@ -168,7 +168,7 @@ object HealthOps {
     */
   def calibrationDemo(spark: SparkSession, epochs: Int = 1,
                       seedsPerEpoch: Int = 400): DataFrame = {
-    val root = java.nio.file.Files.createTempDirectory("graft-c88").toString
+    val root = graft.SparkEnv.scratchDir("graft-c88")
     CrawlPipeline.run(spark, root, untilEpoch = epochs,
       seedsPerEpoch = seedsPerEpoch,
       cfg0 = FrontierJob.Config(epoch = 0, globalBudget = 10000),

@@ -1304,7 +1304,7 @@ object ImageOps {
     * lesser copies first and the full png later (upgrade + eviction),
     * odd groups see the full first and lesser copies later (drops). */
   def bestCopyCatalogDemo(spark: org.apache.spark.sql.SparkSession): DataFrame = {
-    val root = java.nio.file.Files.createTempDirectory("graft-c78").toString
+    val root = graft.SparkEnv.scratchDir("graft-c78")
     val all = scaleCorpus(spark)
     val grp = regexp_extract(col("image_id"), "img-(\\d+)-", 1).cast("long")
     val isFull = col("image_id").endsWith("-full")

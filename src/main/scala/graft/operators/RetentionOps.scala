@@ -176,7 +176,7 @@ object RetentionOps {
   def vacuumDemo(spark: org.apache.spark.sql.SparkSession): DataFrame = {
     import spark.implicits._
     import java.nio.file.{Files, Paths}
-    val root = Files.createTempDirectory("graft-c53").toString
+    val root = graft.SparkEnv.scratchDir("graft-c53")
     CrawlPipeline.run(spark, root, untilEpoch = 1, seedsPerEpoch = 120,
       cfg0 = FrontierJob.Config(epoch = 0, globalBudget = 2000))
     val junk = Paths.get(s"$root/scheduled/epoch=9")

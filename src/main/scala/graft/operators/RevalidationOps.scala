@@ -55,7 +55,7 @@ object RevalidationOps {
   def revalidationDemo(spark: SparkSession, epochs: Int = 2,
                        seedsPerEpoch: Int = 200, budget: Int = 4000): DataFrame = {
     import spark.implicits._
-    val root = java.nio.file.Files.createTempDirectory("graft-c51").toString
+    val root = graft.SparkEnv.scratchDir("graft-c51")
     CrawlPipeline.run(spark, root, untilEpoch = epochs, seedsPerEpoch = seedsPerEpoch,
       cfg0 = FrontierJob.Config(epoch = 0, globalBudget = budget),
       recrawl = true, revalidate = true)

@@ -581,7 +581,7 @@ object SimilarityOps {
     * two epoch slices; the probe reads the cumulative code store.
     */
   def annPqStoreDemo(spark: SparkSession, dir: String): DataFrame = {
-    val root = java.nio.file.Files.createTempDirectory("graft-emb10").toString
+    val root = graft.SparkEnv.scratchDir("graft-emb10")
     val e = emb(spark, dir).select("vec_id", "embedding")
     writePqCodebooks(spark, pqTrain(e), root)
     val cents = readPqCodebooks(spark, root)
@@ -696,7 +696,7 @@ object SimilarityOps {
     * must equal the one-shot emb07 (checked by the SAME oracle SQL).
     */
   def annSqStoreDemo(spark: SparkSession, dir: String): DataFrame = {
-    val root = java.nio.file.Files.createTempDirectory("graft-emb08").toString
+    val root = graft.SparkEnv.scratchDir("graft-emb08")
     val e = emb(spark, dir).select("vec_id", "embedding")
     writeSqCodes(e.where(pmod(col("vec_id"), lit(2)) === 0), root, 0)
     writeSqCodes(e.where(pmod(col("vec_id"), lit(2)) === 1), root, 1)

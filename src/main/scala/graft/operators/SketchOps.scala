@@ -142,7 +142,7 @@ object SketchOps {
     * build via HIP) and the ~1.6%-σ relative-error bound vs exact.
     */
   def epochDistinctDemo(spark: SparkSession, n: Long): DataFrame = {
-    val root = java.nio.file.Files.createTempDirectory("graft-c26").toString
+    val root = graft.SparkEnv.scratchDir("graft-c26")
     val spans = Seq((0L, n / 2), (n / 3, 3 * n / 4), (3 * n / 5, n))
     spans.zipWithIndex.foreach { case ((lo, hi), ep) =>
       writeEpochHostHll(epochHostUrls(spark, lo, hi, n), root, ep)

@@ -93,7 +93,7 @@ object ArchiveSource {
   def roundTripDemo(spark: org.apache.spark.sql.SparkSession): DataFrame = {
     import org.apache.spark.sql.functions._
     import spark.implicits._
-    val root = java.nio.file.Files.createTempDirectory("grft-c75").toString
+    val root = graft.SparkEnv.scratchDir("grft-c75")
     val rows = (0 until 48).map { i =>
       val s = Gen.snapshotRow(s"img-$i", i % 3, i % 2,
         if (i % 2 == 0) "png" else "jpeg", i % 4)

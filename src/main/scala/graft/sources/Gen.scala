@@ -60,10 +60,22 @@ object Gen {
   /** Local mirror — feeds the single-threaded oracle (SURVEY.md §2.10). */
   def seedsLocal(n: Int): IndexedSeq[Seed] = (0L until n.toLong).map(seedOf(_, n))
 
+  /** Scale-adaptive source partitioning: derive the split count from the
+    * row count instead of pinning defaultParallelism, so a 200-row demo
+    * epoch runs 1 task while bench/cluster sizes (>=512k rows) still fan
+    * out to every core. Row i is a pure function of (i, n) regardless of
+    * partitioning, so the generated DATA is identical at any split count
+    * (golden-pinned by every spec that consumes these sources).
+    */
+  private def adaptiveParts(spark: SparkSession, n: Long, rowsPerPart: Long): Int = {
+    val bySize = (n + rowsPerPart - 1) / rowsPerPart
+    math.max(1L, math.min(bySize, spark.sparkContext.defaultParallelism.toLong)).toInt
+  }
+
   /** Distributed generator: same formula, scales with partitions. */
   def seeds(spark: SparkSession, n: Long, partitions: Int = 0): Dataset[Seed] = {
     import spark.implicits._
-    val parts = if (partitions > 0) partitions else spark.sparkContext.defaultParallelism
+    val parts = if (partitions > 0) partitions else adaptiveParts(spark, n, 16384L)
     spark.range(0L, n, 1L, parts).mapPartitions(_.map(i => seedOf(i, n)))
   }
 
@@ -150,15 +162,17 @@ object Gen {
       n_frames = nFrames)
   }
 
+  // media rows carry a per-row video/audio ENCODE kernel (~ms each), so
+  // they saturate cores at a much smaller row count than the seed rows
   def sceneMedia(spark: SparkSession, n: Long, partitions: Int = 0): Dataset[MediaRow] = {
     import spark.implicits._
-    val parts = if (partitions > 0) partitions else spark.sparkContext.defaultParallelism
+    val parts = if (partitions > 0) partitions else adaptiveParts(spark, n, 8L)
     spark.range(0L, n, 1L, parts).mapPartitions(_.map(i => sceneMediaOf(i)))
   }
 
   def media(spark: SparkSession, n: Long, partitions: Int = 0): Dataset[MediaRow] = {
     import spark.implicits._
-    val parts = if (partitions > 0) partitions else spark.sparkContext.defaultParallelism
+    val parts = if (partitions > 0) partitions else adaptiveParts(spark, n, 8L)
     spark.range(0L, n, 1L, parts).mapPartitions(_.map(i => mediaOf(i)))
   }
 }

@@ -98,12 +98,25 @@ object Snapshots {
       fetched: Dataset[Fetched],
       root: String,
       epoch: Int,
-      dedupeCounts: Map[Int, Long] = Map.empty): PartitionLineageSummary = {
+      dedupeCounts: Map[Int, Long] = Map.empty,
+      writePartitions: Int = 0): PartitionLineageSummary = {
     val spark = fetched.sparkSession
     import spark.implicits._
+    // Output-file sizing (spark_optimization_guide §6): the fetch wave's
+    // task count tracks parallelism, not data volume, so a small epoch
+    // written as-is leaves one tiny file per fetch task and every
+    // downstream root scan (plus its mergeSchema footer pass) pays a task
+    // per file forever. Callers that know the epoch's row count pass a
+    // target file count; the rebalance is a round-robin exchange AFTER the
+    // pid/elapsed-assigning mapPartitions (which then runs map-side, so
+    // the recorded partition_id lineage is byte-identical — pinned by the
+    // lineage goldens). 0 = keep the wave's own partitioning.
+    val sized =
+      if (writePartitions > 0) fetched.repartition(writePartitions)
+      else fetched
     // the epoch=N directory IS the partition value — keeping the data
     // column too would collide with partition inference on root scans
-    fetched.drop("epoch").write.mode("overwrite")
+    sized.drop("epoch").write.mode("overwrite")
       .parquet(s"$root/snapshots/epoch=$epoch")
     val written = spark.read.parquet(s"$root/snapshots/epoch=$epoch")
     val parsed = col("status") === "parsed"
@@ -135,6 +148,7 @@ object Snapshots {
       }
     }
     lineage.toDS().drop("epoch") // epoch=N dir IS the partition value
+      .coalesce(1) // <= one row per fetch partition — never parallelism-sized
       .write.mode("overwrite").parquet(s"$root/lineage/epoch=$epoch")
     PartitionLineageSummary(epoch, lineage.map(_.n_parsed).sum, lineage.length)
   }

@@ -551,7 +551,7 @@ object StreamingJobs {
   private def exactCopyDetectDemoImpl(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
-    val root = java.nio.file.Files.createTempDirectory("graft-c58").toString
+    val root = graft.SparkEnv.scratchDir("graft-c58")
     val corpus = graft.operators.TextOps.spanCorpus(spark, dir)
     val base = corpus.where(col("doc_id") < 2000000L)
     val e0 = base.where(pmod(col("doc_id"), lit(2)) === 0)
@@ -621,7 +621,7 @@ object StreamingJobs {
   private def imageCopyDetectDemoImpl(spark: SparkSession): DataFrame = {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
-    val root = java.nio.file.Files.createTempDirectory("graft-c21").toString
+    val root = graft.SparkEnv.scratchDir("graft-c21")
     def img(i: Int): (String, Long) =
       (s"http://h${i % 7}.example/img-$i",
         graft.functions.ImageKit.mix64(i.toLong * 2654435761L + 13L))
@@ -679,7 +679,7 @@ object StreamingJobs {
   private def dustMineDemoImpl(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
-    val root = java.nio.file.Files.createTempDirectory("graft-c31").toString
+    val root = graft.SparkEnv.scratchDir("graft-c31")
     val rows = graft.operators.DustOps.syntheticUrlLog(spark, dir)
       .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
     // deterministic 3-way slicing on the URL text, uncorrelated with the
@@ -728,7 +728,7 @@ object StreamingJobs {
   private def pacingMineDemoImpl(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
-    val root = java.nio.file.Files.createTempDirectory("graft-c32").toString
+    val root = graft.SparkEnv.scratchDir("graft-c32")
     val rows = graft.operators.PacingOps.syntheticFetchLatencies(spark, dir)
       .collect().map(r => (r.getString(0), r.getLong(1)))
     val stream = MemoryStream[(String, Long)]
@@ -782,7 +782,7 @@ object StreamingJobs {
   private def bestCopyCatalogDemoImpl(spark: SparkSession): DataFrame = {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
-    val root = java.nio.file.Files.createTempDirectory("graft-c80").toString
+    val root = graft.SparkEnv.scratchDir("graft-c80")
     val all = graft.operators.ImageOps.scaleCorpus(spark)
       .select("image_id", "phash", "w", "h", "fmt")
     val grp = regexp_extract(col("image_id"), "img-(\\d+)-", 1).cast("long")
@@ -821,7 +821,7 @@ object StreamingJobs {
   private def copyDetectDemoImpl(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
-    val root = java.nio.file.Files.createTempDirectory("graft-c18").toString
+    val root = graft.SparkEnv.scratchDir("graft-c18")
     // demo runs on a deterministic quarter of the table: the semantics are
     // what the golden pins; the full-corpus cost story belongs to t05/c16
     val docs = spark.read.parquet(s"$dir/documents.parquet")
