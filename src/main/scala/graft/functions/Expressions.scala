@@ -181,6 +181,80 @@ case class LshBucket(child: Expression, nBits: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** dot(a,b) over float/double vectors — the ANN scoring hot path.
+  * Bit-identical to the zip_with+aggregate HOF form it replaces (VecKit
+  * kernel doc); codegen'd so the brute/probe score projections stay inside
+  * whole-stage codegen instead of paying interpreted per-element lambdas.
+  */
+case class VecDot(left: Expression, right: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "vec_dot"
+  private def isFloat(e: Expression): Boolean = e.dataType match {
+    case org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType, _) => true
+    case _ => false
+  }
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.FloatType | org.apache.spark.sql.types.DoubleType, _) => true
+      case _ => false
+    })
+    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs array<float|double> inputs, got " +
+        s"${left.dataType.simpleString} / ${right.dataType.simpleString}")
+  }
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VecKit.dotAny(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      isFloat(left), isFloat(right))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val r = ctx.freshName("dotRes")
+      s"""java.lang.Double $r = graft.functions.VecKit.dotAny(
+         |  $a, $b, ${isFloat(left)}, ${isFloat(right)});
+         |if ($r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $r.doubleValue(); }""".stripMargin
+    })
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): VecDot =
+    copy(left = l, right = r)
+}
+
+/** sum(x_i^2) over a float/double vector (normCol = sqrt of this). */
+case class VecSumSq(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "vec_sumsq"
+  private def isFloat: Boolean = child.dataType match {
+    case org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType, _) => true
+    case _ => false
+  }
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.FloatType | org.apache.spark.sql.types.DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName needs array<float|double> input, got ${other.simpleString}")
+    }
+  override def nullSafeEval(input: Any): Any =
+    VecKit.sumSqAny(
+      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], isFloat)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val r = ctx.freshName("ssqRes")
+      s"""java.lang.Double $r = graft.functions.VecKit.sumSqAny($a, $isFloat);
+         |if ($r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $r.doubleValue(); }""".stripMargin
+    })
+  override protected def withNewChildInternal(newChild: Expression): VecSumSq =
+    copy(child = newChild)
+}
+
 /** Heuristic document quality score in [0,1]. */
 case class QualityScore(child: Expression) extends UnaryExpression {
   override def dataType: DataType = org.apache.spark.sql.types.DoubleType
@@ -343,7 +417,9 @@ object GraftFunctions {
     "header_dims64" -> ((exprs: Seq[Expression]) => HeaderDims64(exprs.head)),
     "exif_orientation" -> ((exprs: Seq[Expression]) => ExifOrientationExpr(exprs.head)),
     "jpeg_quality" -> ((exprs: Seq[Expression]) => JpegQualityExpr(exprs.head)),
-    "oriented_phash64" -> ((exprs: Seq[Expression]) => OrientedPhash64(exprs.head)))
+    "oriented_phash64" -> ((exprs: Seq[Expression]) => OrientedPhash64(exprs.head)),
+    "vec_dot" -> ((exprs: Seq[Expression]) => VecDot(exprs(0), exprs(1))),
+    "vec_sumsq" -> ((exprs: Seq[Expression]) => VecSumSq(exprs.head)))
 
   def ensureRegistered(spark: SparkSession): Unit = {
     synchronized {

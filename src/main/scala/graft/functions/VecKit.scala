@@ -44,6 +44,47 @@ object VecKit {
     math.sqrt(s)
   }
 
+  // ---- dot / sum-of-squares kernels (the cosineCol hot path) ----------
+  // Bit-identical to the zip_with+aggregate Column-HOF forms they replace
+  // (same per-element double casts, same left-to-right accumulation, same
+  // null semantics: length mismatch or any null element -> null), but a
+  // tight primitive loop — the interpreted per-element lambdas over
+  // 768-dim vectors made score evaluation, not the join, the wall of
+  // every brute/probe ANN query (the emb04 ivfAssign lesson, applied to
+  // the shared scoring kernel).
+
+  import org.apache.spark.sql.catalyst.util.ArrayData
+
+  /** dot(a,b) with zip_with+aggregate parity; null = HOF's null. */
+  def dotAny(a: ArrayData, b: ArrayData, aFloat: Boolean, bFloat: Boolean): java.lang.Double = {
+    val n = a.numElements()
+    if (n != b.numElements()) return null
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      val x = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (bFloat) b.getFloat(i).toDouble else b.getDouble(i)
+      s += x * y
+      i += 1
+    }
+    s
+  }
+
+  /** sum(x_i^2) with aggregate parity (normCol = sqrt of this). */
+  def sumSqAny(a: ArrayData, aFloat: Boolean): java.lang.Double = {
+    val n = a.numElements()
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i)) return null
+      val x = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      s += x * x
+      i += 1
+    }
+    s
+  }
+
   // ---- product quantization (Jégou/Douze/Schmid, TPAMI 2011 — public) ----
   // Codebook layout: cents(j)(c) = sub-centroid c of subspace j, where
   // subspace j covers dims [j*subDim, (j+1)*subDim) (last one ragged).

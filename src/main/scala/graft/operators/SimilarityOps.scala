@@ -13,15 +13,24 @@ object SimilarityOps {
   private def emb(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/embeddings.parquet")
 
-  /** dot(a,b) as a pure Catalyst column (zip_with + aggregate — codegen-free
-    * HOFs but columnar, no UDF ser/de).
+  /** dot(a,b) as a codegen'd Catalyst column (graft.functions.VecDot).
+    * Was zip_with + aggregate — columnar but with INTERPRETED per-element
+    * lambdas: at 768 dims the score projection, not the candidate join,
+    * was the wall of every brute/probe ANN query. The kernel reproduces
+    * the HOF's accumulation order, casts and null semantics bit-for-bit
+    * (VecKit.dotAny), so every oracled cos/dot value is unchanged.
     */
-  def dotCol(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
+  def dotCol(a: Column, b: Column): Column = {
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .foreach(graft.functions.GraftFunctions.ensureRegistered)
+    org.apache.spark.sql.functions.call_function("vec_dot", a, b)
+  }
 
-  def normCol(a: Column): Column =
-    sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double")))
+  def normCol(a: Column): Column = {
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .foreach(graft.functions.GraftFunctions.ensureRegistered)
+    sqrt(org.apache.spark.sql.functions.call_function("vec_sumsq", a))
+  }
 
   def cosineCol(a: Column, b: Column): Column =
     dotCol(a, b) / (normCol(a) * normCol(b))
