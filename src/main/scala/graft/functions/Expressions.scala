@@ -255,6 +255,26 @@ case class VecSumSq(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Composed length-L exact-window identities of a document (string ->
+  * array<long>, index == window start position). One codegen'd per-doc
+  * pass replaces the prefix-doubling self-join rounds (TextKit
+  * .windowKeyArr doc); SuffixOps/SimIndex consume it via posexplode.
+  */
+case class WindowKeyArr(child: Expression, L: Int) extends UnaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+  override def prettyName: String = s"window_keys_$L"
+  override def nullSafeEval(input: Any): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      TextKit.windowKeyArr(input.asInstanceOf[UTF8String], L))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"graft.functions.TextKit.windowKeyArr($c, $L))")
+  override protected def withNewChildInternal(newChild: Expression): WindowKeyArr =
+    copy(child = newChild)
+}
+
 /** Heuristic document quality score in [0,1]. */
 case class QualityScore(child: Expression) extends UnaryExpression {
   override def dataType: DataType = org.apache.spark.sql.types.DoubleType
@@ -487,6 +507,16 @@ object GraftFunctions {
     registerBounded(spark, name,
       (exprs: Seq[Expression]) => LshBucket(exprs.head, nBits), track = false)
     call_function(name, vec)
+  }
+
+  /** Codegen'd per-doc window-key column (same per-L naming discipline as
+    * [[lshBucket]]; not lifetime-tracked — one name per distinct L).
+    */
+  def windowKeys(spark: SparkSession, L: Int, text: Column): Column = {
+    val name = s"window_keys_$L"
+    registerBounded(spark, name,
+      (exprs: Seq[Expression]) => WindowKeyArr(exprs.head, L), track = false)
+    call_function(name, text)
   }
 
   /** Column probe over a concrete broadcast sidecar. The registered name is

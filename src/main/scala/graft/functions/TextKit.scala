@@ -30,6 +30,77 @@ object TextKit {
     }
   }
 
+  /** Composed length-L window identities of a document — index i of the
+    * result is the key of the window starting at code point i (SuffixOps
+    * prefix doubling, computed per doc in one pass).
+    *
+    * Exactly the value chain the former distributed form produced: seeds
+    * are Spark `xxhash64(substring(text, pos+1, w))` (XXH64 over the
+    * window's UTF-8 bytes, seed 42), composition is Spark
+    * `xxhash64(r, r2)` (seed 42, then each long chained through
+    * XXH64.hashLong). All composition is WITHIN one document, so the
+    * per-doc kernel replaces log2(L/8) corpus-wide self sort-merge joins
+    * with zero exchanges; the (doc_id, pos, k) contract is unchanged.
+    */
+  def windowKeyArr(u: org.apache.spark.unsafe.types.UTF8String, L: Int): Array[Long] = {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    val nBytes = u.numBytes()
+    val base = u.getBaseObject
+    val off = u.getBaseOffset
+    // code-point -> byte-offset table (substring() is code-point based)
+    var len = 0
+    var b = 0
+    while (b < nBytes) {
+      b += org.apache.spark.unsafe.types.UTF8String.numBytesForFirstByte(u.getByte(b))
+      len += 1
+    }
+    if (len < L) return Array.emptyLongArray
+    val offs = new Array[Int](len + 1)
+    var i = 0
+    b = 0
+    while (b < nBytes) {
+      offs(i) = b
+      b += org.apache.spark.unsafe.types.UTF8String.numBytesForFirstByte(u.getByte(b))
+      i += 1
+    }
+    offs(len) = nBytes
+    val seedW = math.min(8, L)
+    var width = seedW
+    var valid = len - seedW + 1
+    val r = new Array[Long](valid)
+    i = 0
+    while (i < valid) {
+      r(i) = XXH64.hashUnsafeBytes(base, off + offs(i),
+        offs(i + seedW) - offs(i), 42L)
+      i += 1
+    }
+    // in-place doubling, ascending pos (r(i+width) not yet overwritten)
+    while (width * 2 <= L) {
+      valid = len - 2 * width + 1
+      i = 0
+      while (i < valid) {
+        r(i) = XXH64.hashLong(r(i + width), XXH64.hashLong(r(i), 42L))
+        i += 1
+      }
+      width *= 2
+    }
+    if (width == L) {
+      if (valid == r.length) r else java.util.Arrays.copyOf(r, valid)
+    } else {
+      // Manber-Myers overlapping finish: [pos, pos+L) = [pos, pos+width)
+      // composed with [pos+L-width, pos+L)
+      val o = L - width
+      valid = len - L + 1
+      val out = new Array[Long](valid)
+      i = 0
+      while (i < valid) {
+        out(i) = XXH64.hashLong(r(i + o), XXH64.hashLong(r(i), 42L))
+        i += 1
+      }
+      out
+    }
+  }
+
   def hashString(s: String): Long = {
     // FNV-1a 64 over UTF-8 then splitmix finish — cheap, stable.
     var h = 0xcbf29ce484222325L

@@ -42,47 +42,27 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object SuffixOps {
 
-  /** Seed window width: one 64-bit identity per position for the first 8
-    * chars, computed from a fused substring+xxhash64 projection in the scan
-    * stage (text never reaches an exchange).
-    */
-  private val SeedW = 8
-
-  private def seedRanks(corpus: DataFrame, w: Int): DataFrame =
-    corpus
-      .where(length(col("text")) >= w)
-      .select(col("doc_id"), col("text"),
-        explode(sequence(lit(0), length(col("text")) - w)).as("pos"))
-      .select(col("doc_id"), col("pos"),
-        xxhash64(expr(s"substring(text, pos + 1, $w)")).as("r"))
-
   /** (doc_id, pos, k): k identifies the length-L window at pos (hash
     * identity; see verify stage for exactness). Positions carry every pos
-    * with a full window: pos <= len(text) - L, maintained implicitly by
-    * the inner compose joins.
+    * with a full window: pos <= len(text) - L.
+    *
+    * Every compose step of the prefix doubling joins a document's rank
+    * only with ANOTHER RANK OF THE SAME DOCUMENT — the join key was always
+    * (doc_id, pos) — so the whole doubling ladder runs as one codegen'd
+    * per-doc kernel in the scan stage (TextKit.windowKeyArr, same hash
+    * chain value-for-value) and the operator performs ZERO exchanges where
+    * the former form paid log2(L/8) corpus-wide self sort-merge joins
+    * (guide §2.4: remove shuffles outright). Text still never reaches an
+    * exchange; per-doc memory is O(len), fine for document-sized rows.
     */
   def windowKeys(corpus: DataFrame, L: Int): DataFrame = {
     require(L >= 1, "window length must be positive")
-    if (L <= SeedW) return seedRanks(corpus, L).withColumnRenamed("r", "k")
-    var width = SeedW
-    var r = seedRanks(corpus, SeedW)
-    while (width * 2 <= L) {
-      val shifted = r.select(col("doc_id"), (col("pos") - width).as("pos"),
-        col("r").as("r2"))
-      r = r.join(shifted, Seq("doc_id", "pos"))
-        .select(col("doc_id"), col("pos"), xxhash64(col("r"), col("r2")).as("r"))
-      width *= 2
-    }
-    if (width == L) r.withColumnRenamed("r", "k")
-    else {
-      // Manber-Myers overlapping finish: compose with the rank L-width to
-      // the right; the two windows cover [pos, pos+L) exactly.
-      val off = L - width
-      val shifted = r.select(col("doc_id"), (col("pos") - off).as("pos"),
-        col("r").as("r2"))
-      r.join(shifted, Seq("doc_id", "pos"))
-        .select(col("doc_id"), col("pos"), xxhash64(col("r"), col("r2")).as("k"))
-    }
+    val spark = corpus.sparkSession
+    corpus
+      .where(length(col("text")) >= L)
+      .select(col("doc_id"),
+        posexplode(graft.functions.GraftFunctions.windowKeys(spark, L, col("text"))))
+      .select(col("doc_id"), col("pos"), col("col").as("k"))
   }
 
   /** Content-EXACT duplicated-window positions: every (doc_id, pos) whose
