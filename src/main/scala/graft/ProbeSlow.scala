@@ -8,6 +8,7 @@ import org.apache.spark.sql.SparkSession
   */
 object ProbeSlow {
   val stageAgg = new java.util.concurrent.ConcurrentHashMap[String, (Int, Int)]
+  val jobSites = new java.util.concurrent.ConcurrentHashMap[Int, String]
 
   def main(args: Array[String]): Unit = {
     val spark = SparkEnv.applyCommon(SparkSession.builder()
@@ -24,25 +25,37 @@ object ProbeSlow {
       private val t0s = new java.util.concurrent.ConcurrentHashMap[Int, Long]
       override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
         jobs.incrementAndGet(); t0s.put(j.jobId, j.time)
+        val site = Option(j.properties)
+          .map(p => p.getProperty("callSite.short", "?")).getOrElse("?")
+        ProbeSlow.jobSites.put(j.jobId, site)
       }
       override def onJobEnd(j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
-        val t0 = t0s.remove(j.jobId); if (t0 != 0L) jobMs.addAndGet(j.time - t0)
+        val t0 = t0s.remove(j.jobId)
+        if (t0 != 0L) {
+          jobMs.addAndGet(j.time - t0)
+          val site = ProbeSlow.jobSites.remove(j.jobId)
+          if (site != null)
+            ProbeSlow.stageAgg.merge(site, ((j.time - t0).toInt, 1),
+              (a, b) => (a._1 + b._1, a._2 + b._2))
+        }
       }
       override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
         tasks.incrementAndGet()
-      override def onStageCompleted(s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
-        val info = s.stageInfo
-        val site = s"${info.name} [nt=${info.numTasks}]"
-        ProbeSlow.stageAgg.merge(site, (info.numTasks, 1), (a, b) => (a._1 + b._1, a._2 + b._2))
-      }
+
     })
     def time(name: String)(f: => Long): Unit = {
       jobs.set(0); tasks.set(0); jobMs.set(0)
+      ProbeSlow.stageAgg.clear()
       val t0 = System.nanoTime()
       val n = f
       val wall = (System.nanoTime() - t0) / 1e9
       Thread.sleep(300)
       println(f"[probe] $name%-28s wall=$wall%7.2fs rows=$n%6d jobs=${jobs.get}%4d tasks=${tasks.get}%6d inJobMs=${jobMs.get}%6d")
+      import scala.jdk.CollectionConverters._
+      ProbeSlow.stageAgg.asScala.toSeq.sortBy(-_._2._1).take(8).foreach {
+        case (site, (t, c)) =>
+          println(f"[probe]    jobMs=$t%7d jobs=$c%4d  $site")
+      }
     }
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val names = if (args.nonEmpty) args.toSeq else Seq(
@@ -52,11 +65,6 @@ object ProbeSlow {
     names.foreach { n =>
       val fn = SparkEntry.queries.getOrElse(n, sys.error(s"unknown query: $n"))
       time(n)(fn(spark, sfDir).count())
-    }
-    import scala.jdk.CollectionConverters._
-    println("[probe] -- stages by total tasks --")
-    stageAgg.asScala.toSeq.sortBy(-_._2._1).take(30).foreach { case (site, (t, c)) =>
-      println(f"[probe] tasks=$t%6d stages=$c%4d  $site")
     }
     spark.stop()
   }

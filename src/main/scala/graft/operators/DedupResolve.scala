@@ -61,9 +61,15 @@ object DedupResolve {
       .select(least(col("a"), col("b")).as("src"), greatest(col("a"), col("b")).as("dst"))
       .distinct()
       .localCheckpoint()
-    val nNodes = e.select(col("src").as("id"))
-      .unionByName(e.select(col("dst").as("id"))).distinct().count()
-    var eCount = e.count()
+    // one action for both setup scalars (e is checkpointed — scans are
+    // cheap; separate count() jobs were pure fixed cost per CC call)
+    val setup = e.select(col("src").as("id"))
+      .unionByName(e.select(col("dst").as("id"))).distinct()
+      .agg(count(lit(1)).as("n_nodes"))
+      .crossJoin(e.agg(count(lit(1)).as("n_edges")))
+      .head()
+    val nNodes = setup.getLong(0)
+    var eCount = setup.getLong(1)
 
     /** Per-node minimum over the symmetrized neighborhood incl. self. */
     def minsOf(edges: DataFrame): DataFrame = {
@@ -97,10 +103,15 @@ object DedupResolve {
         .distinct()
         .localCheckpoint()
       // exact edge-set equality: same cardinality and no new edge outside
-      // the previous set (both are canonical + distinct)
-      val nextCount = small.count()
-      converged = nextCount == eCount &&
-        small.join(e, Seq("src", "dst"), "left_anti").isEmpty
+      // the previous set (both are canonical + distinct). Both scalars in
+      // ONE action (small is checkpointed, so the double reference costs
+      // two cheap scans, not two job launches per round).
+      val conv = small.agg(count(lit(1)).as("n"))
+        .crossJoin(small.join(e, Seq("src", "dst"), "left_anti")
+          .agg(count(lit(1)).as("fresh")))
+        .head()
+      val nextCount = conv.getLong(0)
+      converged = nextCount == eCount && conv.getLong(1) == 0L
       e = small
       eCount = nextCount
       iter += 1
@@ -162,7 +173,11 @@ object DedupResolve {
     * rather than a comment, so the oracle's hash pins it at 0.
     */
   def clusterAwareSplit(spark: SparkSession, dir: String): DataFrame = {
-    val labels = resolveNgramDups(spark, dir)
+    // ONE pair-kernel run feeds both the CC resolve and the leakage count
+    // (was two full t05 kernel executions — no exchange reuse across the
+    // differently-shaped consumers; r06 plan audit)
+    val pairTable = TextOps.nearDupNgramJaccard(spark, dir).localCheckpoint()
+    val labels = resolve(pairTable, "doc_a", "doc_b")
       .select(col("doc_id"), col("component"))
     val assigned = TextOps.plantedCorpus(spark, dir)
       .select(col("doc_id"))
@@ -175,7 +190,7 @@ object DedupResolve {
       .withColumn("split",
         when(col("bucket") === 0L, "test")
           .when(col("bucket") === 1L, "val").otherwise("train"))
-    val pairs = TextOps.nearDupNgramJaccard(spark, dir)
+    val pairs = pairTable
       .select(col("doc_a"), col("doc_b"))
     val leakage = pairs
       .join(assigned.select(col("doc_id").as("doc_a"),

@@ -10,8 +10,21 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
   */
 object TextOps {
 
-  private def docs(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"$dir/documents.parquet")
+  private def docs(spark: SparkSession, dir: String): DataFrame = {
+    val df = spark.read.parquet(s"$dir/documents.parquet")
+    // Scale-adaptive scan parallelism (guide §2.5 "input skew: one huge
+    // unsplittable file ... repartition immediately after the read"): the
+    // local sf dirs hold ONE small parquet file per table, so every scan
+    // is a single task — and the per-doc text kernels downstream
+    // (tokenize/shingle/regex/BPE) are compute-dense, leaving 31 cores
+    // idle for the whole t-family. One tiny round-robin exchange spreads
+    // the docs; at production scale the input is many splits and this is
+    // a no-op.
+    val f = new java.io.File(s"$dir/documents.parquet")
+    val oneSplit = f.isFile && f.length <
+      spark.sessionState.conf.filesMaxPartitionBytes
+    if (oneSplit) df.repartition(spark.sparkContext.defaultParallelism) else df
+  }
 
   /** SQL-checkable slice of quality scoring: char/token/punct stats. */
   def qualityStats(spark: SparkSession, dir: String): DataFrame =
@@ -413,13 +426,16 @@ object TextOps {
     * distinct-shingle subtree).
     */
   def ngramJaccardScores(corpus: DataFrame, maxDf: Int = 64): DataFrame = {
-    // NOT persisted: the distinct index feeds five consumers (sizes, the
-    // df-cap, both self-join sides), but they all share one byte-identical
-    // shuffle subtree, so ReuseExchange serves them from the same map
-    // output — measured faster than an explicit persist, which only added
-    // memory-store writes (at production scale this would instead be a
-    // written intermediate table — see SimIndex).
-    val shingles = wordShingles(corpus)
+    // The shingle table feeds five consumers (sizes, the df-cap, both
+    // self-join sides). Exchange reuse was assumed to serve them from one
+    // map output, but the consumers prune different columns, so their
+    // shuffle subtrees are NOT byte-identical and the corpus was being
+    // re-tokenized per consumer — measured directly in the r06 plan audit
+    // (t22: 72 Exchanges, 0 reused). localCheckpoint materializes the
+    // (doc_id, sh) rows once (ids+hashes only, never text) and is
+    // self-cleaning via the ContextCleaner; at production scale this is a
+    // written intermediate table — see SimIndex.
+    val shingles = wordShingles(corpus).localCheckpoint()
     val sizes = shingles.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val hot = shingles.groupBy("sh").agg(count(lit(1)).as("df"))
       .where(col("df") > maxDf).select("sh")
@@ -820,8 +836,13 @@ object TextOps {
                   minTokens: Long = 32L, maxPunct: Double = 0.1,
                   maxDup: Double = 0.85, maxTopGram: Double = 0.3): DataFrame = {
     val corpus = plantedCorpus(spark, dir)
+    // kept feeds three downstream branches (quality gate, repetition gate,
+    // packing); materialize it once instead of re-running the dedup
+    // anti-join per branch (r06 plan audit: no exchange reuse across the
+    // branches' differently-pruned subtrees)
     val kept = DedupResolve.filterCorpus(
       corpus, "doc_id", ngramJaccardPairs(corpus), "doc_a", "doc_b")
+      .localCheckpoint()
     val qualOk = qualityStatsOf(kept)
       .where(col("n_tokens") >= minTokens && col("punct_ratio") <= maxPunct)
       .select("doc_id")
@@ -2180,8 +2201,12 @@ object TextOps {
     */
   def dedupIdempotence(spark: SparkSession, dir: String): DataFrame = {
     val corpus = plantedCorpus(spark, dir)
+    // kept feeds the count AND the second-pass pair kernel — materialize
+    // once (the second shingle pass over kept is the semantics; re-running
+    // the FIRST dedup for each consumer was not)
     val kept = DedupResolve.filterCorpus(corpus, "doc_id",
       nearDupNgramJaccard(spark, dir), "doc_a", "doc_b")
+      .localCheckpoint()
     val nKept = kept.agg(count(lit(1)).as("n_docs_kept"))
     val residual = ngramJaccardPairs(kept)
       .agg(count(lit(1)).as("n_second_pass_pairs"))
