@@ -73,9 +73,55 @@ object GraphOps {
     * the refresh needs, never what it converges to; with `init = None`
     * this IS pageRank (uniform start).
     */
+  /** Graphs at or below this many edges+nodes run the power iteration as
+    * one driver-local kernel instead of iters x ~5 Spark jobs. The host
+    * graph of a small crawl is a few thousand edges — at that size the
+    * distributed loop is pure job-launch overhead (measured g01: 55 jobs,
+    * 85 tasks, <4 s of 60 ms jobs for a 50-node graph) — while a
+    * production host graph (10^7+ hosts) stays on the distributed path.
+    * The two paths produce IDENTICAL values: the per-iteration 10 dp
+    * rounding absorbs summation-order drift (GraphOpsSpec pins
+    * distributed == LocalPageRank equality and sweeps partition counts),
+    * and the collect is bounded by this gate.
+    */
+  private val SmallGraphLimit = 1L << 20
+
+  /** The collected edge list iff the graph is under the small-graph gate
+    * ([[SmallGraphLimit]] edges by default; session conf
+    * `spark.graft.smallGraphLimit` overrides — tests pin it to 0 to force
+    * the distributed loops) and string-keyed (every registry caller is);
+    * None => stay distributed. One limit-scan decides —
+    * early-terminating, so a production-sized graph pays one truncated
+    * scan, not a count.
+    */
+  private def smallGraph(edges: DataFrame): Option[Seq[(String, String)]] = {
+    val fields = edges.schema.fields
+    val stringKeyed = Seq("src", "dst").forall(c =>
+      fields.exists(f => f.name == c &&
+        f.dataType == org.apache.spark.sql.types.StringType))
+    if (!stringKeyed) return None
+    val spark = edges.sparkSession
+    val limit = spark.conf.getOption("spark.graft.smallGraphLimit")
+      .map(_.toLong).getOrElse(SmallGraphLimit)
+    if (limit <= 0L) return None
+    import spark.implicits._
+    val probe = edges.select(col("src"), col("dst")).as[(String, String)]
+      .limit(limit.toInt + 1).collect()
+    if (probe.length > limit) None else Some(probe.toSeq)
+  }
+
   def pageRankFrom(spark: SparkSession, edges: DataFrame,
                    init: Option[DataFrame],
                    iters: Int, damping: Double): DataFrame = {
+    import spark.implicits._
+    val smallForm = smallGraph(edges)
+    if (smallForm.nonEmpty) {
+      val edgeArr = smallForm.get
+      val initMap = init.map(_.select(col("node").cast("string"), col("pagerank"))
+        .as[(String, Double)].collect().toMap).getOrElse(Map.empty[String, Double])
+      val res = LocalPageRank.computeFrom(edgeArr, initMap, iters, damping)
+      return spark.createDataset(res.toSeq.sortBy(_._1)).toDF("node", "pagerank")
+    }
     val e = edges.select(col("src"), col("dst")).persist(StorageLevel.MEMORY_AND_DISK)
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node")))
@@ -100,6 +146,14 @@ object GraphOps {
     val parts = math.max(1L, math.min(sessionParts.toLong,
       math.max(n, nEdges) / 250000L + 1L)).toInt
     spark.conf.set("spark.sql.shuffle.partitions", parts)
+    // AQE re-plans and materializes every exchange of every round as its
+    // own job; the loop's shuffles are already sized to the graph (parts
+    // above) and each round is checkpointed eagerly, so adaptivity buys
+    // nothing here and multiplied the loop's job count ~8x (measured g01:
+    // 104 jobs for 10 rounds). Scoped + restored with the partition conf;
+    // results are partitioning-invariant (per-iteration rounding).
+    val sessionAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
       var ranks = init match {
         case None => nodes.withColumn("rank", round(lit(1.0) / n, 10))
@@ -131,7 +185,10 @@ object GraphOps {
       val out = ranks.select(col("node"), round(col("rank"), 6).as("pagerank"))
       e.unpersist(); nodes.unpersist(); edgesDeg.unpersist()
       out
-    } finally spark.conf.set("spark.sql.shuffle.partitions", sessionParts)
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", sessionParts)
+      spark.conf.set("spark.sql.adaptive.enabled", sessionAqe)
+    }
   }
 
   // ---- g03: incremental rank refresh across crawl epochs -------------
@@ -249,6 +306,18 @@ object GraphOps {
 
   def hits(spark: SparkSession, edges: DataFrame, iters: Int): DataFrame = {
     require(iters >= 1, "hits: need at least one iteration")
+    // small-graph driver-local path — see SmallGraphLimit; LocalHits is
+    // the spec-pinned value-identical mirror
+    locally {
+      import spark.implicits._
+      val smallForm = smallGraph(edges)
+      if (smallForm.nonEmpty) {
+        val res = LocalHits.compute(smallForm.get, iters)
+        return spark.createDataset(
+            res.toSeq.map { case (nd, (h, a)) => (nd, h, a) }.sortBy(_._1))
+          .toDF("node", "hub", "authority")
+      }
+    }
     val e = edges.select(col("src"), col("dst")).persist(StorageLevel.MEMORY_AND_DISK)
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node")))
@@ -262,6 +331,14 @@ object GraphOps {
     val parts = math.max(1L, math.min(sessionParts.toLong,
       math.max(n, nEdges) / 250000L + 1L)).toInt
     spark.conf.set("spark.sql.shuffle.partitions", parts)
+    // AQE re-plans and materializes every exchange of every round as its
+    // own job; the loop's shuffles are already sized to the graph (parts
+    // above) and each round is checkpointed eagerly, so adaptivity buys
+    // nothing here and multiplied the loop's job count ~8x (measured g01:
+    // 104 jobs for 10 rounds). Scoped + restored with the partition conf;
+    // results are partitioning-invariant (per-iteration rounding).
+    val sessionAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
       var hub = nodes.withColumn("hub", lit(1.0))
       var auth: DataFrame = null
@@ -285,7 +362,10 @@ object GraphOps {
           round(coalesce(col("auth"), lit(0.0)), 6).as("authority"))
       e.unpersist(); nodes.unpersist()
       out
-    } finally spark.conf.set("spark.sql.shuffle.partitions", sessionParts)
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", sessionParts)
+      spark.conf.set("spark.sql.adaptive.enabled", sessionAqe)
+    }
   }
 
   /** Nodes left-joined onto raw scores, L2-normalized in one plan: the
@@ -328,6 +408,23 @@ object GraphOps {
   def trustRank(spark: SparkSession, edges: DataFrame,
                 trustedCol: Column => Column,
                 iters: Int, damping: Double): DataFrame = {
+    // small-graph driver-local path — see SmallGraphLimit; the trusted
+    // predicate is a Column, so it is evaluated once over the (tiny)
+    // node list via a LocalRelation before the local loop runs
+    locally {
+      import spark.implicits._
+      val smallForm = smallGraph(edges)
+      if (smallForm.nonEmpty) {
+        val edgeArr = smallForm.get
+        val nodesArr = (edgeArr.map(_._1) ++ edgeArr.map(_._2)).distinct
+        val trustedSet = spark.createDataset(nodesArr).toDF("node")
+          .where(trustedCol(col("node"))).as[String].collect().toSet
+        require(trustedSet.nonEmpty, "trustRank: empty trusted set")
+        val res = LocalTrustRank.compute(edgeArr, trustedSet, iters, damping)
+        return spark.createDataset(res.toSeq.sortBy(_._1))
+          .toDF("node", "trustrank")
+      }
+    }
     val e = edges.select(col("src"), col("dst")).persist(StorageLevel.MEMORY_AND_DISK)
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node")))
@@ -345,6 +442,14 @@ object GraphOps {
     val parts = math.max(1L, math.min(sessionParts.toLong,
       math.max(n, nEdges) / 250000L + 1L)).toInt
     spark.conf.set("spark.sql.shuffle.partitions", parts)
+    // AQE re-plans and materializes every exchange of every round as its
+    // own job; the loop's shuffles are already sized to the graph (parts
+    // above) and each round is checkpointed eagerly, so adaptivity buys
+    // nothing here and multiplied the loop's job count ~8x (measured g01:
+    // 104 jobs for 10 rounds). Scoped + restored with the partition conf;
+    // results are partitioning-invariant (per-iteration rounding).
+    val sessionAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
       var ranks = teleT.select(col("node"), round(col("t"), 10).as("rank"))
       var i = 0
@@ -369,7 +474,10 @@ object GraphOps {
       val out = ranks.select(col("node"), round(col("rank"), 6).as("trustrank"))
       e.unpersist(); nodes.unpersist(); edgesDeg.unpersist(); teleT.unpersist()
       out
-    } finally spark.conf.set("spark.sql.shuffle.partitions", sessionParts)
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", sessionParts)
+      spark.conf.set("spark.sql.adaptive.enabled", sessionAqe)
+    }
   }
 
   /** Unrolled-iteration DuckDB SQL mirroring `hostTrustRank` exactly

@@ -30,6 +30,28 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(run(edges) == mirror(edges, 10, 0.85))
   }
 
+  test("distributed loop path (gate forced off) equals the local mirror") {
+    // r06: small graphs run the driver-local kernel; pin that the
+    // DISTRIBUTED iteration still produces the identical table when the
+    // gate is disabled (spark.graft.smallGraphLimit=0), for pageRank,
+    // HITS and TrustRank — the invariant the local fast path rests on.
+    val edges = Seq(
+      "a" -> "b", "a" -> "c", "c" -> "a", "c" -> "b", "c" -> "e",
+      "d" -> "c", "d" -> "e", "f" -> "c", "b0" -> "a", "a" -> "b0")
+    spark.conf.set("spark.graft.smallGraphLimit", "0")
+    try {
+      val viaCluster = run(edges)
+      val viaHits = GraphOps.hits(spark, edges.toDF("src", "dst"), 4)
+        .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+      val viaTrust = GraphOps.trustRank(spark, edges.toDF("src", "dst"),
+          c => c.endsWith("0"), 6, 0.85)
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      assert(viaCluster == mirror(edges, 10, 0.85))
+      assert(viaHits == LocalHits.compute(edges, 4))
+      assert(viaTrust == LocalTrustRank.compute(edges, _.endsWith("0"), 6, 0.85))
+    } finally spark.conf.unset("spark.graft.smallGraphLimit")
+  }
+
   test("pageRank equals the mirror on a ring (uniform fixpoint)") {
     val ring = (0 until 7).map(i => (s"n$i", s"n${(i + 1) % 7}"))
     val got = run(ring)
