@@ -35,6 +35,18 @@ class DedupResolveSpec extends AnyFunSuite {
     DedupResolve.connectedComponents(pairs.toDF("a", "b"), "a", "b")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
 
+  test("distributed contraction loop (gate forced off) equals union-find") {
+    // r06: small pair graphs run a driver-local union-find; pin that the
+    // DISTRIBUTED large/small-star loop still produces the identical
+    // label table when the gate is disabled.
+    val pairs = Seq[(Long, Long)](
+      (1, 2), (2, 3), (3, 4), (10, 11), (11, 10),
+      (30, 31), (32, 31), (5, 1))
+    spark.conf.set("spark.graft.smallGraphLimit", "0")
+    try assert(ccSpark(pairs) == unionFind(pairs))
+    finally spark.conf.unset("spark.graft.smallGraphLimit")
+  }
+
   test("components equal union-find on chains, stars, cycles, singleton pairs") {
     val cases = Seq(
       // long chain — worst case for naive propagation (pointer jumping
