@@ -360,7 +360,24 @@ object CrawlPipeline {
       s"unknown recrawl policy: $recrawlPolicy")
     import spark.implicits._
     val start = Snapshots.latestCommittedEpoch(root) + 1
-    (start to untilEpoch).map { epoch =>
+    // Size the epoch loop's shuffles to the FRONTIER, not the session
+    // default, and drop AQE inside it (the GraphOps loop discipline): an
+    // epoch's tables are bounded by seeds+outlinks+recrawl (~seedsPerEpoch
+    // x (1+fanout) rows), every epoch action is evaluated eagerly in this
+    // scope, and AQE's per-exchange stage materialization multiplied each
+    // demo's job count ~3x for nothing it could improve at these sizes.
+    // Values are partitioning-invariant (politeness windows and budgets
+    // are fully ordered; fetch pids are hash-derived at a pinned width).
+    // Conf restored after the loop; partitions never raised above the
+    // session setting, so a production-sized frontier keeps full width.
+    val sessionParts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val sessionAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val epochRows = seedsPerEpoch.toLong * (1L + math.max(0, outlinkFanout))
+    val loopParts = math.max(1L,
+      math.min(sessionParts.toLong, epochRows / 65536L + 1L)).toInt
+    spark.conf.set("spark.sql.shuffle.partitions", loopParts)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try (start to untilEpoch).map { epoch =>
       val cfg = cfg0.copy(epoch = epoch, epochT0Ms = cfg0.epochT0Ms + epoch * 3600000L)
       // c29 wired end-to-end: sitemap discoveries enter at epoch 0 as
       // ordinary seeds (sitemap priority == seed priority) and take the
@@ -790,6 +807,9 @@ object CrawlPipeline {
       if (retainEvery > 0 && (epoch + 1) % retainEvery == 0)
         RetentionOps.retainHistory(spark, root, epoch, retainWindow, retainStride)
       EpochSummary(epoch, nScheduled, nScheduled, nRevised)
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", sessionParts)
+      spark.conf.set("spark.sql.adaptive.enabled", sessionAqe)
     }
   }
 }
