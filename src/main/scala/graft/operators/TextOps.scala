@@ -10,21 +10,14 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
   */
 object TextOps {
 
-  private def docs(spark: SparkSession, dir: String): DataFrame = {
-    val df = spark.read.parquet(s"$dir/documents.parquet")
-    // Scale-adaptive scan parallelism (guide §2.5 "input skew: one huge
-    // unsplittable file ... repartition immediately after the read"): the
-    // local sf dirs hold ONE small parquet file per table, so every scan
-    // is a single task — and the per-doc text kernels downstream
-    // (tokenize/shingle/regex/BPE) are compute-dense, leaving 31 cores
-    // idle for the whole t-family. One tiny round-robin exchange spreads
-    // the docs; at production scale the input is many splits and this is
-    // a no-op.
-    val f = new java.io.File(s"$dir/documents.parquet")
-    val oneSplit = f.isFile && f.length <
-      spark.sessionState.conf.filesMaxPartitionBytes
-    if (oneSplit) df.repartition(spark.sparkContext.defaultParallelism) else df
-  }
+  // NOT repartitioned after the read even though the local sf dirs hold
+  // one small file per table (single-task scans): the zero-exchange scan
+  // pass is a plan-pinned design gate for the quality filters (GopherSpec
+  // "the only exchange is the presentation sort"), and an r06 experiment
+  // spreading the scan measured no wall win — the t-family cost was
+  // repeated subtree recompute, fixed in ngramJaccardScores instead.
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/documents.parquet")
 
   /** SQL-checkable slice of quality scoring: char/token/punct stats. */
   def qualityStats(spark: SparkSession, dir: String): DataFrame =
@@ -2143,8 +2136,13 @@ object TextOps {
       .select(col("doc_id").as("doc_a"),
         (col("doc_id") + 1000000L).as("doc_b"))
     widths.map { wdt =>
+      // four consumers per width (sizes, df-cap, both self-join sides) —
+      // materialize the width's shingle table once (the
+      // ngramJaccardScores r06 lesson: differently-pruned subtrees defeat
+      // exchange reuse and the corpus re-tokenizes per consumer)
       val sh = wordNgrams(corpus, wdt)
         .withColumnRenamed("ng", "sh")
+        .localCheckpoint()
       val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
       val hot = sh.groupBy("sh").agg(count(lit(1)).as("df"))
         .where(col("df") > 64).select("sh")

@@ -194,9 +194,20 @@ object StreamingJobs {
     */
   private def withFewStatePartitions[T](spark: SparkSession)(body: => T): T = {
     val key = "spark.sql.shuffle.partitions"
+    val aqeKey = "spark.sql.adaptive.enabled"
     val prev = spark.conf.get(key)
+    val prevAqe = spark.conf.get(aqeKey)
     spark.conf.set(key, "4")
-    try body finally spark.conf.set(key, prev)
+    // The streaming queries themselves never use AQE (unsupported —
+    // Spark disables it with a warning); but the foreachBatch BODIES are
+    // batch queries, and AQE materialized each of their exchanges as its
+    // own job at micro-batch sizes the 4-partition setting above already
+    // handles (the graph/pipeline loop discipline).
+    spark.conf.set(aqeKey, "false")
+    try body finally {
+      spark.conf.set(key, prev)
+      spark.conf.set(aqeKey, prevAqe)
+    }
   }
 
   /** Streaming state/offset checkpoints on the fast local dir (tmpfs when

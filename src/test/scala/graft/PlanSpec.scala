@@ -194,13 +194,19 @@ class PlanSpec extends AnyFunSuite {
     val cuckoos = SeenStore.buildCuckoos(seen, numBuckets, 128)
       .collect().map(r => r.getInt(0) -> r.getAs[Array[Byte]](1)).toMap
     val cfg = FrontierJob.Config(globalBudget = 500)
+    // seeds pinned to an explicit multi-partition split: r06's adaptive
+    // source partitioning gives 2000 rows ONE partition, and a
+    // single-partition child satisfies the dedupe's distribution with no
+    // Exchange at all — nothing to reuse, which is fine for cost but
+    // vacuous for this pin. The invariant under test (subtree identity =>
+    // one scan + ReusedExchange) needs the exchange to exist.
     for ((kind, sched) <- Seq(
         "bloom" -> FrontierJob.runEpoch(
-          Gen.seeds(spark, 2000), Gen.robots(spark), seen, blooms, numBuckets, cfg),
+          Gen.seeds(spark, 2000, 8), Gen.robots(spark), seen, blooms, numBuckets, cfg),
         "cuckoo" -> FrontierJob.applyGlobalBudget(FrontierJob.schedule(
           FrontierJob.applyRobots(
             FrontierJob.dedupeAgainstSeenCuckoo(
-              FrontierJob.canonicalizeFrontier(Gen.seeds(spark, 2000)),
+              FrontierJob.canonicalizeFrontier(Gen.seeds(spark, 2000, 8)),
               seen, cuckoos, numBuckets),
             Gen.robots(spark), cfg), cfg), cfg))) {
       val p = finalPlan(sched.toDF())
