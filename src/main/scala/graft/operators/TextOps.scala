@@ -13,11 +13,33 @@ object TextOps {
   // NOT repartitioned after the read even though the local sf dirs hold
   // one small file per table (single-task scans): the zero-exchange scan
   // pass is a plan-pinned design gate for the quality filters (GopherSpec
-  // "the only exchange is the presentation sort"), and an r06 experiment
-  // spreading the scan measured no wall win — the t-family cost was
-  // repeated subtree recompute, fixed in ngramJaccardScores instead.
+  // "the only exchange is the presentation sort"). The compute-dense
+  // kernels instead spread their own input via [[spreadNarrow]].
   private def docs(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/documents.parquet")
+
+  /** Spread a narrow corpus across the session's cores ahead of a
+    * compute-dense per-doc kernel (tokenize/shingle/hash/regex), guide
+    * §2.5 "input skew: one huge unsplittable file ... repartition
+    * immediately after the read": the local sf dirs hold ONE small
+    * parquet file per table, so without this every shingle pass runs as
+    * a single task while the other cores idle (t22 3.3 s -> 20 s when a
+    * global spread was reverted in r06). Applied INSIDE the heavy
+    * kernels only — the quality filters keep their plan-pinned
+    * zero-exchange scans — and gated on the planned scan actually being
+    * narrower than the session width, so a production multi-split corpus
+    * adds no exchange. The inputs at every call site are scan/union/
+    * projection shapes (no exchanges), so the planning probe runs no
+    * jobs; the round-robin split is deterministic (sortBeforeRepartition
+    * is on) and every consumer is an aggregation/join or ends in a
+    * presentation sort, so results are split-invariant.
+    */
+  private def spreadNarrow(df: DataFrame): DataFrame = {
+    val sc = df.sparkSession.sparkContext
+    val n = df.queryExecution.toRdd.getNumPartitions
+    if (2 * n <= sc.defaultParallelism) df.repartition(sc.defaultParallelism)
+    else df
+  }
 
   /** SQL-checkable slice of quality scoring: char/token/punct stats. */
   def qualityStats(spark: SparkSession, dir: String): DataFrame =
@@ -44,7 +66,7 @@ object TextOps {
     */
   def curatedCorpus(spark: SparkSession, dir: String,
                     minTokens: Long = 32L, maxPunct: Double = 0.1): DataFrame = {
-    val corpus = plantedCorpus(spark, dir)
+    val corpus = spreadNarrow(plantedCorpus(spark, dir))
     val kept = DedupResolve.filterCorpus(
       corpus, "doc_id", ngramJaccardPairs(corpus), "doc_a", "doc_b")
     qualityStatsOf(kept)
@@ -154,7 +176,9 @@ object TextOps {
       .select((col("doc_id") + 1000000L).as("doc_id"),
         concat(col("text"), lit(" appended revision marker tokens")).as("text"))
     val corpus = base.unionByName(planted)
-    val banded = corpus
+    // the banding pass shingles + hashes every doc k times — spread it;
+    // the verify join reads text by id for the small candidate set only
+    val banded = spreadNarrow(corpus)
       .select(col("doc_id"),
         posexplode(GraftFunctions.minhashBands(col("text"))).as(Seq("band_idx", "band_key")))
     val candidates = banded.as("a")
@@ -312,7 +336,9 @@ object TextOps {
     * exchanges carry (doc_id, long) only, integer threshold compare.
     */
   def containmentPairs(corpus: DataFrame, maxDf: Int = 64): DataFrame = {
-    val shingles = wordShingles(corpus)
+    // same 4-consumer shingle table as ngramJaccardScores — spread the
+    // corpus and materialize the (doc_id, sh) rows once
+    val shingles = wordShingles(spreadNarrow(corpus)).localCheckpoint()
     val sizes = shingles.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val hot = shingles.groupBy("sh").agg(count(lit(1)).as("df"))
       .where(col("df") > maxDf).select("sh")
@@ -427,8 +453,11 @@ object TextOps {
     // (t22: 72 Exchanges, 0 reused). localCheckpoint materializes the
     // (doc_id, sh) rows once (ids+hashes only, never text) and is
     // self-cleaning via the ContextCleaner; at production scale this is a
-    // written intermediate table — see SimIndex.
-    val shingles = wordShingles(corpus).localCheckpoint()
+    // written intermediate table — see SimIndex. The corpus is spread
+    // before the shingle pass so the one-time materialization uses every
+    // core (the exchange is consumed by the checkpoint and never appears
+    // in consumer plans).
+    val shingles = wordShingles(spreadNarrow(corpus)).localCheckpoint()
     val sizes = shingles.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val hot = shingles.groupBy("sh").agg(count(lit(1)).as("df"))
       .where(col("df") > maxDf).select("sh")
@@ -519,8 +548,10 @@ object TextOps {
   def minhashCalibration(spark: SparkSession, dir: String,
                          k: Int = 16): DataFrame = {
     require(10000 % k == 0, s"k=$k must divide 10000 for exact est_bp")
-    val corpus = plantedCorpus(spark, dir)
-    val sh = wordShingleStrings(corpus)
+    val corpus = spreadNarrow(plantedCorpus(spark, dir))
+    // two consumers (sizes, the k-fold signature explode) — materialize
+    // the string-shingle table once (the ngramJaccardScores lesson)
+    val sh = wordShingleStrings(corpus).localCheckpoint()
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val base = docs(spark, dir).select("doc_id")
     val cand = ngramJaccardPairs(corpus).select("doc_a", "doc_b")
@@ -828,7 +859,10 @@ object TextOps {
   def corpusBuild(spark: SparkSession, dir: String,
                   minTokens: Long = 32L, maxPunct: Double = 0.1,
                   maxDup: Double = 0.85, maxTopGram: Double = 0.3): DataFrame = {
-    val corpus = plantedCorpus(spark, dir)
+    // spread once at the top: `kept` is checkpointed with the corpus's
+    // partitioning, and the three downstream per-doc stat branches
+    // (quality/repetition/packing) are regex-dense
+    val corpus = spreadNarrow(plantedCorpus(spark, dir))
     // kept feeds three downstream branches (quality gate, repetition gate,
     // packing); materialize it once instead of re-running the dedup
     // anti-join per branch (r06 plan audit: no exchange reuse across the
@@ -1243,7 +1277,8 @@ object TextOps {
     * single pass with zero exchanges after the trainer's bounded rounds.
     */
   def bpeEncodedCorpus(spark: SparkSession, dir: String, rounds: Int = 3): DataFrame = {
-    val corpus = docs(spark, dir).select("doc_id", "text")
+    // the iterative merge application re-tokenizes every doc per round
+    val corpus = spreadNarrow(docs(spark, dir).select("doc_id", "text"))
     val merges = bpeTrain(spark, corpus, rounds).map(m => (m._2, m._3))
     bpeEncode(tokensOf(corpus), merges)
       .select(col("doc_id"),
@@ -1520,7 +1555,7 @@ object TextOps {
     val planted = base.where(pmod(col("doc_id"), lit(20)) === 0)
       .select((col("doc_id") + 1000000L).as("doc_id"),
         concat(col("text"), lit(" appended revision marker tokens")).as("text"))
-    val sh = base.unionByName(planted)
+    val sh = spreadNarrow(base.unionByName(planted))
       .select(col("doc_id"), GraftFunctions.simhash64(col("text")).as("simhash"))
     // 4 rotated 16-bit blocks: docs within Hamming<=6 of a 64-bit hash agree
     // on at least one block w.h.p. (pigeonhole gives >=1 exact block for
@@ -2130,7 +2165,7 @@ object TextOps {
     */
   def shingleSizeSweep(spark: SparkSession, dir: String,
                        widths: Seq[Int] = Seq(2, 3, 5)): DataFrame = {
-    val corpus = plantedCorpus(spark, dir)
+    val corpus = spreadNarrow(plantedCorpus(spark, dir))
     val truth = docs(spark, dir)
       .where(pmod(col("doc_id"), lit(20)) === 0)
       .select(col("doc_id").as("doc_a"),
