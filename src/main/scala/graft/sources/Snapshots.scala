@@ -42,15 +42,30 @@ object Snapshots {
   def readRaw(spark: SparkSession, root: String, epoch: Int): DataFrame =
     readRoot(spark, root).where(col("epoch") === epoch)
 
-  /** mergeSchema: a root may straddle the fetch-log format change (older
-    * epochs written without the status column). Plain parquet reads pick
-    * ONE footer's schema for the whole root — if it has status, old-epoch
+  /** A root may straddle the fetch-log format change (older epochs
+    * written without the status column). Plain parquet reads pick ONE
+    * footer's schema for the whole root — if it has status, old-epoch
     * rows would read status=null; if it lacks status, new-epoch failure
-    * rows would leak into the contract view. Merging makes every column
-    * visible; [[parsedOnly]] then treats a missing/null status as parsed.
+    * rows would leak into the contract view. The root was therefore read
+    * with mergeSchema=true — but that pays a footer-reading Spark job
+    * over every file in the root on EVERY call, and the schema being
+    * merged is static code knowledge: every format ever written is a
+    * subset of [[RootSchema]] (the Fetched row + the epoch partition
+    * column). Supplying it explicitly keeps the exact same read
+    * semantics — parquet columns match by name, pre-status epochs read
+    * their missing fetch-log columns as null, which is precisely the
+    * [[parsedOnly]] contract ("null status = parsed") — minus the
+    * per-call footer pass (guide §6: metadata work on the driver is a
+    * fixed cost every scan pays; the pipeline demos call this reader
+    * dozens of times per run).
     */
+  private val RootSchema = org.apache.spark.sql.types.StructType.fromDDL(
+    "image_id STRING, bytes BINARY, w INT, h INT, fmt STRING, " +
+      "caption STRING, phash BIGINT, partition_id INT, status STRING, " +
+      "elapsed_ms BIGINT, epoch INT")
+
   private def readRoot(spark: SparkSession, root: String): DataFrame =
-    spark.read.option("mergeSchema", "true").parquet(s"$root/snapshots")
+    spark.read.schema(RootSchema).parquet(s"$root/snapshots")
 
   private def parsedOnly(df: DataFrame): DataFrame = {
     // null status = row from a pre-status epoch = it was parsed (failure
