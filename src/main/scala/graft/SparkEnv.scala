@@ -43,5 +43,14 @@ object SparkEnv {
       // data size — at demo scale that is 32 tasks per scan for a few
       // hundred rows (guide §2.4/§2.2: fewer, larger partitions).
       .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
+      // The ContextCleaner reclaims shuffle files and localCheckpoint
+      // blocks only after the driver GCs their references; its forced-GC
+      // interval defaults to 30min — longer than a whole bench run, so a
+      // 295-query session accumulates every query's shuffle files (on the
+      // tmpfs local dir: RAM) and checkpoint blocks until the end (guide
+      // §5: unpersist when done / cut what tasks hold). 2min bounds the
+      // within-run footprint at a few driver GCs per run; deployment
+      // config, not semantics.
+      .config("spark.cleaner.periodicGC.interval", "2min")
   }
 }
